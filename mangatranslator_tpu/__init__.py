@@ -1,0 +1,23 @@
+"""mangatranslator_tpu — TPU-native manga/comic translation framework.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+meangrinch/MangaTranslator v1.21.5 (see SURVEY.md at the repo root for the
+structural map of the reference this framework re-implements TPU-first).
+"""
+
+from .version import __version__  # noqa: F401
+from .config import (  # noqa: F401
+    CleaningConfig,
+    DetectionConfig,
+    MangaTranslatorConfig,
+    OutputConfig,
+    OutsideTextConfig,
+    ParallelConfig,
+    PreprocessingConfig,
+    RenderingConfig,
+    TpuRuntimeConfig,
+    TranslationConfig,
+    calculate_reasoning_budget,
+)
+from .validation import clamp_settings, validate_config  # noqa: F401
+from .caching import get_cache  # noqa: F401

@@ -1,0 +1,188 @@
+"""Content-addressed result caches.
+
+TPU-side recompute is expensive to schedule (host↔device transfers + dispatch), so
+every op layer consults a unified cache keyed by SHA-256 of the input pixels plus
+the parameters that affect the result. Behavior parity with reference
+core/caching.py:12-658:
+
+* six domains with the reference's capacities — yolo(1), sam(1), translation(1),
+  manga_ocr(20), upscale(20), inpaint(20);
+* translation results cached only under deterministic sampling
+  (temp==0 or top_k==1 or top_p==0 — reference :198-207);
+* per-image auto-invalidation: when the current image hash changes, the
+  single-entry domains are cleared (reference :599-624);
+* inpaint keys use a 64×64 downsampled mask signature + quantized bbox so pixel
+  jitter doesn't miss (reference core/image/inpainting.py:710-815 — implemented
+  by the inpainting module, which passes the signature in as a param).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import threading
+from collections import OrderedDict
+from typing import Any, Dict, Iterable, Optional, Tuple
+
+import numpy as np
+
+
+def hash_pixels(pixels: Any) -> str:
+    """SHA-256 of raw pixel bytes. Accepts numpy arrays or PIL images."""
+    if hasattr(pixels, "tobytes") and not isinstance(pixels, np.ndarray):
+        # PIL image: include mode+size so identical bytes of different layouts differ
+        arr = np.asarray(pixels)
+    else:
+        arr = np.asarray(pixels)
+    h = hashlib.sha256()
+    h.update(str(arr.shape).encode())
+    h.update(str(arr.dtype).encode())
+    h.update(np.ascontiguousarray(arr).tobytes())
+    return h.hexdigest()
+
+
+def hash_params(*params: Any) -> str:
+    """Stable SHA-256 of a parameter tuple via repr (sorted for dicts)."""
+
+    def canon(p: Any) -> str:
+        if isinstance(p, dict):
+            return "{" + ",".join(f"{k!r}:{canon(v)}" for k, v in sorted(p.items())) + "}"
+        if isinstance(p, (list, tuple)):
+            return "[" + ",".join(canon(v) for v in p) + "]"
+        if isinstance(p, float):
+            return f"{p:.10g}"
+        if isinstance(p, np.ndarray):
+            return hash_pixels(p)
+        return repr(p)
+
+    joined = "|".join(canon(p) for p in params)
+    return hashlib.sha256(joined.encode()).hexdigest()
+
+
+def make_key(pixels: Any, *params: Any) -> str:
+    return hash_pixels(pixels) + ":" + hash_params(*params)
+
+
+class LRUCache:
+    """Thread-safe LRU with hit/miss counters."""
+
+    def __init__(self, capacity: int):
+        self.capacity = max(1, capacity)
+        self._data: "OrderedDict[str, Any]" = OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key: str) -> Optional[Any]:
+        with self._lock:
+            if key in self._data:
+                self._data.move_to_end(key)
+                self.hits += 1
+                return self._data[key]
+            self.misses += 1
+            return None
+
+    def put(self, key: str, value: Any) -> None:
+        with self._lock:
+            self._data[key] = value
+            self._data.move_to_end(key)
+            while len(self._data) > self.capacity:
+                self._data.popitem(last=False)
+
+    def clear(self) -> None:
+        with self._lock:
+            self._data.clear()
+
+    def __len__(self) -> int:
+        with self._lock:
+            return len(self._data)
+
+
+# Domain → capacity (reference core/caching.py:20-26)
+_DOMAIN_CAPACITY = {
+    "yolo": 1,
+    "sam": 1,
+    "translation": 1,
+    "manga_ocr": 20,
+    "upscale": 20,
+    "inpaint": 20,
+}
+
+# Domains cleared when the current image changes (single-entry, page-scoped)
+_PAGE_SCOPED = ("yolo", "sam", "translation")
+
+
+def is_deterministic_sampling(temperature: float, top_k: int, top_p: float) -> bool:
+    """Translation results are only cacheable when sampling is deterministic
+    (reference core/caching.py:198-207)."""
+    return temperature == 0 or top_k == 1 or top_p == 0
+
+
+class UnifiedCache:
+    """The shared cache bundle consulted by every op layer."""
+
+    def __init__(self, capacities: Optional[Dict[str, int]] = None):
+        caps = dict(_DOMAIN_CAPACITY)
+        if capacities:
+            caps.update(capacities)
+        self._caches: Dict[str, LRUCache] = {d: LRUCache(c) for d, c in caps.items()}
+        self._current_image_hash: Optional[str] = None
+        self._lock = threading.Lock()
+
+    def domain(self, name: str) -> LRUCache:
+        return self._caches[name]
+
+    def get(self, domain: str, key: str) -> Optional[Any]:
+        return self._caches[domain].get(key)
+
+    def put(self, domain: str, key: str, value: Any) -> None:
+        self._caches[domain].put(key, value)
+
+    def put_translation(
+        self, key: str, value: Any, *, temperature: float, top_k: int, top_p: float
+    ) -> bool:
+        """Store a translation only when sampling is deterministic. Returns stored?"""
+        if not is_deterministic_sampling(temperature, top_k, top_p):
+            return False
+        self.put("translation", key, value)
+        return True
+
+    def set_current_image(self, pixels_or_hash: Any) -> None:
+        """Invalidate page-scoped domains when the working image changes
+        (reference core/caching.py:599-624)."""
+        new_hash = (
+            pixels_or_hash if isinstance(pixels_or_hash, str) else hash_pixels(pixels_or_hash)
+        )
+        with self._lock:
+            if new_hash == self._current_image_hash:
+                return
+            self._current_image_hash = new_hash
+            for d in _PAGE_SCOPED:
+                self._caches[d].clear()
+
+    def clear(self, domains: Optional[Iterable[str]] = None) -> None:
+        for d in domains or self._caches:
+            self._caches[d].clear()
+
+    def stats(self) -> Dict[str, Tuple[int, int, int]]:
+        return {
+            d: (len(c), c.hits, c.misses) for d, c in self._caches.items()
+        }
+
+
+_global_cache: Optional[UnifiedCache] = None
+_global_lock = threading.Lock()
+
+
+def get_cache() -> UnifiedCache:
+    """Process-wide cache singleton (reference core/caching.py:647-658)."""
+    global _global_cache
+    with _global_lock:
+        if _global_cache is None:
+            _global_cache = UnifiedCache()
+    return _global_cache
+
+
+def reset_cache() -> None:
+    global _global_cache
+    with _global_lock:
+        _global_cache = None

@@ -1,0 +1,288 @@
+"""Configuration tree for the TPU-native pipeline.
+
+Field-for-field parity with the reference dataclass tree (reference:
+core/config.py:10-250) — the field names, defaults, and env-var key loading are the
+app's public API (CLI flags, persisted config.json, and UI settings all map onto
+them). Differences from the reference:
+
+* ``device`` is a JAX runtime handle (``TpuRuntimeConfig``) instead of a
+  ``torch.device`` — mesh shape, precision policy, and compilation-cache knobs
+  live here.
+* New ``parallel`` group for the TPU batch scheduler (page-sharding mesh axes,
+  double-buffering); the reference's thread knobs (``parallel_requests``,
+  ``batch_parallel_within_pages``, ``overlap_llm_with_inpaint``) are kept and feed
+  the same scheduler.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Tuple
+
+from .llm_defaults import DEFAULT_LLM_PROVIDER, get_provider_sampling_defaults
+
+
+@dataclass
+class DetectionConfig:
+    """Speech-bubble detection knobs (reference core/config.py:10-21)."""
+
+    confidence: float = 0.6
+    conjoined_confidence: float = 0.35
+    panel_confidence: float = 0.25
+    seg_model: str = "yolo"  # "sam3", "sam2", or "yolo"
+    bubble_detector_model: str = "yolo_2"  # "yolo_1" or "yolo_2"
+    conjoined_detection: bool = True
+    use_panel_sorting: bool = True
+    use_osb_text_verification: bool = True
+
+
+@dataclass
+class CleaningConfig:
+    """Bubble-cleaning knobs (reference core/config.py:24-31)."""
+
+    thresholding_value: int = 200
+    use_otsu_threshold: bool = False
+    roi_shrink_px: int = 5
+    inpaint_colored_bubbles: bool = False
+
+
+_DEFAULT_SAMPLING = get_provider_sampling_defaults(DEFAULT_LLM_PROVIDER)
+
+
+@dataclass
+class TranslationConfig:
+    """LLM OCR/translation knobs (reference core/config.py:38-95)."""
+
+    provider: str = DEFAULT_LLM_PROVIDER
+    google_api_key: str = ""
+    openai_api_key: str = ""
+    anthropic_api_key: str = ""
+    xai_api_key: str = ""
+    deepseek_api_key: str = ""
+    zai_api_key: str = ""
+    moonshot_api_key: str = ""
+    mimo_api_key: str = ""
+    openrouter_api_key: str = ""
+    openai_compatible_url: str = "http://localhost:8080/v1"
+    openai_compatible_api_key: Optional[str] = ""
+    model_name: str = "gemini-3.5-flash-lite"
+    provider_models: Dict[str, Optional[str]] = field(default_factory=dict)
+    temperature: float = float(_DEFAULT_SAMPLING["temperature"])
+    top_p: float = float(_DEFAULT_SAMPLING["top_p"])
+    top_k: int = int(_DEFAULT_SAMPLING["top_k"])
+    # None = provider default logic (16384 when reasoning, 4096 otherwise)
+    max_tokens: Optional[int] = None
+    input_language: str = "Japanese"
+    output_language: str = "English"
+    reading_direction: str = "rtl"
+    translation_mode: str = "one-step"  # or "two-step"
+    reasoning_effort: Optional[str] = None
+    effort: Optional[str] = None  # Anthropic Opus 4.5+/Sonnet 4.6 token eagerness
+    verbosity: Optional[str] = None  # GPT-5 series response verbosity
+    send_full_page_context: bool = True
+    whiteout_conjoined_bubbles: bool = True
+    upscale_method: str = "model_lite"  # "model" | "model_lite" | "lanczos" | "none"
+    enable_web_search: bool = False
+    enable_code_execution: bool = False
+    use_custom_sampling: bool = True
+    image_detail: str = "auto"  # OpenAI image detail
+    media_resolution: str = "auto"  # Google media resolution
+    media_resolution_bubbles: str = "auto"
+    media_resolution_context: str = "auto"
+    bubble_min_side_pixels: int = 128
+    context_image_max_side_pixels: int = 1024
+    previous_context_image_count: int = 0
+    previous_context_text_count: int = 0
+    osb_min_side_pixels: int = 128
+    special_instructions: Optional[str] = None
+    ocr_method: str = "LLM"  # "LLM", "manga-ocr", or "paddleocr-vl-1.6"
+    request_coordinator: Optional[Any] = None
+
+
+@dataclass
+class RenderingConfig:
+    """Typesetting knobs (reference core/config.py:97-117)."""
+
+    font_dir: str = "./fonts"
+    max_font_size: int = 16
+    min_font_size: int = 8
+    line_spacing_mult: float = 1.0
+    use_subpixel_rendering: bool = False
+    font_hinting: str = "none"
+    use_ligatures: bool = False
+    hyphenate_before_scaling: bool = True
+    hyphen_penalty: float = 1000.0
+    hyphenation_min_word_length: int = 8
+    badness_exponent: float = 3.0
+    padding_pixels: float = 4.0
+    outline_width: float = 0.0
+    supersampling_factor: int = 4
+    detach_trailing_punctuation: bool = True
+    auto_vertical_text: bool = False
+
+
+@dataclass
+class OutsideTextConfig:
+    """OSB (outside-speech-bubble) text removal knobs (reference core/config.py:119-162)."""
+
+    enabled: bool = False
+    enable_page_number_filtering: bool = False
+    page_filter_margin_threshold: float = 0.1
+    page_filter_min_area_ratio: float = 0.05
+    min_area_ignore_ratio: float = 0.0
+    seed: int = 1  # -1 = random
+    huggingface_token: str = ""
+    inpainting_method: str = "flux_klein_4b"
+    # flux_klein_9b, flux_klein_4b, flux_kontext, opencv, none
+    flux_backend: str = "jax"  # TPU-native XLA pipeline ("sdnq"/"sdcpp"/"nunchaku" map here)
+    flux_low_vram: bool = False
+    flux_sdcpp_cache_mode: str = "none"
+    flux_sdcpp_diffusion_quant: str = "Q4_K_M"
+    flux_sdcpp_text_encoder_quant: str = ""
+    flux_num_inference_steps: int = 8
+    flux_luminance_correction: bool = True
+    flux_upscale_small_crops: bool = True
+    flux_group_regions: bool = False
+    flux_residual_diff_threshold: float = 0.15
+    osb_confidence: float = 0.6
+    osb_font_dir: Optional[str] = None
+    osb_max_font_size: int = 64
+    osb_min_font_size: int = 10
+    osb_use_ligatures: bool = False
+    osb_outline_width: float = 3.0
+    osb_line_spacing: float = 1.0
+    osb_use_subpixel_rendering: bool = False
+    osb_font_hinting: str = "none"
+    bbox_expansion_percent: float = 0.1
+    osb_render_expansion_narrow_multiplier: float = 1.0
+    osb_render_expansion_tiny_multiplier: float = 1.0
+    osb_render_expansion_aspect_ratio_threshold: float = 0.4
+    osb_render_expansion_area_ratio_threshold: float = 0.005
+    text_box_proximity_ratio: float = 0.02
+    flux_guidance_scale: float = 2.5
+    flux_prompt: str = "Remove all text."
+
+
+@dataclass
+class OutputConfig:
+    """Output encoding knobs (reference core/config.py:164-173)."""
+
+    jpeg_quality: int = 95
+    png_compression: int = 2
+    output_format: str = "png"  # "png" | "jpeg" | "webp" | "auto"
+    upscale_final_image: bool = False
+    image_upscale_factor: float = 2.0
+    image_upscale_model: str = "model_lite"
+
+
+@dataclass
+class PreprocessingConfig:
+    """Pre-detection upscale knobs (reference core/config.py:244-250)."""
+
+    enabled: bool = False
+    factor: float = 2.0
+    auto_scale: bool = True
+
+
+@dataclass
+class TpuRuntimeConfig:
+    """TPU-native replacement for the reference's torch device field.
+
+    No reference equivalent — defines the device mesh, precision policy and
+    compile-cache behavior for the whole pipeline.
+    """
+
+    platform: Optional[str] = None  # None = auto (tpu > cpu)
+    mesh_shape: Optional[Tuple[int, ...]] = None  # None = all devices on one axis
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    compute_dtype: str = "bfloat16"
+    param_dtype: str = "bfloat16"
+    donate_buffers: bool = True
+    persistent_compilation_cache: Optional[str] = None
+
+
+@dataclass
+class ParallelConfig:
+    """Batch-scheduler parallelism for the TPU rebuild.
+
+    Generalizes the reference's thread machinery (core/pipeline.py:2192-2455,
+    core/batch_coordinator.py:18) into device/page sharding + host IO overlap.
+    """
+
+    pages_per_device_batch: int = 1  # pages stacked per jitted forward
+    shard_pages_over_mesh: bool = True  # shard the page batch over the 'data' axis
+    host_io_workers: int = 8  # decode/encode thread pool
+    double_buffer_llm: bool = True  # overlap LLM HTTP with device compute
+
+
+@dataclass
+class MangaTranslatorConfig:
+    """Root config (reference core/config.py:176-241)."""
+
+    yolo_model_path: str
+    detection: DetectionConfig = field(default_factory=DetectionConfig)
+    cleaning: CleaningConfig = field(default_factory=CleaningConfig)
+    translation: TranslationConfig = field(default_factory=TranslationConfig)
+    rendering: RenderingConfig = field(default_factory=RenderingConfig)
+    output: OutputConfig = field(default_factory=OutputConfig)
+    outside_text: OutsideTextConfig = field(default_factory=OutsideTextConfig)
+    preprocessing: PreprocessingConfig = field(default_factory=PreprocessingConfig)
+    runtime: TpuRuntimeConfig = field(default_factory=TpuRuntimeConfig)
+    parallel: ParallelConfig = field(default_factory=ParallelConfig)
+    verbose: bool = False
+    device: Optional[Any] = None  # resolved jax.Device (single-chip) — set lazily
+    cleaning_only: bool = False
+    upscaling_only: bool = False
+    test_mode: bool = False
+    processing_scale: float = 1.0
+    parallel_requests: int = 1
+    batch_parallel_within_pages: bool = False
+    overlap_llm_with_inpaint: bool = False
+    retry_failed_once: bool = False
+    request_coordinator: Optional[Any] = None
+
+    def __post_init__(self) -> None:
+        t = self.translation
+        env = os.environ
+        # Env-var key fallbacks — same variable names as the reference
+        # (core/config.py:202-241) so existing user environments keep working.
+        if not t.google_api_key:
+            t.google_api_key = env.get("GOOGLE_API_KEY") or env.get("GEMINI_API_KEY", "")
+        if not t.openai_api_key:
+            t.openai_api_key = env.get("OPENAI_API_KEY", "")
+        if not t.anthropic_api_key:
+            t.anthropic_api_key = env.get("ANTHROPIC_API_KEY", "")
+        if not t.xai_api_key:
+            t.xai_api_key = env.get("SPACEXAI_API_KEY") or env.get("XAI_API_KEY", "")
+        if not t.deepseek_api_key:
+            t.deepseek_api_key = env.get("DEEPSEEK_API_KEY", "")
+        if not t.zai_api_key:
+            t.zai_api_key = env.get("ZAI_API_KEY", "")
+        if not t.moonshot_api_key:
+            t.moonshot_api_key = env.get("MOONSHOT_API_KEY", "")
+        if not t.mimo_api_key:
+            t.mimo_api_key = env.get("MIMO_API_KEY", "")
+        if not t.openrouter_api_key:
+            t.openrouter_api_key = env.get("OPENROUTER_API_KEY", "")
+        if not t.openai_compatible_api_key:
+            t.openai_compatible_api_key = env.get("OPENAI_COMPATIBLE_API_KEY", "")
+        if not self.outside_text.huggingface_token:
+            self.outside_text.huggingface_token = env.get("HF_TOKEN", "")
+
+
+_REASONING_BUDGET_FRACTIONS = {
+    "high": 0.8,
+    "medium": 0.5,
+    "low": 0.2,
+    "minimal": 0.1,
+}
+
+
+def calculate_reasoning_budget(total_tokens: int, effort_level: str) -> int:
+    """Reasoning token budget per effort tier (reference core/config.py:253-279).
+
+    "auto"/"none" return 0 — the caller handles those provider-side.
+    """
+    frac = _REASONING_BUDGET_FRACTIONS.get(effort_level)
+    return int(total_tokens * frac) if frac else 0

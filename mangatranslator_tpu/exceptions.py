@@ -1,0 +1,50 @@
+"""Exception taxonomy for the pipeline.
+
+Mirrors the reference's nine-class taxonomy (reference: utils/exceptions.py:1-50)
+so callers can catch per-stage failures and degrade gracefully, plus a couple of
+TPU-specific additions (CompilationError, ShardingError).
+"""
+
+
+class ValidationError(ValueError):
+    """Invalid user input or configuration."""
+
+
+class ModelError(RuntimeError):
+    """Model loading, weight conversion, or inference failure."""
+
+
+class FontError(RuntimeError):
+    """Font loading / resource failure."""
+
+
+class RenderingError(RuntimeError):
+    """Text layout or rasterization failure."""
+
+
+class ImageProcessingError(Exception):
+    """Image decode/encode/transform failure."""
+
+
+class TranslationError(RuntimeError):
+    """LLM translation API or parsing failure."""
+
+
+class DetectionError(RuntimeError):
+    """Speech-bubble / panel / OSB detection failure."""
+
+
+class CleaningError(Exception):
+    """Bubble cleaning / inpainting failure."""
+
+
+class CancellationError(Exception):
+    """Cooperative cancellation requested by the user."""
+
+
+class CompilationError(RuntimeError):
+    """XLA compilation failure (TPU-specific; no reference equivalent)."""
+
+
+class ShardingError(RuntimeError):
+    """Mesh / sharding setup failure (TPU-specific; no reference equivalent)."""

@@ -1,0 +1,37 @@
+"""Per-provider default sampling parameters.
+
+Parity with reference core/llm_defaults.py:10-21 — the table values are the
+published provider defaults of the reference app (an API contract, kept
+byte-identical so persisted user configs round-trip).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Union
+
+Number = Union[float, int]
+
+DEFAULT_LLM_PROVIDER = "Google"
+
+_PROVIDER_SAMPLING_DEFAULTS: Dict[str, Dict[str, Number]] = {
+    "Google": {"temperature": 0.1, "top_p": 0.95, "top_k": 64},
+    "OpenAI": {"temperature": 0.1, "top_p": 1.0, "top_k": 0},
+    "Anthropic": {"temperature": 0.1, "top_p": 1.0, "top_k": 0},
+    "SpaceXAI": {"temperature": 0.1, "top_p": 1.0, "top_k": 0},
+    "DeepSeek": {"temperature": 0.1, "top_p": 0.95, "top_k": 0},
+    "Z.ai": {"temperature": 0.1, "top_p": 0.95, "top_k": 0},
+    "Moonshot AI": {"temperature": 0.1, "top_p": 1.0, "top_k": 0},
+    "Xiaomi MiMo": {"temperature": 0.1, "top_p": 1.0, "top_k": 0},
+    "OpenRouter": {"temperature": 0.1, "top_p": 0.95, "top_k": 64},
+    "OpenAI-Compatible": {"temperature": 0.1, "top_p": 0.95, "top_k": 40},
+}
+
+PROVIDERS = tuple(_PROVIDER_SAMPLING_DEFAULTS)
+
+
+def get_provider_sampling_defaults(provider: Optional[str]) -> Dict[str, Number]:
+    """Return a copy of the sampling defaults for a provider (fallback: Google)."""
+    table = _PROVIDER_SAMPLING_DEFAULTS
+    if provider in table:
+        return dict(table[provider])
+    return dict(table[DEFAULT_LLM_PROVIDER])

@@ -1,0 +1,136 @@
+"""Structured, leveled logging for the framework.
+
+The reference uses a bare print behind a lock (reference: utils/logging.py:6) with a
+``verbose`` flag threaded through every call. We keep that exact call surface
+(``log_message(msg, verbose=..., always_print=...)``) for drop-in parity, but route
+through :mod:`logging` so batch runs get timestamps, levels, and optional JSON lines,
+and add per-stage timer spans feeding the profiler (SURVEY.md §5 tracing gap).
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import sys
+import threading
+import time
+from contextlib import contextmanager
+from typing import Any, Dict, Iterator, Optional
+
+_LOGGER_NAME = "mangatranslator_tpu"
+_lock = threading.Lock()
+_configured = False
+
+
+def get_logger() -> logging.Logger:
+    global _configured
+    logger = logging.getLogger(_LOGGER_NAME)
+    with _lock:
+        if not _configured:
+            handler = logging.StreamHandler(sys.stderr)
+            fmt = os.environ.get(
+                "MTX_LOG_FORMAT", "%(asctime)s %(levelname)s %(name)s: %(message)s"
+            )
+            handler.setFormatter(logging.Formatter(fmt))
+            logger.addHandler(handler)
+            logger.setLevel(os.environ.get("MTX_LOG_LEVEL", "INFO"))
+            logger.propagate = False
+            _configured = True
+    return logger
+
+
+def log_message(message: str, verbose: bool = False, always_print: bool = False) -> None:
+    """Reference-compatible logging entry point (utils/logging.py:6).
+
+    ``always_print`` maps to INFO; verbose-only messages map to DEBUG unless
+    ``verbose`` is set, in which case they are promoted to INFO.
+    """
+    logger = get_logger()
+    if always_print or verbose:
+        logger.info(message)
+    else:
+        logger.debug(message)
+
+
+class StageTimers:
+    """Wall-clock per-stage timing, aggregated per page and per batch.
+
+    The reference only prints elapsed time per page (core/pipeline.py:1997-1999);
+    we keep named spans so the batch scheduler and bench can report a breakdown.
+    Thread-safe: pages run in parallel workers.
+    """
+
+    def __init__(self) -> None:
+        self._lock = threading.Lock()
+        self._totals: Dict[str, float] = {}
+        self._counts: Dict[str, int] = {}
+
+    @contextmanager
+    def span(self, name: str) -> Iterator[None]:
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            dt = time.perf_counter() - t0
+            with self._lock:
+                self._totals[name] = self._totals.get(name, 0.0) + dt
+                self._counts[name] = self._counts.get(name, 0) + 1
+
+    def record(self, name: str, seconds: float) -> None:
+        with self._lock:
+            self._totals[name] = self._totals.get(name, 0.0) + seconds
+            self._counts[name] = self._counts.get(name, 0) + 1
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        with self._lock:
+            return {
+                name: {
+                    "total_s": self._totals[name],
+                    "count": self._counts[name],
+                    "mean_s": self._totals[name] / max(1, self._counts[name]),
+                }
+                for name in sorted(self._totals)
+            }
+
+    def log_summary(self, verbose: bool = True) -> None:
+        log_message(
+            "stage timings: " + json.dumps(self.summary(), sort_keys=True),
+            verbose=verbose,
+        )
+
+    def reset(self) -> None:
+        with self._lock:
+            self._totals.clear()
+            self._counts.clear()
+
+
+_global_timers: Optional[StageTimers] = None
+
+
+def get_stage_timers() -> StageTimers:
+    global _global_timers
+    with _lock:
+        if _global_timers is None:
+            _global_timers = StageTimers()
+    return _global_timers
+
+
+@contextmanager
+def jax_profile_trace(out_dir: Optional[str]) -> Iterator[None]:
+    """Optional jax.profiler trace wrapper; no-op when out_dir is None."""
+    if not out_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(out_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+def log_json_event(event: str, **fields: Any) -> None:
+    """Emit one structured JSON log line (observability upgrade over reference)."""
+    get_logger().info(json.dumps({"event": event, **fields}, sort_keys=True, default=str))

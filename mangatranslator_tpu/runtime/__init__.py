@@ -1,0 +1,12 @@
+from .device import (  # noqa: F401
+    best_platform,
+    data_sharding,
+    device_put_sharded_pages,
+    empty_cache,
+    get_best_device,
+    get_best_dtype,
+    get_device_info,
+    make_mesh,
+    replicated,
+    synchronize,
+)

@@ -1,0 +1,149 @@
+"""Device & mesh runtime.
+
+TPU-native replacement for the reference's torch device layer
+(reference core/device.py:7-226). Instead of device-priority picking and manual
+cache purges, this module owns:
+
+* platform resolution (tpu > cpu) and the default compute dtype (bfloat16 on TPU);
+* the global ``jax.sharding.Mesh`` the batch scheduler shards pages over;
+* device info for logs/UI (reference ``get_device_info`` parity).
+
+``empty_cache``/``synchronize`` parity: XLA manages HBM, so ``empty_cache`` is a
+no-op kept for call-surface compatibility and ``synchronize`` blocks on all
+outstanding device work.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_lock = threading.Lock()
+_mesh_cache: Dict[Tuple, Any] = {}
+
+
+def get_best_device() -> jax.Device:
+    """Highest-priority device: TPU > GPU > CPU (reference core/device.py:7-31)."""
+    for platform in ("tpu", "gpu"):
+        try:
+            devs = jax.devices(platform)
+            if devs:
+                return devs[0]
+        except RuntimeError:
+            continue
+    return jax.devices()[0]
+
+
+def best_platform() -> str:
+    return get_best_device().platform
+
+
+def get_best_dtype(device: Optional[jax.Device] = None) -> jnp.dtype:
+    """bf16 on TPU/GPU, f32 on CPU (reference core/device.py:34-78 picks bf16/fp16/fp32)."""
+    dev = device or get_best_device()
+    return jnp.bfloat16 if dev.platform in ("tpu", "gpu") else jnp.float32
+
+
+def empty_cache() -> None:
+    """No-op under XLA (reference core/device.py:81 frees torch caches)."""
+
+
+def synchronize(device: Optional[jax.Device] = None) -> None:
+    """Block until outstanding device work completes (reference core/device.py:197)."""
+    del device
+    # A tiny transfer forces a full device queue drain.
+    jax.block_until_ready(jnp.zeros((), jnp.int32) + 0)
+
+
+def get_device_info() -> Dict[str, Any]:
+    """Device summary for logs/UI banner (reference core/device.py:116-195)."""
+    dev = get_best_device()
+    info: Dict[str, Any] = {
+        "platform": dev.platform,
+        "device_kind": getattr(dev, "device_kind", "unknown"),
+        "num_devices": jax.device_count(),
+        "num_local_devices": jax.local_device_count(),
+        "process_index": jax.process_index(),
+        "default_dtype": jnp.dtype(get_best_dtype(dev)).name,
+    }
+    try:
+        stats = dev.memory_stats()
+        if stats:
+            info["bytes_in_use"] = stats.get("bytes_in_use")
+            info["bytes_limit"] = stats.get("bytes_limit")
+    except Exception:
+        pass
+    return info
+
+
+@dataclass(frozen=True)
+class MeshSpec:
+    """Resolved mesh description used across the framework.
+
+    The default single-slice layout is one ``data`` axis over all chips (pages are
+    data-parallel); model axes are added by model-parallel configs.
+    """
+
+    shape: Tuple[int, ...]
+    axis_names: Tuple[str, ...]
+
+
+def make_mesh(
+    shape: Optional[Sequence[int]] = None,
+    axis_names: Sequence[str] = ("data",),
+    devices: Optional[Sequence[jax.Device]] = None,
+) -> jax.sharding.Mesh:
+    """Build (and cache) a Mesh.
+
+    With ``shape=None`` all available devices land on the first axis. Shapes may
+    use -1 for one inferred dimension.
+    """
+    devs = list(devices) if devices is not None else jax.devices()
+    n = len(devs)
+    if shape is None:
+        shape = (n,) + (1,) * (len(axis_names) - 1)
+    shape = tuple(shape)
+    if -1 in shape:
+        known = int(np.prod([s for s in shape if s != -1]))
+        if known <= 0 or n % known:
+            raise ValueError(f"cannot infer mesh shape {shape} over {n} devices")
+        shape = tuple(n // known if s == -1 else s for s in shape)
+    if int(np.prod(shape)) != n:
+        raise ValueError(f"mesh shape {shape} does not cover {n} devices")
+    if len(shape) != len(axis_names):
+        raise ValueError(f"shape {shape} vs axis names {axis_names} rank mismatch")
+
+    key = (shape, tuple(axis_names), tuple(id(d) for d in devs))
+    with _lock:
+        if key not in _mesh_cache:
+            arr = np.array(devs).reshape(shape)
+            _mesh_cache[key] = jax.sharding.Mesh(arr, tuple(axis_names))
+        return _mesh_cache[key]
+
+
+def data_sharding(mesh: jax.sharding.Mesh, axis: str = "data") -> jax.sharding.NamedSharding:
+    """Sharding that splits the leading (page/batch) dimension over ``axis``."""
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec(axis))
+
+
+def replicated(mesh: jax.sharding.Mesh) -> jax.sharding.NamedSharding:
+    return jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+
+def device_put_sharded_pages(
+    pages: np.ndarray, mesh: jax.sharding.Mesh, axis: str = "data"
+) -> jax.Array:
+    """Place a [pages, H, W, C] batch sharded over the mesh's page axis."""
+    return jax.device_put(pages, data_sharding(mesh, axis))
+
+
+def local_mesh_info() -> List[Dict[str, Any]]:
+    return [
+        {"id": d.id, "platform": d.platform, "kind": getattr(d, "device_kind", "?")}
+        for d in jax.devices()
+    ]

@@ -1,0 +1,100 @@
+"""Resolution-aware parameter scaling.
+
+All pixel-space knobs (font sizes, morphology kernels, min areas, shrink widths)
+were tuned at ~1 megapixel; when ``auto_scale`` is on the pipeline multiplies them
+by ``sqrt(page_area / 1MP)``. Behavior parity with reference core/scaling.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+REFERENCE_MEGAPIXELS = 1_000_000.0
+
+
+def processing_scale_for(width: int, height: int) -> float:
+    """sqrt(area / 1MP) — computed once per page (reference core/pipeline.py:765-772)."""
+    return math.sqrt(max(1, width * height) / REFERENCE_MEGAPIXELS)
+
+
+def _norm(scale: Optional[float]) -> float:
+    return 1.0 if scale is None or scale <= 0 else float(scale)
+
+
+def _clamp(v: float, lo: Optional[float], hi: Optional[float]) -> float:
+    if lo is not None:
+        v = max(lo, v)
+    if hi is not None:
+        v = min(hi, v)
+    return v
+
+
+def scale_scalar(
+    value: float,
+    scale: Optional[float],
+    *,
+    minimum: Optional[float] = None,
+    maximum: Optional[float] = None,
+) -> float:
+    """Linear scale of an arbitrary float (reference core/scaling.py:18-30)."""
+    return _clamp(value * _norm(scale), minimum, maximum)
+
+
+def scale_length(
+    value: float,
+    scale: Optional[float],
+    *,
+    minimum: Optional[float] = 1.0,
+    maximum: Optional[float] = None,
+) -> int:
+    """Linear scale of a pixel length, rounded to int ≥ 1 (reference :33-45)."""
+    return max(1, int(round(scale_scalar(value, scale, minimum=minimum, maximum=maximum))))
+
+
+def scale_area(
+    value: float,
+    scale: Optional[float],
+    *,
+    minimum: Optional[float] = 1.0,
+    maximum: Optional[float] = None,
+) -> int:
+    """Quadratic scale of an area in px² (reference :48-61)."""
+    s = _norm(scale)
+    return max(1, int(round(_clamp(value * s * s, minimum, maximum))))
+
+
+def scale_kernel(
+    kernel: Tuple[int, int],
+    scale: Optional[float],
+    *,
+    minimum: int = 1,
+    maximum: int = 63,
+) -> Tuple[int, int]:
+    """Scale a 2D morphology kernel, forcing odd dimensions (reference :64-96).
+
+    Rounds up to the next odd value when the scaled size lands even (generous
+    padding), falling back downward at the clamp boundary.
+    """
+
+    def one(base: int) -> int:
+        d = max(minimum, int(round(scale_scalar(base, scale, minimum=float(minimum),
+                                                maximum=float(maximum)))))
+        d = min(maximum, d)
+        if d % 2 == 0:
+            up = min(maximum, d + 1)
+            d = up if up % 2 == 1 else max(minimum, d - 1)
+        return max(minimum, d)
+
+    return (one(kernel[0]), one(kernel[1]))
+
+
+def scale_font_size(
+    value: float,
+    scale: Optional[float],
+    *,
+    minimum: int = 4,
+    maximum: int = 256,
+) -> int:
+    """Linear font-size scale with int clamp (reference :99-109)."""
+    return scale_length(value, scale, minimum=minimum, maximum=maximum)

@@ -1,0 +1,278 @@
+"""Setting constraints, clamping, and input validation.
+
+Parity surface: reference core/validation.py. The constraint table values
+(``SETTING_CONSTRAINTS``, reference :7-52) are the app's published knob ranges —
+kept identical so persisted configs and CLI invocations behave the same. The
+implementation here uses a single declarative table that carries both the flat
+settings-dict key and the config attribute path(s), instead of the reference's
+two parallel dicts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple, Union
+
+from .config import MangaTranslatorConfig, RenderingConfig, TranslationConfig
+from .exceptions import ValidationError
+
+
+@dataclass(frozen=True)
+class Constraint:
+    lo: float
+    hi: float
+    paths: Tuple[Tuple[str, ...], ...] = ()
+
+
+# key → (min, max, attribute paths into MangaTranslatorConfig)
+_C: Dict[str, Constraint] = {
+    "confidence": Constraint(0.1, 1.0, (("detection", "confidence"),)),
+    "conjoined_confidence": Constraint(0.1, 1.0, (("detection", "conjoined_confidence"),)),
+    "panel_confidence": Constraint(0.05, 1.0, (("detection", "panel_confidence"),)),
+    "thresholding_value": Constraint(0, 255, (("cleaning", "thresholding_value"),)),
+    "roi_shrink_px": Constraint(0, 10, (("cleaning", "roi_shrink_px"),)),
+    "temperature": Constraint(0.0, 2.0, (("translation", "temperature"),)),
+    "top_p": Constraint(0.0, 1.0, (("translation", "top_p"),)),
+    "top_k": Constraint(0, 64, (("translation", "top_k"),)),
+    "max_tokens": Constraint(2048, 63488, (("translation", "max_tokens"),)),
+    "bubble_min_side_pixels": Constraint(64, 512, (("translation", "bubble_min_side_pixels"),)),
+    "context_image_max_side_pixels": Constraint(
+        512, 2560, (("translation", "context_image_max_side_pixels"),)
+    ),
+    "previous_context_image_count": Constraint(
+        0, 10, (("translation", "previous_context_image_count"),)
+    ),
+    "batch_previous_context_image_count": Constraint(0, 10),
+    "previous_context_text_count": Constraint(
+        0, 50, (("translation", "previous_context_text_count"),)
+    ),
+    "batch_previous_context_text_count": Constraint(0, 50),
+    "osb_min_side_pixels": Constraint(64, 512, (("translation", "osb_min_side_pixels"),)),
+    "max_font_size": Constraint(5, 50, (("rendering", "max_font_size"),)),
+    "min_font_size": Constraint(5, 50, (("rendering", "min_font_size"),)),
+    "line_spacing_mult": Constraint(0.5, 2.0, (("rendering", "line_spacing_mult"),)),
+    "hyphen_penalty": Constraint(100, 2000, (("rendering", "hyphen_penalty"),)),
+    "hyphenation_min_word_length": Constraint(
+        4, 10, (("rendering", "hyphenation_min_word_length"),)
+    ),
+    "badness_exponent": Constraint(2.0, 4.0, (("rendering", "badness_exponent"),)),
+    "padding_pixels": Constraint(2, 12, (("rendering", "padding_pixels"),)),
+    "supersampling_factor": Constraint(1, 16, (("rendering", "supersampling_factor"),)),
+    "outside_text_osb_confidence": Constraint(0.0, 1.0, (("outside_text", "osb_confidence"),)),
+    "outside_text_bbox_expansion_percent": Constraint(
+        0.0, 1.0, (("outside_text", "bbox_expansion_percent"),)
+    ),
+    "outside_text_osb_render_expansion_narrow_multiplier": Constraint(
+        1.0, 3.0, (("outside_text", "osb_render_expansion_narrow_multiplier"),)
+    ),
+    "outside_text_osb_render_expansion_tiny_multiplier": Constraint(
+        1.0, 3.0, (("outside_text", "osb_render_expansion_tiny_multiplier"),)
+    ),
+    "outside_text_osb_render_expansion_aspect_ratio_threshold": Constraint(
+        0.05, 1.0, (("outside_text", "osb_render_expansion_aspect_ratio_threshold"),)
+    ),
+    "outside_text_osb_render_expansion_area_ratio_threshold": Constraint(
+        0.0, 0.05, (("outside_text", "osb_render_expansion_area_ratio_threshold"),)
+    ),
+    "outside_text_text_box_proximity_ratio": Constraint(
+        0.01, 0.1, (("outside_text", "text_box_proximity_ratio"),)
+    ),
+    "outside_text_page_filter_margin_threshold": Constraint(
+        0.0, 0.3, (("outside_text", "page_filter_margin_threshold"),)
+    ),
+    "outside_text_page_filter_min_area_ratio": Constraint(
+        0.0, 0.2, (("outside_text", "page_filter_min_area_ratio"),)
+    ),
+    "outside_text_min_area_ignore_ratio": Constraint(
+        0.0, 0.05, (("outside_text", "min_area_ignore_ratio"),)
+    ),
+    "outside_text_flux_num_inference_steps": Constraint(
+        1, 30, (("outside_text", "flux_num_inference_steps"),)
+    ),
+    "outside_text_flux_residual_diff_threshold": Constraint(
+        0.0, 1.0, (("outside_text", "flux_residual_diff_threshold"),)
+    ),
+    "outside_text_osb_max_font_size": Constraint(5, 96, (("outside_text", "osb_max_font_size"),)),
+    "outside_text_osb_min_font_size": Constraint(5, 96, (("outside_text", "osb_min_font_size"),)),
+    "outside_text_osb_line_spacing": Constraint(0.5, 2.0, (("outside_text", "osb_line_spacing"),)),
+    "outside_text_osb_outline_width": Constraint(
+        0.0, 10.0, (("outside_text", "osb_outline_width"),)
+    ),
+    "jpeg_quality": Constraint(1, 100, (("output", "jpeg_quality"),)),
+    "png_compression": Constraint(0, 6, (("output", "png_compression"),)),
+    "image_upscale_factor": Constraint(
+        1.0, 8.0, (("output", "image_upscale_factor"), ("preprocessing", "factor"))
+    ),
+    "parallel_requests": Constraint(1, 20, (("parallel_requests",),)),
+}
+
+SETTING_CONSTRAINTS: Dict[str, Tuple[float, float]] = {k: (c.lo, c.hi) for k, c in _C.items()}
+
+
+def _clamp_numeric(value: Any, lo: float, hi: float) -> Any:
+    """Clamp ints/floats into [lo, hi]; leave None/bools/non-numerics untouched."""
+    if value is None or isinstance(value, bool) or not isinstance(value, (int, float)):
+        return value
+    clamped = min(max(value, lo), hi)
+    return int(clamped) if isinstance(value, int) else clamped
+
+
+def clamp_settings(settings: Any) -> Any:
+    """Clamp a flat settings dict or a MangaTranslatorConfig tree in place.
+
+    Same dual-mode semantics as reference core/validation.py:138-171; returns the
+    argument for chaining.
+    """
+    if isinstance(settings, dict):
+        out = dict(settings)
+        for key, c in _C.items():
+            if key in out:
+                out[key] = _clamp_numeric(out[key], c.lo, c.hi)
+        return out
+
+    if not hasattr(settings, "__dict__"):
+        return settings
+    for c in _C.values():
+        for path in c.paths:
+            target = settings
+            for attr in path[:-1]:
+                target = getattr(target, attr, None)
+                if target is None:
+                    break
+            if target is None:
+                continue
+            leaf = path[-1]
+            if hasattr(target, leaf):
+                setattr(target, leaf, _clamp_numeric(getattr(target, leaf), c.lo, c.hi))
+    return settings
+
+
+_BUBBLE_MODEL_FILES = {
+    "yolo_2": "manga109-segmentation-bubble",
+    "yolo_1": "yolov8m_seg-speech-bubble",
+}
+
+
+def autodetect_yolo_model_path(models_dir: Path, bubble_detector_model: str = "yolo_2") -> Path:
+    """Deterministic primary-bubble-model path (reference core/validation.py:174-188).
+
+    TPU rebuild stores converted Flax checkpoints as ``.safetensors`` under
+    ``models/yolo/`` instead of torch ``.pt`` files.
+    """
+    stem = _BUBBLE_MODEL_FILES.get(bubble_detector_model, _BUBBLE_MODEL_FILES["yolo_1"])
+    return models_dir / "yolo" / f"{stem}.safetensors"
+
+
+VALID_FONT_HINTING = ("none", "slight", "normal", "full")
+
+
+def validate_core_inputs(
+    translation_cfg: TranslationConfig,
+    rendering_cfg: RenderingConfig,
+    models_dir: Path,
+    fonts_base_dir: Path,
+    bubble_detector_model: str = "yolo_2",
+) -> Tuple[Path, Path]:
+    """Validate model dir, font pack, rendering & translation basics.
+
+    Behavior parity with reference core/validation.py:190-277 (same error kinds
+    and checks).
+    """
+    if not models_dir.is_dir():
+        raise FileNotFoundError(f"YOLO models directory not found: {models_dir}")
+    yolo_model_path = autodetect_yolo_model_path(models_dir, bubble_detector_model)
+
+    if not fonts_base_dir.is_dir():
+        raise FileNotFoundError(f"Fonts base directory not found: {fonts_base_dir}")
+    if not rendering_cfg.font_dir:
+        raise ValidationError("Font pack (font_dir in rendering config) not specified.")
+    font_dir_path = fonts_base_dir / rendering_cfg.font_dir
+    if not font_dir_path.is_dir():
+        raise FileNotFoundError(
+            f"Specified font pack directory '{rendering_cfg.font_dir}' not found within "
+            f"{fonts_base_dir}"
+        )
+    if not (list(font_dir_path.glob("*.ttf")) + list(font_dir_path.glob("*.otf"))):
+        raise ValidationError(
+            f"No font files (.ttf or .otf) found in the font pack directory: '{font_dir_path}'"
+        )
+
+    if not (isinstance(rendering_cfg.max_font_size, int) and rendering_cfg.max_font_size > 0):
+        raise ValidationError("Max Font Size must be a positive integer.")
+    if not (isinstance(rendering_cfg.min_font_size, int) and rendering_cfg.min_font_size > 0):
+        raise ValidationError("Min Font Size must be a positive integer.")
+    if not (
+        isinstance(rendering_cfg.line_spacing_mult, (int, float))
+        and float(rendering_cfg.line_spacing_mult) > 0
+    ):
+        raise ValidationError("Line Spacing Multiplier must be a positive number.")
+    if rendering_cfg.min_font_size > rendering_cfg.max_font_size:
+        raise ValidationError("Min Font Size cannot be larger than Max Font Size.")
+    if rendering_cfg.font_hinting not in VALID_FONT_HINTING:
+        raise ValidationError(
+            "Invalid Font Hinting value. Must be one of: none, slight, normal, full."
+        )
+
+    if not translation_cfg.provider:
+        raise ValidationError("Translation provider cannot be empty.")
+    if not translation_cfg.model_name:
+        raise ValidationError("Translation model name cannot be empty.")
+    if not translation_cfg.input_language:
+        raise ValidationError("Input language cannot be empty.")
+    if not translation_cfg.output_language:
+        raise ValidationError("Output language cannot be empty.")
+    if translation_cfg.reading_direction not in ("rtl", "ltr"):
+        raise ValidationError("Reading direction must be 'rtl' or 'ltr'.")
+
+    return yolo_model_path.resolve(), font_dir_path.resolve()
+
+
+def validate_mutually_exclusive_modes(
+    cleaning_only: bool, upscaling_only: bool, test_mode: bool
+) -> None:
+    """cleaning_only / upscaling_only / test_mode are mutually exclusive
+    (reference core/validation.py:277-297)."""
+    if sum((cleaning_only, upscaling_only, test_mode)) > 1:
+        raise ValidationError(
+            "Cleaning-only mode, Upscaling-only mode, and Test mode are mutually exclusive. "
+            "Only one mode can be active at a time."
+        )
+
+
+def validate_config(config: MangaTranslatorConfig) -> None:
+    """Whole-config invariants (reference core/validation.py:299-317)."""
+    validate_mutually_exclusive_modes(
+        config.cleaning_only, config.upscaling_only, config.test_mode
+    )
+    if (
+        config.outside_text.inpainting_method in ("flux_klein_9b", "flux_klein_4b")
+        and config.outside_text.flux_backend == "nunchaku"
+    ):
+        raise ValidationError("Nunchaku backend is only supported with Flux.1 Kontext.")
+
+
+def validate_zip_file(zip_path: Union[str, Path]) -> Path:
+    """ZIP existence + extension check (reference core/validation.py:319-341)."""
+    p = Path(zip_path)
+    if not p.exists():
+        raise FileNotFoundError(f"ZIP file not found: {zip_path}")
+    if p.suffix.lower() != ".zip":
+        raise ValidationError(f"File is not a ZIP archive: {zip_path}")
+    return p
+
+
+def validate_batch_input_path(input_path: Union[str, Path]) -> Path:
+    """Batch input must be a directory, .zip, or failed-paths .txt
+    (reference core/validation.py:343-370)."""
+    p = Path(input_path)
+    if not p.exists():
+        raise FileNotFoundError(f"Input path '{input_path}' does not exist.")
+    if p.is_dir():
+        return p
+    if p.is_file() and p.suffix.lower() in {".zip", ".txt"}:
+        return p
+    raise ValidationError(
+        f"Input path '{input_path}' must be a directory, ZIP archive, "
+        "or failed-paths .txt file."
+    )

@@ -1,0 +1,8 @@
+"""Version of the TPU-native manga translator framework.
+
+Tracks feature parity against the reference MangaTranslator v1.21.5
+(see /root/reference/core/_version.py).
+"""
+
+__version__ = "0.1.0"
+REFERENCE_VERSION = "1.21.5"

@@ -1,0 +1,34 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh.
+
+Multi-chip TPU hardware is not available in CI; sharding logic is validated on
+host devices per SURVEY.md §4's rebuild plan (XLA_FLAGS device-count trick).
+Must run before the first jax import anywhere.
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The axon TPU plugin registers itself via sitecustomize and overrides
+# JAX_PLATFORMS; force the config back to the virtual 8-device CPU backend.
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _seed():
+    np.random.seed(0)
+
+
+@pytest.fixture()
+def rng():
+    return np.random.default_rng(1234)

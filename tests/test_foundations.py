@@ -1,0 +1,233 @@
+"""Unit tests for config/validation/scaling/caching foundations."""
+
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.caching import (
+    LRUCache,
+    UnifiedCache,
+    hash_pixels,
+    is_deterministic_sampling,
+    make_key,
+)
+from mangatranslator_tpu.config import (
+    MangaTranslatorConfig,
+    calculate_reasoning_budget,
+)
+from mangatranslator_tpu.exceptions import ValidationError
+from mangatranslator_tpu.scaling import (
+    processing_scale_for,
+    scale_area,
+    scale_font_size,
+    scale_kernel,
+    scale_length,
+    scale_scalar,
+)
+from mangatranslator_tpu.validation import (
+    SETTING_CONSTRAINTS,
+    clamp_settings,
+    validate_config,
+    validate_mutually_exclusive_modes,
+)
+
+
+def make_config(**kw):
+    return MangaTranslatorConfig(yolo_model_path="models/yolo/x.safetensors", **kw)
+
+
+class TestConfig:
+    def test_defaults(self):
+        cfg = make_config()
+        assert cfg.detection.confidence == 0.6
+        assert cfg.cleaning.thresholding_value == 200
+        assert cfg.translation.provider == "Google"
+        assert cfg.translation.temperature == 0.1
+        assert cfg.rendering.max_font_size == 16
+        assert cfg.outside_text.inpainting_method == "flux_klein_4b"
+        assert cfg.output.output_format == "png"
+
+    def test_env_key_loading(self, monkeypatch):
+        monkeypatch.setenv("GEMINI_API_KEY", "g-key")
+        monkeypatch.setenv("DEEPSEEK_API_KEY", "d-key")
+        cfg = make_config()
+        assert cfg.translation.google_api_key == "g-key"
+        assert cfg.translation.deepseek_api_key == "d-key"
+
+    def test_reasoning_budget(self):
+        assert calculate_reasoning_budget(10000, "high") == 8000
+        assert calculate_reasoning_budget(10000, "medium") == 5000
+        assert calculate_reasoning_budget(10000, "low") == 2000
+        assert calculate_reasoning_budget(10000, "minimal") == 1000
+        assert calculate_reasoning_budget(10000, "auto") == 0
+        assert calculate_reasoning_budget(10000, "none") == 0
+
+
+class TestClamping:
+    def test_dict_clamp(self):
+        s = clamp_settings({"confidence": 5.0, "top_k": -3, "unknown": 99})
+        assert s["confidence"] == 1.0
+        assert s["top_k"] == 0
+        assert s["unknown"] == 99
+
+    def test_dict_preserves_int_type(self):
+        s = clamp_settings({"thresholding_value": 300})
+        assert s["thresholding_value"] == 255
+        assert isinstance(s["thresholding_value"], int)
+
+    def test_config_clamp(self):
+        cfg = make_config()
+        cfg.detection.confidence = 7.0
+        cfg.cleaning.roi_shrink_px = 99
+        cfg.parallel_requests = 100
+        cfg.output.image_upscale_factor = 50.0
+        cfg.preprocessing.factor = 0.1
+        clamp_settings(cfg)
+        assert cfg.detection.confidence == 1.0
+        assert cfg.cleaning.roi_shrink_px == 10
+        assert cfg.parallel_requests == 20
+        assert cfg.output.image_upscale_factor == 8.0
+        assert cfg.preprocessing.factor == 1.0
+
+    def test_none_and_bool_untouched(self):
+        cfg = make_config()
+        cfg.translation.max_tokens = None
+        clamp_settings(cfg)
+        assert cfg.translation.max_tokens is None
+
+    def test_constraint_table_coverage(self):
+        # Spot-check the published ranges survive verbatim
+        assert SETTING_CONSTRAINTS["max_tokens"] == (2048, 63488)
+        assert SETTING_CONSTRAINTS["png_compression"] == (0, 6)
+        assert SETTING_CONSTRAINTS["outside_text_flux_num_inference_steps"] == (1, 30)
+
+
+class TestModeValidation:
+    def test_exclusive_modes(self):
+        validate_mutually_exclusive_modes(True, False, False)
+        with pytest.raises(ValidationError):
+            validate_mutually_exclusive_modes(True, True, False)
+
+    def test_validate_config_nunchaku_klein(self):
+        cfg = make_config()
+        cfg.outside_text.inpainting_method = "flux_klein_4b"
+        cfg.outside_text.flux_backend = "nunchaku"
+        with pytest.raises(ValidationError):
+            validate_config(cfg)
+
+    def test_validate_config_ok(self):
+        validate_config(make_config())
+
+
+class TestScaling:
+    def test_processing_scale(self):
+        assert processing_scale_for(1000, 1000) == pytest.approx(1.0)
+        assert processing_scale_for(2000, 2000) == pytest.approx(2.0)
+
+    def test_scalar_and_length(self):
+        assert scale_scalar(10.0, 2.0) == 20.0
+        assert scale_scalar(10.0, None) == 10.0
+        assert scale_scalar(10.0, -1.0) == 10.0
+        assert scale_length(5.0, 0.01) == 1  # floor at 1
+        assert scale_length(5.4, 1.0) == 5
+
+    def test_area_quadratic(self):
+        assert scale_area(100, 2.0) == 400
+        assert scale_area(100, 0.5) == 25
+
+    def test_kernel_odd(self):
+        for s in (0.3, 0.5, 1.0, 1.7, 2.0, 3.3):
+            w, h = scale_kernel((7, 7), s)
+            assert w % 2 == 1 and h % 2 == 1
+            assert 1 <= w <= 63 and 1 <= h <= 63
+
+    def test_font_size(self):
+        assert scale_font_size(16, 2.0) == 32
+        assert scale_font_size(16, 100.0) == 256  # clamp
+
+
+class TestCaching:
+    def test_lru_eviction(self):
+        c = LRUCache(2)
+        c.put("a", 1)
+        c.put("b", 2)
+        c.get("a")
+        c.put("c", 3)  # evicts b (least recent)
+        assert c.get("b") is None
+        assert c.get("a") == 1
+        assert c.get("c") == 3
+
+    def test_pixel_hash_sensitivity(self):
+        a = np.zeros((4, 4), np.uint8)
+        b = a.copy()
+        b[0, 0] = 1
+        assert hash_pixels(a) != hash_pixels(b)
+        assert hash_pixels(a) == hash_pixels(np.zeros((4, 4), np.uint8))
+        # shape matters even with identical bytes
+        assert hash_pixels(np.zeros((2, 8), np.uint8)) != hash_pixels(a)
+
+    def test_make_key_params(self):
+        img = np.ones((3, 3), np.uint8)
+        assert make_key(img, 0.5, {"x": 1}) == make_key(img, 0.5, {"x": 1})
+        assert make_key(img, 0.5) != make_key(img, 0.6)
+
+    def test_deterministic_gate(self):
+        assert is_deterministic_sampling(0.0, 40, 0.9)
+        assert is_deterministic_sampling(0.7, 1, 0.9)
+        assert is_deterministic_sampling(0.7, 40, 0.0)
+        assert not is_deterministic_sampling(0.7, 40, 0.9)
+
+    def test_unified_cache_invalidation(self):
+        uc = UnifiedCache()
+        img1 = np.zeros((2, 2), np.uint8)
+        img2 = np.ones((2, 2), np.uint8)
+        uc.set_current_image(img1)
+        uc.put("yolo", "k", "det")
+        uc.put("upscale", "k", "up")
+        uc.set_current_image(img1)  # same image — keep
+        assert uc.get("yolo", "k") == "det"
+        uc.set_current_image(img2)  # new image — page-scoped cleared
+        assert uc.get("yolo", "k") is None
+        assert uc.get("upscale", "k") == "up"  # cross-page domain survives
+
+    def test_translation_gate(self):
+        uc = UnifiedCache()
+        assert not uc.put_translation("k", "v", temperature=0.7, top_k=40, top_p=0.9)
+        assert uc.get("translation", "k") is None
+        assert uc.put_translation("k", "v", temperature=0.0, top_k=40, top_p=0.9)
+        assert uc.get("translation", "k") == "v"
+
+
+class TestDeviceRuntime:
+    def test_mesh_all_devices(self):
+        import jax
+
+        from mangatranslator_tpu.runtime import make_mesh
+
+        mesh = make_mesh()
+        assert mesh.devices.size == jax.device_count()
+        assert mesh.axis_names == ("data",)
+
+    def test_mesh_2d_inferred(self):
+        from mangatranslator_tpu.runtime import make_mesh
+
+        mesh = make_mesh((2, -1), ("data", "model"))
+        assert mesh.devices.shape == (2, 4)
+
+    def test_sharded_pages(self):
+        import jax
+
+        from mangatranslator_tpu.runtime import device_put_sharded_pages, make_mesh
+
+        mesh = make_mesh()
+        pages = np.zeros((8, 16, 16, 3), np.float32)
+        arr = device_put_sharded_pages(pages, mesh)
+        assert isinstance(arr, jax.Array)
+        assert arr.sharding.is_fully_addressable
+        np.testing.assert_array_equal(np.asarray(arr), pages)
+
+    def test_device_info(self):
+        from mangatranslator_tpu.runtime import get_device_info
+
+        info = get_device_info()
+        assert info["num_devices"] == 8
+        assert info["platform"] == "cpu"
