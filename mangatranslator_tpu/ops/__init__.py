@@ -1,0 +1,3 @@
+"""Device-side compute primitives (XLA + Pallas)."""
+
+from . import boxes, color, compose, image, masks  # noqa: F401

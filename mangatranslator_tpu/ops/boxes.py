@@ -1,0 +1,199 @@
+"""Box geometry: IoU/IoA matrices, NMS, dedup rules — device and host variants.
+
+Device versions run on the detector's raw anchor outputs (thousands of boxes,
+fixed shapes, fori_loop NMS). Host versions mirror the reference's small-N
+post-detection rules exactly (reference core/image/detection.py:219-443):
+IoU>0.7 duplicate suppression, IoA>0.9 contained-box removal, IoA≥0.5 conjoined
+categorization, union-find overlap grouping.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference detection thresholds (core/image/detection.py:15-36)
+IOA_THRESHOLD = 0.50
+IOU_DUPLICATE_THRESHOLD = 0.7
+CONTAINED_IOA_THRESHOLD = 0.9
+SYNTHETIC_CONJOINED_IOA_THRESHOLD = 0.15
+
+
+def iou_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Pairwise IoU of xyxy boxes: a [N,4] × b [M,4] → [N,M]."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = jnp.maximum(b[:, 2] - b[:, 0], 0) * jnp.maximum(b[:, 3] - b[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    return jnp.where(union > 0, inter / union, 0.0)
+
+
+def ioa_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Intersection-over-area-of-a: how much of each a-box lies inside each b-box."""
+    area_a = jnp.maximum(a[:, 2] - a[:, 0], 0) * jnp.maximum(a[:, 3] - a[:, 1], 0)
+    lt = jnp.maximum(a[:, None, :2], b[None, :, :2])
+    rb = jnp.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = jnp.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    return jnp.where(area_a[:, None] > 0, inter / area_a[:, None], 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("max_det",))
+def nms(
+    boxes: jnp.ndarray,
+    scores: jnp.ndarray,
+    iou_threshold: float,
+    score_threshold: float,
+    max_det: int = 300,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Class-agnostic NMS with fixed-size output.
+
+    boxes [N,4] xyxy, scores [N] → (keep_idx [max_det] int32 with -1 padding,
+    num_kept []). Greedy: at each step take the highest-score live box, suppress
+    everything with IoU > threshold. Runs fully on device — replaces the
+    torchvision NMS inside ultralytics postprocess.
+    """
+    n = boxes.shape[0]
+    live = scores > score_threshold
+    ious = iou_matrix(boxes, boxes)
+
+    def body(state, _):
+        live_mask, keep, count = state
+        masked = jnp.where(live_mask, scores, -jnp.inf)
+        best = jnp.argmax(masked)
+        ok = masked[best] > -jnp.inf
+        keep = keep.at[count].set(jnp.where(ok, best.astype(jnp.int32), -1))
+        count = count + jnp.where(ok, 1, 0)
+        suppress = ious[best] > iou_threshold
+        live_mask = live_mask & ~suppress & ~(jnp.arange(n) == best)
+        live_mask = live_mask & ok  # once exhausted, stay exhausted
+        return (live_mask, keep, count), None
+
+    keep0 = jnp.full((max_det,), -1, jnp.int32)
+    (_, keep, count), _ = jax.lax.scan(body, (live, keep0, jnp.int32(0)), None,
+                                       length=max_det)
+    return keep, count
+
+
+# Host-side small-N rules (post-NMS detection hygiene) -------------------------
+
+
+def iou_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    area_a = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
+    area_b = np.maximum(b[:, 2] - b[:, 0], 0) * np.maximum(b[:, 3] - b[:, 1], 0)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    union = area_a[:, None] + area_b[None, :] - inter
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(union > 0, inter / union, 0.0)
+
+
+def ioa_matrix_np(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    area_a = np.maximum(a[:, 2] - a[:, 0], 0) * np.maximum(a[:, 3] - a[:, 1], 0)
+    lt = np.maximum(a[:, None, :2], b[None, :, :2])
+    rb = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.maximum(rb - lt, 0)
+    inter = wh[..., 0] * wh[..., 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return np.where(area_a[:, None] > 0, inter / area_a[:, None], 0.0)
+
+
+def deduplicate_boxes(
+    boxes: np.ndarray, scores: np.ndarray, iou_threshold: float = IOU_DUPLICATE_THRESHOLD
+) -> np.ndarray:
+    """Indices of boxes kept after duplicate suppression, preferring higher
+    confidence (reference _deduplicate_primary_boxes, detection.py:219-255)."""
+    if len(boxes) == 0:
+        return np.zeros((0,), np.int64)
+    order = np.argsort(-scores, kind="stable")
+    ious = iou_matrix_np(boxes, boxes)
+    keep: List[int] = []
+    removed = np.zeros(len(boxes), bool)
+    for i in order:
+        if removed[i]:
+            continue
+        keep.append(i)
+        removed |= ious[i] > iou_threshold
+        removed[i] = True  # mark processed; already kept
+    return np.array(sorted(keep), np.int64)
+
+
+def remove_contained_boxes(
+    boxes: np.ndarray, scores: np.ndarray, ioa_threshold: float = CONTAINED_IOA_THRESHOLD
+) -> np.ndarray:
+    """Drop boxes ≥90% contained in another kept box, preferring higher
+    confidence on ties (reference detection.py:257-343)."""
+    n = len(boxes)
+    if n == 0:
+        return np.zeros((0,), np.int64)
+    ioa = ioa_matrix_np(boxes, boxes)
+    np.fill_diagonal(ioa, 0.0)
+    drop = np.zeros(n, bool)
+    order = np.argsort(-scores, kind="stable")
+    for i in order:
+        if drop[i]:
+            continue
+        contained = (ioa[:, i] > ioa_threshold) & ~drop
+        contained[i] = False
+        drop |= contained
+    return np.flatnonzero(~drop)
+
+
+class UnionFind:
+    """Small union-find for overlap grouping (reference detection.py:403-473)."""
+
+    def __init__(self, n: int):
+        self.parent = list(range(n))
+
+    def find(self, x: int) -> int:
+        while self.parent[x] != x:
+            self.parent[x] = self.parent[self.parent[x]]
+            x = self.parent[x]
+        return x
+
+    def union(self, a: int, b: int) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[max(ra, rb)] = min(ra, rb)
+
+    def groups(self) -> List[List[int]]:
+        out: dict = {}
+        for i in range(len(self.parent)):
+            out.setdefault(self.find(i), []).append(i)
+        return list(out.values())
+
+
+def group_overlapping_boxes(
+    boxes: np.ndarray, ioa_threshold: float = SYNTHETIC_CONJOINED_IOA_THRESHOLD
+) -> List[List[int]]:
+    """Union-find grouping of boxes whose pairwise max-IoA exceeds the synthetic
+    conjoined threshold (reference _detect_overlapping_primaries)."""
+    n = len(boxes)
+    uf = UnionFind(n)
+    if n:
+        ioa = ioa_matrix_np(boxes, boxes)
+        for i in range(n):
+            for j in range(i + 1, n):
+                if max(ioa[i, j], ioa[j, i]) >= ioa_threshold:
+                    uf.union(i, j)
+    return uf.groups()
+
+
+def expand_box(box: np.ndarray, pct: float, img_w: int, img_h: int) -> np.ndarray:
+    """Expand an xyxy box by a percentage of its size, clamped to the image."""
+    x1, y1, x2, y2 = box[:4].astype(np.float64)
+    dw = (x2 - x1) * pct
+    dh = (y2 - y1) * pct
+    return np.array(
+        [max(0.0, x1 - dw), max(0.0, y1 - dh), min(float(img_w), x2 + dw),
+         min(float(img_h), y2 + dh)]
+    )

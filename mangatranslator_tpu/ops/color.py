@@ -1,0 +1,162 @@
+"""Color-space conversions on device, matching cv2's 8-bit conventions.
+
+Used by: black/white bubble classification (gray), LAB luminance+chroma
+correction of FLUX patches (reference inpainting.py:1187 _match_luminance), HSV
+desaturation snap of sampled text colors (reference cleaning.py:462-494), and
+LAB-contrast OSB text-color extraction (outside_text_processor.py:1088).
+
+Inputs are float32 RGB in 0..255 unless stated; outputs follow cv2's scaling
+(8-bit LAB: L in 0..255 scaled by 255/100, a/b offset +128; HSV: H in 0..180).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+# ITU-R BT.601 luma coefficients (cv2.COLOR_RGB2GRAY)
+_R, _G, _B = 0.299, 0.587, 0.114
+
+
+def rgb_to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_RGB2GRAY: BT.601 weighted sum. [...,3] → [...]."""
+    return _R * rgb[..., 0] + _G * rgb[..., 1] + _B * rgb[..., 2]
+
+
+def _srgb_to_linear(c01: jnp.ndarray) -> jnp.ndarray:
+    return jnp.where(c01 > 0.04045, ((c01 + 0.055) / 1.055) ** 2.4, c01 / 12.92)
+
+
+def _linear_to_srgb(c01: jnp.ndarray) -> jnp.ndarray:
+    c01 = jnp.maximum(c01, 0.0)
+    return jnp.where(c01 > 0.0031308, 1.055 * c01 ** (1 / 2.4) - 0.055, 12.92 * c01)
+
+
+# sRGB D65 → XYZ matrix (cv2 uses these constants for COLOR_RGB2Lab)
+_M_RGB2XYZ = jnp.array(
+    [
+        [0.412453, 0.357580, 0.180423],
+        [0.212671, 0.715160, 0.072169],
+        [0.019334, 0.119193, 0.950227],
+    ],
+    jnp.float32,
+)
+_M_XYZ2RGB = jnp.array(
+    [
+        [3.240479, -1.537150, -0.498535],
+        [-0.969256, 1.875992, 0.041556],
+        [0.055648, -0.204043, 1.057311],
+    ],
+    jnp.float32,
+)
+# D65 white point normalization
+_WHITE = jnp.array([0.950456, 1.0, 1.088754], jnp.float32)
+
+
+def _f_lab(t: jnp.ndarray) -> jnp.ndarray:
+    d = 6.0 / 29.0
+    return jnp.where(t > d**3, jnp.cbrt(t), t / (3 * d * d) + 4.0 / 29.0)
+
+
+def _f_lab_inv(t: jnp.ndarray) -> jnp.ndarray:
+    d = 6.0 / 29.0
+    return jnp.where(t > d, t**3, 3 * d * d * (t - 4.0 / 29.0))
+
+
+def rgb_to_lab(rgb255: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_RGB2Lab on float input semantics, rescaled to the 8-bit
+    convention (L*255/100, a/b + 128) so values compare against the reference's
+    uint8-LAB math."""
+    c01 = rgb255 / 255.0
+    lin = _srgb_to_linear(c01)
+    xyz = jnp.einsum("...c,kc->...k", lin, _M_RGB2XYZ) / _WHITE
+    fx, fy, fz = _f_lab(xyz[..., 0]), _f_lab(xyz[..., 1]), _f_lab(xyz[..., 2])
+    L = 116.0 * fy - 16.0
+    a = 500.0 * (fx - fy)
+    b = 200.0 * (fy - fz)
+    return jnp.stack([L * (255.0 / 100.0), a + 128.0, b + 128.0], axis=-1)
+
+
+def lab_to_rgb(lab8: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of rgb_to_lab (8-bit convention in, float RGB 0..255 out)."""
+    L = lab8[..., 0] * (100.0 / 255.0)
+    a = lab8[..., 1] - 128.0
+    b = lab8[..., 2] - 128.0
+    fy = (L + 16.0) / 116.0
+    fx = fy + a / 500.0
+    fz = fy - b / 200.0
+    xyz = jnp.stack([_f_lab_inv(fx), _f_lab_inv(fy), _f_lab_inv(fz)], axis=-1) * _WHITE
+    lin = jnp.einsum("...c,kc->...k", xyz, _M_XYZ2RGB)
+    return jnp.clip(_linear_to_srgb(lin) * 255.0, 0.0, 255.0)
+
+
+def rgb_to_hsv(rgb255: jnp.ndarray) -> jnp.ndarray:
+    """cv2.COLOR_RGB2HSV 8-bit convention: H in 0..180, S/V in 0..255."""
+    c01 = rgb255 / 255.0
+    r, g, b = c01[..., 0], c01[..., 1], c01[..., 2]
+    v = jnp.max(c01, axis=-1)
+    mn = jnp.min(c01, axis=-1)
+    d = v - mn
+    s = jnp.where(v > 0, d / jnp.maximum(v, 1e-12), 0.0)
+    safe_d = jnp.maximum(d, 1e-12)
+    h = jnp.where(
+        d <= 0, 0.0,
+        jnp.where(
+            v == r, (g - b) / safe_d,
+            jnp.where(v == g, 2.0 + (b - r) / safe_d, 4.0 + (r - g) / safe_d),
+        ),
+    )
+    h = (h * 60.0) % 360.0
+    return jnp.stack([h / 2.0, s * 255.0, v * 255.0], axis=-1)
+
+
+def hsv_to_rgb(hsv8: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of rgb_to_hsv (cv2 8-bit convention)."""
+    h = hsv8[..., 0] * 2.0
+    s = hsv8[..., 1] / 255.0
+    v = hsv8[..., 2] / 255.0
+    c = v * s
+    hp = h / 60.0
+    x = c * (1.0 - jnp.abs(hp % 2.0 - 1.0))
+    z = jnp.zeros_like(c)
+    idx = jnp.clip(hp.astype(jnp.int32), 0, 5)
+    r = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [c, x, z, z, x, c])
+    g = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [x, c, c, x, z, z])
+    b = jnp.select([idx == 0, idx == 1, idx == 2, idx == 3, idx == 4, idx == 5],
+                   [z, z, x, c, c, x])
+    m = v - c
+    return jnp.clip(jnp.stack([r + m, g + m, b + m], axis=-1) * 255.0, 0.0, 255.0)
+
+
+def match_luminance_lab(
+    patch: jnp.ndarray,
+    reference: jnp.ndarray,
+    patch_mask: jnp.ndarray,
+    ref_mask: jnp.ndarray,
+    correct_chroma: bool = True,
+) -> jnp.ndarray:
+    """Affine LAB correction of a generated patch toward the surrounding context
+    (reference FluxKleinInpainter._match_luminance, inpainting.py:1187-1256):
+    matches masked mean/std of L (and optionally a/b) channels.
+
+    patch/reference: float RGB 0..255 [H,W,3]; masks [H,W] 0/1.
+    """
+    lab_p = rgb_to_lab(patch)
+    lab_r = rgb_to_lab(reference)
+
+    def mstats(lab, m):
+        w = m[..., None]
+        cnt = jnp.maximum(jnp.sum(m), 1.0)
+        mean = jnp.sum(lab * w, axis=(0, 1)) / cnt
+        var = jnp.sum(((lab - mean) ** 2) * w, axis=(0, 1)) / cnt
+        return mean, jnp.sqrt(jnp.maximum(var, 1e-6))
+
+    mean_p, std_p = mstats(lab_p, patch_mask)
+    mean_r, std_r = mstats(lab_r, ref_mask)
+    gain = std_r / jnp.maximum(std_p, 1e-6)
+    if not correct_chroma:
+        gain = gain.at[1:].set(1.0)
+        mean_r = mean_r.at[1:].set(mean_p[1:])
+    corrected = (lab_p - mean_p) * gain + mean_r
+    return lab_to_rgb(corrected)

@@ -1,0 +1,158 @@
+"""Device-side image transforms: resize, letterbox, normalize, pad.
+
+These replace the reference's host-side PIL/cv2 resizes on the model input paths
+(reference core/image/image_utils.py:20-58, ultralytics' internal letterbox).
+Everything is jit-friendly with static output shapes: variable page sizes are
+letterboxed/padded into fixed buckets so XLA compiles one program per bucket.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# YOLO-family letterbox padding gray (ultralytics convention)
+LETTERBOX_PAD_VALUE = 114.0
+
+
+def to_float(img: jnp.ndarray) -> jnp.ndarray:
+    """uint8 [0,255] → float32 [0,1]; float inputs pass through."""
+    if jnp.issubdtype(img.dtype, jnp.integer):
+        return img.astype(jnp.float32) / 255.0
+    return img.astype(jnp.float32)
+
+
+def to_uint8(img: jnp.ndarray) -> jnp.ndarray:
+    """float [0,1] → uint8 with round-half-away (PIL/cv2 convention is round)."""
+    return jnp.clip(jnp.round(img * 255.0), 0, 255).astype(jnp.uint8)
+
+
+def resize(
+    img: jnp.ndarray,
+    out_hw: Tuple[int, int],
+    method: str = "bilinear",
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """Resize HWC or NHWC image. method: nearest|bilinear|lanczos3|lanczos5.
+
+    'lanczos3' approximates PIL LANCZOS (reference uses Image.LANCZOS for patch
+    resizes, core/image/inpainting.py patch paste-back).
+    """
+    if img.ndim == 3:
+        shape = (out_hw[0], out_hw[1], img.shape[2])
+    elif img.ndim == 4:
+        shape = (img.shape[0], out_hw[0], out_hw[1], img.shape[3])
+    elif img.ndim == 2:
+        shape = out_hw
+    else:
+        raise ValueError(f"unsupported rank {img.ndim}")
+    dtype = img.dtype
+    out = jax.image.resize(to_float(img), shape, method=method, antialias=antialias)
+    if jnp.issubdtype(dtype, jnp.integer):
+        return to_uint8(out)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("target", "pad_value"))
+def letterbox(
+    img: jnp.ndarray, target: int, pad_value: float = LETTERBOX_PAD_VALUE
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Aspect-preserving resize into a target×target canvas, centered padding.
+
+    Returns (canvas [target,target,C] float32 0..255, meta [4] = (scale, pad_x,
+    pad_y, valid) used to map detections back to source coordinates).
+
+    Matches the ultralytics LetterBox transform the reference's YOLO forwards use
+    (scaleup allowed, centered, pad 114).
+    """
+    h, w = img.shape[0], img.shape[1]
+    imgf = img.astype(jnp.float32) if jnp.issubdtype(img.dtype, jnp.integer) else img * 255.0
+
+    scale = jnp.minimum(target / h, target / w)
+    new_h = jnp.round(h * scale).astype(jnp.int32)
+    new_w = jnp.round(w * scale).astype(jnp.int32)
+
+    # Resize to target on the long side, then mask-shift: XLA needs static
+    # shapes, so resize to (target,target) with scale-and-translate that maps
+    # the source into the top-left new_h×new_w region, then roll to center.
+    ty = new_h.astype(jnp.float32) / h
+    tx = new_w.astype(jnp.float32) / w
+    resized = jax.image.scale_and_translate(
+        imgf,
+        (target, target, img.shape[2]),
+        (0, 1),
+        jnp.stack([ty, tx]),
+        jnp.zeros((2,), jnp.float32),
+        method="bilinear",
+        antialias=True,
+    )
+    yy = jnp.arange(target)[:, None, None]
+    xx = jnp.arange(target)[None, :, None]
+    pad_y = (target - new_h) // 2
+    pad_x = (target - new_w) // 2
+    inside = (yy >= pad_y) & (yy < pad_y + new_h) & (xx >= pad_x) & (xx < pad_x + new_w)
+    # roll content from origin to centered position
+    rolled = jnp.roll(jnp.roll(resized, pad_y, axis=0), pad_x, axis=1)
+    canvas = jnp.where(inside, rolled, pad_value)
+    meta = jnp.stack(
+        [scale.astype(jnp.float32), pad_x.astype(jnp.float32), pad_y.astype(jnp.float32),
+         jnp.float32(1.0)]
+    )
+    return canvas, meta
+
+
+def unletterbox_boxes(boxes_xyxy: jnp.ndarray, meta: jnp.ndarray,
+                      src_h: int, src_w: int) -> jnp.ndarray:
+    """Map letterboxed xyxy boxes back to source-image coordinates."""
+    scale, pad_x, pad_y = meta[0], meta[1], meta[2]
+    shift = jnp.stack([pad_x, pad_y, pad_x, pad_y])
+    out = (boxes_xyxy - shift) / scale
+    lim = jnp.array([src_w, src_h, src_w, src_h], jnp.float32)
+    return jnp.clip(out, 0.0, lim)
+
+
+def pad_to_multiple(img: jnp.ndarray, multiple: int, value: float = 0.0) -> jnp.ndarray:
+    """Bottom/right pad H and W up to the next multiple (static shapes only)."""
+    h, w = img.shape[0], img.shape[1]
+    ph = (-h) % multiple
+    pw = (-w) % multiple
+    if ph == 0 and pw == 0:
+        return img
+    pads = [(0, ph), (0, pw)] + [(0, 0)] * (img.ndim - 2)
+    return jnp.pad(img, pads, constant_values=value)
+
+
+def normalize_imagenet(img01: jnp.ndarray) -> jnp.ndarray:
+    """Standard ImageNet normalization for ViT/DETR-family models."""
+    mean = jnp.array([0.485, 0.456, 0.406], jnp.float32)
+    std = jnp.array([0.229, 0.224, 0.225], jnp.float32)
+    return (img01 - mean) / std
+
+
+# Shape bucketing -------------------------------------------------------------
+
+DEFAULT_CROP_BUCKETS: Tuple[int, ...] = (64, 128, 192, 256, 384, 512, 768, 1024)
+
+
+def pick_bucket(size: int, buckets: Sequence[int] = DEFAULT_CROP_BUCKETS) -> int:
+    """Smallest bucket ≥ size (last bucket if none). Keeps jit cache bounded:
+    variable bubble-crop sizes land in a handful of compiled shapes
+    (SURVEY.md §7 'Dynamic shapes vs XLA' discipline)."""
+    for b in buckets:
+        if size <= b:
+            return b
+    return buckets[-1]
+
+
+def bucket_pad_np(img: np.ndarray, buckets: Sequence[int] = DEFAULT_CROP_BUCKETS,
+                  value: int = 0) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Host-side: pad an HW(C) crop to its (bucket_h, bucket_w); returns
+    (padded, (orig_h, orig_w))."""
+    h, w = img.shape[:2]
+    bh, bw = pick_bucket(h, buckets), pick_bucket(w, buckets)
+    pads = [(0, bh - h), (0, bw - w)] + [(0, 0)] * (img.ndim - 2)
+    return np.pad(img, pads, constant_values=value), (h, w)

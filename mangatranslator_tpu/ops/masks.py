@@ -1,0 +1,279 @@
+"""Mask morphology / thresholding / distance ops as XLA computations.
+
+TPU-native replacements for the cv2 calls on the bubble-clean hot path
+(reference core/image/cleaning.py:214-513): dilation, erosion, fixed & Otsu
+thresholds, distance-transform shrink, and edge-blur alphas all run on device as
+convolutions (MXU) and vectorized scans, so a page's bubbles batch into a single
+fused program instead of a Python per-bubble cv2 loop.
+
+Conventions: masks are float32 0/1 arrays [H,W] or [N,H,W]; grayscale images are
+float32 0..255. Conversions at the host boundary only.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Reference cleaning constants (core/image/cleaning.py:25-43)
+GRAYSCALE_MIDPOINT = 128
+MIN_CONTOUR_AREA = 50
+DILATION_KERNEL_SIZE = (7, 7)
+EROSION_KERNEL_SIZE = (5, 5)
+JUNCTION_ADJACENCY_MARGIN = 10
+JUNCTION_MIN_SHRINK = 1.0
+
+
+@functools.lru_cache(maxsize=64)
+def structuring_ellipse(w: int, h: int) -> np.ndarray:
+    """Elliptical structuring element, bit-identical to
+    cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (w, h)).
+
+    cv2 rasterizes row spans: for each row j it computes the ellipse half-width
+    dx = r_x * sqrt(1 - (dy/r_y)^2) (with +ry special-cased) and fills the span.
+    """
+    import cv2
+
+    return cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (int(w), int(h))).astype(np.float32)
+
+
+@functools.lru_cache(maxsize=64)
+def disk_kernel(radius: int) -> np.ndarray:
+    """Discrete disk {dx²+dy² ≤ r²} — erosion by this == thresholding exact EDT at r."""
+    r = int(radius)
+    yy, xx = np.mgrid[-r : r + 1, -r : r + 1]
+    return (yy * yy + xx * xx <= r * r).astype(np.float32)
+
+
+def _conv2d_same(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """SAME 2D convolution of [N,H,W] (or [H,W]) with a [kh,kw] kernel."""
+    squeeze = x.ndim == 2
+    if squeeze:
+        x = x[None]
+    k = jnp.asarray(kernel, jnp.float32)[None, None]  # OIHW with O=I=1
+    out = jax.lax.conv_general_dilated(
+        x[:, None].astype(jnp.float32),  # NCHW
+        k,
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )[:, 0]
+    return out[0] if squeeze else out
+
+
+def binary_dilate(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Binary dilation: any kernel pixel overlaps foreground.
+
+    Equivalent to cv2.dilate on 0/255 masks (reference cleaning.py dilates the
+    bubble mask with a 7×7 ellipse before thresholding).
+    """
+    hit = _conv2d_same(mask, kernel[::-1, ::-1])
+    return (hit > 0.5).astype(jnp.float32)
+
+
+def binary_erode(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    """Binary erosion: every kernel pixel on foreground. cv2.erode's default
+    border is +inf, i.e. pixels outside the image count as FOREGROUND — so we
+    convolve the background mask and require zero hits."""
+    bg_hits = _conv2d_same(1.0 - mask, kernel)
+    return (bg_hits < 0.5).astype(jnp.float32)
+
+
+def binary_open(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    return binary_dilate(binary_erode(mask, kernel), kernel)
+
+
+def binary_close(mask: jnp.ndarray, kernel: np.ndarray) -> jnp.ndarray:
+    return binary_erode(binary_dilate(mask, kernel), kernel)
+
+
+def threshold_binary(gray: jnp.ndarray, thresh: jnp.ndarray | float,
+                     inverse: bool = False) -> jnp.ndarray:
+    """cv2.threshold THRESH_BINARY(_INV) semantics: strictly-greater comparison.
+
+    ``thresh`` may be per-image [N] for batched ROIs.
+    """
+    t = jnp.asarray(thresh, jnp.float32)
+    if t.ndim == 1 and gray.ndim == 3:
+        t = t[:, None, None]
+    fg = gray > t
+    if inverse:
+        fg = ~fg
+    return fg.astype(jnp.float32)
+
+
+def otsu_threshold_value(gray: jnp.ndarray,
+                         weight: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Otsu threshold over uint8-range grayscale, matching cv2's selection rule.
+
+    cv2 scans t = 0..255 maximizing between-class variance with a strict '>'
+    (first maximum wins). ``weight`` optionally restricts the histogram to a
+    masked region (the reference crops a rectangular ROI instead). Supports
+    [H,W] or batched [N,H,W] → per-image values.
+    """
+    squeeze = gray.ndim == 2
+    if squeeze:
+        gray = gray[None]
+        if weight is not None:
+            weight = weight[None]
+    n = gray.shape[0]
+    g = jnp.clip(jnp.round(gray), 0, 255).astype(jnp.int32).reshape(n, -1)
+    w = (jnp.ones_like(g, jnp.float32) if weight is None
+         else weight.reshape(n, -1).astype(jnp.float32))
+    # 256-bin weighted histogram via one-hot matmul (MXU-friendly)
+    onehot = jax.nn.one_hot(g, 256, dtype=jnp.float32)
+    hist = jnp.einsum("np,npb->nb", w, onehot)
+
+    total = jnp.sum(hist, axis=1, keepdims=True)
+    levels = jnp.arange(256, dtype=jnp.float32)[None, :]
+    omega = jnp.cumsum(hist, axis=1) / jnp.maximum(total, 1.0)
+    mu = jnp.cumsum(hist * levels, axis=1) / jnp.maximum(total, 1.0)
+    mu_t = mu[:, -1:]
+    denom = omega * (1.0 - omega)
+    sigma_b = jnp.where(denom > 0, (mu_t * omega - mu) ** 2 / jnp.maximum(denom, 1e-12), 0.0)
+    t = jnp.argmax(sigma_b, axis=1).astype(jnp.float32)  # first max wins (argmax rule)
+    return t[0] if squeeze else t
+
+
+def column_distance(mask: jnp.ndarray, big: float) -> jnp.ndarray:
+    """Per-column distance (in rows) to the nearest background pixel."""
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+
+    def step(carry, row):
+        d = jnp.where(row > 0.5, carry + 1.0, 0.0)
+        return d, d
+
+    init = jnp.full((mask.shape[0], mask.shape[2]), big, jnp.float32)
+    _, down = jax.lax.scan(step, init, jnp.moveaxis(mask, 1, 0))
+    _, up = jax.lax.scan(step, init, jnp.moveaxis(mask, 1, 0)[::-1])
+    g = jnp.minimum(jnp.moveaxis(down, 0, 1), jnp.moveaxis(up, 0, 1)[:, ::-1])
+    return g[0] if squeeze else g
+
+
+@functools.partial(jax.jit, static_argnames=("chunk",))
+def distance_transform_edt(mask: jnp.ndarray, chunk: int = 128) -> jnp.ndarray:
+    """Exact Euclidean distance to the nearest background pixel.
+
+    Replaces cv2.distanceTransform (reference uses the *chamfer approximation*
+    with maskSize=5 — cleaning.py DISTANCE_TRANSFORM_MASK_SIZE; this is exact,
+    which stays within the chamfer's own error band of the reference output).
+
+    Two separable passes: per-column scan distances g, then the row relaxation
+    d²(x) = min_x' ((x-x')² + g(x')²) evaluated in x'-chunks so the [H,W,chunk]
+    broadcast fuses into the min-reduction instead of materializing.
+    Accepts [H,W] or [N,H,W].
+    """
+    squeeze = mask.ndim == 2
+    if squeeze:
+        mask = mask[None]
+    n, h, w = mask.shape
+    big = float(h + w + 1)
+    g = column_distance(mask, big)  # [N,H,W]
+    g2 = g * g
+
+    xs = jnp.arange(w, dtype=jnp.float32)
+    nchunks = -(-w // chunk)
+    pad = nchunks * chunk - w
+    g2p = jnp.pad(g2, ((0, 0), (0, 0), (0, pad)), constant_values=big * big)
+    xsp = jnp.pad(xs, (0, pad), constant_values=-big)
+
+    def body(c, d2):
+        x_src = jax.lax.dynamic_slice_in_dim(xsp, c * chunk, chunk)  # [C]
+        g2_src = jax.lax.dynamic_slice_in_dim(g2p, c * chunk, chunk, axis=2)  # [N,H,C]
+        dx = xs[None, :, None] - x_src[None, None, :]  # [1,W,C]
+        cand = dx * dx + g2_src[:, :, None, :]  # [N,H,W,C] (fused into min)
+        return jnp.minimum(d2, jnp.min(cand, axis=-1))
+
+    d2 = jnp.full((n, h, w), big * big, jnp.float32)
+    d2 = jax.lax.fori_loop(0, nchunks, body, d2)
+    d = jnp.sqrt(d2)
+    return d[0] if squeeze else d
+
+
+def mask_shrink(mask: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """Shrink a mask by ``radius`` px: keep pixels with EDT > radius.
+
+    Implemented as erosion by the discrete disk (single conv — the hot-path
+    form of the reference's distanceTransform-then-threshold,
+    cleaning.py roi_shrink_px)."""
+    if radius <= 0:
+        return mask
+    return binary_erode(mask, disk_kernel(radius))
+
+
+def shrink_by_map(mask: jnp.ndarray, shrink_map: jnp.ndarray) -> jnp.ndarray:
+    """Spatially varying shrink: keep pixels whose EDT exceeds a per-pixel
+    radius (reference _build_adaptive_shrink_mask, cleaning.py:159-212 —
+    junction zones near conjoined neighbors shrink by a different amount)."""
+    d = distance_transform_edt(mask)
+    return ((d > shrink_map) & (mask > 0.5)).astype(jnp.float32)
+
+
+@functools.lru_cache(maxsize=32)
+def gaussian_kernel1d(sigma: float, radius: int) -> np.ndarray:
+    xs = np.arange(-radius, radius + 1, dtype=np.float64)
+    k = np.exp(-(xs * xs) / (2.0 * sigma * sigma))
+    return (k / k.sum()).astype(np.float32)
+
+
+def gaussian_blur(img: jnp.ndarray, sigma: float, radius: Optional[int] = None) -> jnp.ndarray:
+    """Separable Gaussian blur (edge-feather alphas for inpaint compositing,
+    reference inpainting.py:360-367)."""
+    r = radius if radius is not None else max(1, int(round(3.0 * sigma)))
+    k = gaussian_kernel1d(float(sigma), r)
+    out = _conv2d_same(img, k[None, :])
+    return _conv2d_same(out, k[:, None])
+
+
+def mean_luminance(gray: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Masked mean gray level — black-vs-white bubble classification against
+    GRAYSCALE_MIDPOINT (reference cleaning.py:214-330)."""
+    axes = tuple(range(gray.ndim - 2, gray.ndim))
+    s = jnp.sum(gray * mask, axis=axes)
+    c = jnp.maximum(jnp.sum(mask, axis=axes), 1.0)
+    return s / c
+
+
+# Host-side data-dependent ops (contours / components) ------------------------
+# Connected components and contour extraction have data-dependent output sizes;
+# they stay host-side (cv2 now, native C++ planned) per SURVEY.md §7.
+
+
+def largest_component_np(mask: np.ndarray, min_area: int = MIN_CONTOUR_AREA,
+                         validity: Optional[np.ndarray] = None) -> Tuple[np.ndarray, int]:
+    """Largest connected component with area ≥ min_area whose centroid lies in
+    ``validity`` (reference contour-filter semantics, cleaning.py:330-388).
+
+    Returns (filled mask uint8 0/1, area). Host-side (cv2).
+    """
+    import cv2
+
+    m8 = (np.asarray(mask) > 0.5).astype(np.uint8)
+    num, labels, stats, centroids = cv2.connectedComponentsWithStats(m8, connectivity=8)
+    best, best_area = 0, 0
+    for i in range(1, num):
+        area = int(stats[i, cv2.CC_STAT_AREA])
+        if area < min_area or area <= best_area:
+            continue
+        if validity is not None:
+            cx, cy = centroids[i]
+            xi, yi = int(round(cx)), int(round(cy))
+            if not (0 <= yi < validity.shape[0] and 0 <= xi < validity.shape[1]
+                    and validity[yi, xi] > 0.5):
+                continue
+        best, best_area = i, area
+    if best == 0:
+        return np.zeros_like(m8), 0
+    comp = (labels == best).astype(np.uint8)
+    # Fill interior holes so the text region is solid (contour-fill semantics)
+    ff = comp.copy()
+    hmask = np.zeros((comp.shape[0] + 2, comp.shape[1] + 2), np.uint8)
+    cv2.floodFill(ff, hmask, (0, 0), 1)
+    holes = (ff == 0).astype(np.uint8)
+    return np.clip(comp + holes, 0, 1), best_area

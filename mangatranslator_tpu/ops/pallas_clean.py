@@ -1,0 +1,173 @@
+"""Fused Pallas bubble-clean kernel.
+
+The reference's per-bubble clean loop (core/image/cleaning.py:214-388) runs four
+cv2 passes over each ROI: dilate(mask, 7×7 ellipse) → threshold(gray) → AND →
+distanceTransform-shrink. Here the whole chain executes in one Pallas kernel per
+ROI with everything resident in VMEM: one HBM read of (gray, mask), one HBM
+write of the shrunk candidate mask. Per-ROI scalars (threshold, invert flag,
+shrink radius) arrive via scalar prefetch so one compiled program serves every
+bubble on the page.
+
+Shrink is an *exact* Euclidean disk erosion, computed without a disk conv:
+    keep(p) ⟺ no background pixel within L2 radius r of p
+            ⟺ ∀ dy ∈ [-r, r]:  hdist(x, y+dy) > floor(sqrt(r² − dy²))
+where hdist is the per-row horizontal distance to the nearest background pixel,
+computed in O(log W) via shift-doubling min-plus passes. Matches
+ops.masks.mask_shrink / EDT-threshold bit-for-bit (tested).
+
+Buffers are bucketed ROI crops with ≥ PAD_MARGIN background border so the
+kernel's circular rolls never wrap real content into play.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .masks import structuring_ellipse
+
+# Maximum supported shrink radius (roi_shrink_px clamps at 10; junction-adaptive
+# shrink and processing_scale can push higher — reference core/validation.py:12)
+MAX_SHRINK_RADIUS = 16
+# Required background margin in the ROI buffer so rolls can't wrap real content.
+PAD_MARGIN = MAX_SHRINK_RADIUS + 4
+_BIG = 1e9
+
+
+def _dilate_offsets(kw: int, kh: int) -> Tuple[Tuple[int, int], ...]:
+    """(dy, dx) offsets of the elliptical structuring element (static)."""
+    k = structuring_ellipse(kw, kh)
+    ay, ax = kh // 2, kw // 2
+    return tuple((int(y - ay), int(x - ax)) for y, x in np.argwhere(k > 0))
+
+
+def _roll2(x: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    # pltpu.roll requires non-negative shifts; negative shifts wrap via modulo.
+    out = x
+    if dy:
+        out = pltpu.roll(out, (-dy) % x.shape[0], axis=0)
+    if dx:
+        out = pltpu.roll(out, (-dx) % x.shape[1], axis=1)
+    return out
+
+
+def _row_bg_distance(cand: jnp.ndarray, w: int) -> jnp.ndarray:
+    """Per-row horizontal distance to the nearest background (cand==0) pixel.
+
+    Shift-doubling min-plus: d ← min(d, roll(d, ±2^k) + 2^k), log2(W) passes per
+    direction. Wrap-around only ever pulls in padded-border background, which
+    can only lower distances inside the (background) border itself.
+    """
+    d = jnp.where(cand > 0.5, _BIG, 0.0)
+    for k in range(int(math.ceil(math.log2(max(2, w))))):
+        s = 1 << k
+        d = jnp.minimum(d, pltpu.roll(d, s % w, axis=1) + float(s))       # bg left
+        d = jnp.minimum(d, pltpu.roll(d, (-s) % w, axis=1) + float(s))    # bg right
+    return d
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bubble_clean(
+    gray: jnp.ndarray,
+    masks: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    inverts: jnp.ndarray,
+    radii: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Run the fused clean chain over a batch of bucketed ROIs.
+
+    gray       [N,H,W] float32 0..255 ROI crops
+    masks      [N,H,W] float32 0/1 bubble masks (YOLO/SAM), ≥PAD_MARGIN bg border
+    thresholds [N] float32 — fixed (200) or per-ROI Otsu values
+    inverts    [N] int32 — 1 for black bubbles (threshold inverted)
+    radii      [N] int32 — shrink radius in px (≤ MAX_SHRINK_RADIUS; -1 = none)
+
+    Returns [N,H,W] float32 candidate fill masks (pre contour-filter).
+    """
+    n, h, w = gray.shape
+    offsets = _dilate_offsets(7, 7)
+
+    def kernel(thresh_ref, invert_ref, radius_ref, gray_ref, mask_ref, out_ref):
+        i = pl.program_id(0)
+        t = thresh_ref[i]
+        inv = invert_ref[i]
+        rf = radius_ref[i].astype(jnp.float32)
+
+        mask = mask_ref[0]
+        gray_t = gray_ref[0]
+
+        # 1. dilate bubble mask by the elliptical element (unrolled shift-max)
+        dilated = mask
+        for dy, dx in offsets:
+            if dy == 0 and dx == 0:
+                continue
+            dilated = jnp.maximum(dilated, _roll2(mask, dy, dx))
+
+        # 2. strict-> threshold with per-ROI black-bubble inversion; 3. gate
+        binf = jnp.where(gray_t > t, 1.0, 0.0)
+        binf = jnp.where(inv > 0, 1.0 - binf, binf)
+        cand = binf * dilated
+
+        # 4. exact disk erosion via horizontal distances + unrolled row checks
+        hdist = _row_bg_distance(cand, w)
+        keep = cand > 0.5
+        for dy in range(-MAX_SHRINK_RADIUS, MAX_SHRINK_RADIUS + 1):
+            # horizontal clearance needed at row offset dy: floor(sqrt(r²−dy²));
+            # set to -1 (trivially satisfied) when |dy| > r.
+            need = jnp.floor(jnp.sqrt(jnp.maximum(rf * rf - float(dy * dy), 0.0)))
+            need = jnp.where(float(abs(dy)) > rf, -1.0, need)
+            keep = keep & (_roll2(hdist, dy, 0) > need)
+        shrunk = jnp.where(keep, 1.0, 0.0)
+        out_ref[0] = jnp.where(rf < 0, cand, shrunk)  # r<0 → no shrink requested
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(thresholds.astype(jnp.float32), inverts.astype(jnp.int32),
+      radii.astype(jnp.int32), gray.astype(jnp.float32), masks.astype(jnp.float32))
+
+
+def reference_bubble_clean(
+    gray: jnp.ndarray,
+    masks: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    inverts: jnp.ndarray,
+    radii: jnp.ndarray,
+) -> jnp.ndarray:
+    """Pure-XLA implementation of the same semantics (tests / non-TPU backends).
+
+    Dynamic per-ROI radius can't be a single conv, so it evaluates every radius
+    0..MAX and selects — fine for tests, the Pallas path is the fast one.
+    """
+    from .masks import binary_dilate, mask_shrink, threshold_binary
+
+    dil = binary_dilate(masks, structuring_ellipse(7, 7))
+    binf = threshold_binary(gray, thresholds)
+    binf = jnp.where(inverts[:, None, None] > 0, 1.0 - binf, binf)
+    cand = binf * dil
+
+    out = jnp.where(radii[:, None, None] < 0, cand, 0.0)
+    for r in range(0, MAX_SHRINK_RADIUS + 1):
+        shr = mask_shrink(cand, r) if r > 0 else cand
+        out = jnp.maximum(out, jnp.where(radii[:, None, None] == r, shr, 0.0))
+    return out

@@ -1,0 +1,279 @@
+"""Ops layer tests: mask morphology / thresholds / EDT vs cv2+scipy goldens,
+box geometry vs brute-force, color conversions vs cv2."""
+
+import cv2
+import numpy as np
+import pytest
+import jax.numpy as jnp
+import scipy.ndimage as ndi
+
+from mangatranslator_tpu.ops import boxes as B
+from mangatranslator_tpu.ops import color as C
+from mangatranslator_tpu.ops import compose as P
+from mangatranslator_tpu.ops import image as I
+from mangatranslator_tpu.ops import masks as M
+
+
+def random_blob_mask(rng, h=96, w=96, n_blobs=3):
+    m = np.zeros((h, w), np.uint8)
+    for _ in range(n_blobs):
+        cx, cy = rng.integers(10, w - 10), rng.integers(10, h - 10)
+        ax, ay = rng.integers(6, 25), rng.integers(6, 25)
+        cv2.ellipse(m, (int(cx), int(cy)), (int(ax), int(ay)), 0, 0, 360, 255, -1)
+    return m
+
+
+class TestMorphology:
+    @pytest.mark.parametrize("ksize", [(3, 3), (5, 5), (7, 7), (9, 5)])
+    def test_dilate_matches_cv2(self, rng, ksize):
+        m = random_blob_mask(rng)
+        kernel = M.structuring_ellipse(*ksize)
+        ours = np.asarray(M.binary_dilate(jnp.asarray(m / 255.0, jnp.float32), kernel))
+        ref = cv2.dilate(m, kernel.astype(np.uint8)) / 255.0
+        np.testing.assert_array_equal(ours, ref)
+
+    @pytest.mark.parametrize("ksize", [(3, 3), (5, 5), (7, 7)])
+    def test_erode_matches_cv2(self, rng, ksize):
+        m = random_blob_mask(rng)
+        kernel = M.structuring_ellipse(*ksize)
+        ours = np.asarray(M.binary_erode(jnp.asarray(m / 255.0, jnp.float32), kernel))
+        ref = cv2.erode(m, kernel.astype(np.uint8)) / 255.0
+        np.testing.assert_array_equal(ours, ref)
+
+    def test_batched_dilate(self, rng):
+        ms = np.stack([random_blob_mask(rng) for _ in range(4)]) / 255.0
+        kernel = M.structuring_ellipse(7, 7)
+        ours = np.asarray(M.binary_dilate(jnp.asarray(ms, jnp.float32), kernel))
+        for i in range(4):
+            ref = cv2.dilate((ms[i] * 255).astype(np.uint8), kernel.astype(np.uint8)) / 255.0
+            np.testing.assert_array_equal(ours[i], ref)
+
+
+class TestThreshold:
+    def test_fixed_threshold_matches_cv2(self, rng):
+        img = rng.integers(0, 256, (64, 64), np.uint8)
+        for t in (0, 127, 200, 254):
+            _, ref = cv2.threshold(img, t, 255, cv2.THRESH_BINARY)
+            ours = np.asarray(M.threshold_binary(jnp.asarray(img, jnp.float32), float(t)))
+            np.testing.assert_array_equal(ours * 255, ref)
+            _, ref_inv = cv2.threshold(img, t, 255, cv2.THRESH_BINARY_INV)
+            ours_inv = np.asarray(
+                M.threshold_binary(jnp.asarray(img, jnp.float32), float(t), inverse=True)
+            )
+            np.testing.assert_array_equal(ours_inv * 255, ref_inv)
+
+    def test_otsu_matches_cv2(self, rng):
+        for _ in range(5):
+            # bimodal-ish image
+            a = rng.normal(80, 20, (48, 48))
+            b = rng.normal(190, 25, (48, 48))
+            pick = rng.random((48, 48)) > 0.5
+            img = np.clip(np.where(pick, a, b), 0, 255).astype(np.uint8)
+            t_ref, _ = cv2.threshold(img, 0, 255, cv2.THRESH_BINARY + cv2.THRESH_OTSU)
+            t_ours = float(M.otsu_threshold_value(jnp.asarray(img, jnp.float32)))
+            assert abs(t_ours - t_ref) <= 1.0, (t_ours, t_ref)
+
+    def test_otsu_batched(self, rng):
+        imgs = rng.integers(0, 256, (3, 32, 32), np.uint8)
+        batched = np.asarray(M.otsu_threshold_value(jnp.asarray(imgs, jnp.float32)))
+        for i in range(3):
+            single = float(M.otsu_threshold_value(jnp.asarray(imgs[i], jnp.float32)))
+            assert batched[i] == single
+
+
+class TestDistance:
+    def test_edt_matches_scipy(self, rng):
+        m = (random_blob_mask(rng) > 0).astype(np.float32)
+        ours = np.asarray(M.distance_transform_edt(jnp.asarray(m), chunk=32))
+        ref = ndi.distance_transform_edt(m)
+        np.testing.assert_allclose(ours, ref, atol=1e-3)
+
+    def test_edt_all_foreground(self):
+        m = np.ones((16, 16), np.float32)
+        ours = np.asarray(M.distance_transform_edt(jnp.asarray(m), chunk=8))
+        assert np.all(ours > 16)  # "infinite": larger than any in-image distance
+
+    def test_mask_shrink_equals_edt_threshold(self, rng):
+        m = (random_blob_mask(rng) > 0).astype(np.float32)
+        for r in (1, 3, 5):
+            shrunk = np.asarray(M.mask_shrink(jnp.asarray(m), r))
+            ref = (ndi.distance_transform_edt(m) > r).astype(np.float32)
+            np.testing.assert_array_equal(shrunk, ref)
+
+    def test_shrink_by_map(self, rng):
+        m = (random_blob_mask(rng) > 0).astype(np.float32)
+        smap = np.full(m.shape, 2.0, np.float32)
+        smap[:, : m.shape[1] // 2] = 5.0
+        ours = np.asarray(M.shrink_by_map(jnp.asarray(m), jnp.asarray(smap)))
+        edt = ndi.distance_transform_edt(m)
+        ref = ((edt > smap) & (m > 0.5)).astype(np.float32)
+        np.testing.assert_array_equal(ours, ref)
+
+
+class TestLargestComponent:
+    def test_picks_largest_and_fills_holes(self):
+        m = np.zeros((64, 64), np.float32)
+        cv2.circle(m, (20, 20), 12, 1.0, -1)  # big blob
+        cv2.circle(m, (20, 20), 4, 0.0, -1)  # hole inside
+        cv2.circle(m, (50, 50), 5, 1.0, -1)  # small blob
+        out, area = M.largest_component_np(m, min_area=50)
+        assert out[20, 20] == 1  # hole filled
+        assert out[50, 50] == 0  # small blob dropped
+        assert area > 300
+
+    def test_centroid_validity_filter(self):
+        m = np.zeros((64, 64), np.float32)
+        cv2.circle(m, (20, 20), 10, 1.0, -1)
+        validity = np.zeros_like(m)  # nothing valid
+        out, area = M.largest_component_np(m, min_area=10, validity=validity)
+        assert area == 0 and out.sum() == 0
+
+
+class TestBoxes:
+    def test_iou_ioa(self):
+        a = jnp.asarray([[0, 0, 10, 10]], jnp.float32)
+        b = jnp.asarray([[5, 5, 15, 15], [0, 0, 10, 10]], jnp.float32)
+        iou = np.asarray(B.iou_matrix(a, b))
+        np.testing.assert_allclose(iou[0], [25 / 175, 1.0], atol=1e-6)
+        ioa = np.asarray(B.ioa_matrix(a, b))
+        np.testing.assert_allclose(ioa[0], [0.25, 1.0], atol=1e-6)
+
+    def test_device_nms(self):
+        boxes = jnp.asarray(
+            [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30], [50, 50, 60, 60]],
+            jnp.float32,
+        )
+        scores = jnp.asarray([0.9, 0.8, 0.7, 0.05], jnp.float32)
+        keep, count = B.nms(boxes, scores, iou_threshold=0.5, score_threshold=0.1,
+                            max_det=4)
+        keep = np.asarray(keep)[: int(count)]
+        assert list(keep) == [0, 2]  # box1 suppressed by box0; box3 below score
+
+    def test_dedup_prefers_confidence(self):
+        boxes = np.array([[0, 0, 10, 10], [0.5, 0.5, 10.5, 10.5], [30, 30, 40, 40]])
+        scores = np.array([0.5, 0.9, 0.6])
+        keep = B.deduplicate_boxes(boxes, scores)
+        assert list(keep) == [1, 2]
+
+    def test_remove_contained(self):
+        boxes = np.array([[0, 0, 100, 100], [10, 10, 20, 20], [200, 0, 300, 100]])
+        scores = np.array([0.9, 0.8, 0.7])
+        keep = B.remove_contained_boxes(boxes, scores)
+        assert list(keep) == [0, 2]
+
+    def test_group_overlapping(self):
+        boxes = np.array(
+            [[0, 0, 10, 10], [8, 0, 18, 10], [16, 0, 26, 10], [100, 100, 110, 110]],
+            np.float32,
+        )
+        groups = B.group_overlapping_boxes(boxes)
+        sizes = sorted(len(g) for g in groups)
+        assert sizes == [1, 3]
+
+    def test_expand_box_clamps(self):
+        out = B.expand_box(np.array([5, 5, 15, 15]), 1.0, img_w=18, img_h=20)
+        np.testing.assert_allclose(out, [0, 0, 18, 20])
+
+
+class TestColor:
+    def test_gray_matches_cv2(self, rng):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        ours = np.asarray(C.rgb_to_gray(jnp.asarray(img, jnp.float32)))
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2GRAY)
+        assert np.max(np.abs(ours - ref)) <= 1.0
+
+    def test_lab_roundtrip_and_cv2(self, rng):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        lab = C.rgb_to_lab(jnp.asarray(img, jnp.float32))
+        back = np.asarray(C.lab_to_rgb(lab))
+        assert np.max(np.abs(back - img)) <= 2.0
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2LAB).astype(np.float32)
+        assert np.max(np.abs(np.asarray(lab) - ref)) <= 3.0
+
+    def test_hsv_matches_cv2(self, rng):
+        img = rng.integers(0, 256, (16, 16, 3), np.uint8)
+        ours = np.asarray(C.rgb_to_hsv(jnp.asarray(img, jnp.float32)))
+        ref = cv2.cvtColor(img, cv2.COLOR_RGB2HSV).astype(np.float32)
+        # Hue wraps at 180; compare circularly
+        dh = np.minimum(np.abs(ours[..., 0] - ref[..., 0]),
+                        180 - np.abs(ours[..., 0] - ref[..., 0]))
+        assert np.max(dh) <= 1.5
+        assert np.max(np.abs(ours[..., 1:] - ref[..., 1:])) <= 2.0
+
+    def test_hsv_roundtrip(self, rng):
+        img = rng.integers(0, 256, (8, 8, 3), np.uint8).astype(np.float32)
+        back = np.asarray(C.hsv_to_rgb(C.rgb_to_hsv(jnp.asarray(img))))
+        assert np.max(np.abs(back - img)) <= 1.0
+
+    def test_match_luminance_shifts_mean(self):
+        patch = np.full((8, 8, 3), 60.0, np.float32)
+        refimg = np.full((8, 8, 3), 180.0, np.float32)
+        ones = np.ones((8, 8), np.float32)
+        out = np.asarray(
+            C.match_luminance_lab(jnp.asarray(patch), jnp.asarray(refimg),
+                                  jnp.asarray(ones), jnp.asarray(ones))
+        )
+        assert abs(out.mean() - 180.0) < 6.0
+
+
+class TestCompose:
+    def test_fill_masks_order(self):
+        img = jnp.zeros((8, 8, 3), jnp.float32)
+        m1 = np.zeros((8, 8), np.float32); m1[:4] = 1
+        m2 = np.zeros((8, 8), np.float32); m2[2:6] = 1
+        out = np.asarray(
+            P.fill_masks_with_colors(
+                img, jnp.asarray(np.stack([m1, m2])),
+                jnp.asarray([[255, 0, 0], [0, 255, 0]], jnp.float32),
+            )
+        )
+        assert tuple(out[0, 0]) == (255, 0, 0)
+        assert tuple(out[3, 0]) == (0, 255, 0)  # later mask wins
+        assert tuple(out[7, 0]) == (0, 0, 0)
+
+    def test_paste_patch(self):
+        img = jnp.zeros((16, 16, 3), jnp.float32)
+        patch = jnp.full((4, 4, 3), 200.0)
+        alpha = jnp.ones((4, 4))
+        out = np.asarray(P.paste_patch(img, patch, alpha, jnp.int32(5), jnp.int32(6)))
+        assert out[5, 6, 0] == 200 and out[8, 9, 0] == 200
+        assert out[4, 6, 0] == 0 and out[9, 10, 0] == 0
+
+    def test_whiteout(self):
+        img = jnp.full((4, 4, 3), 10.0)
+        m = np.zeros((4, 4), np.float32); m[0, 0] = 1
+        out = np.asarray(P.whiteout_region(img, jnp.asarray(m)))
+        assert out[0, 0, 0] == 255 and out[1, 1, 0] == 10
+
+
+class TestImageOps:
+    def test_letterbox_shape_and_meta(self):
+        img = jnp.asarray(np.random.randint(0, 255, (400, 200, 3), np.uint8))
+        canvas, meta = I.letterbox(img, 640)
+        assert canvas.shape == (640, 640, 3)
+        scale, pad_x, pad_y = float(meta[0]), float(meta[1]), float(meta[2])
+        assert scale == pytest.approx(640 / 400)
+        assert pad_x == pytest.approx((640 - 200 * scale) // 2, abs=1)
+        assert pad_y == 0
+        # padding area has the gray value
+        assert float(canvas[0, 0, 0]) == pytest.approx(114.0)
+
+    def test_unletterbox_roundtrip(self):
+        img = jnp.asarray(np.zeros((400, 200, 3), np.uint8))
+        _, meta = I.letterbox(img, 640)
+        boxes_src = jnp.asarray([[10, 20, 150, 380]], jnp.float32)
+        scale, px, py = meta[0], meta[1], meta[2]
+        boxes_lb = boxes_src * scale + jnp.stack([px, py, px, py])
+        back = np.asarray(I.unletterbox_boxes(boxes_lb, meta, 400, 200))
+        np.testing.assert_allclose(back, np.asarray(boxes_src), atol=0.6)
+
+    def test_bucket_pad(self):
+        arr = np.zeros((100, 300, 3), np.uint8)
+        padded, (h, w) = I.bucket_pad_np(arr)
+        assert padded.shape == (128, 384, 3)
+        assert (h, w) == (100, 300)
+
+    def test_resize_uint8_roundtrip(self):
+        img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
+        out = np.asarray(I.resize(jnp.asarray(img), (64, 64)))
+        assert out.shape == (64, 64, 3) and out.dtype == np.uint8

@@ -1,0 +1,104 @@
+"""Fused Pallas clean kernel vs the XLA reference implementation.
+
+Runs in Pallas interpret mode on CPU (tests force the cpu backend); the compiled
+TPU path is exercised by bench.py on hardware.
+"""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from mangatranslator_tpu.ops.pallas_clean import (
+    MAX_SHRINK_RADIUS,
+    PAD_MARGIN,
+    fused_bubble_clean,
+    reference_bubble_clean,
+)
+
+
+def make_case(rng, n=3, h=128, w=128):
+    gray = np.full((n, h, w), 230.0, np.float32)
+    masks = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        cx = int(rng.integers(PAD_MARGIN + 20, w - PAD_MARGIN - 20))
+        cy = int(rng.integers(PAD_MARGIN + 20, h - PAD_MARGIN - 20))
+        # honor the kernel's PAD_MARGIN contract: content must stay clear of
+        # the buffer border by at least the margin
+        ax = int(rng.integers(12, max(13, min(cx, w - cx) - PAD_MARGIN - 1)))
+        ay = int(rng.integers(12, max(13, min(cy, h - cy) - PAD_MARGIN - 1)))
+        cv2.ellipse(masks[i], (cx, cy), (ax, ay), 0, 0, 360, 1.0, -1)
+        # dark "text" strokes inside the bubble
+        for _ in range(4):
+            x0 = int(rng.integers(cx - ax // 2, cx + ax // 2))
+            y0 = int(rng.integers(cy - ay // 2, cy + ay // 2))
+            cv2.line(gray[i], (x0, y0), (x0 + 8, y0 + 10), 40.0, 2)
+        # noise outside
+        gray[i] += rng.normal(0, 4, (h, w)).astype(np.float32)
+    gray = np.clip(gray, 0, 255)
+    return gray, masks
+
+
+def test_fused_matches_xla_reference(rng):
+    gray, masks = make_case(rng)
+    thresholds = np.array([200.0, 127.0, 180.0], np.float32)
+    inverts = np.array([0, 1, 0], np.int32)
+    radii = np.array([5, 0, MAX_SHRINK_RADIUS], np.int32)
+
+    fused = np.asarray(
+        fused_bubble_clean(
+            jnp.asarray(gray), jnp.asarray(masks), jnp.asarray(thresholds),
+            jnp.asarray(inverts), jnp.asarray(radii), interpret=True,
+        )
+    )
+    ref = np.asarray(
+        reference_bubble_clean(
+            jnp.asarray(gray), jnp.asarray(masks), jnp.asarray(thresholds),
+            jnp.asarray(inverts), jnp.asarray(radii),
+        )
+    )
+    np.testing.assert_array_equal(fused, ref)
+
+
+def test_no_shrink_flag(rng):
+    gray, masks = make_case(rng, n=1)
+    out_noshrink = np.asarray(
+        fused_bubble_clean(
+            jnp.asarray(gray), jnp.asarray(masks),
+            jnp.asarray([200.0], jnp.float32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([-1], jnp.int32), interpret=True,
+        )
+    )
+    out_r0 = np.asarray(
+        fused_bubble_clean(
+            jnp.asarray(gray), jnp.asarray(masks),
+            jnp.asarray([200.0], jnp.float32), jnp.asarray([0], jnp.int32),
+            jnp.asarray([0], jnp.int32), interpret=True,
+        )
+    )
+    np.testing.assert_array_equal(out_noshrink, out_r0)  # r=0 disk == no shrink
+    assert out_noshrink.sum() > 0
+
+
+def test_matches_cv2_pipeline(rng):
+    """End-to-end check against the cv2 ops the reference uses."""
+    import scipy.ndimage as ndi
+
+    gray, masks = make_case(rng, n=2)
+    thresholds = np.array([200.0, 200.0], np.float32)
+    inverts = np.zeros(2, np.int32)
+    radii = np.array([4, 7], np.int32)
+
+    fused = np.asarray(
+        fused_bubble_clean(
+            jnp.asarray(gray), jnp.asarray(masks), jnp.asarray(thresholds),
+            jnp.asarray(inverts), jnp.asarray(radii), interpret=True,
+        )
+    )
+    ell = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (7, 7))
+    for i in range(2):
+        dil = cv2.dilate((masks[i] * 255).astype(np.uint8), ell)
+        _, th = cv2.threshold(gray[i].astype(np.uint8), 200, 255, cv2.THRESH_BINARY)
+        cand = ((th > 0) & (dil > 0)).astype(np.float32)
+        edt = ndi.distance_transform_edt(cand)
+        expect = (edt > radii[i]).astype(np.float32)
+        np.testing.assert_array_equal(fused[i], expect)
