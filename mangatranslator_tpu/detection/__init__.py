@@ -1,0 +1,1 @@
+"""Detection stage: bubble/panel/OSB detectors, geometry rules, reading order."""

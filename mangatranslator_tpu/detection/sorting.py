@@ -1,0 +1,278 @@
+"""Reading-order sorting: panel graph walk + per-panel spatial banding.
+
+Behavior parity with reference core/image/sorting.py (thresholds are the
+published tuning: 50 px ceiling margin, 0.2 x-IoU column test, 0.25/0.5 banding
+factors, 300 px panel snap). Pure host geometry — a page has tens of boxes, so
+this stays NumPy/python; the structure here is decomposed into small helpers
+rather than the reference's single 376-line function.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+Box = Sequence[float]  # x1, y1, x2, y2
+
+# Panel-graph tuning (reference sorting.py:4-193)
+CEILING_MARGIN = 50.0
+COLUMN_X_IOU = 0.2
+COL_DIST_BUCKET = 50.0
+ROW_NEIGHBOR_MARGIN = 50.0
+BLOCK_NEIGHBOR_MARGIN = 20.0
+BLOCK_Y_OVERLAP = 0.3
+ROW_ALIGN_FACTOR = 0.25
+# Bubble→panel assignment (reference :349-361)
+PANEL_SNAP_DISTANCE = 300.0
+# Spatial banding (reference :216-345)
+Y_OVERLAP_RATIO = 0.25
+Y_CENTER_BAND = 0.5
+X_OVERLAP_RATIO = 0.2
+X_CENTER_BAND = 0.5
+
+
+def _iou_x(a: Box, b: Box) -> float:
+    inter = max(0.0, min(a[2], b[2]) - max(a[0], b[0]))
+    union = (a[2] - a[0]) + (b[2] - b[0]) - inter
+    return inter / union if union > 0 else 0.0
+
+
+def _overlap_y_minratio(a: Box, b: Box) -> float:
+    inter = max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+    min_h = min(a[3] - a[1], b[3] - b[1])
+    return inter / min_h if min_h > 0 else 0.0
+
+
+def _has_ceiling(box: Box, others: List[Box]) -> bool:
+    """A panel 'has a ceiling' if some other panel sits above it in the same
+    column (bottom above box-top+margin and x-IoU > 0.2)."""
+    for other in others:
+        if other is box:
+            continue
+        if other[3] <= box[1] + CEILING_MARGIN and _iou_x(other, box) > COLUMN_X_IOU:
+            return True
+    return False
+
+
+def _pick_entry(boxes: List[Box], ids: List[int], rtl: bool) -> int:
+    """Entry panel: among ceiling-free roots, right-most (rtl) / left-most;
+    fall back to top-most."""
+    roots = [i for i, b in zip(ids, boxes) if not _has_ceiling(b, boxes)]
+    if roots:
+        key = (lambda i: boxes[ids.index(i)][2]) if rtl else (
+            lambda i: -boxes[ids.index(i)][0])
+        return max(roots, key=key)
+    return min(ids, key=lambda i: boxes[ids.index(i)][1])
+
+
+def sort_panels_by_reading_order(
+    panels: Sequence[Box], reading_direction: str = "rtl"
+) -> List[int]:
+    """Graph walk over panels enforcing Z (ltr) / inverted-Z (rtl) flow with the
+    reference's dual-veto rule (reference sorting.py:4-193)."""
+    if not panels:
+        return []
+    rtl = (reading_direction or "rtl").lower() == "rtl"
+    n = len(panels)
+    boxes = [tuple(map(float, p)) for p in panels]
+    center_x = [(b[0] + b[2]) / 2 for b in boxes]
+    visited = [False] * n
+    order: List[int] = []
+
+    def remaining() -> List[int]:
+        return [i for i in range(n) if not visited[i]]
+
+    cur = _pick_entry(boxes, list(range(n)), rtl)
+    visited[cur] = True
+    order.append(cur)
+
+    while len(order) < n:
+        cand_ids = remaining()
+        c = boxes[cur]
+        cand_boxes = [boxes[i] for i in cand_ids]
+
+        # column candidate: below current (top past current's vertical middle),
+        # same column by x-IoU; nearest by 50px-bucketed gap, then inner-most
+        col_scored: List[Tuple[Tuple[float, float], int]] = []
+        for i in cand_ids:
+            b = boxes[i]
+            below = b[1] >= c[1] + (c[3] - c[1]) * 0.5
+            if below and _iou_x(c, b) > COLUMN_X_IOU:
+                dist_y = max(0.0, b[1] - c[3])
+                tie = -center_x[i] if rtl else center_x[i]
+                col_scored.append(((int(dist_y / COL_DIST_BUCKET), tie), i))
+        col = min(col_scored)[1] if col_scored else None
+
+        # row candidate: nearest neighbor in reading direction with y-overlap
+        row_scored: List[Tuple[float, int]] = []
+        for i in cand_ids:
+            b = boxes[i]
+            if rtl:
+                neighbor = b[2] <= c[0] + ROW_NEIGHBOR_MARGIN
+                dist_x = c[0] - b[2]
+            else:
+                neighbor = b[0] >= c[2] - ROW_NEIGHBOR_MARGIN
+                dist_x = b[0] - c[2]
+            if neighbor and min(c[3], b[3]) - max(c[1], b[1]) > 0:
+                row_scored.append((dist_x, i))
+        row = min(row_scored)[1] if row_scored else None
+
+        # ceiling veto on the row candidate (don't jump under an unread panel)
+        if row is not None and _has_ceiling(
+            boxes[row], [boxes[i] for i in cand_ids if i != row]
+        ):
+            row = None
+
+        # dual veto on the column candidate: ceiling + unread block-neighbor
+        # on the reading side with ≥30% y-overlap (row must start elsewhere)
+        if col is not None:
+            cb = boxes[col]
+            for i in cand_ids:
+                if i == col:
+                    continue
+                b = boxes[i]
+                if b[3] <= cb[1] + CEILING_MARGIN and _iou_x(b, cb) > COLUMN_X_IOU:
+                    col = None
+                    break
+                side = (b[0] > cb[0] + BLOCK_NEIGHBOR_MARGIN) if rtl else (
+                    b[2] < cb[2] - BLOCK_NEIGHBOR_MARGIN)
+                if side and _overlap_y_minratio(cb, b) > BLOCK_Y_OVERLAP:
+                    col = None
+                    break
+
+        if row is not None and col is None:
+            nxt = row
+        elif col is not None and row is None:
+            nxt = col
+        elif row is not None and col is not None:
+            rb = boxes[row]
+            row_aligned = abs(c[3] - rb[3]) < (c[3] - c[1]) * ROW_ALIGN_FACTOR
+            if boxes[col][1] >= rb[3]:
+                nxt = row
+            else:
+                nxt = row if row_aligned else col
+        else:
+            nxt = _pick_entry(cand_boxes, cand_ids, rtl)
+
+        visited[nxt] = True
+        order.append(nxt)
+        cur = nxt
+
+    return order
+
+
+def _band_1d(
+    items: List[Dict[str, Any]],
+    lo_key: str,
+    hi_key: str,
+    size_key: str,
+    center_key: str,
+    overlap_thresh: float,
+    center_factor: float,
+) -> List[Dict[str, Any]]:
+    """Greedy interval banding along one axis (rows or columns): join the band
+    with the best overlap score, else start a new one."""
+    bands: List[Dict[str, Any]] = []
+    for e in items:
+        lo, hi, sz = e[lo_key], e[hi_key], e[size_key]
+        best, best_score = -1, -1.0
+        for bi, band in enumerate(bands):
+            band_sz = max(1.0, band["hi"] - band["lo"])
+            overlap = max(0.0, min(hi, band["hi"]) - max(lo, band["lo"]))
+            ratio = overlap / min(sz, band_sz)
+            delta = abs(e[center_key] - (band["lo"] + band["hi"]) / 2.0)
+            if ratio >= overlap_thresh or delta <= center_factor * min(sz, band_sz):
+                score = ratio - (delta / (sz + band_sz)) * 0.1
+                if score > best_score:
+                    best, best_score = bi, score
+        if best < 0:
+            bands.append({"lo": lo, "hi": hi, "items": [e]})
+        else:
+            band = bands[best]
+            band["items"].append(e)
+            band["lo"] = min(band["lo"], lo)
+            band["hi"] = max(band["hi"], hi)
+    return bands
+
+
+def _spatial_sort(items: List[Dict[str, Any]], rtl: bool) -> List[Dict[str, Any]]:
+    """Rows (y-bands) → columns (x-bands) → top-to-bottom, rtl/ltr aware
+    (reference _spatial_sort, sorting.py:216-345)."""
+    if not items:
+        return []
+    enriched = []
+    for item in items:
+        x1, y1, x2, y2 = map(float, item["bbox"])
+        enriched.append({
+            "item": item, "x1": x1, "y1": y1, "x2": x2, "y2": y2,
+            "w": max(1.0, x2 - x1), "h": max(1.0, y2 - y1),
+            "cx": (x1 + x2) / 2.0, "cy": (y1 + y2) / 2.0,
+        })
+    enriched.sort(key=lambda e: e["cy"])
+    rows = _band_1d(enriched, "y1", "y2", "h", "cy", Y_OVERLAP_RATIO, Y_CENTER_BAND)
+    rows.sort(key=lambda b: b["lo"])
+
+    out: List[Dict[str, Any]] = []
+    for row in rows:
+        cols = _band_1d(row["items"], "x1", "x2", "w", "cx",
+                        X_OVERLAP_RATIO, X_CENTER_BAND)
+        cols.sort(key=lambda col: (col["lo"] + col["hi"]) / 2.0,
+                  reverse=rtl)
+        for col in cols:
+            col["items"].sort(key=lambda e: e["cy"])
+            out.extend(e["item"] for e in col["items"])
+    return out
+
+
+def _assign_to_panel(detection: Dict[str, Any], panels: Sequence[Box]) -> Optional[int]:
+    """Panel whose box contains the bubble center, else nearest within 300 px."""
+    x1, y1, x2, y2 = detection["bbox"]
+    cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+    for i, p in enumerate(panels):
+        if p[0] <= cx <= p[2] and p[1] <= cy <= p[3]:
+            return i
+    best, best_dist = None, PANEL_SNAP_DISTANCE
+    for i, p in enumerate(panels):
+        dx = max(p[0] - cx, 0.0, cx - p[2])
+        dy = max(p[1] - cy, 0.0, cy - p[3])
+        dist = (dx * dx + dy * dy) ** 0.5
+        if dist < best_dist:
+            best, best_dist = i, dist
+    return best
+
+
+def sort_bubbles_by_reading_order(
+    detections: List[Dict[str, Any]],
+    reading_direction: str = "rtl",
+    panels: Optional[Sequence[Box]] = None,
+) -> List[Dict[str, Any]]:
+    """Macro panel order + micro spatial banding (reference sorting.py:195-376).
+
+    Detections are dicts with a ``bbox`` key; ``panel_id`` is written onto each
+    (None when unassigned), matching the reference's side effect.
+    """
+    if not detections:
+        return []
+    rtl = (reading_direction or "rtl").lower() == "rtl"
+
+    if not panels:
+        return _spatial_sort(detections, rtl)
+
+    panel_order = sort_panels_by_reading_order(panels, reading_direction) or list(
+        range(len(panels))
+    )
+    bins: Dict[int, List[Dict[str, Any]]] = {pid: [] for pid in panel_order}
+    unassigned: List[Dict[str, Any]] = []
+    for det in detections:
+        pid = _assign_to_panel(det, panels)
+        det["panel_id"] = pid
+        if pid is None:
+            unassigned.append(det)
+        else:
+            bins.setdefault(pid, []).append(det)
+
+    out: List[Dict[str, Any]] = []
+    for pid in panel_order:
+        out.extend(_spatial_sort(bins.get(pid, []), rtl))
+    if unassigned:
+        out.extend(_spatial_sort(unassigned, rtl))
+    return out

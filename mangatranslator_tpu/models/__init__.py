@@ -1,0 +1,1 @@
+"""Flax/JAX model family (detectors, segmenters, upscalers, diffusion, OCR)."""

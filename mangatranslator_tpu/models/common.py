@@ -1,0 +1,226 @@
+"""Shared Flax building blocks for the vision models.
+
+NHWC layout throughout (TPU-native); BatchNorm folded to inference statistics.
+Block set mirrors the ultralytics YOLO family closely enough that published
+checkpoints map 1:1 onto the param tree (see models/convert.py), but the
+implementation is an independent Flax/XLA design (reference models are torch —
+SURVEY.md §2.2 model inventory).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+def autopad(k: int, d: int = 1) -> int:
+    """SAME-style padding for odd kernels (ultralytics autopad convention)."""
+    k_eff = d * (k - 1) + 1
+    return k_eff // 2
+
+
+class ConvBnAct(nn.Module):
+    """Conv2D + BatchNorm(inference) + SiLU — the YOLO 'Conv' block."""
+
+    out_ch: int
+    kernel: int = 1
+    stride: int = 1
+    groups: int = 1
+    dilation: int = 1
+    act: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = autopad(self.kernel, self.dilation)
+        x = nn.Conv(
+            self.out_ch,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((p, p), (p, p)),
+            feature_group_count=self.groups,
+            kernel_dilation=(self.dilation, self.dilation),
+            use_bias=False,
+            name="conv",
+        )(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=1e-3, momentum=0.97,
+                         name="bn")(x)
+        return nn.silu(x) if self.act else x
+
+
+class Bottleneck(nn.Module):
+    """Two convs with optional residual (YOLO Bottleneck)."""
+
+    out_ch: int
+    shortcut: bool = True
+    groups: int = 1
+    kernels: Tuple[int, int] = (3, 3)
+    expansion: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        hidden = int(self.out_ch * self.expansion)
+        y = ConvBnAct(hidden, self.kernels[0], name="cv1")(x)
+        y = ConvBnAct(self.out_ch, self.kernels[1], groups=self.groups, name="cv2")(y)
+        if self.shortcut and x.shape[-1] == self.out_ch:
+            return x + y
+        return y
+
+
+class C2f(nn.Module):
+    """Cross-stage partial block with 2 convs and n bottlenecks (YOLOv8 C2f)."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = False
+    groups: int = 1
+    expansion: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = int(self.out_ch * self.expansion)
+        y = ConvBnAct(2 * c, 1, name="cv1")(x)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            parts.append(
+                Bottleneck(c, self.shortcut, self.groups, (3, 3), 1.0, name=f"m{i}")(
+                    parts[-1]
+                )
+            )
+        return ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate(parts, axis=-1))
+
+
+class SPPF(nn.Module):
+    """Spatial pyramid pooling (fast): 3 chained maxpools, concat, 1×1."""
+
+    out_ch: int
+    pool: int = 5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_in = x.shape[-1]
+        y = ConvBnAct(c_in // 2, 1, name="cv1")(x)
+        p = self.pool // 2
+        pools = [y]
+        for _ in range(3):
+            pools.append(
+                nn.max_pool(
+                    pools[-1], (self.pool, self.pool), strides=(1, 1),
+                    padding=((p, p), (p, p)),
+                )
+            )
+        return ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate(pools, axis=-1))
+
+
+class C3k(nn.Module):
+    """C3 block with configurable bottleneck kernel (YOLOv11 C3k)."""
+
+    out_ch: int
+    n: int = 1
+    shortcut: bool = True
+    kernel: int = 3
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.out_ch // 2
+        a = ConvBnAct(c, 1, name="cv1")(x)
+        b = ConvBnAct(c, 1, name="cv2")(x)
+        for i in range(self.n):
+            a = Bottleneck(c, self.shortcut, 1, (self.kernel, self.kernel), 1.0,
+                           name=f"m{i}")(a)
+        return ConvBnAct(self.out_ch, 1, name="cv3")(jnp.concatenate([a, b], axis=-1))
+
+
+class C3k2(nn.Module):
+    """YOLOv11's faster CSP block: C2f whose inner modules are C3k (or plain
+    bottlenecks when c3k=False)."""
+
+    out_ch: int
+    n: int = 1
+    c3k: bool = False
+    shortcut: bool = True
+    expansion: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = int(self.out_ch * self.expansion)
+        y = ConvBnAct(2 * c, 1, name="cv1")(x)
+        parts = [y[..., :c], y[..., c:]]
+        for i in range(self.n):
+            if self.c3k:
+                parts.append(C3k(c, 2, self.shortcut, name=f"m{i}")(parts[-1]))
+            else:
+                parts.append(
+                    Bottleneck(c, self.shortcut, 1, (3, 3), 0.5, name=f"m{i}")(parts[-1])
+                )
+        return ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate(parts, axis=-1))
+
+
+class MHSA(nn.Module):
+    """Multi-head self-attention over spatial positions with conv projections
+    (YOLOv11 PSA attention: qkv conv + positional depthwise on v)."""
+
+    dim: int
+    num_heads: int
+    attn_ratio: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        key_dim = int(head_dim * self.attn_ratio)
+        nh = self.num_heads
+        qkv = ConvBnAct(nh * (2 * key_dim + head_dim), 1, act=False, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, nh, 2 * key_dim + head_dim)
+        q, k, v = jnp.split(qkv, [key_dim, 2 * key_dim], axis=-1)
+        attn = jnp.einsum("bnhk,bmhk->bhnm", q, k) / math.sqrt(key_dim)
+        attn = jax.nn.softmax(attn, axis=-1)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, c)
+        pe = ConvBnAct(c, 3, groups=c, act=False, name="pe")(
+            v.reshape(b, h, w, nh * head_dim)
+        )
+        return ConvBnAct(c, 1, act=False, name="proj")(out + pe)
+
+
+class PSABlock(nn.Module):
+    """Attention + conv-FFN residual block (YOLOv11)."""
+
+    dim: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + MHSA(self.dim, self.num_heads, name="attn")(x)
+        y = ConvBnAct(self.dim * 2, 1, name="ffn0")(x)
+        y = ConvBnAct(self.dim, 1, act=False, name="ffn1")(y)
+        return x + y
+
+
+class C2PSA(nn.Module):
+    """CSP wrapper around n PSA blocks (YOLOv11 neck attention stage)."""
+
+    out_ch: int
+    n: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = self.out_ch // 2
+        y = ConvBnAct(2 * c, 1, name="cv1")(x)
+        a, b = y[..., :c], y[..., c:]
+        for i in range(self.n):
+            b = PSABlock(c, max(1, c // 64), name=f"m{i}")(b)
+        return ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate([a, b], axis=-1))
+
+
+def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
+    """Nearest-neighbor 2× upsample (YOLO head upsampling)."""
+    b, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
+    return x.reshape(b, 2 * h, 2 * w, c)
+
+
+def make_divisible(v: float, divisor: int = 8) -> int:
+    return max(divisor, int(round(v / divisor) * divisor))

@@ -1,0 +1,141 @@
+"""torch checkpoint → Flax param conversion harness.
+
+The reference loads torch checkpoints via ultralytics/transformers/spandrel
+(reference core/ml/model_manager.py:617-1367). This framework stores converted
+Flax trees as safetensors/orbax; conversion happens once at first load.
+
+Core rules (validated against live torch modules in tests/test_convert.py):
+  * Conv2d weight  OIHW → HWIO;  depthwise [C,1,kh,kw] → [kh,kw,1,C]
+  * ConvTranspose2d weight IOHW → HWIO (flax ConvTranspose kernel layout)
+  * Linear weight  [out,in] → [in,out]
+  * BatchNorm → flax BatchNorm params (scale/bias) + batch_stats (mean/var)
+
+Model-specific name maps (ultralytics YOLO, spandrel RCAN, HF ViT/GPT2/FLUX)
+live beside each model; this module provides the primitives they compose.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+
+def conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW → HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def depthwise_conv_kernel(w: np.ndarray) -> np.ndarray:
+    """torch depthwise [C,1,kh,kw] → flax HWIO [kh,kw,1,C]."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def conv_transpose_kernel(w: np.ndarray) -> np.ndarray:
+    """torch ConvTranspose2d [in,out,kh,kw] → flax [kh,kw,in,out], with spatial
+    flip (flax ConvTranspose computes a fractionally-strided conv, torch's
+    transposed conv corresponds to the flipped kernel)."""
+    return np.transpose(w, (2, 3, 0, 1))[::-1, ::-1]
+
+
+def linear_kernel(w: np.ndarray) -> np.ndarray:
+    """[out,in] → [in,out]."""
+    return np.transpose(w, (1, 0))
+
+
+def batchnorm(prefix: str, sd: Mapping[str, np.ndarray]) -> Tuple[Dict, Dict]:
+    """Return (params, batch_stats) dicts for a flax BatchNorm from torch keys
+    ``{prefix}.weight/bias/running_mean/running_var``."""
+    params = {"scale": np.asarray(sd[f"{prefix}.weight"]),
+              "bias": np.asarray(sd[f"{prefix}.bias"])}
+    stats = {"mean": np.asarray(sd[f"{prefix}.running_mean"]),
+             "var": np.asarray(sd[f"{prefix}.running_var"])}
+    return params, stats
+
+
+def set_path(tree: Dict[str, Any], path: Tuple[str, ...], value: Any) -> None:
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def conv_bn_act(
+    torch_prefix: str,
+    sd: Mapping[str, np.ndarray],
+    params: Dict[str, Any],
+    stats: Dict[str, Any],
+    flax_path: Tuple[str, ...],
+) -> None:
+    """Convert a YOLO 'Conv' (conv+bn) block: torch ``{p}.conv.weight`` +
+    ``{p}.bn.*`` → our ConvBnAct module at ``flax_path``."""
+    set_path(params, flax_path + ("conv", "kernel"),
+             conv_kernel(np.asarray(sd[f"{torch_prefix}.conv.weight"])))
+    p, s = batchnorm(f"{torch_prefix}.bn", sd)
+    set_path(params, flax_path + ("bn",), p)
+    set_path(stats, flax_path + ("bn",), s)
+
+
+def plain_conv(
+    torch_prefix: str,
+    sd: Mapping[str, np.ndarray],
+    params: Dict[str, Any],
+    flax_path: Tuple[str, ...],
+) -> None:
+    """Bare Conv2d (with bias) → flax nn.Conv."""
+    set_path(params, flax_path + ("kernel",),
+             conv_kernel(np.asarray(sd[f"{torch_prefix}.weight"])))
+    if f"{torch_prefix}.bias" in sd:
+        set_path(params, flax_path + ("bias",), np.asarray(sd[f"{torch_prefix}.bias"]))
+
+
+def to_flax_variables(params: Dict[str, Any], stats: Dict[str, Any]) -> Dict[str, Any]:
+    out: Dict[str, Any] = {"params": params}
+    if stats:
+        out["batch_stats"] = stats
+    return out
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a checkpoint to numpy (safetensors preferred, torch.load fallback
+    with weights_only=True — never executes pickled code)."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return dict(load_file(path))
+    import torch
+
+    obj = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(obj, dict) and "state_dict" in obj:
+        obj = obj["state_dict"]
+    if isinstance(obj, dict) and "model" in obj and hasattr(obj["model"], "state_dict"):
+        obj = obj["model"].state_dict()
+    return {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in obj.items()}
+
+
+def save_flax_safetensors(variables: Dict[str, Any], path: str) -> None:
+    """Flatten a flax variable tree into safetensors with '/'-joined keys."""
+    from safetensors.numpy import save_file
+
+    flat: Dict[str, np.ndarray] = {}
+
+    def walk(node: Any, prefix: str) -> None:
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, f"{prefix}/{k}" if prefix else str(k))
+        else:
+            flat[prefix] = np.asarray(node)
+
+    walk(variables, "")
+    save_file(flat, path)
+
+
+def load_flax_safetensors(path: str) -> Dict[str, Any]:
+    from safetensors.numpy import load_file
+
+    flat = load_file(path)
+    tree: Dict[str, Any] = {}
+    for key, value in flat.items():
+        set_path(tree, tuple(key.split("/")), value)
+    return tree

@@ -1,0 +1,336 @@
+"""YOLO detector/segmenter family in Flax (v8-seg primary; v11-style variant).
+
+Covers the reference's four YOLO roles (SURVEY.md §2.2):
+  * primary speech-bubble seg models "yolo_1"/"yolo_2" (YOLOv8-seg arch,
+    reference core/ml/model_manager.py:183-190, imgsz 640/1600)
+  * panel detector (YOLOv11-l, :198-201)
+  * OSB text detector (YOLOv12x, :194-197 — served by the v11-style variant
+    until the area-attention blocks land)
+
+Design is TPU-first: NHWC, inference BatchNorm, fixed letterboxed input shapes,
+and the whole postprocess (DFL decode → NMS → proto-mask assembly) on device
+with static output sizes. Module names follow ultralytics layer indices so
+published checkpoints convert 1:1 (models/convert.py).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .common import (
+    C2PSA,
+    C2f,
+    C3k2,
+    ConvBnAct,
+    SPPF,
+    make_divisible,
+    upsample2x,
+)
+from ..ops.boxes import nms
+
+REG_MAX = 16
+STRIDES = (8, 16, 32)
+
+
+@dataclass(frozen=True)
+class YoloConfig:
+    """Architecture hyperparameters."""
+
+    num_classes: int
+    depth: float = 0.67  # m-scale defaults (manga109 bubble model is v8m-seg)
+    width: float = 0.75
+    max_channels: int = 768
+    seg: bool = True
+    num_masks: int = 32
+    num_protos: int = 256
+    arch: str = "v8"  # "v8" | "v11"
+
+    def ch(self, c: int) -> int:
+        return make_divisible(min(c, self.max_channels) * self.width)
+
+    def d(self, n: int) -> int:
+        return max(1, round(n * self.depth))
+
+
+# Published scale tables (ultralytics model yamls)
+V8_SCALES = {
+    "n": dict(depth=0.33, width=0.25, max_channels=1024),
+    "s": dict(depth=0.33, width=0.50, max_channels=1024),
+    "m": dict(depth=0.67, width=0.75, max_channels=768),
+    "l": dict(depth=1.00, width=1.00, max_channels=512),
+    "x": dict(depth=1.00, width=1.25, max_channels=512),
+}
+V11_SCALES = {
+    "n": dict(depth=0.50, width=0.25, max_channels=1024),
+    "s": dict(depth=0.50, width=0.50, max_channels=1024),
+    "m": dict(depth=0.50, width=1.00, max_channels=512),
+    "l": dict(depth=1.00, width=1.00, max_channels=512),
+    "x": dict(depth=1.00, width=1.50, max_channels=512),
+}
+
+
+def yolo_config(arch: str, scale: str, num_classes: int, seg: bool) -> YoloConfig:
+    table = V8_SCALES if arch == "v8" else V11_SCALES
+    return YoloConfig(num_classes=num_classes, seg=seg, arch=arch, **table[scale])
+
+
+class DetectHead(nn.Module):
+    """Decoupled box/cls (+mask-coef) head over three pyramid levels."""
+
+    cfg: YoloConfig
+    in_chs: Tuple[int, int, int]
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> Dict[str, List[jnp.ndarray]]:
+        cfg = self.cfg
+        c2 = max(16, self.in_chs[0] // 4, 4 * REG_MAX)
+        c3 = max(self.in_chs[0], min(cfg.num_classes, 100))
+        out: Dict[str, List[jnp.ndarray]] = {"box": [], "cls": [], "mcoef": []}
+        for i, x in enumerate(feats):
+            b = ConvBnAct(c2, 3, name=f"box{i}_0")(x)
+            b = ConvBnAct(c2, 3, name=f"box{i}_1")(b)
+            b = nn.Conv(4 * REG_MAX, (1, 1), name=f"box{i}_2")(b)
+            c = ConvBnAct(c3, 3, name=f"cls{i}_0")(x)
+            c = ConvBnAct(c3, 3, name=f"cls{i}_1")(c)
+            c = nn.Conv(cfg.num_classes, (1, 1), name=f"cls{i}_2")(c)
+            out["box"].append(b)
+            out["cls"].append(c)
+            if cfg.seg:
+                c4 = max(self.in_chs[0] // 4, cfg.num_masks)
+                m = ConvBnAct(c4, 3, name=f"mc{i}_0")(x)
+                m = ConvBnAct(c4, 3, name=f"mc{i}_1")(m)
+                m = nn.Conv(cfg.num_masks, (1, 1), name=f"mc{i}_2")(m)
+                out["mcoef"].append(m)
+        return out
+
+
+class Proto(nn.Module):
+    """Mask prototype generator on the P3 feature (ultralytics Proto)."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c_ = make_divisible(self.cfg.num_protos * self.cfg.width)
+        x = ConvBnAct(c_, 3, name="cv1")(x)
+        x = nn.ConvTranspose(c_, (2, 2), strides=(2, 2), name="up")(x)
+        x = ConvBnAct(c_, 3, name="cv2")(x)
+        return ConvBnAct(self.cfg.num_masks, 1, name="cv3")(x)
+
+
+class YoloModel(nn.Module):
+    """Full backbone + PAN neck + heads. Returns raw per-level outputs and
+    (for seg models) the prototype tensor."""
+
+    cfg: YoloConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> Dict[str, object]:
+        cfg = self.cfg
+        v11 = cfg.arch == "v11"
+
+        def csp(c_out: int, n: int, shortcut: bool, name: str, e: float = 0.5,
+                c3k: bool = False):
+            if v11:
+                return C3k2(c_out, cfg.d(n), c3k=c3k, shortcut=shortcut,
+                            expansion=e, name=name)
+            return C2f(c_out, cfg.d(n), shortcut=shortcut, name=name)
+
+        # Backbone ------------------------------------------------------------
+        x = ConvBnAct(cfg.ch(64), 3, 2, name="model_0")(x)          # P1/2
+        x = ConvBnAct(cfg.ch(128), 3, 2, name="model_1")(x)         # P2/4
+        if v11:
+            x = csp(cfg.ch(256), 2, False, "model_2", e=0.25)(x)
+        else:
+            x = csp(cfg.ch(128), 3, True, "model_2")(x)
+        x = ConvBnAct(cfg.ch(256), 3, 2, name="model_3")(x)         # P3/8
+        x = csp(cfg.ch(512) if v11 else cfg.ch(256), 6 if not v11 else 2,
+                not v11, "model_4", e=0.25 if v11 else 0.5)(x)
+        p3 = x
+        x = ConvBnAct(cfg.ch(512), 3, 2, name="model_5")(x)         # P4/16
+        x = csp(cfg.ch(512), 6 if not v11 else 2, True, "model_6", c3k=True)(x)
+        p4 = x
+        x = ConvBnAct(cfg.ch(1024), 3, 2, name="model_7")(x)        # P5/32
+        x = csp(cfg.ch(1024), 3 if not v11 else 2, True, "model_8", c3k=True)(x)
+        x = SPPF(cfg.ch(1024), 5, name="model_9")(x)
+        if v11:
+            x = C2PSA(cfg.ch(1024), cfg.d(2), name="model_10")(x)
+        p5 = x
+
+        # PAN neck -------------------------------------------------------------
+        off = 1 if v11 else 0
+        u = jnp.concatenate([upsample2x(p5), p4], axis=-1)
+        n4 = csp(cfg.ch(512), 3 if not v11 else 2, False, f"model_{12 + off}")(u)
+        u = jnp.concatenate([upsample2x(n4), p3], axis=-1)
+        n3 = csp(cfg.ch(256), 3 if not v11 else 2, False, f"model_{15 + off}")(u)
+        d = ConvBnAct(cfg.ch(256), 3, 2, name=f"model_{16+off}")(n3)
+        n4b = csp(cfg.ch(512), 3 if not v11 else 2, False, f"model_{18+off}")(
+            jnp.concatenate([d, n4], axis=-1)
+        )
+        d = ConvBnAct(cfg.ch(512), 3, 2, name=f"model_{19+off}")(n4b)
+        n5 = csp(cfg.ch(1024), 3 if not v11 else 2, False, f"model_{21+off}",
+                 c3k=True)(jnp.concatenate([d, p5], axis=-1))
+
+        feats = (n3, n4b, n5)
+        head = DetectHead(cfg, tuple(f.shape[-1] for f in feats),
+                          name=f"model_{22+off}")(feats)
+        out: Dict[str, object] = {"box": head["box"], "cls": head["cls"]}
+        if cfg.seg:
+            out["mcoef"] = head["mcoef"]
+            out["proto"] = Proto(cfg, name=f"model_{22+off}_proto")(n3)
+        return out
+
+
+# Decode / postprocess ---------------------------------------------------------
+
+
+def _flatten_levels(levels: Sequence[jnp.ndarray]) -> jnp.ndarray:
+    """[(B,Hi,Wi,C)] → (B, ΣHiWi, C)."""
+    return jnp.concatenate(
+        [lv.reshape(lv.shape[0], -1, lv.shape[-1]) for lv in levels], axis=1
+    )
+
+
+def anchor_grid(imgsz: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Anchor centers (in grid units ×stride) and per-anchor strides."""
+    centers, strides = [], []
+    for s in STRIDES:
+        n = imgsz // s
+        ys, xs = np.meshgrid(np.arange(n) + 0.5, np.arange(n) + 0.5, indexing="ij")
+        centers.append(np.stack([xs.ravel(), ys.ravel()], axis=-1))
+        strides.append(np.full((n * n,), s, np.float32))
+    return (np.concatenate(centers).astype(np.float32), np.concatenate(strides))
+
+
+def decode_boxes(box_logits: jnp.ndarray, centers: jnp.ndarray,
+                 strides: jnp.ndarray) -> jnp.ndarray:
+    """DFL decode: softmax-expectation over 16 bins per side → xyxy (input px)."""
+    b, a, _ = box_logits.shape
+    logits = box_logits.reshape(b, a, 4, REG_MAX)
+    probs = jax.nn.softmax(logits, axis=-1)
+    dist = jnp.sum(probs * jnp.arange(REG_MAX, dtype=jnp.float32), axis=-1)  # ltrb
+    lt, rb = dist[..., :2], dist[..., 2:]
+    c = centers[None]
+    xy1 = (c - lt) * strides[None, :, None]
+    xy2 = (c + rb) * strides[None, :, None]
+    return jnp.concatenate([xy1, xy2], axis=-1)
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class Detections:
+    """Fixed-size postprocessed outputs (−1-padded indices, zero-padded rows)."""
+
+    boxes: jnp.ndarray   # [B, max_det, 4] xyxy, input-letterbox px
+    scores: jnp.ndarray  # [B, max_det]
+    classes: jnp.ndarray  # [B, max_det] int32
+    num: jnp.ndarray     # [B] valid count
+    masks: Optional[jnp.ndarray] = None  # [B, max_det, Hm, Wm] 0/1 at proto res
+
+
+@functools.partial(
+    jax.jit, static_argnames=("imgsz", "max_det", "with_masks")
+)
+def postprocess(
+    raw: Dict[str, object],
+    imgsz: int,
+    conf_threshold: float,
+    iou_threshold: float = 0.45,
+    max_det: int = 64,
+    with_masks: bool = True,
+) -> Detections:
+    """Device-side decode + NMS + proto-mask assembly, fixed shapes.
+
+    Replaces ultralytics' torch postprocess (reference detection.py:1338 model
+    call with retina_masks=True). Masks come back at proto resolution
+    (imgsz/4); callers upsample/crop into page coordinates.
+    """
+    centers, strides = anchor_grid(imgsz)
+    boxes_all = decode_boxes(_flatten_levels(raw["box"]), jnp.asarray(centers),
+                             jnp.asarray(strides))
+    cls_all = jax.nn.sigmoid(_flatten_levels(raw["cls"]))
+    scores_all = jnp.max(cls_all, axis=-1)
+    classes_all = jnp.argmax(cls_all, axis=-1).astype(jnp.int32)
+
+    def per_image(boxes, scores, classes, mcoef, proto):
+        keep, num = nms(boxes, scores, iou_threshold, conf_threshold, max_det)
+        safe = jnp.maximum(keep, 0)
+        valid = (keep >= 0)[:, None]
+        kb = jnp.where(valid, boxes[safe], 0.0)
+        ks = jnp.where(valid[:, 0], scores[safe], 0.0)
+        kc = jnp.where(valid[:, 0], classes[safe], -1)
+        masks = None
+        if with_masks:
+            coef = jnp.where(valid, mcoef[safe], 0.0)  # [max_det, nm]
+            hm, wm = proto.shape[0], proto.shape[1]
+            m = jax.nn.sigmoid(jnp.einsum("dk,hwk->dhw", coef, proto))
+            # crop to box (proto res = imgsz/4)
+            scale = hm / imgsz
+            ys = jnp.arange(hm, dtype=jnp.float32)[None, :, None] / scale
+            xs = jnp.arange(wm, dtype=jnp.float32)[None, None, :] / scale
+            x1, y1, x2, y2 = kb[:, 0], kb[:, 1], kb[:, 2], kb[:, 3]
+            inbox = (
+                (xs >= x1[:, None, None]) & (xs < x2[:, None, None])
+                & (ys >= y1[:, None, None]) & (ys < y2[:, None, None])
+            )
+            masks = jnp.where(inbox & (m > 0.5), 1.0, 0.0)
+        return kb, ks, kc, num, masks
+
+    if with_masks:
+        mcoef_all = _flatten_levels(raw["mcoef"])
+        proto = raw["proto"]
+        kb, ks, kc, num, masks = jax.vmap(per_image)(
+            boxes_all, scores_all, classes_all, mcoef_all, proto
+        )
+        return Detections(kb, ks, kc, num, masks)
+    zero_mc = jnp.zeros(boxes_all.shape[:2] + (1,), jnp.float32)
+    zero_proto = jnp.zeros((boxes_all.shape[0], 1, 1, 1), jnp.float32)
+    kb, ks, kc, num, _ = jax.vmap(
+        lambda b, s, c, mc, p: per_image(b, s, c, mc, p)
+    )(boxes_all, scores_all, classes_all, zero_mc, zero_proto)
+    return Detections(kb, ks, kc, num, None)
+
+
+class YoloRunner:
+    """Jit-compiled forward+postprocess at a fixed input size.
+
+    One runner per (model, imgsz) pair; the model-manager caches them, mirroring
+    the reference's per-model lazy loads but with compile-once semantics.
+    """
+
+    def __init__(self, cfg: YoloConfig, params, imgsz: int, max_det: int = 64):
+        self.cfg = cfg
+        self.imgsz = imgsz
+        self.max_det = max_det
+        self.model = YoloModel(cfg)
+        self._params = params
+
+        @functools.partial(jax.jit, static_argnames=())
+        def _run(params, images, conf, iou):
+            raw = self.model.apply(params, images)
+            return postprocess(raw, imgsz, conf, iou, max_det, cfg.seg)
+
+        self._run = _run
+
+    def __call__(self, images: jnp.ndarray, conf: float = 0.25,
+                 iou: float = 0.45) -> Detections:
+        return self._run(self._params, images,
+                         jnp.float32(conf), jnp.float32(iou))
+
+    def init_params(self, rng: jax.Array):
+        dummy = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
+        return self.model.init(rng, dummy)
+
+
+def init_yolo(cfg: YoloConfig, imgsz: int, seed: int = 0):
+    """Random-init params (weight conversion supplies real ones when present)."""
+    model = YoloModel(cfg)
+    dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
+    return model.init(jax.random.PRNGKey(seed), dummy)

@@ -1,0 +1,553 @@
+"""Tokenization and optimal line breaking for typesetting.
+
+Pure host-side text algorithms, behavior-parity with reference
+core/text/text_processing.py: markdown-ish style markers, CJK kinsoku shori
+tokenization, Korean particle gluing, Thai dictionary segmentation (PyThaiNLP,
+gracefully absent), detached trailing punctuation, and the Knuth–Plass style DP
+wrapper with badness = slack^exponent.
+
+The published constants (kinsoku sets, Korean particle set, Thai penalties,
+style regex) are the app's tuning and are kept identical.
+"""
+
+from __future__ import annotations
+
+import re
+import unicodedata
+from typing import Callable, Dict, List, Optional, Tuple
+
+# Markdown-like style pattern: ***bold italic***, **bold**, *italic*
+STYLE_PATTERN = re.compile(r"(\*{1,3})(.*?)(\1)")
+# Prefix marking units the wrapper may break before WITHOUT inserting a space
+NO_SPACE_BEFORE_MARKER = ""
+
+KOREAN_NO_LINE_START_SYLLABLES = frozenset(
+    "은는이가을를에의도만로와과랑께란게서럼면요뿐씩님죠며겠잖"
+)
+
+THAI_RANGE = (0x0E00, 0x0E7F)
+THAI_WORD_TOKENIZE_ENGINE = "newmm"
+THAI_TCC_ENGINE = "tcc_p"
+THAI_SHORT_LINE_START_MAX_CLUSTERS = 3
+DEFAULT_THAI_SHORT_LINE_START_PENALTY = 5000.0
+
+# Kinsoku shori (禁則処理) line-breaking prohibitions
+KINSOKU_NOT_AT_START = frozenset(
+    "、。，．！？）】」』〕〉》，．！？）］｝,.)!?;:…‥ー"
+    "ぁぃぅぇぉっゃゅょゎァィゥェォッャュョヮヵヶ"
+)
+KINSOKU_NOT_AT_END = frozenset("（【「『〔〈《（［｛([")
+
+_TRAILING_CLOSERS = r"\)\]\}’”'\""
+_DETACH_CORE = r"[.!?]{2,}"
+DETACHABLE_TRAILING_PUNCT_RE = re.compile(
+    rf"^(.*?)({_DETACH_CORE}[{_TRAILING_CLOSERS}]*)$"
+)
+DETACHED_TRAILING_PUNCT_RE = re.compile(rf"^{_DETACH_CORE}[{_TRAILING_CLOSERS}]*$")
+
+_LATIN_STYLE_LANGUAGES = frozenset({
+    "afrikaans", "albanian", "bosnian", "catalan", "croatian", "czech", "danish",
+    "dutch", "english", "estonian", "filipino (tagalog)", "finnish", "french",
+    "galician", "german", "hungarian", "icelandic", "indonesian", "italian",
+    "latvian", "lithuanian", "malay", "norwegian", "polish", "portuguese",
+    "romanian", "serbian (latin)", "slovak", "slovenian", "spanish", "swahili",
+    "swedish", "tagalog", "turkish", "uzbek", "vietnamese", "welsh",
+})
+
+
+def _pythainlp_available() -> bool:
+    try:
+        import pythainlp  # noqa: F401
+
+        return True
+    except Exception:
+        return False
+
+
+_HAS_THAI_NLP: Optional[bool] = None
+
+
+def _has_thai_nlp() -> bool:
+    global _HAS_THAI_NLP
+    if _HAS_THAI_NLP is None:
+        _HAS_THAI_NLP = _pythainlp_available()
+    return _HAS_THAI_NLP
+
+
+# Language policy ---------------------------------------------------------------
+
+
+def is_latin_style_language(language_name: str) -> bool:
+    return (language_name or "").lower() in _LATIN_STYLE_LANGUAGES
+
+
+def supports_long_word_breaking(language_name: str) -> bool:
+    """Latin languages hyphenate; Korean/Thai use no-hyphen emergency splits."""
+    lang = (language_name or "").strip().lower()
+    return is_latin_style_language(language_name or "") or lang in ("korean", "thai")
+
+
+def uses_true_hyphenation(language_name: str) -> bool:
+    return is_latin_style_language(language_name or "")
+
+
+def is_rtl_script(text: str) -> bool:
+    """Majority-vote RTL detection: Arabic/Hebrew/Thaana/NKo blocks vs the rest
+    (reference text_processing.py:57-88)."""
+    rtl = ltr = 0
+    for ch in text:
+        if ch.isspace() or ch == "*":
+            continue
+        cp = ord(ch)
+        if (
+            0x0600 <= cp <= 0x06FF or 0x0750 <= cp <= 0x077F
+            or 0x08A0 <= cp <= 0x08FF or 0xFB50 <= cp <= 0xFDFF
+            or 0xFE70 <= cp <= 0xFEFF  # Arabic blocks
+            or 0x0590 <= cp <= 0x05FF or 0xFB1D <= cp <= 0xFB4F  # Hebrew
+            or 0x0780 <= cp <= 0x07BF  # Thaana
+            or 0x07C0 <= cp <= 0x07FA  # NKo
+        ):
+            rtl += 1
+        else:
+            ltr += 1
+    return rtl > ltr
+
+
+# Character classes --------------------------------------------------------------
+
+
+def is_hangul_character(ch: str) -> bool:
+    if len(ch) != 1:
+        return False
+    c = ord(ch)
+    return (0xAC00 <= c <= 0xD7AF) or (0x1100 <= c <= 0x11FF) or (0x3130 <= c <= 0x318F)
+
+
+def is_thai_character(ch: str) -> bool:
+    return len(ch) == 1 and THAI_RANGE[0] <= ord(ch) <= THAI_RANGE[1]
+
+
+def contains_thai(text: str) -> bool:
+    return any(is_thai_character(c) for c in text)
+
+
+def is_cjk_character(ch: str) -> bool:
+    if len(ch) != 1:
+        return False
+    c = ord(ch)
+    return (
+        0x4E00 <= c <= 0x9FFF or 0x3400 <= c <= 0x4DBF or 0x20000 <= c <= 0x2CEAF
+        or 0xF900 <= c <= 0xFAFF  # ideographs
+        or 0x3040 <= c <= 0x309F or 0x30A0 <= c <= 0x30FF or 0x31F0 <= c <= 0x31FF
+        or 0xAC00 <= c <= 0xD7AF or 0x1100 <= c <= 0x11FF or 0x3130 <= c <= 0x318F
+        or 0x3000 <= c <= 0x303F or 0xFF00 <= c <= 0xFFEF
+    )
+
+
+# Styled segments -----------------------------------------------------------------
+
+
+def parse_styled_segments(text: str) -> List[Tuple[str, str]]:
+    """Split '***bi*** **b** *i*' markup into (text, style) runs."""
+    style_by_len = {3: "bold_italic", 2: "bold", 1: "italic"}
+    segments: List[Tuple[str, str]] = []
+    last = 0
+    for m in STYLE_PATTERN.finditer(text):
+        if m.start() > last:
+            segments.append((text[last: m.start()], "regular"))
+        segments.append((m.group(2), style_by_len[len(m.group(1))]))
+        last = m.end()
+    if last < len(text):
+        segments.append((text[last:], "regular"))
+    return [(t, s) for t, s in segments if t]
+
+
+def strip_no_space_before_marker(token: str) -> str:
+    return token[1:] if token.startswith(NO_SPACE_BEFORE_MARKER) else token
+
+
+def is_detached_trailing_punctuation(token: str) -> bool:
+    return bool(DETACHED_TRAILING_PUNCT_RE.match(token))
+
+
+def _is_detached_ellipsis(token: str) -> bool:
+    return is_detached_trailing_punctuation(token) and token.startswith("..")
+
+
+# Word splitting for emergency wraps ----------------------------------------------
+
+
+def split_hangul_word_for_wrapping(token: str) -> Optional[List[str]]:
+    """Per-syllable units with particle gluing; later units carry the no-space
+    marker (reference :212-255)."""
+    normalized = unicodedata.normalize("NFC", token)
+    m = re.match(r"^(\W*)([\w\-]+)(\W*)$", normalized)
+    lead, core, trail = m.groups() if m else ("", normalized, "")
+    if not any(is_hangul_character(c) for c in core):
+        return None
+
+    units: List[str] = []
+    pending = ""
+    for ch in core:
+        if is_hangul_character(ch):
+            if pending:
+                units.append(pending)
+                pending = ""
+            if units and ch in KOREAN_NO_LINE_START_SYLLABLES:
+                units[-1] += ch
+            else:
+                units.append(ch)
+        elif unicodedata.combining(ch) and units:
+            units[-1] += ch
+        else:
+            pending += ch
+    if pending:
+        units.append(pending)
+    if len(units) < 2:
+        return None
+    units[0] = lead + units[0]
+    units[-1] += trail
+    return [units[0]] + [NO_SPACE_BEFORE_MARKER + u for u in units[1:]]
+
+
+def split_thai_word_for_wrapping(token: str) -> Optional[List[str]]:
+    """TCC-cluster units (PyThaiNLP); None when unavailable (reference :256-283)."""
+    if not _has_thai_nlp():
+        return None
+    normalized = unicodedata.normalize("NFC", token)
+    m = re.match(r"^(\W*)(.+?)(\W*)$", normalized, flags=re.UNICODE)
+    lead, core, trail = m.groups() if m else ("", normalized, "")
+    if not contains_thai(core):
+        return None
+    from pythainlp.tokenize import subword_tokenize
+
+    units = [u for u in subword_tokenize(core, engine=THAI_TCC_ENGINE) if u]
+    if len(units) < 2:
+        return None
+    units[0] = lead + units[0]
+    units[-1] += trail
+    return [units[0]] + [NO_SPACE_BEFORE_MARKER + u for u in units[1:]]
+
+
+def _thai_word_tokenize(text: str) -> List[str]:
+    if not _has_thai_nlp():
+        return [text]
+    from pythainlp.tokenize import word_tokenize
+
+    return [w for w in word_tokenize(text, engine=THAI_WORD_TOKENIZE_ENGINE) if w]
+
+
+# Tokenization ---------------------------------------------------------------------
+
+
+def _flush(token: str, out: List[str]) -> None:
+    if not token:
+        return
+    if contains_thai(token):
+        out.extend(_thai_word_tokenize(token))
+    else:
+        out.append(token)
+
+
+def split_with_cjk_awareness(
+    text: str, detach_trailing_punctuation: bool = True
+) -> List[str]:
+    """Whitespace words; CJK (non-Hangul) chars become single tokens with
+    kinsoku gluing; Thai runs dictionary-segmented (reference :379-440)."""
+    tokens: List[str] = []
+    cur = ""
+    for ch in text:
+        if ch.isspace():
+            _flush(cur, tokens)
+            cur = ""
+        elif is_cjk_character(ch) and not is_hangul_character(ch):
+            if ch in KINSOKU_NOT_AT_START:
+                if cur:
+                    cur += ch
+                elif tokens:
+                    tokens[-1] += ch
+                else:
+                    cur = ch
+            elif ch in KINSOKU_NOT_AT_END:
+                _flush(cur, tokens)
+                cur = ch
+            else:
+                if cur:
+                    if cur[-1] in KINSOKU_NOT_AT_END:
+                        tokens.append(cur + ch)
+                        cur = ""
+                    else:
+                        _flush(cur, tokens)
+                        cur = ""
+                        tokens.append(ch)
+                else:
+                    tokens.append(ch)
+        else:
+            cur += ch
+    _flush(cur, tokens)
+
+    if not detach_trailing_punctuation:
+        return tokens
+    out: List[str] = []
+    for t in tokens:
+        m = DETACHABLE_TRAILING_PUNCT_RE.match(t)
+        if m and m.group(1):
+            out.extend([m.group(1), m.group(2)])
+        else:
+            out.append(t)
+    return out
+
+
+def tokenize_styled_text(
+    text: str, detach_trailing_punctuation: bool = True
+) -> List[Tuple[str, bool]]:
+    """Tokens for wrapping; styled spans split per word and re-wrapped in their
+    markers so style survives line breaks (reference :443-478)."""
+    tokens: List[Tuple[str, bool]] = []
+    last = 0
+    for m in STYLE_PATTERN.finditer(text):
+        if m.start() > last:
+            tokens.extend(
+                (w, False)
+                for w in split_with_cjk_awareness(text[last: m.start()],
+                                                  detach_trailing_punctuation)
+            )
+        marker, content = m.group(1), m.group(2)
+        if content:
+            tokens.extend(
+                (f"{marker}{w}{marker}", True)
+                for w in split_with_cjk_awareness(content, detach_trailing_punctuation)
+            )
+        last = m.end()
+    if last < len(text):
+        tokens.extend(
+            (w, False)
+            for w in split_with_cjk_awareness(text[last:], detach_trailing_punctuation)
+        )
+    return tokens
+
+
+# Hyphenation ----------------------------------------------------------------------
+
+
+def try_hyphenate_word(
+    word_str: str,
+    min_word_length: int,
+    width_test_func: Callable[[str], bool],
+) -> Optional[List[str]]:
+    """Two-way split with a hyphen so both halves pass the width test:
+    existing hyphens (nearest middle) first, then center-out positions
+    (reference :481-560)."""
+    m = re.match(r"^(\W*)([\w\-]+)(\W*)$", word_str)
+    if not m:
+        return None
+    lead, core, trail = m.groups()
+    if len(core) < min_word_length:
+        return None
+
+    def attempt(left: str, right: str) -> Optional[List[str]]:
+        a, b = lead + left, right + trail
+        if width_test_func(a) and width_test_func(b):
+            return [a, b]
+        return None
+
+    if "-" in core:
+        mid = len(core) // 2
+        for pos in sorted((i for i, c in enumerate(core) if c == "-"),
+                          key=lambda i: abs(i - mid)):
+            if 0 < pos < len(core) - 1:
+                got = attempt(core[: pos + 1], core[pos + 1:])
+                if got:
+                    return got
+
+    mid = len(core) // 2
+    candidates: List[int] = []
+    for d in range(0, max(mid, len(core) - mid)):
+        for idx in (mid - d, mid + d):
+            if 2 <= idx < len(core) - 2 and idx not in candidates:
+                candidates.append(idx)
+    for idx in candidates:
+        before = core[idx - 1] if idx > 0 else ""
+        at = core[idx] if idx < len(core) else ""
+        if at == "-":
+            left, right = core[: idx + 1], core[idx + 1:]
+        elif before == "-":
+            left, right = core[:idx], core[idx:]
+        else:
+            left, right = core[:idx] + "-", core[idx:]
+        if left.endswith("-") and right.startswith("-"):
+            right = right[1:]
+        got = attempt(left, right)
+        if got:
+            return got
+    return None
+
+
+# Smart joining & spacing ----------------------------------------------------------
+
+
+def _token_plain_content(token: str) -> str:
+    token = strip_no_space_before_marker(token)
+    m = STYLE_PATTERN.match(token)
+    return m.group(2) if m else token
+
+
+def _is_cjk_token(token: str) -> bool:
+    content = _token_plain_content(token)
+    return len(content) > 0 and all(
+        is_cjk_character(c) and not is_hangul_character(c) for c in content
+    )
+
+
+def _is_thai_token(token: str) -> bool:
+    content = _token_plain_content(token)
+    if not content:
+        return False
+    return contains_thai(content) and not any(
+        c.isascii() and c.isalpha() for c in content
+    )
+
+
+def needs_space_between(
+    left: str, right: str, detach_trailing_punctuation: bool = True
+) -> bool:
+    """No space between CJK↔CJK, Thai↔Thai, before no-space units, or before
+    detached punctuation (reference :640-663)."""
+    if right.startswith(NO_SPACE_BEFORE_MARKER):
+        return False
+    left = strip_no_space_before_marker(left)
+    right = strip_no_space_before_marker(right)
+    if _is_cjk_token(left) and _is_cjk_token(right):
+        return False
+    if _is_thai_token(left) and _is_thai_token(right):
+        return False
+    if detach_trailing_punctuation and is_detached_trailing_punctuation(
+        _token_plain_content(right)
+    ):
+        return False
+    return True
+
+
+def join_tokens_smart(tokens: List[str], detach_trailing_punctuation: bool = True) -> str:
+    """Join with smart spacing; a leading detached ellipsis glues to the next
+    token (reference :666-690)."""
+    if not tokens:
+        return ""
+    result = strip_no_space_before_marker(tokens[0])
+    for i in range(1, len(tokens)):
+        glue_ellipsis = (
+            detach_trailing_punctuation and i == 1
+            and _is_detached_ellipsis(_token_plain_content(tokens[0]))
+        )
+        clean = strip_no_space_before_marker(tokens[i])
+        if glue_ellipsis:
+            result += clean
+        elif needs_space_between(tokens[i - 1], tokens[i], detach_trailing_punctuation):
+            result += " " + clean
+        else:
+            result += clean
+    return result
+
+
+# Thai orphan penalty --------------------------------------------------------------
+
+
+def _thai_tcc_cluster_count(text: str) -> int:
+    if not text or not _has_thai_nlp():
+        return 0
+    from pythainlp.tokenize import subword_tokenize
+
+    return len([u for u in subword_tokenize(text, engine=THAI_TCC_ENGINE) if u])
+
+
+def _thai_short_line_start_cost(
+    token: str,
+    penalty: float,
+    max_clusters: int,
+    cache: Dict[str, int],
+) -> float:
+    if penalty <= 0 or max_clusters <= 0 or not _is_thai_token(token):
+        return 0.0
+    content = _token_plain_content(token)
+    if not content:
+        return 0.0
+    if content not in cache:
+        cache[content] = _thai_tcc_cluster_count(content)
+    n = cache[content]
+    if n == 0 or n > max_clusters:
+        return 0.0
+    return penalty * float(n)
+
+
+# Knuth-Plass DP -------------------------------------------------------------------
+
+
+def find_optimal_breaks_dp(
+    tokens: List[str],
+    max_width: float,
+    word_width_func: Callable[[str], float],
+    space_width: float,
+    badness_exponent: float = 3.0,
+    hyphen_penalty: float = 1000.0,
+    detach_trailing_punctuation: bool = True,
+    thai_short_line_start_penalty: float = DEFAULT_THAI_SHORT_LINE_START_PENALTY,
+    thai_short_line_start_max_clusters: int = THAI_SHORT_LINE_START_MAX_CLUSTERS,
+) -> Optional[List[str]]:
+    """Globally optimal line breaks: badness = slack^exp per line, hyphen-end
+    penalty, Thai orphan costs; None when some token can't fit
+    (reference :692-797)."""
+    if not tokens:
+        return []
+    try:
+        widths = [word_width_func(t) for t in tokens]
+        thai_cache: Dict[str, int] = {}
+        n = len(tokens)
+        best = [float("inf")] * (n + 1)
+        prev = [0] * (n + 1)
+        best[0] = 0.0
+
+        for i in range(1, n + 1):
+            # NOTE (reference parity): the hyphen check uses tokens[i-1] — the
+            # last token of the *whole prefix*, not of the candidate line; kept
+            # identical to reproduce the reference's break choices.
+            last = strip_no_space_before_marker(tokens[i - 1])
+            ends_hyphen = last.endswith("-")
+            if not ends_hyphen:
+                sm = STYLE_PATTERN.match(last)
+                if sm:
+                    ends_hyphen = sm.group(2).endswith("-")
+
+            line_width = 0.0
+            for j in range(i - 1, -1, -1):
+                if j < i - 1 and needs_space_between(
+                    tokens[j], tokens[j + 1], detach_trailing_punctuation
+                ):
+                    line_width += space_width
+                line_width += widths[j]
+                if line_width > max_width:
+                    break
+                badness = pow(max_width - line_width, badness_exponent)
+                if ends_hyphen:
+                    badness += hyphen_penalty
+                if j > 0:
+                    badness += _thai_short_line_start_cost(
+                        tokens[j], thai_short_line_start_penalty,
+                        thai_short_line_start_max_clusters, thai_cache,
+                    )
+                total = best[j] + badness
+                if total < best[i]:
+                    best[i] = total
+                    prev[i] = j
+
+        if best[n] == float("inf"):
+            return None
+        lines: List[str] = []
+        cut = n
+        while cut > 0:
+            start = prev[cut]
+            lines.insert(0, join_tokens_smart(tokens[start:cut],
+                                              detach_trailing_punctuation))
+            cut = start
+        return lines
+    except Exception:
+        return None

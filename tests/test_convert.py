@@ -1,0 +1,123 @@
+"""Conversion-rule goldens: build tiny torch modules, convert, compare outputs."""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from mangatranslator_tpu.models import convert as CV
+from mangatranslator_tpu.models.common import ConvBnAct
+from mangatranslator_tpu.models.rcan import pixel_shuffle
+
+
+def torch_out_to_nhwc(t: torch.Tensor) -> np.ndarray:
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+class TestPrimitives:
+    def test_conv2d(self):
+        tconv = tnn.Conv2d(3, 8, 3, padding=1)
+        x = torch.randn(1, 3, 16, 16)
+        ref = torch_out_to_nhwc(tconv(x))
+
+        fconv = nn.Conv(8, (3, 3), padding=((1, 1), (1, 1)))
+        params = {
+            "params": {
+                "kernel": CV.conv_kernel(tconv.weight.detach().numpy()),
+                "bias": tconv.bias.detach().numpy(),
+            }
+        }
+        out = np.asarray(fconv.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_depthwise_conv(self):
+        tconv = tnn.Conv2d(6, 6, 3, padding=1, groups=6)
+        x = torch.randn(1, 6, 8, 8)
+        ref = torch_out_to_nhwc(tconv(x))
+        fconv = nn.Conv(6, (3, 3), padding=((1, 1), (1, 1)), feature_group_count=6)
+        params = {
+            "params": {
+                "kernel": CV.depthwise_conv_kernel(tconv.weight.detach().numpy()),
+                "bias": tconv.bias.detach().numpy(),
+            }
+        }
+        out = np.asarray(fconv.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_linear(self):
+        tl = tnn.Linear(5, 7)
+        x = torch.randn(2, 5)
+        ref = tl(x).detach().numpy()
+        fl = nn.Dense(7)
+        params = {"params": {"kernel": CV.linear_kernel(tl.weight.detach().numpy()),
+                             "bias": tl.bias.detach().numpy()}}
+        out = np.asarray(fl.apply(params, jnp.asarray(x.numpy())))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_conv_transpose_2x(self):
+        tct = tnn.ConvTranspose2d(4, 4, 2, stride=2)
+        x = torch.randn(1, 4, 6, 6)
+        ref = torch_out_to_nhwc(tct(x))
+        fct = nn.ConvTranspose(4, (2, 2), strides=(2, 2))
+        params = {"params": {
+            "kernel": CV.conv_transpose_kernel(tct.weight.detach().numpy()),
+            "bias": tct.bias.detach().numpy()}}
+        out = np.asarray(fct.apply(params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_conv_bn_silu_block(self):
+        """Full YOLO 'Conv' block: torch conv+bn+silu vs our ConvBnAct."""
+        torch.manual_seed(0)
+
+        class TorchConv(tnn.Module):
+            def __init__(self):
+                super().__init__()
+                self.conv = tnn.Conv2d(3, 8, 3, 2, 1, bias=False)
+                self.bn = tnn.BatchNorm2d(8, eps=1e-3)
+                self.act = tnn.SiLU()
+
+            def forward(self, x):
+                return self.act(self.bn(self.conv(x)))
+
+        tm = TorchConv().eval()
+        # perturb BN stats so the test is not trivial
+        with torch.no_grad():
+            tm.bn.running_mean.uniform_(-1, 1)
+            tm.bn.running_var.uniform_(0.5, 2.0)
+            tm.bn.weight.uniform_(0.5, 1.5)
+            tm.bn.bias.uniform_(-0.5, 0.5)
+        x = torch.randn(2, 3, 16, 16)
+        ref = torch_out_to_nhwc(tm(x))
+
+        sd = {f"x.{k}": v.detach().numpy() for k, v in tm.state_dict().items()}
+        params, stats = {}, {}
+        CV.conv_bn_act("x", sd, params, stats, ("blk",))
+        variables = {"params": params["blk"], "batch_stats": stats["blk"]}
+        blk = ConvBnAct(8, 3, 2)
+        out = np.asarray(blk.apply(variables,
+                                   jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+        np.testing.assert_allclose(out, ref, atol=1e-4)
+
+    def test_pixel_shuffle_matches_torch(self):
+        x = torch.randn(1, 16, 4, 4)
+        ref = torch_out_to_nhwc(tnn.PixelShuffle(2)(x))
+        ours = np.asarray(pixel_shuffle(jnp.asarray(x.numpy().transpose(0, 2, 3, 1)), 2))
+        np.testing.assert_allclose(ours, ref, atol=1e-6)
+
+
+class TestRoundTrip:
+    def test_safetensors_roundtrip(self, tmp_path):
+        tree = {
+            "params": {"layer": {"kernel": np.random.rand(3, 3, 4, 8).astype(np.float32)}},
+            "batch_stats": {"layer": {"mean": np.zeros(8, np.float32)}},
+        }
+        p = str(tmp_path / "w.safetensors")
+        CV.save_flax_safetensors(tree, p)
+        back = CV.load_flax_safetensors(p)
+        np.testing.assert_array_equal(back["params"]["layer"]["kernel"],
+                                      tree["params"]["layer"]["kernel"])
+        np.testing.assert_array_equal(back["batch_stats"]["layer"]["mean"],
+                                      tree["batch_stats"]["layer"]["mean"])

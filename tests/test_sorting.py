@@ -1,0 +1,110 @@
+"""Reading-order sorting: synthetic panel/bubble layouts."""
+
+from mangatranslator_tpu.detection.sorting import (
+    sort_bubbles_by_reading_order,
+    sort_panels_by_reading_order,
+)
+
+
+def B(x1, y1, x2, y2):
+    return [float(x1), float(y1), float(x2), float(y2)]
+
+
+class TestPanelSort:
+    # 2×2 grid page:  panels laid out
+    #   [1][0]      (rtl: read 0,1 then 2,3)
+    #   [3][2]
+    GRID = [B(500, 0, 990, 480), B(10, 0, 490, 480),
+            B(500, 520, 990, 990), B(10, 520, 490, 990)]
+
+    def test_rtl_inverted_z(self):
+        assert sort_panels_by_reading_order(self.GRID, "rtl") == [0, 1, 2, 3]
+
+    def test_ltr_z(self):
+        assert sort_panels_by_reading_order(self.GRID, "ltr") == [1, 0, 3, 2]
+
+    def test_full_width_then_columns(self):
+        # top banner panel, then two columns below
+        panels = [B(10, 0, 990, 300), B(500, 320, 990, 990), B(10, 320, 490, 990)]
+        assert sort_panels_by_reading_order(panels, "rtl") == [0, 1, 2]
+        assert sort_panels_by_reading_order(panels, "ltr") == [0, 2, 1]
+
+    def test_column_veto_prevents_column_dive(self):
+        # rtl: tall right column + two stacked left panels; the right column
+        # must be fully read before jumping left
+        panels = [B(500, 0, 990, 480), B(500, 520, 990, 990),
+                  B(10, 0, 490, 480), B(10, 520, 490, 990)]
+        order = sort_panels_by_reading_order(panels, "rtl")
+        assert order == [0, 1, 2, 3] or order[:2] == [0, 2]  # dual-veto outcome
+        # the reference's dual veto reads right column top→bottom first
+        assert order[0] == 0
+
+    def test_empty_and_single(self):
+        assert sort_panels_by_reading_order([], "rtl") == []
+        assert sort_panels_by_reading_order([B(0, 0, 10, 10)], "rtl") == [0]
+
+
+class TestBubbleSort:
+    def test_spatial_rtl_rows(self):
+        dets = [
+            {"bbox": B(700, 50, 800, 150)},   # top right → first in rtl
+            {"bbox": B(100, 60, 200, 160)},   # top left → second
+            {"bbox": B(400, 500, 500, 600)},  # bottom → last
+        ]
+        out = sort_bubbles_by_reading_order(dets, "rtl")
+        assert [d["bbox"][0] for d in out] == [700, 100, 400]
+
+    def test_spatial_ltr(self):
+        dets = [
+            {"bbox": B(700, 50, 800, 150)},
+            {"bbox": B(100, 60, 200, 160)},
+        ]
+        out = sort_bubbles_by_reading_order(dets, "ltr")
+        assert [d["bbox"][0] for d in out] == [100, 700]
+
+    def test_row_major_banding(self):
+        # banding is row-major: the two top bubbles share a y-band and read
+        # right→left before dropping to the lower band
+        dets = [
+            {"bbox": B(700, 300, 780, 380)},
+            {"bbox": B(705, 60, 785, 140)},
+            {"bbox": B(100, 80, 180, 160)},
+        ]
+        out = sort_bubbles_by_reading_order(dets, "rtl")
+        assert [d["bbox"][1] for d in out] == [60, 80, 300]
+
+    def test_column_grouping_within_band(self):
+        # overlapping y-bands merge; within the band the right column's two
+        # stacked bubbles read top→bottom before moving left
+        dets = [
+            {"bbox": B(700, 160, 780, 260)},  # right col, lower
+            {"bbox": B(705, 60, 785, 150)},   # right col, upper
+            {"bbox": B(100, 80, 180, 230)},   # left col (tall, overlaps both)
+        ]
+        out = sort_bubbles_by_reading_order(dets, "rtl")
+        assert [d["bbox"][1] for d in out] == [60, 160, 80]
+
+    def test_panel_binning_and_order(self):
+        panels = [B(500, 0, 990, 480), B(10, 0, 490, 480)]
+        dets = [
+            {"bbox": B(50, 50, 150, 150)},    # panel 1 (left)
+            {"bbox": B(600, 50, 700, 150)},   # panel 0 (right)
+        ]
+        out = sort_bubbles_by_reading_order(dets, "rtl", panels)
+        assert out[0]["bbox"][0] == 600 and out[0]["panel_id"] == 0
+        assert out[1]["bbox"][0] == 50 and out[1]["panel_id"] == 1
+
+    def test_panel_snap_and_unassigned(self):
+        panels = [B(100, 100, 400, 400)]
+        dets = [
+            {"bbox": B(380, 420, 480, 500)},   # center (430,460): 72px away → snap
+            {"bbox": B(900, 900, 990, 990)},   # far → unassigned, sorted last
+            {"bbox": B(150, 150, 250, 250)},   # inside
+        ]
+        out = sort_bubbles_by_reading_order(dets, "rtl", panels)
+        assert out[0]["panel_id"] == 0 and out[0]["bbox"][0] == 150
+        assert out[1]["panel_id"] == 0 and out[1]["bbox"][0] == 380
+        assert out[2]["panel_id"] is None
+
+    def test_empty(self):
+        assert sort_bubbles_by_reading_order([], "rtl") == []

@@ -1,0 +1,159 @@
+"""Text processing: style parsing, CJK tokenization, DP wrapping."""
+
+import pytest
+
+from mangatranslator_tpu.text import processing as TP
+
+
+class TestStyledSegments:
+    def test_plain(self):
+        assert TP.parse_styled_segments("hello world") == [("hello world", "regular")]
+
+    def test_mixed_styles(self):
+        segs = TP.parse_styled_segments("a *i* **b** ***bi*** z")
+        assert segs == [
+            ("a ", "regular"), ("i", "italic"), (" ", "regular"), ("b", "bold"),
+            (" ", "regular"), ("bi", "bold_italic"), (" z", "regular"),
+        ]
+
+    def test_empty_marker_content_dropped(self):
+        assert TP.parse_styled_segments("**bold**") == [("bold", "bold")]
+
+
+class TestTokenization:
+    def test_latin_words(self):
+        assert TP.split_with_cjk_awareness("hello  world") == ["hello", "world"]
+
+    def test_japanese_per_char_with_kinsoku(self):
+        toks = TP.split_with_cjk_awareness("そうだ。")
+        # 。 cannot start a line → glued to previous char
+        assert toks == ["そ", "う", "だ。"]
+
+    def test_kinsoku_open_bracket(self):
+        toks = TP.split_with_cjk_awareness("「はい」")
+        # 「 cannot end a line → glued to the next char; 」 glues backward
+        assert toks == ["「は", "い」"]
+
+    def test_korean_words_stay_whole(self):
+        assert TP.split_with_cjk_awareness("안녕 하세요") == ["안녕", "하세요"]
+
+    def test_detached_trailing_punct(self):
+        assert TP.split_with_cjk_awareness("What?!...") == ["What", "?!..."]
+        assert TP.split_with_cjk_awareness("wait...") == ["wait", "..."]
+        assert TP.split_with_cjk_awareness("one.", True) == ["one."]  # single . stays
+
+    def test_styled_tokenize_rewraps_markers(self):
+        toks = TP.tokenize_styled_text("say **hello world** now")
+        assert toks == [
+            ("say", False), ("**hello**", True), ("**world**", True), ("now", False),
+        ]
+
+
+class TestHangulSplit:
+    def test_particle_gluing(self):
+        units = TP.split_hangul_word_for_wrapping("하세요")
+        # '세' not a particle; '요' is → glued onto previous unit
+        assert units is not None
+        clean = [TP.strip_no_space_before_marker(u) for u in units]
+        assert clean == ["하", "세요"]
+        assert units[1].startswith(TP.NO_SPACE_BEFORE_MARKER)
+
+    def test_non_hangul_returns_none(self):
+        assert TP.split_hangul_word_for_wrapping("hello") is None
+
+
+class TestHyphenation:
+    def test_existing_hyphen_preferred(self):
+        got = TP.try_hyphenate_word("well-known", 8, lambda s: len(s) <= 6)
+        assert got == ["well-", "known"]
+
+    def test_mid_split_adds_hyphen(self):
+        got = TP.try_hyphenate_word("wonderful", 8, lambda s: len(s) <= 6)
+        assert got is not None
+        left, right = got
+        assert left.endswith("-") and left[:-1] + right == "wonderful"
+        assert len(left) <= 6 and len(right) <= 6
+
+    def test_too_short_word(self):
+        assert TP.try_hyphenate_word("cat", 8, lambda s: True) is None
+
+    def test_impossible(self):
+        assert TP.try_hyphenate_word("wonderful", 8, lambda s: len(s) <= 2) is None
+
+
+class TestSmartJoin:
+    def test_latin_spaces(self):
+        assert TP.join_tokens_smart(["hello", "world"]) == "hello world"
+
+    def test_cjk_no_space(self):
+        assert TP.join_tokens_smart(["そ", "う", "だ。"]) == "そうだ。"
+
+    def test_no_space_marker(self):
+        units = ["하", TP.NO_SPACE_BEFORE_MARKER + "세요"]
+        assert TP.join_tokens_smart(units) == "하세요"
+
+    def test_detached_punct_glues(self):
+        assert TP.join_tokens_smart(["wait", "..."]) == "wait..."
+        assert TP.join_tokens_smart(["What", "?!"]) == "What?!"
+
+    def test_leading_ellipsis_glues_to_next(self):
+        assert TP.join_tokens_smart(["...", "but"]) == "...but"
+
+
+class TestRTL:
+    def test_arabic(self):
+        assert TP.is_rtl_script("مرحبا بالعالم")
+
+    def test_hebrew(self):
+        assert TP.is_rtl_script("שלום עולם")
+
+    def test_latin(self):
+        assert not TP.is_rtl_script("hello")
+
+    def test_mixed_majority(self):
+        assert not TP.is_rtl_script("hello שלום extra latin words")
+
+
+class TestDP:
+    def width(self, s):
+        return float(len(TP.strip_no_space_before_marker(s)))
+
+    def test_simple_wrap(self):
+        lines = TP.find_optimal_breaks_dp(
+            ["aaa", "bbb", "ccc", "ddd"], max_width=7.0,
+            word_width_func=self.width, space_width=1.0,
+        )
+        assert lines == ["aaa bbb", "ccc ddd"]
+
+    def test_balances_lines(self):
+        # greedy would make "aaaaaa b" + "c"; DP balances badness
+        lines = TP.find_optimal_breaks_dp(
+            ["aaaaaa", "bb", "cc"], max_width=8.0,
+            word_width_func=self.width, space_width=1.0,
+        )
+        assert lines is not None and len(lines) == 2
+        assert lines[0] == "aaaaaa"  # slack^3 prefers balanced remainder
+
+    def test_impossible_token(self):
+        assert TP.find_optimal_breaks_dp(
+            ["waytoolongtoken"], max_width=5.0,
+            word_width_func=self.width, space_width=1.0,
+        ) is None
+
+    def test_empty(self):
+        assert TP.find_optimal_breaks_dp([], 10.0, self.width, 1.0) == []
+
+    def test_cjk_no_space_width(self):
+        lines = TP.find_optimal_breaks_dp(
+            ["そ", "う", "だ。"], max_width=3.0,
+            word_width_func=self.width, space_width=100.0,  # huge space width
+        )
+        # CJK adjacency needs no spaces, so all fit on one line of width 4?
+        # widths: 1+1+2=4 > 3 → two lines
+        assert lines == ["そう", "だ。"]
+
+    def test_language_policy(self):
+        assert TP.is_latin_style_language("English")
+        assert TP.supports_long_word_breaking("Korean")
+        assert not TP.uses_true_hyphenation("Korean")
+        assert not TP.supports_long_word_breaking("Japanese")

@@ -1,0 +1,165 @@
+"""YOLO family: shapes, decode math, postprocess invariants.
+
+Weights are random (zero-egress environment); these tests pin architecture
+shapes and the decode/NMS/mask assembly logic. Checkpoint-parity tests land
+with the conversion harness once weights are present.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.yolo import (
+    Detections,
+    REG_MAX,
+    YoloModel,
+    anchor_grid,
+    decode_boxes,
+    postprocess,
+    yolo_config,
+)
+
+IMGSZ = 128  # tiny for CPU tests
+
+
+@pytest.fixture(scope="module")
+def tiny_seg_model():
+    cfg = yolo_config("v8", "n", num_classes=2, seg=True)
+    model = YoloModel(cfg)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32))
+    return cfg, model, params
+
+
+class TestArchitecture:
+    def test_output_shapes_seg(self, tiny_seg_model):
+        cfg, model, params = tiny_seg_model
+        out = model.apply(params, jnp.zeros((2, IMGSZ, IMGSZ, 3), jnp.float32))
+        # three levels at strides 8/16/32
+        for i, s in enumerate((8, 16, 32)):
+            n = IMGSZ // s
+            assert out["box"][i].shape == (2, n, n, 4 * REG_MAX)
+            assert out["cls"][i].shape == (2, n, n, 2)
+            assert out["mcoef"][i].shape == (2, n, n, cfg.num_masks)
+        assert out["proto"].shape == (2, IMGSZ // 4, IMGSZ // 4, cfg.num_masks)
+
+    def test_v11_variant_builds(self):
+        cfg = yolo_config("v11", "n", num_classes=1, seg=False)
+        model = YoloModel(cfg)
+        params = model.init(jax.random.PRNGKey(0),
+                            jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32))
+        out = model.apply(params, jnp.zeros((1, IMGSZ, IMGSZ, 3), jnp.float32))
+        assert len(out["box"]) == 3 and "proto" not in out
+
+    def test_param_count_scales(self):
+        n_params = lambda p: sum(x.size for x in jax.tree.leaves(p))
+        cfg_n = yolo_config("v8", "n", 1, seg=False)
+        cfg_s = yolo_config("v8", "s", 1, seg=False)
+        pn = YoloModel(cfg_n).init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)))
+        ps = YoloModel(cfg_s).init(jax.random.PRNGKey(0),
+                                   jnp.zeros((1, 64, 64, 3)))
+        assert n_params(ps) > 2.5 * n_params(pn)
+
+
+class TestDecode:
+    def test_anchor_grid(self):
+        centers, strides = anchor_grid(64)
+        n = (64 // 8) ** 2 + (64 // 16) ** 2 + (64 // 32) ** 2
+        assert centers.shape == (n, 2) and strides.shape == (n,)
+        assert centers[0, 0] == 0.5 and strides[0] == 8
+        assert strides[-1] == 32
+
+    def test_dfl_decode_peaked_logits(self):
+        centers, strides = anchor_grid(64)
+        a = centers.shape[0]
+        # put a sharp peak at bin 3 for every side → distances == 3
+        logits = np.full((1, a, 4, REG_MAX), -20.0, np.float32)
+        logits[..., 3] = 20.0
+        boxes = np.asarray(
+            decode_boxes(jnp.asarray(logits.reshape(1, a, -1)),
+                         jnp.asarray(centers), jnp.asarray(strides))
+        )
+        # anchor 0: center (0.5, 0.5) stride 8 → box = (0.5±3)*8
+        np.testing.assert_allclose(boxes[0, 0], [-20, -20, 28, 28], atol=1e-3)
+
+    def test_postprocess_finds_planted_box(self):
+        imgsz = 64
+        centers, strides = anchor_grid(imgsz)
+        a = centers.shape[0]
+        nc, nm = 2, 4
+        box = np.full((1, a, 4 * REG_MAX), -20.0, np.float32)
+        box.reshape(1, a, 4, REG_MAX)[..., 2] = 20.0  # all dists = 2
+        cls = np.full((1, a, nc), -20.0, np.float32)
+        target_anchor = 10  # stride 8, center (10.5, 1.5) grid units
+        cls[0, target_anchor, 1] = 20.0  # one confident class-1 detection
+        levels_box, levels_cls, levels_mc = [], [], []
+        idx = 0
+        for s in (8, 16, 32):
+            n = imgsz // s
+            levels_box.append(jnp.asarray(box[:, idx: idx + n * n].reshape(1, n, n, -1)))
+            levels_cls.append(jnp.asarray(cls[:, idx: idx + n * n].reshape(1, n, n, -1)))
+            levels_mc.append(jnp.zeros((1, n, n, nm), jnp.float32))
+            idx += n * n
+        proto = jnp.ones((1, imgsz // 4, imgsz // 4, nm), jnp.float32)
+        raw = {"box": levels_box, "cls": levels_cls, "mcoef": levels_mc,
+               "proto": proto}
+        det = postprocess(raw, imgsz, conf_threshold=0.5, max_det=8)
+        assert int(det.num[0]) == 1
+        assert int(det.classes[0, 0]) == 1
+        cx, cy = centers[target_anchor]
+        np.testing.assert_allclose(
+            np.asarray(det.boxes[0, 0]),
+            [(cx - 2) * 8, (cy - 2) * 8, (cx + 2) * 8, (cy + 2) * 8],
+            atol=1e-2,
+        )
+        # mask: sigmoid(0·proto)=0.5, not >0.5 → empty inside box is fine;
+        # shape contract is what we pin here
+        assert det.masks.shape == (1, 8, imgsz // 4, imgsz // 4)
+
+    def test_postprocess_mask_crop(self):
+        """Positive coefficients + all-ones proto → mask == box region."""
+        imgsz = 64
+        nm = 4
+        centers, strides = anchor_grid(imgsz)
+        a = centers.shape[0]
+        box = np.full((1, a, 4 * REG_MAX), -20.0, np.float32)
+        box.reshape(1, a, 4, REG_MAX)[..., 4] = 20.0  # dists = 4
+        cls = np.full((1, a, 1), -20.0, np.float32)
+        cls[0, 20, 0] = 20.0
+        mc = np.zeros((1, a, nm), np.float32)
+        mc[0, 20] = 5.0
+        levels_box, levels_cls, levels_mc = [], [], []
+        idx = 0
+        for s in (8, 16, 32):
+            n = imgsz // s
+            sl = slice(idx, idx + n * n)
+            levels_box.append(jnp.asarray(box[:, sl].reshape(1, n, n, -1)))
+            levels_cls.append(jnp.asarray(cls[:, sl].reshape(1, n, n, -1)))
+            levels_mc.append(jnp.asarray(mc[:, sl].reshape(1, n, n, -1)))
+            idx += n * n
+        proto = jnp.ones((1, imgsz // 4, imgsz // 4, nm), jnp.float32)
+        raw = {"box": levels_box, "cls": levels_cls, "mcoef": levels_mc,
+               "proto": proto}
+        det = postprocess(raw, imgsz, conf_threshold=0.5, max_det=4)
+        assert int(det.num[0]) == 1
+        m = np.asarray(det.masks[0, 0])
+        x1, y1, x2, y2 = np.asarray(det.boxes[0, 0]) / 4.0  # proto scale
+        ys, xs = np.nonzero(m)
+        assert len(ys) > 0
+        assert xs.min() >= np.floor(x1) and xs.max() <= np.ceil(x2)
+        assert ys.min() >= np.floor(y1) and ys.max() <= np.ceil(y2)
+        area_expected = (np.ceil(x2) - np.floor(x1)) * (np.ceil(y2) - np.floor(y1))
+        assert len(ys) >= 0.5 * area_expected  # solidly filled
+
+    def test_e2e_random_weights_runs(self, tiny_seg_model):
+        cfg, model, params = tiny_seg_model
+        img = jnp.asarray(
+            np.random.randint(0, 255, (1, IMGSZ, IMGSZ, 3), np.uint8), jnp.float32
+        ) / 255.0
+        raw = model.apply(params, img)
+        det = postprocess(raw, IMGSZ, conf_threshold=0.25, max_det=16)
+        assert isinstance(det, Detections)
+        assert det.boxes.shape == (1, 16, 4)
+        assert int(det.num[0]) >= 0
