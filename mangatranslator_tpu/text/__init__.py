@@ -1,0 +1,1 @@
+"""Typesetting stack: tokenization, layout, fonts, rendering."""

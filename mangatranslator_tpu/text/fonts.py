@@ -1,0 +1,200 @@
+"""Font discovery, cmap sanitization, and cached PIL font handles.
+
+Behavior parity with reference core/text/font_manager.py: variant discovery by
+filename keywords in six fallback passes, cmap-based tofu stripping, feature
+listing, and per-path LRU caches. Rasterization handles are PIL ImageFont
+objects (FreeType with raqm/harfbuzz shaping baked into this PIL build) instead
+of the reference's skia Typeface + uharfbuzz faces.
+"""
+
+from __future__ import annotations
+
+import threading
+from functools import lru_cache
+from pathlib import Path
+from typing import Dict, List, Optional, Set
+
+from PIL import ImageFont
+
+from ..exceptions import FontError
+from ..logging import log_message
+
+# Filename keywords (reference font_manager.py:48-53)
+FONT_KEYWORDS = {
+    "bold": {"bold", "heavy", "black"},
+    "italic": {"italic", "oblique", "slanted", "inclined"},
+    "regular": {"regular", "normal", "roman", "medium"},
+}
+_SPECIFIC_WEIGHT_WORDS = (
+    "light", "thin", "condensed", "expanded", "semi", "demi", "extra", "ultra",
+    "book", "medium", "black", "heavy",
+)
+
+STYLES = ("regular", "italic", "bold", "bold_italic")
+
+_variants_cache: Dict[str, Dict[str, Optional[Path]]] = {}
+_cache_lock = threading.RLock()
+
+
+def _validate_font_file(path: Path) -> bool:
+    """Cheap integrity check: fontTools can open it and it has a cmap."""
+    try:
+        from fontTools.ttLib import TTFont
+
+        with TTFont(str(path), lazy=True) as f:
+            return f.getBestCmap() is not None
+    except Exception as e:
+        log_message(f"Font file {path.name} appears to be corrupt: {e}",
+                    always_print=True)
+        return False
+
+
+def find_font_variants(font_dir: str, verbose: bool = False) -> Dict[str, Optional[Path]]:
+    """Six-pass keyword discovery of regular/italic/bold/bold_italic files
+    (reference font_manager.py:231-445). Raises FontError when nothing usable."""
+    resolved = str(Path(font_dir).resolve())
+    with _cache_lock:
+        if resolved in _variants_cache:
+            return _variants_cache[resolved]
+
+    variants: Dict[str, Optional[Path]] = {s: None for s in STYLES}
+    d = Path(resolved)
+    files: List[Path] = []
+    if d.is_dir():
+        files = sorted(d.glob("*.ttf")) + sorted(d.glob("*.otf"))
+    if not files:
+        log_message(f"No font files found in {d.name}", always_print=True)
+        with _cache_lock:
+            _variants_cache[resolved] = variants
+        return variants
+
+    # longer (more specific) names claim styles first: "BoldItalic" before "Bold"
+    files.sort(key=lambda p: len(p.name), reverse=True)
+    valid = [f for f in files if _validate_font_file(f)]
+    taken: Set[Path] = set()
+
+    def flags(f: Path):
+        stem = f.stem.lower()
+        return (
+            any(k in stem for k in FONT_KEYWORDS["bold"]),
+            any(k in stem for k in FONT_KEYWORDS["italic"]),
+            any(k in stem for k in FONT_KEYWORDS["regular"]),
+        )
+
+    # pass 1: combined, pass 2: single styles, pass 3: explicit regular
+    for f in valid:
+        b, i, _ = flags(f)
+        if b and i and not variants["bold_italic"]:
+            variants["bold_italic"] = f
+            taken.add(f)
+    for f in valid:
+        if f in taken:
+            continue
+        b, i, _ = flags(f)
+        if b and not i and not variants["bold"]:
+            variants["bold"] = f
+            taken.add(f)
+        elif i and not b and not variants["italic"]:
+            variants["italic"] = f
+            taken.add(f)
+    for f in valid:
+        if f in taken:
+            continue
+        b, i, r = flags(f)
+        if r and not b and not i and not variants["regular"]:
+            variants["regular"] = f
+            taken.add(f)
+
+    # pass 4: infer regular from unspecific leftovers
+    if not variants["regular"]:
+        for f in valid:
+            if f in taken:
+                continue
+            b, i, r = flags(f)
+            if not b and not i and not r and not any(
+                w in f.name.lower() for w in _SPECIFIC_WEIGHT_WORDS
+            ):
+                variants["regular"] = f
+                taken.add(f)
+                break
+    # pass 5: first unclaimed file
+    if not variants["regular"]:
+        leftover = next((f for f in files if f not in taken), None)
+        if leftover:
+            variants["regular"] = leftover
+            taken.add(leftover)
+    # pass 6: any claimed variant
+    if not variants["regular"]:
+        variants["regular"] = (
+            variants["bold"] or variants["italic"] or variants["bold_italic"]
+            or (files[0] if files else None)
+        )
+    if not variants["regular"]:
+        raise FontError(f"No regular font found in directory: {resolved}")
+
+    log_message(
+        "Font variants: " + ", ".join(
+            f"{s}: {p.name}" for s, p in variants.items() if p
+        ),
+        verbose=verbose,
+    )
+    with _cache_lock:
+        _variants_cache[resolved] = variants
+    return variants
+
+
+@lru_cache(maxsize=64)
+def get_font_cmap(font_path: str) -> frozenset:
+    """Set of codepoints the font actually maps (reference :105-138)."""
+    from fontTools.ttLib import TTFont
+
+    with TTFont(font_path, lazy=True) as f:
+        cmap = f.getBestCmap() or {}
+        return frozenset(cmap.keys())
+
+
+def sanitize_text_for_font(text: str, font_path: str) -> str:
+    """Strip characters the font cannot render (tofu prevention,
+    reference :139-198). Whitespace and combining marks always pass."""
+    cmap = get_font_cmap(font_path)
+    out = []
+    for ch in text:
+        if ch.isspace() or ord(ch) in cmap:
+            out.append(ch)
+    return "".join(out)
+
+
+@lru_cache(maxsize=64)
+def get_font_features(font_path: str) -> tuple:
+    """GSUB+GPOS feature tags (kern/liga/calt detection, reference :55-104)."""
+    from fontTools.ttLib import TTFont
+
+    tags: Set[str] = set()
+    try:
+        with TTFont(font_path, lazy=True) as f:
+            for table in ("GSUB", "GPOS"):
+                if table in f:
+                    records = f[table].table.FeatureList.FeatureRecord
+                    tags.update(r.FeatureTag for r in records)
+    except Exception:
+        pass
+    return tuple(sorted(tags))
+
+
+@lru_cache(maxsize=256)
+def load_pil_font(font_path: str, size: int) -> ImageFont.FreeTypeFont:
+    """Cached FreeType handle; raqm layout when available (complex scripts)."""
+    layout = (
+        ImageFont.Layout.RAQM
+        if ImageFont.core.HAVE_RAQM
+        else ImageFont.Layout.BASIC
+    )
+    return ImageFont.truetype(font_path, size=size, layout_engine=layout)
+
+
+def clear_font_caches() -> None:
+    with _cache_lock:
+        _variants_cache.clear()
+    get_font_cmap.cache_clear()
+    get_font_features.cache_clear()
+    load_pil_font.cache_clear()

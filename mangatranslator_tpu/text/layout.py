@@ -1,0 +1,297 @@
+"""Layout engine: optimal font-size search and line fitting.
+
+Behavior parity with reference core/text/layout_engine.py: binary search over
+[min, max] font size (:659-812); per-size fit check with explicit-newline hard
+breaks, pre-hyphenation of overwide words (Latin hyphens / Hangul / Thai
+no-hyphen splits), trailing-punctuation gluing, Knuth–Plass DP wrap; mask
+collision checks per line with up to 3 width-squeeze retries ×0.90 (:610-797);
+and a vertical per-unit stacking variant (:167-320).
+
+Shaping/measurement: PIL FreeType handles (raqm shaping in this build) via
+``TextMeasurer`` — the reference uses uharfbuzz 26.6 fixed point; widths here
+are FreeType floats, which the layout treats identically.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import processing as TP
+from .fonts import find_font_variants, load_pil_font, sanitize_text_for_font
+
+SQUEEZE_RETRIES = 3
+SQUEEZE_FACTOR = 0.90
+
+
+class TextMeasurer:
+    """Width/metric oracle over the discovered font variants, with a per-size
+    word-width cache (mirrors reference word_width_cache, layout_engine.py:727)."""
+
+    def __init__(self, font_dir: str, verbose: bool = False):
+        self.variants = find_font_variants(font_dir, verbose=verbose)
+        self._width_cache: Dict[Tuple[str, str, int], float] = {}
+
+    def font_path(self, style: str) -> str:
+        v = self.variants.get(style) or self.variants["regular"]
+        return str(v)
+
+    def _font(self, style: str, size: int):
+        return load_pil_font(self.font_path(style), size)
+
+    def width(self, text: str, size: int, style: str = "regular") -> float:
+        key = (text, style, size)
+        w = self._width_cache.get(key)
+        if w is None:
+            w = float(self._font(style, size).getlength(text))
+            self._width_cache[key] = w
+        return w
+
+    def styled_token_width(self, token: str, size: int) -> float:
+        """Width of a (possibly style-marked) wrap token."""
+        token = TP.strip_no_space_before_marker(token)
+        m = TP.STYLE_PATTERN.match(token)
+        if m:
+            style = {1: "italic", 2: "bold", 3: "bold_italic"}[len(m.group(1))]
+            return self.width(m.group(2), size, style)
+        return self.width(token, size)
+
+    def line_width(self, line: str, size: int) -> float:
+        """Width of a rendered line with styled segments."""
+        return sum(
+            self.width(seg, size, style)
+            for seg, style in TP.parse_styled_segments(line)
+        )
+
+    def space_width(self, size: int) -> float:
+        return self.width(" ", size)
+
+    def line_height(self, size: int) -> float:
+        ascent, descent = self._font("regular", size).getmetrics()
+        return float(ascent + descent)
+
+    def sanitize(self, text: str) -> str:
+        return sanitize_text_for_font(text, self.font_path("regular"))
+
+
+@dataclass
+class LayoutLine:
+    text: str
+    width: float
+
+
+@dataclass
+class LayoutResult:
+    font_size: int
+    lines: List[LayoutLine]
+    line_height: float
+    block_width: float
+    block_height: float
+    vertical: bool = False
+
+
+def _prepare_tokens(
+    measurer: TextMeasurer,
+    paragraph: str,
+    size: int,
+    max_width: float,
+    hyphenate: bool,
+    min_word_length: int,
+    output_language: str,
+    detach_punct: bool,
+) -> Optional[List[str]]:
+    """Tokenize and emergency-split tokens wider than the line (reference
+    :400-531). Returns None when an unsplittable token can't fit."""
+    tokens = [t for t, _ in TP.tokenize_styled_text(paragraph, detach_punct)]
+    fits = lambda s: measurer.styled_token_width(s, size) <= max_width
+    out: List[str] = []
+    for tok in tokens:
+        if fits(tok):
+            out.append(tok)
+            continue
+        if hyphenate and TP.supports_long_word_breaking(output_language):
+            if TP.uses_true_hyphenation(output_language):
+                parts = TP.try_hyphenate_word(
+                    TP.strip_no_space_before_marker(tok), min_word_length, fits
+                )
+                if parts:
+                    out.extend(parts)
+                    continue
+            split = (TP.split_hangul_word_for_wrapping(tok)
+                     or TP.split_thai_word_for_wrapping(tok))
+            if split and all(fits(u) for u in split):
+                out.extend(split)
+                continue
+        return None  # token can never fit at this size
+    return out
+
+
+def check_fit(
+    measurer: TextMeasurer,
+    text: str,
+    size: int,
+    max_width: float,
+    max_height: float,
+    line_spacing_mult: float = 1.0,
+    hyphenate: bool = True,
+    min_word_length: int = 8,
+    badness_exponent: float = 3.0,
+    hyphen_penalty: float = 1000.0,
+    output_language: str = "English",
+    detach_punct: bool = True,
+) -> Optional[LayoutResult]:
+    """Wrap at this size; None when it can't fit (reference check_fit :322-531)."""
+    paragraphs = text.split("\n")
+    all_lines: List[LayoutLine] = []
+    for para in paragraphs:
+        para = para.strip()
+        if not para:
+            continue
+        tokens = _prepare_tokens(measurer, para, size, max_width, hyphenate,
+                                 min_word_length, output_language, detach_punct)
+        if tokens is None:
+            return None
+        lines = TP.find_optimal_breaks_dp(
+            tokens, max_width,
+            lambda t: measurer.styled_token_width(t, size),
+            measurer.space_width(size),
+            badness_exponent=badness_exponent,
+            hyphen_penalty=hyphen_penalty,
+            detach_trailing_punctuation=detach_punct,
+        )
+        if lines is None:
+            return None
+        for ln in lines:
+            w = measurer.line_width(ln, size)
+            if w > max_width + 0.5:
+                return None
+            all_lines.append(LayoutLine(ln, w))
+    if not all_lines:
+        return None
+    lh = measurer.line_height(size) * line_spacing_mult
+    block_h = lh * len(all_lines)
+    if block_h > max_height:
+        return None
+    return LayoutResult(
+        font_size=size,
+        lines=all_lines,
+        line_height=lh,
+        block_width=max((l.width for l in all_lines), default=0.0),
+        block_height=block_h,
+    )
+
+
+def _lines_collide_with_mask(
+    layout: LayoutResult,
+    box: Tuple[float, float, float, float],
+    safe_mask: np.ndarray,
+) -> bool:
+    """True when any line's corners poke outside the safe mask (reference
+    _check_collision :610-657 — 4 corners per line, centered block)."""
+    x1, y1, x2, y2 = box
+    cx = (x1 + x2) / 2.0
+    h, w = safe_mask.shape[:2]
+    top = (y1 + y2) / 2.0 - layout.block_height / 2.0
+    for i, line in enumerate(layout.lines):
+        lx1 = cx - line.width / 2.0
+        lx2 = cx + line.width / 2.0
+        ly1 = top + i * layout.line_height
+        ly2 = ly1 + layout.line_height
+        for px, py in ((lx1, ly1), (lx2, ly1), (lx1, ly2), (lx2, ly2)):
+            xi = int(round(min(max(px, 0), w - 1)))
+            yi = int(round(min(max(py, 0), h - 1)))
+            if safe_mask[yi, xi] == 0:
+                return True
+    return False
+
+
+def find_optimal_layout(
+    measurer: TextMeasurer,
+    text: str,
+    box: Tuple[float, float, float, float],
+    min_font_size: int,
+    max_font_size: int,
+    line_spacing_mult: float = 1.0,
+    safe_mask: Optional[np.ndarray] = None,
+    hyphenate: bool = True,
+    min_word_length: int = 8,
+    badness_exponent: float = 3.0,
+    hyphen_penalty: float = 1000.0,
+    output_language: str = "English",
+    detach_punct: bool = True,
+) -> Optional[LayoutResult]:
+    """Largest font size whose wrap fits the box (binary search) with up to 3
+    width squeezes when the mask collides (reference :659-812)."""
+    x1, y1, x2, y2 = box
+    base_w = max(1.0, x2 - x1)
+    max_h = max(1.0, y2 - y1)
+    text = measurer.sanitize(text).strip()
+    if not text:
+        return None
+
+    for attempt in range(SQUEEZE_RETRIES + 1):
+        max_w = base_w * (SQUEEZE_FACTOR ** attempt)
+        lo, hi = min_font_size, max_font_size
+        best: Optional[LayoutResult] = None
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            fit = check_fit(
+                measurer, text, mid, max_w, max_h, line_spacing_mult, hyphenate,
+                min_word_length, badness_exponent, hyphen_penalty,
+                output_language, detach_punct,
+            )
+            if fit is not None:
+                best = fit
+                lo = mid + 1
+            else:
+                hi = mid - 1
+        if best is None:
+            continue
+        if safe_mask is None or not _lines_collide_with_mask(best, box, safe_mask):
+            return best
+    return best if safe_mask is None else None
+
+
+def build_vertical_layout(
+    measurer: TextMeasurer,
+    text: str,
+    box: Tuple[float, float, float, float],
+    min_font_size: int,
+    max_font_size: int,
+    line_spacing_mult: float = 1.0,
+) -> Optional[LayoutResult]:
+    """Vertical per-unit stacking for short words in tall boxes (reference
+    _build_vertical_layout :255-320): one unit (char/grapheme) per row, width =
+    widest unit, height = units × line height."""
+    text = measurer.sanitize(text).strip()
+    if not text:
+        return None
+    units = list(text.replace(" ", ""))
+    if not units:
+        return None
+    x1, y1, x2, y2 = box
+    max_w, max_h = max(1.0, x2 - x1), max(1.0, y2 - y1)
+
+    best: Optional[LayoutResult] = None
+    lo, hi = min_font_size, max_font_size
+    while lo <= hi:
+        mid = (lo + hi) // 2
+        lh = measurer.line_height(mid) * line_spacing_mult
+        widths = [measurer.width(u, mid) for u in units]
+        bw, bh = max(widths), lh * len(units)
+        if bw <= max_w and bh <= max_h:
+            best = LayoutResult(
+                font_size=mid,
+                lines=[LayoutLine(u, w) for u, w in zip(units, widths)],
+                line_height=lh,
+                block_width=bw,
+                block_height=bh,
+                vertical=True,
+            )
+            lo = mid + 1
+        else:
+            hi = mid - 1
+    return best

@@ -1,0 +1,63 @@
+"""Test-mode placeholder text generation.
+
+Parity with reference core/text/placeholders.py:11: probe the layout engine
+(layout_only) with three lorem-ipsum tiers per bubble and keep the tier that
+achieves the largest font size. Test mode runs the full pipeline with zero
+network — the de-facto e2e smoke path (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from .render import render_text
+
+LOREM_TIERS = (
+    "Lorem ipsum",
+    "Lorem ipsum dolor sit amet",
+    "Lorem ipsum dolor sit amet, consectetur adipiscing elit",
+)
+
+
+def generate_test_placeholder(
+    image: Image.Image,
+    bbox: Tuple[float, float, float, float],
+    cleaned_mask: Optional[np.ndarray],
+    font_dir: str,
+    max_font_size: int = 16,
+    min_font_size: int = 8,
+    **render_kwargs,
+) -> str:
+    """Pick the lorem tier that yields the largest laid-out font size."""
+    best_text, best_size = LOREM_TIERS[0], -1
+    for tier in LOREM_TIERS:
+        try:
+            _, info = render_text(
+                image, tier, bbox, cleaned_mask, font_dir,
+                max_font_size=max_font_size, min_font_size=min_font_size,
+                layout_only=True, **render_kwargs,
+            )
+        except Exception:
+            continue
+        if info["font_size"] > best_size:
+            best_size = info["font_size"]
+            best_text = tier
+    return best_text
+
+
+def generate_test_placeholders(
+    image: Image.Image,
+    detections: List[Dict],
+    font_dir: str,
+    **kwargs,
+) -> List[str]:
+    """One placeholder per sorted detection (reference placeholders.py:11)."""
+    return [
+        generate_test_placeholder(
+            image, det["bbox"], det.get("cleaned_mask"), font_dir, **kwargs
+        )
+        for det in detections
+    ]

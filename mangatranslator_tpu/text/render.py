@@ -1,0 +1,268 @@
+"""Text rendering: safe-area computation, layout search, supersampled draw.
+
+Counterpart of reference core/text/text_renderer.py:82 (render_text_skia) and
+image_utils.py:173 (calculate_centroid_expansion_box). Rasterization uses PIL's
+FreeType+raqm stack (shaping-correct for complex scripts) at a supersampling
+factor, with luminance-contrast outlines; compositing back onto the page can be
+done host-side (PIL paste) or on device via ops.compose.paste_patch when the
+page lives in HBM.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+from PIL import Image, ImageDraw
+
+from ..exceptions import ImageProcessingError, RenderingError
+from ..logging import log_message
+from . import processing as TP
+from .fonts import load_pil_font
+from .layout import (
+    LayoutResult,
+    TextMeasurer,
+    build_vertical_layout,
+    find_optimal_layout,
+)
+
+BBOX_FALLBACK_PADDING = 0.08  # padded-bbox fallback inset (reference :184-198)
+CONSTRICTION_RATIO = 0.70
+STYLE_BY_NAME = {"regular": 0, "italic": 1, "bold": 2, "bold_italic": 3}
+
+
+def calculate_centroid_expansion_box(
+    cleaned_mask: np.ndarray, padding_pixels: float = 4.0, verbose: bool = False
+) -> Tuple[Tuple[int, int, int, int], Tuple[float, float]]:
+    """Guaranteed-safe centered box inside a bubble mask.
+
+    Algorithm parity with reference image_utils.py:173-348: edge-padded exact
+    EDT ≥ padding → safe mask → centroid (moved to the pole of inaccessibility
+    when constricted < 0.70·max) → 4-direction ray cast → symmetric box.
+    Returns ((x, y, w, h), centroid).
+    """
+    import scipy.ndimage as ndi
+
+    if cleaned_mask is None or not np.any(cleaned_mask):
+        raise ImageProcessingError("Invalid or empty mask provided")
+
+    mask = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+    padded = np.pad(mask, 1)  # image edges are hard boundaries
+    dist = ndi.distance_transform_edt(padded)[1:-1, 1:-1]
+    safe = dist >= padding_pixels
+    if not safe.any():
+        raise ImageProcessingError("Failed to create safe area mask")
+
+    h, w = safe.shape
+    ys, xs = np.nonzero(safe)
+    centroid_x = float(xs.mean())
+    centroid_y = float(ys.mean())
+
+    max_val = float(dist.max())
+    cy_i = min(max(int(round(centroid_y)), 0), h - 1)
+    cx_i = min(max(int(round(centroid_x)), 0), w - 1)
+    if dist[cy_i, cx_i] < max_val * CONSTRICTION_RATIO:
+        pole = np.unravel_index(int(np.argmax(dist)), dist.shape)
+        centroid_y, centroid_x = float(pole[0]), float(pole[1])
+        log_message("Centroid constricted; moved to pole of inaccessibility",
+                    verbose=verbose)
+
+    cx, cy = int(round(centroid_x)), int(round(centroid_y))
+    if not (0 <= cy < h and 0 <= cx < w and safe[cy, cx]):
+        d2 = (ys - centroid_y) ** 2 + (xs - centroid_x) ** 2
+        idx = int(np.argmin(d2))
+        cy, cx = int(ys[idx]), int(xs[idx])
+        centroid_x, centroid_y = float(cx), float(cy)
+
+    row, col = safe[cy], safe[:, cx]
+    left_zeros = np.nonzero(~row[:cx])[0]
+    d_left = cx - (left_zeros.max() if left_zeros.size else 0)
+    right_zeros = np.nonzero(~row[cx:])[0]
+    d_right = right_zeros.min() if right_zeros.size else w - cx
+    up_zeros = np.nonzero(~col[:cy])[0]
+    d_up = cy - (up_zeros.max() if up_zeros.size else 0)
+    down_zeros = np.nonzero(~col[cy:])[0]
+    d_down = down_zeros.min() if down_zeros.size else h - cy
+
+    min_w, min_h = min(d_left, d_right), min(d_up, d_down)
+    bw = 2 * max(0, min_w - 1 if min_w > 1 else min_w)
+    bh = 2 * max(0, min_h - 1 if min_h > 1 else min_h)
+    if bw <= 0 or bh <= 0:
+        raise ImageProcessingError("Failed to create safe area mask")
+
+    bx = int(round(centroid_x - bw / 2.0))
+    by = int(round(centroid_y - bh / 2.0))
+    if bx < 0 or by < 0 or bx + bw > w or by + bh > h:
+        raise ImageProcessingError("Failed to create safe area mask")
+    return (bx, by, bw, bh), (centroid_x, centroid_y)
+
+
+def padded_bbox_fallback(
+    bbox: Tuple[float, float, float, float], pad_ratio: float = BBOX_FALLBACK_PADDING
+) -> Tuple[float, float, float, float]:
+    """Inset bbox by 8% per side — the safe-area fallback (reference :184-198)."""
+    x1, y1, x2, y2 = bbox
+    dw, dh = (x2 - x1) * pad_ratio, (y2 - y1) * pad_ratio
+    return (x1 + dw, y1 + dh, x2 - dw, y2 - dh)
+
+
+def _luminance(rgb: Tuple[int, int, int]) -> float:
+    return 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+
+
+def pick_text_color(
+    bubble_fill_rgb: Optional[Tuple[int, int, int]],
+    explicit_rgb: Optional[Tuple[int, int, int]] = None,
+) -> Tuple[int, int, int]:
+    """Explicit color wins; else black on light fills, white on dark
+    (reference text_renderer.py:339-354, GRAYSCALE_MIDPOINT rule)."""
+    if explicit_rgb is not None:
+        return tuple(explicit_rgb)
+    if bubble_fill_rgb is None:
+        return (0, 0, 0)
+    return (0, 0, 0) if _luminance(bubble_fill_rgb) >= 128 else (255, 255, 255)
+
+
+def _outline_color(text_rgb: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    return (255, 255, 255) if _luminance(text_rgb) < 128 else (0, 0, 0)
+
+
+@dataclass
+class RenderInfo:
+    font_size: int
+    lines: int
+    vertical: bool
+    box: Tuple[float, float, float, float]
+
+
+def draw_layout_rgba(
+    measurer: TextMeasurer,
+    layout: LayoutResult,
+    box: Tuple[float, float, float, float],
+    text_rgb: Tuple[int, int, int],
+    outline_width: float = 0.0,
+    supersampling: int = 4,
+    line_spacing_mult: float = 1.0,
+) -> Tuple[Image.Image, Tuple[int, int]]:
+    """Rasterize a layout into an RGBA patch at ``supersampling``×, downsampled
+    with LANCZOS. Returns (patch, (paste_x, paste_y)) in page coordinates."""
+    ss = max(1, int(supersampling))
+    x1, y1, x2, y2 = box
+    cx = (x1 + x2) / 2.0
+    top = (y1 + y2) / 2.0 - layout.block_height / 2.0
+
+    margin = max(4.0, outline_width * 2 + 2)
+    px1 = int(np.floor(cx - layout.block_width / 2.0 - margin))
+    py1 = int(np.floor(top - margin))
+    pw = int(np.ceil(layout.block_width + 2 * margin))
+    ph = int(np.ceil(layout.block_height + 2 * margin))
+
+    canvas = Image.new("RGBA", (pw * ss, ph * ss), (0, 0, 0, 0))
+    draw = ImageDraw.Draw(canvas)
+    stroke = int(round(outline_width * ss))
+    stroke_fill = _outline_color(text_rgb) if stroke > 0 else None
+    size_ss = layout.font_size * ss
+    lh_ss = layout.line_height * ss
+
+    for i, line in enumerate(layout.lines):
+        ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
+        lx = (cx - px1) * ss - (line.width * ss) / 2.0
+        segs = TP.parse_styled_segments(line.text)
+        sx = lx
+        for seg, style in segs:
+            font = load_pil_font(measurer.font_path(style), int(size_ss))
+            draw.text(
+                (sx, ly), seg, font=font, fill=tuple(text_rgb) + (255,),
+                stroke_width=stroke, stroke_fill=stroke_fill,
+            )
+            sx += measurer.width(seg, int(size_ss), style)
+
+    patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
+    return patch, (px1, py1)
+
+
+def render_text(
+    image: Image.Image,
+    text: str,
+    bbox: Tuple[float, float, float, float],
+    cleaned_mask: Optional[np.ndarray],
+    font_dir: str,
+    max_font_size: int = 16,
+    min_font_size: int = 8,
+    line_spacing_mult: float = 1.0,
+    padding_pixels: float = 4.0,
+    outline_width: float = 0.0,
+    supersampling_factor: int = 4,
+    hyphenate: bool = True,
+    hyphenation_min_word_length: int = 8,
+    badness_exponent: float = 3.0,
+    hyphen_penalty: float = 1000.0,
+    output_language: str = "English",
+    detach_trailing_punctuation: bool = True,
+    auto_vertical: bool = False,
+    bubble_fill_rgb: Optional[Tuple[int, int, int]] = None,
+    text_color_rgb: Optional[Tuple[int, int, int]] = None,
+    layout_only: bool = False,
+    verbose: bool = False,
+) -> Tuple[Image.Image, Dict]:
+    """Full render orchestration (reference render_text_skia, text_renderer.py:82):
+    safe-area (mask) or padded-bbox fallback → layout search (with mask
+    collision) → optional auto-vertical → supersampled draw → composite.
+
+    ``layout_only`` probes the layout engine and returns ``info['font_size']``
+    without drawing (test-mode placeholder sizing, reference :305-309).
+    """
+    measurer = TextMeasurer(font_dir, verbose=verbose)
+
+    safe_mask = None
+    if cleaned_mask is not None and np.any(cleaned_mask):
+        try:
+            (bx, by, bw, bh), _ = calculate_centroid_expansion_box(
+                cleaned_mask, padding_pixels, verbose=verbose
+            )
+            box = (float(bx), float(by), float(bx + bw), float(by + bh))
+            safe_mask = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+        except ImageProcessingError:
+            box = padded_bbox_fallback(bbox)
+    else:
+        box = padded_bbox_fallback(bbox)
+
+    layout = find_optimal_layout(
+        measurer, text, box, min_font_size, max_font_size, line_spacing_mult,
+        safe_mask=safe_mask, hyphenate=hyphenate,
+        min_word_length=hyphenation_min_word_length,
+        badness_exponent=badness_exponent, hyphen_penalty=hyphen_penalty,
+        output_language=output_language,
+        detach_punct=detach_trailing_punctuation,
+    )
+
+    # auto-vertical: short single words in tall boxes (reference :38-79)
+    if auto_vertical and " " not in text.strip():
+        bx1, by1, bx2, by2 = box
+        if (by2 - by1) > 1.8 * (bx2 - bx1):
+            vert = build_vertical_layout(measurer, text, box, min_font_size,
+                                         max_font_size, line_spacing_mult)
+            if vert and (layout is None or vert.font_size > layout.font_size):
+                layout = vert
+
+    if layout is None:
+        raise RenderingError(f"Could not fit text in bubble: {text[:40]!r}")
+
+    info = {
+        "font_size": layout.font_size,
+        "lines": len(layout.lines),
+        "vertical": layout.vertical,
+        "box": box,
+    }
+    if layout_only:
+        return image, info
+
+    color = pick_text_color(bubble_fill_rgb, text_color_rgb)
+    patch, (px, py) = draw_layout_rgba(
+        measurer, layout, box, color, outline_width, supersampling_factor,
+        line_spacing_mult,
+    )
+    out = image.convert("RGBA") if image.mode != "RGBA" else image.copy()
+    out.alpha_composite(patch, (max(0, px), max(0, py)))
+    return out.convert(image.mode), info

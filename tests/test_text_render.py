@@ -1,0 +1,194 @@
+"""Layout engine + renderer tests with the system DejaVu font pack."""
+
+import numpy as np
+import pytest
+import cv2
+from PIL import Image
+
+from mangatranslator_tpu.exceptions import ImageProcessingError, RenderingError
+from mangatranslator_tpu.text.fonts import (
+    find_font_variants,
+    get_font_cmap,
+    sanitize_text_for_font,
+)
+from mangatranslator_tpu.text.layout import TextMeasurer, check_fit, find_optimal_layout
+from mangatranslator_tpu.text.placeholders import generate_test_placeholder
+from mangatranslator_tpu.text.render import (
+    calculate_centroid_expansion_box,
+    padded_bbox_fallback,
+    pick_text_color,
+    render_text,
+)
+
+FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+
+
+@pytest.fixture(scope="module")
+def measurer():
+    return TextMeasurer(FONT_DIR)
+
+
+class TestFonts:
+    def test_variant_discovery(self):
+        v = find_font_variants(FONT_DIR)
+        assert v["regular"] is not None
+        assert v["bold"] is not None and "Bold" in v["bold"].name
+
+    def test_cmap_and_sanitize(self):
+        v = find_font_variants(FONT_DIR)
+        path = str(v["regular"])
+        cmap = get_font_cmap(path)
+        assert ord("A") in cmap
+        # DejaVu has no CJK: those chars are stripped, spaces kept
+        out = sanitize_text_for_font("Hello 世界 !", path)
+        assert out == "Hello  !"
+
+
+class TestMeasurer:
+    def test_monotonic_width(self, measurer):
+        assert measurer.width("hello", 24) > measurer.width("hello", 12)
+        assert measurer.width("hello world", 16) > measurer.width("hello", 16)
+
+    def test_bold_wider_or_equal(self, measurer):
+        assert measurer.styled_token_width("**hi**", 20) >= measurer.width("hi", 20) * 0.9
+
+    def test_line_height_positive(self, measurer):
+        assert measurer.line_height(16) > 10
+
+
+class TestSafeArea:
+    def test_ellipse_mask(self):
+        mask = np.zeros((100, 100), np.uint8)
+        cv2.ellipse(mask, (50, 50), (40, 30), 0, 0, 360, 255, -1)
+        (x, y, w, h), (cx, cy) = calculate_centroid_expansion_box(mask, 10.0)
+        assert abs(cx - 50) < 2 and abs(cy - 50) < 2
+        assert 30 <= w <= 62 and 20 <= h <= 42
+        # box inside mask
+        assert mask[y, x + w // 2] == 255 and mask[y + h - 1, x + w // 2] == 255
+
+    def test_empty_mask_raises(self):
+        with pytest.raises(ImageProcessingError):
+            calculate_centroid_expansion_box(np.zeros((10, 10), np.uint8), 4.0)
+
+    def test_excess_padding_raises(self):
+        mask = np.zeros((30, 30), np.uint8)
+        cv2.circle(mask, (15, 15), 5, 255, -1)
+        with pytest.raises(ImageProcessingError):
+            calculate_centroid_expansion_box(mask, 20.0)
+
+    def test_conjoined_pole_shift(self):
+        # dumbbell: two blobs joined by a thin neck → centroid near the neck,
+        # anchor must move to a blob center (pole of inaccessibility)
+        mask = np.zeros((60, 140), np.uint8)
+        cv2.circle(mask, (30, 30), 25, 255, -1)
+        cv2.circle(mask, (110, 30), 25, 255, -1)
+        cv2.rectangle(mask, (30, 27, ), (110, 33), 255, -1)
+        (x, y, w, h), (cx, cy) = calculate_centroid_expansion_box(mask, 3.0)
+        assert abs(cx - 70) > 20  # moved off the neck toward a blob
+
+    def test_bbox_fallback(self):
+        assert padded_bbox_fallback((0, 0, 100, 50)) == (8.0, 4.0, 92.0, 46.0)
+
+
+class TestLayout:
+    def test_binary_search_maximizes(self, measurer):
+        small = find_optimal_layout(measurer, "Hello world", (0, 0, 80, 40), 5, 50)
+        big = find_optimal_layout(measurer, "Hello world", (0, 0, 300, 150), 5, 50)
+        assert small is not None and big is not None
+        assert big.font_size > small.font_size
+        # check_fit at one size above the found optimum must fail
+        assert check_fit(measurer, "Hello world", small.font_size + 1,
+                         80.0, 40.0) is None
+
+    def test_explicit_newlines(self, measurer):
+        lay = find_optimal_layout(measurer, "one\ntwo\nthree", (0, 0, 200, 120), 5, 30)
+        assert lay is not None and len(lay.lines) == 3
+
+    def test_hyphenation_path(self, measurer):
+        # narrow box forces splitting the long word with a hyphen
+        lay = find_optimal_layout(measurer, "extraordinarily", (0, 0, 70, 120), 8, 12,
+                                  output_language="English")
+        assert lay is not None
+        assert any(l.text.endswith("-") for l in lay.lines)
+
+    def test_unfittable_returns_none(self, measurer):
+        assert find_optimal_layout(measurer, "extraordinarily", (0, 0, 8, 8), 8, 10,
+                                   hyphenate=False) is None
+
+    def test_mask_collision_squeeze(self, measurer):
+        # circular safe mask: the corner-collision path must still find a layout
+        mask = np.zeros((200, 200), np.uint8)
+        cv2.circle(mask, (100, 100), 90, 255, -1)
+        lay = find_optimal_layout(
+            measurer, "Hello wonderful world of manga", (20, 20, 180, 180), 5, 40,
+            safe_mask=mask,
+        )
+        assert lay is not None
+
+
+class TestRender:
+    def page(self):
+        img = Image.new("RGB", (300, 200), (200, 200, 200))
+        mask = np.zeros((200, 300), np.uint8)
+        cv2.ellipse(mask, (150, 100), (120, 80), 0, 0, 360, 255, -1)
+        return img, mask
+
+    def test_render_changes_pixels(self):
+        img, mask = self.page()
+        out, info = render_text(
+            img, "Hello world!", (30, 20, 270, 180), mask, FONT_DIR,
+            max_font_size=30, min_font_size=8,
+        )
+        assert info["font_size"] >= 8
+        a, b = np.asarray(img), np.asarray(out)
+        assert (a != b).any()
+        # text is black-on-light by default
+        assert b.min() < 50
+
+    def test_layout_only_no_draw(self):
+        img, mask = self.page()
+        out, info = render_text(
+            img, "Hello world", (30, 20, 270, 180), mask, FONT_DIR,
+            layout_only=True,
+        )
+        assert np.array_equal(np.asarray(out), np.asarray(img))
+        assert info["font_size"] > 0
+
+    def test_render_without_mask_uses_bbox(self):
+        img, _ = self.page()
+        out, info = render_text(
+            img, "Hi", (100, 60, 200, 140), None, FONT_DIR, max_font_size=40,
+        )
+        assert info["font_size"] > 0
+
+    def test_unfittable_raises(self):
+        img, _ = self.page()
+        with pytest.raises(RenderingError):
+            render_text(img, "absolutely unfittable text here",
+                        (0, 0, 10, 10), None, FONT_DIR,
+                        max_font_size=10, min_font_size=9)
+
+    def test_text_color_rules(self):
+        assert pick_text_color((255, 255, 255)) == (0, 0, 0)
+        assert pick_text_color((10, 10, 10)) == (255, 255, 255)
+        assert pick_text_color((10, 10, 10), (7, 8, 9)) == (7, 8, 9)
+
+    def test_outline_rendering(self):
+        img, mask = self.page()
+        out, _ = render_text(
+            img, "Go!", (30, 20, 270, 180), mask, FONT_DIR,
+            max_font_size=40, outline_width=2.0,
+            bubble_fill_rgb=(0, 0, 0),  # white text → dark outline
+        )
+        arr = np.asarray(out)
+        assert arr.max() > 240  # white glyph pixels present
+
+
+class TestPlaceholders:
+    def test_tier_selection(self):
+        img = Image.new("RGB", (400, 300), "white")
+        mask = np.zeros((300, 400), np.uint8)
+        cv2.ellipse(mask, (200, 150), (180, 130), 0, 0, 360, 255, -1)
+        text = generate_test_placeholder(img, (20, 20, 380, 280), mask, FONT_DIR,
+                                         max_font_size=50)
+        assert text.startswith("Lorem ipsum")
