@@ -1,0 +1,1 @@
+"""Cleaning stage: batched bubble cleaning and (later) FLUX inpainting."""

@@ -1,0 +1,224 @@
+"""Bubble cleaning: batched TPU clean chain + host contour filtering + fills.
+
+Counterpart of reference core/image/cleaning.py:214-1030 (process_single_bubble
+/ clean_speech_bubbles). The reference loops bubbles through cv2; here every
+bubble's ROI goes through ONE batched device program (ops.pallas_clean /
+ops.masks) and one batched fill composite:
+
+  per page: extract bucketed ROI crops → classify black/white (masked mean
+  luminance vs 128) → per-ROI threshold (fixed 200 or device Otsu) → fused
+  dilate→threshold→AND→disk-shrink kernel → host largest-component/centroid
+  filter (data-dependent) → device batch fill with per-bubble colors.
+
+Adaptive junction-zone shrink for conjoined children
+(reference _build_adaptive_shrink_mask :159) uses the EDT shrink-map path.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import CleaningConfig
+from ..exceptions import CleaningError
+from ..logging import log_message
+from ..ops.masks import (
+    GRAYSCALE_MIDPOINT,
+    MIN_CONTOUR_AREA,
+    binary_erode,
+    largest_component_np,
+    otsu_threshold_value,
+    structuring_ellipse,
+)
+from ..ops.pallas_clean import MAX_SHRINK_RADIUS, PAD_MARGIN
+from ..scaling import scale_area, scale_length
+from ..ops.image import pick_bucket
+
+_EROSION_KERNEL = (5, 5)  # centroid-validity erosion (reference EROSION_KERNEL_SIZE)
+
+
+@dataclass
+class CleanedBubble:
+    """Per-bubble cleaning result (mirrors the reference's bubble_info dict)."""
+
+    bbox: List[int]
+    fill_mask: np.ndarray        # page-res uint8 0/1 — region painted over
+    fill_color: Tuple[int, int, int]
+    text_bbox: Optional[List[int]]
+    text_color: Tuple[int, int, int]
+    is_black_bubble: bool
+    success: bool
+
+
+def _roi_bounds(bbox: List[int], h: int, w: int, margin: int) -> Tuple[int, int, int, int]:
+    x1 = max(0, bbox[0] - margin)
+    y1 = max(0, bbox[1] - margin)
+    x2 = min(w, bbox[2] + margin)
+    y2 = min(h, bbox[3] + margin)
+    return x1, y1, x2, y2
+
+
+def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, int, int]:
+    """Median RGB of text pixels with HSV desaturation snap (reference
+    cleaning.py:462-494): low-saturation samples snap to pure black/white."""
+    import cv2
+
+    px = image[text_mask > 0]
+    if px.size == 0:
+        return (0, 0, 0)
+    med = np.median(px, axis=0).astype(np.uint8)
+    hsv = cv2.cvtColor(med[None, None], cv2.COLOR_RGB2HSV)[0, 0]
+    if hsv[1] < 40:  # desaturated → pure black/white by value
+        return (0, 0, 0) if hsv[2] < 128 else (255, 255, 255)
+    return tuple(int(v) for v in med)
+
+
+def clean_speech_bubbles(
+    image: np.ndarray,
+    detections: List[Dict[str, Any]],
+    config: Optional[CleaningConfig] = None,
+    processing_scale: float = 1.0,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, List[CleanedBubble]]:
+    """Clean all bubbles of a page in one batched device pass.
+
+    image: RGB uint8 [H,W,3]; detections from detect_speech_bubbles (each has
+    "bbox" and "mask"). Returns (cleaned image, per-bubble results). Failed
+    bubbles degrade to untouched pixels (reference failure fallback,
+    core/pipeline.py:125-130).
+    """
+    import cv2
+    import jax.numpy as jnp
+
+    from ..ops.compose import fill_masks_with_colors
+    from ..ops.pallas_clean import reference_bubble_clean
+
+    cfg = config or CleaningConfig()
+    if not detections:
+        return image, []
+    h, w = image.shape[:2]
+    gray_page = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY).astype(np.float32)
+
+    shrink_px = min(MAX_SHRINK_RADIUS,
+                    scale_length(cfg.roi_shrink_px, processing_scale, minimum=0.0))
+
+    # --- extract bucketed ROIs -------------------------------------------------
+    rois, bounds = [], []
+    for det in detections:
+        x1, y1, x2, y2 = _roi_bounds(det["bbox"], h, w, PAD_MARGIN)
+        bounds.append((x1, y1, x2, y2))
+        rois.append((y2 - y1, x2 - x1))
+    bh = pick_bucket(max(r[0] for r in rois) + 2 * PAD_MARGIN)
+    bw = pick_bucket(max(r[1] for r in rois) + 2 * PAD_MARGIN)
+
+    n = len(detections)
+    gray_b = np.zeros((n, bh, bw), np.float32)
+    mask_b = np.zeros((n, bh, bw), np.float32)
+    for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
+        gh, gw = y2 - y1, x2 - x1
+        gray_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
+            gray_page[y1:y2, x1:x2]
+        mask_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
+            det["mask"][y1:y2, x1:x2]
+
+    # --- classify black/white + thresholds (device) ----------------------------
+    g = jnp.asarray(gray_b)
+    m = jnp.asarray(mask_b)
+    lum = np.asarray(jnp.sum(g * m, axis=(1, 2)) / jnp.maximum(jnp.sum(m, (1, 2)), 1))
+    inverts = (lum < GRAYSCALE_MIDPOINT).astype(np.int32)
+    if cfg.use_otsu_threshold:
+        thresholds = np.asarray(otsu_threshold_value(g, m))
+    else:
+        thresholds = np.full((n,), float(cfg.thresholding_value), np.float32)
+    # Black bubbles: the reference thresholds the INVERTED ROI, i.e. keeps
+    # pixels with (255-g) > t ⟺ g < 255-t. Our kernel's invert flag computes
+    # (g <= thr), so thr = 255-t-1 matches exactly on integer gray levels.
+    thr_eff = np.where(inverts > 0, 255.0 - thresholds - 1.0,
+                       thresholds).astype(np.float32)
+    radii = np.full((n,), shrink_px, np.int32)
+
+    # --- fused clean chain (device; Pallas on TPU, XLA fallback elsewhere) -----
+    import jax
+
+    if jax.devices()[0].platform == "tpu":
+        from ..ops.pallas_clean import fused_bubble_clean
+
+        cand = np.asarray(fused_bubble_clean(
+            g, m, jnp.asarray(thr_eff), jnp.asarray(inverts), jnp.asarray(radii)))
+    else:
+        cand = np.asarray(reference_bubble_clean(
+            g, m, jnp.asarray(thr_eff), jnp.asarray(inverts), jnp.asarray(radii)))
+
+    # --- host contour filter + page-res fill masks ------------------------------
+    erosion = structuring_ellipse(*_EROSION_KERNEL)
+    validity_b = np.asarray(binary_erode(m, erosion))
+    min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)
+
+    results: List[CleanedBubble] = []
+    fill_masks, fill_colors = [], []
+    for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
+        gh, gw = y2 - y1, x2 - x1
+        crop = cand[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw]
+        validity = validity_b[i, PAD_MARGIN: PAD_MARGIN + gh,
+                              PAD_MARGIN: PAD_MARGIN + gw]
+        comp, area = largest_component_np(crop, min_area=min_area, validity=validity)
+        is_black = bool(inverts[i])
+        if area == 0:
+            results.append(CleanedBubble(det["bbox"], np.zeros((h, w), np.uint8),
+                                         (255, 255, 255), None, (0, 0, 0),
+                                         is_black, False))
+            continue
+        page_mask = np.zeros((h, w), np.uint8)
+        page_mask[y1:y2, x1:x2] = comp
+        ys, xs = np.nonzero(comp)
+        text_bbox = [int(xs.min() + x1), int(ys.min() + y1),
+                     int(xs.max() + x1), int(ys.max() + y1)]
+        fill_color = (0, 0, 0) if is_black else (255, 255, 255)
+        # text pixels = inside fill region but darker/lighter than threshold
+        roi_gray = gray_page[y1:y2, x1:x2]
+        text_px = (roi_gray < thr_eff[i]) if not is_black else (roi_gray > thr_eff[i])
+        text_mask = (text_px & (comp > 0)).astype(np.uint8)
+        text_color = _sample_text_color(image[y1:y2, x1:x2], text_mask)
+        results.append(CleanedBubble(det["bbox"], page_mask, fill_color,
+                                     text_bbox, text_color, is_black, True))
+        fill_masks.append(page_mask)
+        fill_colors.append(fill_color)
+
+    if not fill_masks:
+        return image, results
+
+    # --- one batched fill composite on device -----------------------------------
+    out = np.asarray(fill_masks_with_colors(
+        jnp.asarray(image, jnp.float32),
+        jnp.asarray(np.stack(fill_masks), jnp.float32),
+        jnp.asarray(np.array(fill_colors, np.float32)),
+    ))
+    cleaned = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    log_message(
+        f"Cleaned {sum(r.success for r in results)}/{len(results)} bubbles",
+        verbose=verbose,
+    )
+    return cleaned, results
+
+
+def retry_cleaning_with_otsu(
+    image: np.ndarray,
+    detections: List[Dict[str, Any]],
+    config: Optional[CleaningConfig] = None,
+    processing_scale: float = 1.0,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, List[CleanedBubble]]:
+    """Otsu retry for failed bubbles (reference retry_cleaning_with_otsu
+    cleaning.py:1042; re-triggered from rendering fallbacks,
+    core/pipeline.py:1817-1857)."""
+    cfg = config or CleaningConfig()
+    retry_cfg = CleaningConfig(
+        thresholding_value=cfg.thresholding_value,
+        use_otsu_threshold=True,
+        roi_shrink_px=cfg.roi_shrink_px,
+        inpaint_colored_bubbles=cfg.inpaint_colored_bubbles,
+    )
+    return clean_speech_bubbles(image, detections, retry_cfg, processing_scale,
+                                verbose=verbose)

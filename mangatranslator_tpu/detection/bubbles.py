@@ -1,0 +1,218 @@
+"""Speech-bubble detection orchestration.
+
+Counterpart of reference core/image/detection.py:1263 (detect_speech_bubbles):
+primary YOLO-seg forward → dedup → contained-box removal → optional secondary
+(conjoined) detector routing → synthetic union-find groups → conjoined mask
+splitting → detection dicts for the pipeline.
+
+TPU-first shape discipline: the model forward runs at the runner's fixed
+letterbox size; only the ≤max_det valid detections cross back to host, where
+masks are mapped into page coordinates. Detector "runners" follow the
+YoloRunner protocol so tests can inject planted detections.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional, Protocol, Sequence
+
+import numpy as np
+
+from ..caching import get_cache, make_key
+from ..config import DetectionConfig
+from ..exceptions import DetectionError
+from ..logging import log_message
+from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
+from . import geometry
+
+
+class DetectionRunner(Protocol):
+    imgsz: int
+
+    def __call__(self, images, conf: float = 0.25, iou: float = 0.45): ...
+
+
+def _letterbox_np(image: np.ndarray, target: int):
+    """Host letterbox (uint8) returning (canvas, scale, pad_x, pad_y)."""
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = min(target / h, target / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    canvas = np.full((target, target, 3), 114, np.uint8)
+    py, px = (target - nh) // 2, (target - nw) // 2
+    canvas[py: py + nh, px: px + nw] = resized
+    return canvas, scale, px, py
+
+
+def _mask_to_page(
+    mask_proto: np.ndarray, imgsz: int, scale: float, px: int, py: int,
+    page_h: int, page_w: int,
+) -> np.ndarray:
+    """Map a proto-resolution letterbox mask back to page coordinates."""
+    import cv2
+
+    hm = mask_proto.shape[0]
+    ratio = hm / imgsz
+    x0 = int(round(px * ratio))
+    y0 = int(round(py * ratio))
+    x1 = int(round((px + page_w * scale) * ratio))
+    y1 = int(round((py + page_h * scale) * ratio))
+    content = mask_proto[max(0, y0): max(1, y1), max(0, x0): max(1, x1)]
+    if content.size == 0:
+        return np.zeros((page_h, page_w), np.uint8)
+    up = cv2.resize(content.astype(np.float32), (page_w, page_h),
+                    interpolation=cv2.INTER_LINEAR)
+    return (up > 0.5).astype(np.uint8)
+
+
+def _run_detector(
+    image: np.ndarray, runner: DetectionRunner, conf: float
+) -> List[Dict[str, Any]]:
+    """Forward + host unpacking to page-coordinate detection dicts."""
+    import jax.numpy as jnp
+
+    page_h, page_w = image.shape[:2]
+    canvas, scale, px, py = _letterbox_np(image, runner.imgsz)
+    batch = jnp.asarray(canvas[None], jnp.float32) / 255.0
+    det = runner(batch, conf=conf)
+    num = int(det.num[0])
+    boxes = np.asarray(det.boxes[0][:num])
+    scores = np.asarray(det.scores[0][:num])
+    classes = np.asarray(det.classes[0][:num])
+    masks = np.asarray(det.masks[0][:num]) if det.masks is not None else None
+
+    out: List[Dict[str, Any]] = []
+    for i in range(num):
+        bx = boxes[i].copy()
+        bx[[0, 2]] = np.clip((bx[[0, 2]] - px) / scale, 0, page_w)
+        bx[[1, 3]] = np.clip((bx[[1, 3]] - py) / scale, 0, page_h)
+        if bx[2] - bx[0] < 2 or bx[3] - bx[1] < 2:
+            continue
+        d: Dict[str, Any] = {
+            "bbox": [int(bx[0]), int(bx[1]), int(bx[2]), int(bx[3])],
+            "confidence": float(scores[i]),
+            "class": int(classes[i]),
+        }
+        if masks is not None:
+            d["mask"] = _mask_to_page(masks[i], runner.imgsz, scale, px, py,
+                                      page_h, page_w)
+        out.append(d)
+    return out
+
+
+def _box_mask(bbox: Sequence[int], h: int, w: int) -> np.ndarray:
+    m = np.zeros((h, w), np.uint8)
+    m[max(0, bbox[1]): bbox[3], max(0, bbox[0]): bbox[2]] = 1
+    return m
+
+
+def detect_speech_bubbles(
+    image: np.ndarray,
+    bubble_runner: DetectionRunner,
+    config: Optional[DetectionConfig] = None,
+    conjoined_runner: Optional[DetectionRunner] = None,
+    sam_refiner: Optional[Any] = None,
+    use_cache: bool = True,
+    verbose: bool = False,
+) -> List[Dict[str, Any]]:
+    """Full bubble-detection stage (reference detection.py:1263-1815).
+
+    Returns detection dicts: bbox (int xyxy), confidence, mask (uint8 page-res),
+    class ("bubble"), conjoined metadata. SAM refinement plugs in via
+    ``sam_refiner`` (batched box-prompt callable) when available.
+    """
+    cfg = config or DetectionConfig()
+    page_h, page_w = image.shape[:2]
+
+    cache = get_cache() if use_cache else None
+    cache_key = None
+    if cache is not None:
+        cache_key = make_key(image, cfg.confidence, cfg.conjoined_confidence,
+                             cfg.conjoined_detection, bubble_runner.imgsz)
+        hit = cache.get("yolo", cache_key)
+        if hit is not None:
+            return hit
+
+    try:
+        dets = _run_detector(image, bubble_runner, cfg.confidence)
+    except Exception as e:  # pragma: no cover - device failure path
+        raise DetectionError(f"Primary bubble detection failed: {e}") from e
+    if not dets:
+        if cache is not None:
+            cache.put("yolo", cache_key, [])
+        return []
+
+    boxes = np.array([d["bbox"] for d in dets], float)
+    scores = np.array([d["confidence"] for d in dets])
+    keep = deduplicate_boxes(boxes, scores)
+    dets = [dets[i] for i in keep]
+    boxes, scores = boxes[keep], scores[keep]
+    keep = remove_contained_boxes(boxes, scores)
+    dets = [dets[i] for i in keep]
+    boxes = boxes[keep]
+    log_message(f"Detected {len(dets)} bubbles after dedup", verbose=verbose)
+
+    for d in dets:
+        d["class"] = "bubble"
+        if "mask" not in d or d["mask"] is None or not d["mask"].any():
+            d["mask"] = _box_mask(d["bbox"], page_h, page_w)
+
+    # SAM mask refinement over all boxes in one batched forward
+    if sam_refiner is not None and cfg.seg_model in ("sam2", "sam3"):
+        try:
+            refined = sam_refiner(image, boxes)
+            for d, m in zip(dets, refined):
+                if m is not None and m.any():
+                    d["mask"] = m.astype(np.uint8)
+        except Exception as e:
+            log_message(f"SAM refinement failed, keeping YOLO masks: {e}",
+                        always_print=True)
+
+    # conjoined handling: secondary detector parents + synthetic groups
+    groups: List[List[int]] = []
+    if cfg.conjoined_detection and conjoined_runner is not None and len(dets) >= 2:
+        try:
+            parents = _run_detector(image, conjoined_runner, cfg.conjoined_confidence)
+        except Exception as e:
+            log_message(f"Conjoined detection failed: {e}", always_print=True)
+            parents = []
+        if parents:
+            pboxes = np.array([p["bbox"] for p in parents], float)
+            _, assignment = geometry.categorize_detections(boxes, pboxes)
+            groups.extend(assignment.values())
+    if cfg.conjoined_detection and len(dets) >= 2:
+        grouped = {i for g in groups for i in g}
+        loose = [i for i in range(len(dets)) if i not in grouped]
+        if len(loose) >= 2:
+            for g in geometry.synthetic_conjoined_groups(boxes[loose]):
+                groups.append([loose[i] for i in g])
+
+    for group in groups:
+        parent = np.clip(sum(dets[i]["mask"] for i in group), 0, 1)
+        children = geometry.split_conjoined_mask(
+            parent, [dets[i]["bbox"] for i in group]
+        )
+        children = geometry.expand_masks_within_parent(children, parent)
+        for i, child_mask in zip(group, children):
+            if child_mask.any():
+                dets[i]["mask"] = child_mask
+            dets[i]["is_conjoined_child"] = True
+            dets[i]["conjoined_siblings"] = [j for j in group if j != i]
+
+    if cache is not None:
+        cache.put("yolo", cache_key, dets)
+    return dets
+
+
+def detect_panels(
+    image: np.ndarray,
+    panel_runner: DetectionRunner,
+    confidence: float = 0.25,
+) -> List[List[int]]:
+    """Panel boxes for reading-order sorting (reference detect_panels :1817)."""
+    try:
+        dets = _run_detector(image, panel_runner, confidence)
+    except Exception as e:
+        raise DetectionError(f"Panel detection failed: {e}") from e
+    return [d["bbox"] for d in dets]

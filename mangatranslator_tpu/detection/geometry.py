@@ -1,0 +1,150 @@
+"""Conjoined-bubble mask geometry: categorization and parent-mask splitting.
+
+Counterpart of reference core/image/detection.py:345-1035. Simple vs conjoined
+categorization (IoA ≥ 0.5), union-find synthetic groups, and splitting a parent
+mask among child boxes. The reference splits along text-safe axis/diagonal cut
+lines with per-child distance-transform region growing
+(_split_conjoined_mask :971, _split_overlap_zone_with_line :668); this
+implementation reproduces the same contract — children partition the parent
+mask, each child's region contains its box core, overlap zones divide along the
+inter-box axis — via seeded nearest-child assignment with a box-distance
+metric. Line-cut parity refinement is tracked for a later round.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..ops.boxes import (
+    IOA_THRESHOLD,
+    group_overlapping_boxes,
+    ioa_matrix_np,
+)
+
+# reference detection.py:15-36
+AXIS_DOMINANCE_RATIO = 3.0
+MIN_OVERLAP_SPLIT_SHARE = 0.08
+OVERLAP_NUDGE_INSET_RATIO = 0.08
+
+
+def categorize_detections(
+    primary_boxes: np.ndarray,
+    conjoined_boxes: np.ndarray,
+    ioa_threshold: float = IOA_THRESHOLD,
+) -> Tuple[List[int], Dict[int, List[int]]]:
+    """Assign primary bubbles to conjoined parents by IoA ≥ 0.5
+    (reference _categorize_detections :345-401).
+
+    Returns (simple_indices, {conjoined_idx: [child primary indices]}).
+    Parents with fewer than 2 children are dissolved back to simple.
+    """
+    n = len(primary_boxes)
+    if n == 0:
+        return [], {}
+    if len(conjoined_boxes) == 0:
+        return list(range(n)), {}
+    ioa = ioa_matrix_np(np.asarray(primary_boxes, float),
+                        np.asarray(conjoined_boxes, float))
+    assignment: Dict[int, List[int]] = {}
+    simple: List[int] = []
+    for i in range(n):
+        j = int(np.argmax(ioa[i]))
+        if ioa[i, j] >= ioa_threshold:
+            assignment.setdefault(j, []).append(i)
+        else:
+            simple.append(i)
+    for j in list(assignment):
+        if len(assignment[j]) < 2:
+            simple.extend(assignment.pop(j))
+    return sorted(simple), assignment
+
+
+def synthetic_conjoined_groups(primary_boxes: np.ndarray) -> List[List[int]]:
+    """Union-find groups of overlapping primaries treated as synthetic conjoined
+    bubbles (reference _detect_overlapping_primaries :403-473). Only groups of
+    ≥2 are returned."""
+    groups = group_overlapping_boxes(np.asarray(primary_boxes, float))
+    return [g for g in groups if len(g) >= 2]
+
+
+def _box_distance_field(shape: Tuple[int, int], box: Sequence[float]) -> np.ndarray:
+    """Per-pixel clipped distance to an xyxy box (0 inside)."""
+    h, w = shape
+    ys = np.arange(h, dtype=np.float32)[:, None]
+    xs = np.arange(w, dtype=np.float32)[None, :]
+    dx = np.maximum(np.maximum(box[0] - xs, 0.0), xs - box[2])
+    dy = np.maximum(np.maximum(box[1] - ys, 0.0), ys - box[3])
+    return np.sqrt(dx * dx + dy * dy)
+
+
+def _inset_box(box: Sequence[float], ratio: float) -> np.ndarray:
+    x1, y1, x2, y2 = map(float, box)
+    dw, dh = (x2 - x1) * ratio, (y2 - y1) * ratio
+    return np.array([x1 + dw, y1 + dh, x2 - dw, y2 - dh])
+
+
+def split_conjoined_mask(
+    parent_mask: np.ndarray,
+    child_boxes: Sequence[Sequence[float]],
+) -> List[np.ndarray]:
+    """Partition a parent mask among child bubble boxes.
+
+    Contract (reference _split_conjoined_mask :971-1035): every parent pixel
+    goes to exactly one child; each child's region covers its inset box core;
+    the overlap zone divides along the inter-child boundary; children whose
+    share collapses below MIN_OVERLAP_SPLIT_SHARE of the overlap keep their box
+    core. Assignment metric: distance to the child's inset box.
+    """
+    parent = np.asarray(parent_mask) > 0
+    if not parent.any() or not len(child_boxes):
+        return [np.zeros_like(parent, np.uint8) for _ in child_boxes]
+
+    shape = parent.shape
+    fields = np.stack([
+        _box_distance_field(shape, _inset_box(b, OVERLAP_NUDGE_INSET_RATIO))
+        for b in child_boxes
+    ])
+    owner = np.argmin(fields, axis=0)
+    out: List[np.ndarray] = []
+    for k in range(len(child_boxes)):
+        region = parent & (owner == k)
+        out.append(region.astype(np.uint8))
+
+    # guarantee: each child keeps the parent pixels inside its own inset core
+    for k, b in enumerate(child_boxes):
+        core = _inset_box(b, OVERLAP_NUDGE_INSET_RATIO)
+        ys = slice(max(0, int(core[1])), min(shape[0], int(np.ceil(core[3]))))
+        xs = slice(max(0, int(core[0])), min(shape[1], int(np.ceil(core[2]))))
+        core_px = np.zeros(shape, bool)
+        core_px[ys, xs] = True
+        core_px &= parent
+        for other in range(len(out)):
+            if other != k:
+                out[other][core_px] = 0
+        out[k][core_px] = 1
+    return out
+
+
+def expand_masks_within_parent(
+    child_masks: List[np.ndarray], parent_mask: np.ndarray, iterations: int = 2
+) -> List[np.ndarray]:
+    """Grow child regions to jointly cover the whole parent (reference
+    _expand_resolved_masks_within_parent :932-969): unclaimed parent pixels are
+    claimed by the nearest child region (distance-transform growth)."""
+    import scipy.ndimage as ndi
+
+    parent = np.asarray(parent_mask) > 0
+    claimed = np.zeros(parent.shape, np.int32)  # 0 = unclaimed
+    for k, m in enumerate(child_masks, start=1):
+        claimed[np.asarray(m) > 0] = k
+    unclaimed = parent & (claimed == 0)
+    if unclaimed.any() and claimed.any():
+        _, (iy, ix) = ndi.distance_transform_edt(claimed == 0, return_indices=True)
+        filled = claimed[iy, ix]
+        claimed = np.where(unclaimed, filled, claimed)
+    return [
+        ((claimed == k) & parent).astype(np.uint8)
+        for k in range(1, len(child_masks) + 1)
+    ]

@@ -1,0 +1,99 @@
+"""Cleaning stage: synthetic bubbles with text strokes, white/black/Otsu paths."""
+
+import cv2
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.cleaning.cleaner import (
+    CleanedBubble,
+    clean_speech_bubbles,
+    retry_cleaning_with_otsu,
+)
+from mangatranslator_tpu.config import CleaningConfig
+
+
+def synthetic_page(black_bubble=False):
+    """Gray page + elliptical bubble with text strokes; returns (img, det)."""
+    img = np.full((300, 400, 3), 150, np.uint8)
+    fill = 20 if black_bubble else 245
+    text = 235 if black_bubble else 30
+    cv2.ellipse(img, (200, 150), (120, 90), 0, 0, 360, (fill,) * 3, -1)
+    for k in range(4):
+        y = 110 + k * 25
+        cv2.line(img, (150, y), (250, y), (text,) * 3, 4)
+    mask = np.zeros((300, 400), np.uint8)
+    cv2.ellipse(mask, (200, 150), (120, 90), 0, 0, 360, 1, -1)
+    det = {"bbox": [80, 60, 320, 240], "mask": mask, "confidence": 0.9,
+           "class": "bubble"}
+    return img, det
+
+
+class TestCleanBubbles:
+    def test_white_bubble_cleaned(self):
+        img, det = synthetic_page()
+        cleaned, results = clean_speech_bubbles(img, [det], CleaningConfig())
+        assert len(results) == 1
+        r = results[0]
+        assert isinstance(r, CleanedBubble) and r.success
+        assert not r.is_black_bubble
+        assert r.fill_color == (255, 255, 255)
+        # text strokes painted over with white
+        assert cleaned[110, 200, 0] >= 240
+        # text bbox covers the strokes
+        tb = r.text_bbox
+        assert tb[0] <= 150 and tb[2] >= 250 and tb[1] <= 110 and tb[3] >= 185
+        # text color sampled near-black
+        assert max(r.text_color) < 80
+        # pixels outside the bubble untouched
+        assert cleaned[10, 10, 0] == 150
+
+    def test_black_bubble_cleaned(self):
+        img, det = synthetic_page(black_bubble=True)
+        cleaned, results = clean_speech_bubbles(img, [det], CleaningConfig())
+        r = results[0]
+        assert r.success and r.is_black_bubble
+        assert r.fill_color == (0, 0, 0)
+        assert cleaned[110, 200, 0] <= 30  # light text now black
+        assert min(r.text_color) > 180
+
+    def test_otsu_path(self):
+        img, det = synthetic_page()
+        cleaned, results = clean_speech_bubbles(
+            img, [det], CleaningConfig(use_otsu_threshold=True))
+        assert results[0].success
+        assert cleaned[110, 200, 0] >= 240
+
+    def test_failed_bubble_untouched(self):
+        # a bubble whose interior is uniform mid-gray below threshold → no
+        # component survives → fallback leaves pixels alone
+        img = np.full((100, 100, 3), 100, np.uint8)
+        mask = np.zeros((100, 100), np.uint8)
+        cv2.circle(mask, (50, 50), 30, 1, -1)
+        det = {"bbox": [20, 20, 80, 80], "mask": mask}
+        cleaned, results = clean_speech_bubbles(img, [det],
+                                                CleaningConfig(thresholding_value=200))
+        assert not results[0].success
+        np.testing.assert_array_equal(cleaned, img)
+
+    def test_multiple_bubbles_batched(self):
+        img = np.full((300, 500, 3), 150, np.uint8)
+        dets = []
+        for cx in (120, 360):
+            cv2.ellipse(img, (cx, 150), (90, 80), 0, 0, 360, (245,) * 3, -1)
+            cv2.line(img, (cx - 40, 150), (cx + 40, 150), (20,) * 3, 4)
+            m = np.zeros((300, 500), np.uint8)
+            cv2.ellipse(m, (cx, 150), (90, 80), 0, 0, 360, 1, -1)
+            dets.append({"bbox": [cx - 95, 65, cx + 95, 235], "mask": m})
+        cleaned, results = clean_speech_bubbles(img, dets, CleaningConfig())
+        assert all(r.success for r in results)
+        assert cleaned[150, 120, 0] >= 240 and cleaned[150, 360, 0] >= 240
+
+    def test_empty_detections(self):
+        img = np.zeros((50, 50, 3), np.uint8)
+        cleaned, results = clean_speech_bubbles(img, [], CleaningConfig())
+        assert results == [] and np.array_equal(cleaned, img)
+
+    def test_otsu_retry_wrapper(self):
+        img, det = synthetic_page()
+        cleaned, results = retry_cleaning_with_otsu(img, [det], CleaningConfig())
+        assert results[0].success

@@ -1,0 +1,198 @@
+"""Detection orchestration with planted (fake) runners + conjoined geometry."""
+
+import numpy as np
+import pytest
+import jax.numpy as jnp
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.config import DetectionConfig
+from mangatranslator_tpu.detection import geometry
+from mangatranslator_tpu.detection.bubbles import (
+    detect_panels,
+    detect_speech_bubbles,
+)
+from mangatranslator_tpu.models.yolo import Detections
+
+
+class FakeRunner:
+    """YoloRunner-protocol stub returning planted page-space detections."""
+
+    def __init__(self, imgsz, dets, with_masks=True, max_det=16):
+        # dets: list of (bbox_page, conf, cls) — converted to letterbox coords
+        self.imgsz = imgsz
+        self._dets = dets
+        self._with_masks = with_masks
+        self.max_det = max_det
+        self.calls = 0
+
+    def __call__(self, images, conf=0.25, iou=0.45):
+        self.calls += 1
+        n = len(self._dets)
+        md = self.max_det
+        boxes = np.zeros((1, md, 4), np.float32)
+        scores = np.zeros((1, md), np.float32)
+        classes = np.full((1, md), -1, np.int32)
+        hm = self.imgsz // 4
+        masks = np.zeros((1, md, hm, hm), np.float32)
+        kept = 0
+        for bbox, c, cls in self._dets:
+            if c <= conf:
+                continue
+            boxes[0, kept] = bbox
+            scores[0, kept] = c
+            classes[0, kept] = cls
+            x1, y1, x2, y2 = (np.array(bbox) / 4).astype(int)
+            masks[0, kept, y1:y2, x1:x2] = 1.0
+            kept += 1
+        return Detections(
+            jnp.asarray(boxes), jnp.asarray(scores), jnp.asarray(classes),
+            jnp.asarray([kept]), jnp.asarray(masks) if self._with_masks else None,
+        )
+
+
+def lb(bbox_page, page_hw, imgsz):
+    """page bbox → letterbox bbox for the fake runner."""
+    h, w = page_hw
+    s = min(imgsz / h, imgsz / w)
+    px, py = (imgsz - round(w * s)) // 2, (imgsz - round(h * s)) // 2
+    x1, y1, x2, y2 = bbox_page
+    return [x1 * s + px, y1 * s + py, x2 * s + px, y2 * s + py]
+
+
+@pytest.fixture(autouse=True)
+def _fresh_cache():
+    reset_cache()
+
+
+PAGE = (400, 320)  # h, w
+
+
+def make_image():
+    return np.full((*PAGE, 3), 230, np.uint8)
+
+
+class TestDetectSpeechBubbles:
+    def test_basic_detection_roundtrip(self):
+        img = make_image()
+        planted = [[40, 60, 140, 180], [200, 240, 300, 360]]
+        runner = FakeRunner(256, [(lb(b, PAGE, 256), 0.9, 0) for b in planted])
+        dets = detect_speech_bubbles(img, runner, DetectionConfig(confidence=0.5),
+                                     use_cache=False)
+        assert len(dets) == 2
+        for d, expect in zip(sorted(dets, key=lambda d: d["bbox"][0]), planted):
+            np.testing.assert_allclose(d["bbox"], expect, atol=2)
+            assert d["class"] == "bubble"
+            assert d["mask"].shape == PAGE
+            # mask covers the bubble interior
+            cy, cx = (expect[1] + expect[3]) // 2, (expect[0] + expect[2]) // 2
+            assert d["mask"][cy, cx] == 1
+
+    def test_confidence_filter(self):
+        img = make_image()
+        runner = FakeRunner(256, [(lb([40, 60, 140, 180], PAGE, 256), 0.4, 0)])
+        dets = detect_speech_bubbles(img, runner, DetectionConfig(confidence=0.6),
+                                     use_cache=False)
+        assert dets == []
+
+    def test_duplicate_suppression(self):
+        img = make_image()
+        runner = FakeRunner(256, [
+            (lb([40, 60, 140, 180], PAGE, 256), 0.9, 0),
+            (lb([42, 62, 142, 182], PAGE, 256), 0.8, 0),  # IoU > 0.7 duplicate
+        ])
+        dets = detect_speech_bubbles(img, runner, DetectionConfig(confidence=0.5),
+                                     use_cache=False)
+        assert len(dets) == 1 and dets[0]["confidence"] == pytest.approx(0.9)
+
+    def test_contained_box_removed(self):
+        img = make_image()
+        runner = FakeRunner(256, [
+            (lb([40, 60, 200, 260], PAGE, 256), 0.9, 0),
+            (lb([60, 80, 100, 120], PAGE, 256), 0.8, 0),  # fully inside
+        ])
+        dets = detect_speech_bubbles(img, runner, DetectionConfig(confidence=0.5),
+                                     use_cache=False)
+        assert len(dets) == 1
+
+    def test_synthetic_conjoined_split(self):
+        img = make_image()
+        # two overlapping bubbles → synthetic conjoined group → masks split
+        b1, b2 = [40, 60, 150, 180], [130, 60, 240, 180]
+        runner = FakeRunner(256, [
+            (lb(b1, PAGE, 256), 0.9, 0), (lb(b2, PAGE, 256), 0.85, 0),
+        ])
+        dets = detect_speech_bubbles(img, runner, DetectionConfig(confidence=0.5),
+                                     use_cache=False)
+        assert len(dets) == 2
+        assert all(d.get("is_conjoined_child") for d in dets)
+        m1, m2 = dets[0]["mask"], dets[1]["mask"]
+        assert not (m1 & m2).any()  # disjoint partition
+        assert m1.any() and m2.any()
+
+    def test_cache_hit_skips_forward(self):
+        img = make_image()
+        runner = FakeRunner(256, [(lb([40, 60, 140, 180], PAGE, 256), 0.9, 0)])
+        from mangatranslator_tpu.caching import get_cache
+
+        get_cache().set_current_image(img)
+        d1 = detect_speech_bubbles(img, runner, DetectionConfig())
+        d2 = detect_speech_bubbles(img, runner, DetectionConfig())
+        assert runner.calls == 1
+        assert len(d1) == len(d2) == 1
+
+    def test_sam_refiner_hook(self):
+        img = make_image()
+        b = [40, 60, 140, 180]
+        runner = FakeRunner(256, [(lb(b, PAGE, 256), 0.9, 0)])
+        marker = np.zeros(PAGE, np.uint8)
+        marker[100:120, 60:100] = 1
+
+        def refiner(image, boxes):
+            assert boxes.shape == (1, 4)
+            return [marker]
+
+        dets = detect_speech_bubbles(
+            img, runner, DetectionConfig(seg_model="sam2"),
+            sam_refiner=refiner, use_cache=False,
+        )
+        np.testing.assert_array_equal(dets[0]["mask"], marker)
+
+
+class TestPanels:
+    def test_detect_panels(self):
+        img = make_image()
+        planted = [[10, 10, 150, 190], [170, 10, 310, 190]]
+        runner = FakeRunner(128, [(lb(b, PAGE, 128), 0.8, 0) for b in planted],
+                            with_masks=False)
+        out = detect_panels(img, runner, confidence=0.25)
+        assert len(out) == 2
+        np.testing.assert_allclose(sorted(out)[0], planted[0], atol=4)
+
+
+class TestGeometry:
+    def test_categorize(self):
+        primaries = np.array([[0, 0, 10, 10], [12, 0, 22, 10], [50, 50, 60, 60]],
+                             float)
+        parents = np.array([[0, 0, 22, 10]], float)
+        simple, assign = geometry.categorize_detections(primaries, parents)
+        assert simple == [2]
+        assert assign == {0: [0, 1]}
+
+    def test_categorize_dissolves_single_child(self):
+        primaries = np.array([[0, 0, 10, 10], [50, 50, 60, 60]], float)
+        parents = np.array([[0, 0, 12, 12]], float)
+        simple, assign = geometry.categorize_detections(primaries, parents)
+        assert simple == [0, 1] and assign == {}
+
+    def test_split_partitions_parent(self):
+        parent = np.zeros((60, 100), np.uint8)
+        parent[10:50, 10:90] = 1
+        children = geometry.split_conjoined_mask(
+            parent, [[10, 10, 52, 50], [48, 10, 90, 50]]
+        )
+        children = geometry.expand_masks_within_parent(children, parent)
+        total = sum(c.astype(int) for c in children)
+        assert total.max() == 1  # disjoint
+        np.testing.assert_array_equal((total > 0).astype(np.uint8), parent)
+        # left child owns left core, right child right core
+        assert children[0][30, 20] == 1 and children[1][30, 80] == 1
