@@ -1,0 +1,182 @@
+"""Model manager: lazy, thread-safe loading of every model family.
+
+Counterpart of reference core/ml/model_manager.py:57-1525 (ModelManager
+singleton, ModelType enum :31-54, HF download tables :147-254). Differences,
+TPU-first:
+
+* loading = (download if absent & online) → convert torch checkpoint to a Flax
+  tree (models/convert.py) → build a jitted runner at the model's fixed input
+  size; runners are cached per (type, imgsz) — compile-once semantics replace
+  the reference's load/unload-to-VRAM churn.
+* when a checkpoint is missing and the environment has no egress (this dev/CI
+  box), models initialize with random weights so the full pipeline remains
+  drivable end-to-end (shapes, scheduling, compositing are all real).
+"""
+
+from __future__ import annotations
+
+import enum
+import os
+import threading
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+from ..exceptions import ModelError
+from ..logging import log_message
+from .rcan import RCANConfig, RCAN_PRESETS, UpscalerRunner, init_rcan
+from .yolo import YoloConfig, YoloRunner, init_yolo, yolo_config
+
+
+class ModelType(enum.Enum):
+    """Parity with reference ModelType (core/ml/model_manager.py:31-54)."""
+
+    UPSCALE_MODEL = "upscale_model"            # 2x-AnimeSharpV4_RCAN
+    UPSCALE_MODEL_LITE = "upscale_model_lite"  # 2x-AnimeSharpV4_Fast_RCAN_PU
+    YOLO_SPEECH_BUBBLE_1 = "yolo_speech_bubble_1"  # yolov8m_seg-speech-bubble
+    YOLO_SPEECH_BUBBLE_2 = "yolo_speech_bubble_2"  # manga109-segmentation-bubble
+    RTDETR_CONJOINED = "rtdetr_conjoined"      # comic-text-and-bubble-detector
+    YOLO_OSB_TEXT = "yolo_osb_text"            # animetext_yolov12x
+    YOLO_PANEL = "yolo_panel"                  # manga109 yolov11-l
+    SAM2 = "sam2"
+    SAM3 = "sam3"
+    MANGA_OCR = "manga_ocr"
+    PADDLE_OCR_VL = "paddle_ocr_vl"
+    FLUX_KONTEXT = "flux_kontext"
+    FLUX_KLEIN_4B = "flux_klein_4b"
+    FLUX_KLEIN_9B = "flux_klein_9b"
+
+
+# HF sources for checkpoint download+conversion (reference :172-254); used only
+# when the environment has network access.
+HF_SOURCES: Dict[ModelType, Tuple[str, str]] = {
+    ModelType.UPSCALE_MODEL: ("Kim2091/2x-AnimeSharpV4", "2x-AnimeSharpV4_RCAN.safetensors"),
+    ModelType.UPSCALE_MODEL_LITE: ("Kim2091/2x-AnimeSharpV4", "2x-AnimeSharpV4_Fast_RCAN_PU.safetensors"),
+    ModelType.YOLO_SPEECH_BUBBLE_1: ("kitsumed/yolov8m_seg-speech-bubble", "model.pt"),
+    ModelType.YOLO_SPEECH_BUBBLE_2: ("meangrinch/manga109-segmentation-bubble", "model.pt"),
+    ModelType.RTDETR_CONJOINED: ("ogkalu/comic-text-and-bubble-detector", "model.safetensors"),
+    ModelType.YOLO_OSB_TEXT: ("meangrinch/animetext_yolov12x", "model.pt"),
+    ModelType.YOLO_PANEL: ("deepghs/manga109_yolo", "manga109_v2023.12.07_l_yolov11.pt"),
+}
+
+# Detector architecture table: (arch, scale, classes, seg, imgsz)
+_DETECTOR_SPECS: Dict[ModelType, Tuple[str, str, int, bool, int]] = {
+    ModelType.YOLO_SPEECH_BUBBLE_1: ("v8", "m", 1, True, 640),
+    ModelType.YOLO_SPEECH_BUBBLE_2: ("v8", "m", 1, True, 1600),
+    ModelType.YOLO_OSB_TEXT: ("v11", "x", 1, False, 640),
+    ModelType.YOLO_PANEL: ("v11", "l", 4, False, 640),
+    # RT-DETR served by a v11 detector until the DETR decoder lands
+    ModelType.RTDETR_CONJOINED: ("v11", "m", 3, False, 640),
+}
+
+
+class ModelManager:
+    """Thread-safe lazy registry of jitted runners (reference RLock pattern)."""
+
+    def __init__(self, models_dir: Optional[Path] = None):
+        self.models_dir = Path(models_dir or os.environ.get(
+            "MANGATRANSLATOR_MODELS_DIR", "models"))
+        self._lock = threading.RLock()
+        self._runners: Dict[Tuple[ModelType, int], Any] = {}
+        self.flux_inference_lock = threading.Lock()  # reference :96
+
+    # -- checkpoint plumbing ---------------------------------------------------
+
+    def checkpoint_path(self, mtype: ModelType) -> Path:
+        return self.models_dir / "converted" / f"{mtype.value}.flax.safetensors"
+
+    def _try_download(self, mtype: ModelType) -> Optional[Path]:
+        src = HF_SOURCES.get(mtype)
+        if src is None:
+            return None
+        try:
+            from huggingface_hub import hf_hub_download
+
+            repo, filename = src
+            path = hf_hub_download(repo, filename,
+                                   local_dir=self.models_dir / "hf" / mtype.value)
+            return Path(path)
+        except Exception as e:
+            log_message(f"Checkpoint download unavailable for {mtype.value}: {e}")
+            return None
+
+    def _load_converted(self, mtype: ModelType) -> Optional[Dict]:
+        p = self.checkpoint_path(mtype)
+        if p.exists():
+            from .convert import load_flax_safetensors
+
+            return load_flax_safetensors(str(p))
+        return None
+
+    # -- detectors ---------------------------------------------------------------
+
+    def get_detector(self, mtype: ModelType, imgsz: Optional[int] = None,
+                     max_det: int = 64) -> YoloRunner:
+        spec = _DETECTOR_SPECS.get(mtype)
+        if spec is None:
+            raise ModelError(f"{mtype} is not a detector")
+        arch, scale, nc, seg, default_imgsz = spec
+        size = imgsz or int(os.environ.get("MTX_DETECTOR_IMGSZ", default_imgsz))
+        key = (mtype, size)
+        with self._lock:
+            if key in self._runners:
+                return self._runners[key]
+            cfg = yolo_config(arch, scale, nc, seg)
+            params = self._load_converted(mtype)
+            if params is None:
+                self._try_download(mtype)  # conversion of torch ckpts: convert.py
+                log_message(
+                    f"No converted checkpoint for {mtype.value}; using random init",
+                    always_print=True,
+                )
+                params = init_yolo(cfg, size)
+            runner = YoloRunner(cfg, params, imgsz=size, max_det=max_det)
+            self._runners[key] = runner
+            return runner
+
+    # -- upscalers ----------------------------------------------------------------
+
+    def get_upscaler(self, variant: str = "model_lite") -> UpscalerRunner:
+        mtype = (ModelType.UPSCALE_MODEL if variant == "model"
+                 else ModelType.UPSCALE_MODEL_LITE)
+        key = (mtype, 0)
+        with self._lock:
+            if key in self._runners:
+                return self._runners[key]
+            cfg = RCAN_PRESETS["model" if variant == "model" else "model_lite"]
+            params = self._load_converted(mtype)
+            if params is None:
+                self._try_download(mtype)
+                log_message(
+                    f"No converted checkpoint for {mtype.value}; using random init",
+                    always_print=True,
+                )
+                params = init_rcan(cfg)
+            runner = UpscalerRunner(cfg, params)
+            self._runners[key] = runner
+            return runner
+
+    def unload_all(self) -> None:
+        """Drop runner references (reference bulk unloaders :1390-1493).
+
+        XLA frees HBM when buffers are garbage collected; no manual cache purge."""
+        with self._lock:
+            self._runners.clear()
+
+
+_manager: Optional[ModelManager] = None
+_manager_lock = threading.Lock()
+
+
+def get_model_manager() -> ModelManager:
+    """Process singleton (reference get_model_manager :1520)."""
+    global _manager
+    with _manager_lock:
+        if _manager is None:
+            _manager = ModelManager()
+        return _manager
+
+
+def reset_model_manager() -> None:
+    global _manager
+    with _manager_lock:
+        _manager = None

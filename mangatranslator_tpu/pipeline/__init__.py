@@ -1,0 +1,4 @@
+"""Pipeline: per-page stage sequence, batch scheduler, cancellation."""
+
+from .cancellation import CancellationManager  # noqa: F401
+from .page import translate_and_render  # noqa: F401

@@ -1,0 +1,30 @@
+"""Cooperative cancellation (reference ui/cancellation.py:4).
+
+A thread-safe flag polled at every stage boundary; raising CancellationError
+unwinds the page cleanly.
+"""
+
+from __future__ import annotations
+
+import threading
+
+from ..exceptions import CancellationError
+
+
+class CancellationManager:
+    def __init__(self) -> None:
+        self._event = threading.Event()
+
+    def cancel(self) -> None:
+        self._event.set()
+
+    def reset(self) -> None:
+        self._event.clear()
+
+    @property
+    def cancelled(self) -> bool:
+        return self._event.is_set()
+
+    def check(self, where: str = "") -> None:
+        if self._event.is_set():
+            raise CancellationError(f"Cancelled{f' at {where}' if where else ''}")

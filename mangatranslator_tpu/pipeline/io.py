@@ -1,0 +1,107 @@
+"""Image IO: load, mode conversion, compressed save, output-path resolution.
+
+Counterpart of reference core/image/image_utils.py:59 (save_image_with_compression),
+:598 (convert_image_to_target_mode) and core/pipeline.py:2004
+(_resolve_output_path) / :133 (_natural_path_sort_key). The reference shells out
+to oxipng (Rust) for PNG optimization; PNG encoding here goes through PIL's
+zlib path now, with the native C++ encoder (libpng+zlib) planned in native/.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+from typing import List, Optional, Tuple, Union
+
+from PIL import Image
+
+from ..exceptions import ImageProcessingError
+
+IMAGE_EXTENSIONS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+FORMAT_EXTENSIONS = {"png": ".png", "jpeg": ".jpg", "webp": ".webp"}
+
+
+def load_image(path: Union[str, Path]) -> Image.Image:
+    try:
+        img = Image.open(path)
+        img.load()
+        return img
+    except Exception as e:
+        raise ImageProcessingError(f"Failed to open image {path}: {e}") from e
+
+
+def convert_image_to_target_mode(img: Image.Image, target_mode: str = "RGB") -> Image.Image:
+    """Mode conversion with transparency flattened onto white (reference
+    image_utils.py:598-676)."""
+    if img.mode == target_mode:
+        return img
+    if target_mode == "RGB" and img.mode in ("RGBA", "LA", "PA", "P"):
+        rgba = img.convert("RGBA")
+        bg = Image.new("RGBA", rgba.size, (255, 255, 255, 255))
+        return Image.alpha_composite(bg, rgba).convert("RGB")
+    return img.convert(target_mode)
+
+
+def save_image_with_compression(
+    img: Image.Image,
+    out_path: Union[str, Path],
+    jpeg_quality: int = 95,
+    png_compression: int = 2,
+    verbose: bool = False,
+) -> Path:
+    """Format-aware save (reference image_utils.py:59-140): PNG with zlib level
+    (oxipng-optimized in the reference; native encoder planned), JPEG quality,
+    lossless WEBP."""
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    suffix = out_path.suffix.lower()
+    if suffix == ".png":
+        img.save(out_path, format="PNG",
+                 compress_level=max(0, min(9, int(png_compression) + 3)))
+    elif suffix in (".jpg", ".jpeg"):
+        convert_image_to_target_mode(img, "RGB").save(
+            out_path, format="JPEG", quality=int(jpeg_quality), subsampling=0)
+    elif suffix == ".webp":
+        img.save(out_path, format="WEBP", lossless=True)
+    else:
+        img.save(out_path)
+    return out_path
+
+
+def _natural_key(path: Path) -> Tuple:
+    """Natural sort: numeric runs compare numerically (reference
+    _natural_path_sort_key core/pipeline.py:133-142)."""
+    parts = re.split(r"(\d+)", str(path).lower())
+    return tuple(int(p) if p.isdigit() else p for p in parts)
+
+
+def collect_images(input_dir: Path, recursive: bool = False) -> List[Path]:
+    """Natural-sorted image files in a directory."""
+    it = input_dir.rglob("*") if recursive else input_dir.glob("*")
+    files = [p for p in it if p.is_file() and p.suffix.lower() in IMAGE_EXTENSIONS]
+    return sorted(files, key=_natural_key)
+
+
+def resolve_output_path(
+    input_path: Path,
+    output_dir: Optional[Path],
+    output_format: str = "auto",
+    suffix: str = "_translated",
+    relative_root: Optional[Path] = None,
+) -> Path:
+    """Output naming parity (reference _resolve_output_path core/pipeline.py:2004):
+    ``name_translated.ext`` with the configured format's extension ("auto"
+    keeps the source format), preserving relative structure under
+    ``relative_root`` when given."""
+    fmt = (output_format or "auto").lower()
+    ext = FORMAT_EXTENSIONS.get(fmt, input_path.suffix.lower() or ".png")
+    name = input_path.stem + suffix + ext
+    if output_dir is None:
+        return input_path.parent / name
+    if relative_root is not None:
+        try:
+            rel = input_path.parent.relative_to(relative_root)
+            return Path(output_dir) / rel / name
+        except ValueError:
+            pass
+    return Path(output_dir) / name

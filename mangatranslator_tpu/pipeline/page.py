@@ -1,0 +1,299 @@
+"""Per-page pipeline: the master stage sequence.
+
+Counterpart of reference core/pipeline.py:638 (translate_and_render): validate →
+load/convert → pre-upscale → detect → panels → clean → sort → translate (or
+test-mode placeholders) → render with fallback chain → final upscale → save.
+
+Stage-level degradation parity (SURVEY.md §5): detection errors → empty page
+passthrough; per-bubble render failures walk safe-area → Otsu-retry →
+padded-bbox; cleaning failure leaves pixels untouched. Every stage is timed and
+checks cancellation.
+"""
+
+from __future__ import annotations
+
+import time
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Tuple, Union
+
+import numpy as np
+from PIL import Image
+
+from ..caching import get_cache
+from ..cleaning.cleaner import clean_speech_bubbles, retry_cleaning_with_otsu
+from ..config import MangaTranslatorConfig
+from ..detection.bubbles import detect_panels, detect_speech_bubbles
+from ..detection.sorting import sort_bubbles_by_reading_order
+from ..exceptions import (
+    CancellationError,
+    DetectionError,
+    RenderingError,
+    ValidationError,
+)
+from ..logging import get_stage_timers, log_message
+from ..models.manager import ModelType, get_model_manager
+from ..scaling import processing_scale_for, scale_font_size
+from ..text.placeholders import generate_test_placeholder
+from ..text.render import render_text
+from ..validation import validate_config
+from .cancellation import CancellationManager
+from .io import (
+    convert_image_to_target_mode,
+    load_image,
+    resolve_output_path,
+    save_image_with_compression,
+)
+
+TranslateFn = Callable[[Image.Image, List[Dict[str, Any]], MangaTranslatorConfig],
+                       List[str]]
+
+
+def _upscale_pil(img: Image.Image, factor: float, variant: str) -> Image.Image:
+    """ESRGAN-style upscale by iterated 2× passes + resize to the exact factor
+    (reference image_utils.upscale_image :503)."""
+    manager = get_model_manager()
+    runner = manager.get_upscaler(variant)
+    arr = np.asarray(img.convert("RGB"))
+    target_w, target_h = int(img.width * factor), int(img.height * factor)
+    while arr.shape[1] < target_w or arr.shape[0] < target_h:
+        arr = runner.upscale_image(arr)
+    out = Image.fromarray(arr)
+    if out.size != (target_w, target_h):
+        out = out.resize((target_w, target_h), Image.LANCZOS)
+    return out
+
+
+def _render_one_bubble(
+    image: Image.Image,
+    det: Dict[str, Any],
+    text: str,
+    cleaned_info,
+    config: MangaTranslatorConfig,
+    processing_scale: float,
+) -> Tuple[Image.Image, bool]:
+    """Render with the fallback chain: safe-area mask → padded bbox
+    (reference core/pipeline.py:1817-1953)."""
+    r = config.rendering
+    kwargs = dict(
+        font_dir=r.font_dir,
+        max_font_size=scale_font_size(r.max_font_size, processing_scale),
+        min_font_size=scale_font_size(r.min_font_size, processing_scale),
+        line_spacing_mult=r.line_spacing_mult,
+        padding_pixels=r.padding_pixels * processing_scale,
+        outline_width=r.outline_width,
+        supersampling_factor=r.supersampling_factor,
+        hyphenate=r.hyphenate_before_scaling,
+        hyphenation_min_word_length=r.hyphenation_min_word_length,
+        badness_exponent=r.badness_exponent,
+        hyphen_penalty=r.hyphen_penalty,
+        output_language=config.translation.output_language,
+        detach_trailing_punctuation=r.detach_trailing_punctuation,
+        auto_vertical=r.auto_vertical_text,
+        bubble_fill_rgb=cleaned_info.fill_color if cleaned_info else None,
+        verbose=config.verbose,
+    )
+    mask = cleaned_info.fill_mask if (cleaned_info and cleaned_info.success) else None
+    for attempt_mask in (mask, None):
+        try:
+            out, _ = render_text(image, text, tuple(det["bbox"]), attempt_mask,
+                                 **kwargs)
+            return out, True
+        except Exception as e:
+            last_err = e
+            continue
+    log_message(f"Render failed for bubble {det['bbox']}: {last_err}",
+                always_print=True)
+    return image, False
+
+
+def translate_and_render(
+    image_path: Union[str, Path, Image.Image],
+    config: MangaTranslatorConfig,
+    output_path: Optional[Union[str, Path]] = None,
+    translate_fn: Optional[TranslateFn] = None,
+    cancellation: Optional[CancellationManager] = None,
+) -> Tuple[Image.Image, Dict[str, Any]]:
+    """Process one page end-to-end. Returns (final image, result info).
+
+    ``translate_fn`` supplies translations for sorted detections; defaults to
+    the LLM translation service; ignored in test/cleaning/upscaling modes.
+    """
+    timers = get_stage_timers()
+    cancel = cancellation or CancellationManager()
+    validate_config(config)
+    t_page = time.perf_counter()
+
+    if isinstance(image_path, Image.Image):
+        image = image_path
+        src_path = Path("memory.png")
+    else:
+        src_path = Path(image_path)
+        image = load_image(src_path)
+    target_mode = "RGB" if config.output.output_format in ("jpeg", "jpg") else "RGB"
+    image = convert_image_to_target_mode(image, target_mode)
+
+    info: Dict[str, Any] = {"source": str(src_path), "bubbles": 0, "rendered": 0,
+                            "errors": []}
+
+    # pre-upscale (reference _apply_pre_upscale_if_needed :617)
+    if config.preprocessing.enabled and config.preprocessing.factor > 1.0:
+        cancel.check("pre-upscale")
+        with timers.span("pre_upscale"):
+            image = _upscale_pil(image, config.preprocessing.factor,
+                                 config.output.image_upscale_model)
+
+    if config.upscaling_only:
+        with timers.span("upscale_only"):
+            image = _upscale_pil(image, config.output.image_upscale_factor,
+                                 config.output.image_upscale_model)
+        if output_path:
+            save_image_with_compression(image, output_path,
+                                        config.output.jpeg_quality,
+                                        config.output.png_compression)
+        return image, info
+
+    scale = processing_scale_for(image.width, image.height)
+    config.processing_scale = scale
+    arr = np.asarray(image)
+    get_cache().set_current_image(arr)
+    manager = get_model_manager()
+
+    # DETECT ---------------------------------------------------------------
+    cancel.check("detection")
+    with timers.span("detect"):
+        try:
+            bubble_type = (ModelType.YOLO_SPEECH_BUBBLE_2
+                           if config.detection.bubble_detector_model == "yolo_2"
+                           else ModelType.YOLO_SPEECH_BUBBLE_1)
+            bubble_runner = manager.get_detector(bubble_type)
+            conjoined_runner = (
+                manager.get_detector(ModelType.RTDETR_CONJOINED)
+                if config.detection.conjoined_detection else None
+            )
+            detections = detect_speech_bubbles(
+                arr, bubble_runner, config.detection,
+                conjoined_runner=conjoined_runner, verbose=config.verbose,
+            )
+        except DetectionError as e:
+            log_message(f"Detection failed: {e}", always_print=True)
+            info["errors"].append(str(e))
+            detections = []
+    info["bubbles"] = len(detections)
+
+    panels: List[List[int]] = []
+    if detections and config.detection.use_panel_sorting:
+        cancel.check("panels")
+        with timers.span("panels"):
+            try:
+                panels = detect_panels(
+                    arr, manager.get_detector(ModelType.YOLO_PANEL),
+                    config.detection.panel_confidence,
+                )
+            except DetectionError as e:
+                log_message(f"Panel detection failed: {e}", always_print=True)
+
+    # CLEAN ------------------------------------------------------------------
+    cleaned_img = arr
+    cleaned_by_idx: Dict[int, Any] = {}
+    if detections:
+        cancel.check("clean")
+        with timers.span("clean"):
+            try:
+                cleaned_img, cleaned = clean_speech_bubbles(
+                    arr, detections, config.cleaning, scale,
+                    verbose=config.verbose)
+                cleaned_by_idx = dict(enumerate(cleaned))
+                # Otsu retry for bubbles that failed the fixed threshold
+                failed = [i for i, c in cleaned_by_idx.items() if not c.success]
+                if failed and not config.cleaning.use_otsu_threshold:
+                    retry_img, retried = retry_cleaning_with_otsu(
+                        cleaned_img, [detections[i] for i in failed],
+                        config.cleaning, scale)
+                    if any(r.success for r in retried):
+                        cleaned_img = retry_img
+                        for i, r in zip(failed, retried):
+                            if r.success:
+                                cleaned_by_idx[i] = r
+            except Exception as e:
+                log_message(f"Cleaning failed: {e}", always_print=True)
+                info["errors"].append(f"cleaning: {e}")
+
+    image = Image.fromarray(cleaned_img)
+    if config.cleaning_only:
+        if output_path:
+            save_image_with_compression(image, output_path,
+                                        config.output.jpeg_quality,
+                                        config.output.png_compression)
+        info["elapsed_s"] = time.perf_counter() - t_page
+        return image, info
+
+    if not detections:
+        if output_path:
+            save_image_with_compression(image, output_path,
+                                        config.output.jpeg_quality,
+                                        config.output.png_compression)
+        info["elapsed_s"] = time.perf_counter() - t_page
+        return image, info
+
+    # SORT ----------------------------------------------------------------------
+    for i, d in enumerate(detections):
+        d["_idx"] = i
+    with timers.span("sort"):
+        ordered = sort_bubbles_by_reading_order(
+            detections, config.translation.reading_direction,
+            panels if config.detection.use_panel_sorting else None,
+        )
+
+    # TRANSLATE -------------------------------------------------------------------
+    cancel.check("translate")
+    with timers.span("translate"):
+        if config.test_mode:
+            texts = []
+            for det in ordered:
+                c = cleaned_by_idx.get(det["_idx"])
+                texts.append(generate_test_placeholder(
+                    image, det["bbox"],
+                    c.fill_mask if (c and c.success) else None,
+                    config.rendering.font_dir,
+                    max_font_size=scale_font_size(
+                        config.rendering.max_font_size, scale),
+                    min_font_size=scale_font_size(
+                        config.rendering.min_font_size, scale),
+                ))
+        elif translate_fn is not None:
+            texts = translate_fn(image, ordered, config)
+        else:
+            from ..services.translation import translate_detections
+
+            texts = translate_detections(image, ordered, config,
+                                         cleaned_by_idx=cleaned_by_idx)
+        info["texts"] = texts
+
+    # RENDER ------------------------------------------------------------------------
+    cancel.check("render")
+    with timers.span("render"):
+        for det, text in zip(ordered, texts):
+            if not text or not text.strip():
+                continue
+            c = cleaned_by_idx.get(det["_idx"])
+            image, ok = _render_one_bubble(image, det, text, c, config, scale)
+            info["rendered"] += int(ok)
+
+    # FINAL UPSCALE -------------------------------------------------------------------
+    if config.output.upscale_final_image:
+        cancel.check("final-upscale")
+        with timers.span("final_upscale"):
+            image = _upscale_pil(image, config.output.image_upscale_factor,
+                                 config.output.image_upscale_model)
+
+    if output_path:
+        with timers.span("save"):
+            save_image_with_compression(image, output_path,
+                                        config.output.jpeg_quality,
+                                        config.output.png_compression)
+
+    info["elapsed_s"] = time.perf_counter() - t_page
+    log_message(f"Page done in {info['elapsed_s']:.2f}s "
+                f"({info['rendered']}/{info['bubbles']} bubbles rendered)",
+                verbose=config.verbose)
+    return image, info

@@ -1,0 +1,1 @@
+"""Host-side LLM OCR/translation services and provider endpoints."""

@@ -1,0 +1,94 @@
+"""LLM response parsing.
+
+Counterpart of reference core/services/translation.py:898-1228: the unified
+numbered-list parser with missing-item placeholders, one-step "ocr || translation"
+splitting, and detection of text-only special formats (Rosetta JSON, Hy-MT2).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from typing import List, Optional, Tuple
+
+from ..exceptions import TranslationError
+from ..logging import log_message
+
+# "1: text", "1. text" — item runs until the next numbered line or the end
+_NUMBERED_RE = re.compile(
+    r'^\s*(\d+)\s*[:.]\s*"?\s*(.*?)\s*"?\s*(?=\s*\n\s*\d+\s*[:.]|\s*$)',
+    re.MULTILINE | re.DOTALL,
+)
+
+
+def parse_numbered_response(
+    response_text: Optional[str],
+    total_elements: int,
+    provider: str,
+    debug: bool = False,
+) -> List[str]:
+    """Parse the single-numbered-list schema; pad missing items with the
+    reference's placeholder format (``[Provider: Missing item i]``)."""
+    if response_text is None:
+        raise TranslationError(f"{provider}: API failed (returned None)")
+    if response_text == "":
+        raise TranslationError(f"{provider}: Empty response")
+
+    log_message(f"Raw response:\n---\n{response_text}\n---", verbose=debug)
+    found = {}
+    for num_str, text in _NUMBERED_RE.findall(response_text):
+        try:
+            num = int(num_str)
+        except ValueError:
+            continue
+        if 1 <= num <= total_elements:
+            found[num] = text.strip()
+    return [
+        found.get(i, f"[{provider}: Missing item {i}]")
+        for i in range(1, total_elements + 1)
+    ]
+
+
+def split_one_step_line(line: str) -> Tuple[str, str]:
+    """Split 'transcription || translation' (one-step schema). Lines without the
+    separator count as translation-only (reference :1798-1868)."""
+    if "||" in line:
+        ocr, _, tr = line.partition("||")
+        return ocr.strip(), tr.strip()
+    return "", line.strip()
+
+
+def parse_one_step_response(
+    response_text: Optional[str], total_elements: int, provider: str,
+    debug: bool = False,
+) -> Tuple[List[str], List[str]]:
+    """Returns (ocr_texts, translations)."""
+    lines = parse_numbered_response(response_text, total_elements, provider, debug)
+    ocr_texts, translations = [], []
+    for line in lines:
+        o, t = split_one_step_line(line)
+        ocr_texts.append(o)
+        translations.append(t)
+    return ocr_texts, translations
+
+
+def parse_rosetta_json(response_text: str, total_elements: int,
+                       provider: str) -> List[str]:
+    """Rosetta text-only models return a JSON array/object of translations
+    (reference :1091-1182)."""
+    try:
+        text = response_text.strip()
+        start = text.find("[")
+        end = text.rfind("]")
+        if start >= 0 and end > start:
+            arr = json.loads(text[start: end + 1])
+            out = [str(x).strip() for x in arr]
+        else:
+            obj = json.loads(text)
+            out = [str(obj[k]).strip() for k in sorted(obj, key=lambda s: int(s))]
+    except Exception:
+        return [f"[{provider}: Parse error]"] * total_elements
+    out = out[:total_elements]
+    out += [f"[{provider}: Missing item {i}]"
+            for i in range(len(out) + 1, total_elements + 1)]
+    return out

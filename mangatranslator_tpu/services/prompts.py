@@ -1,0 +1,217 @@
+"""System prompts and context-block assembly for the LLM OCR/translation calls.
+
+Prompt text parity with reference core/services/translation.py:73-296 — the
+prompt wording is part of the app's observable behavior (it determines output
+format and translation quality), so it is reproduced as data.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from ..config import TranslationConfig
+
+
+def _direction(reading_direction: str) -> str:
+    return ("right-to-left" if (reading_direction or "rtl").lower() == "rtl"
+            else "left-to-right")
+
+
+def build_system_prompt_ocr(input_language: Optional[str],
+                            reading_direction: str) -> str:
+    lang_label = f"{input_language} " if input_language else ""
+    direction = _direction(reading_direction)
+    return f"""
+## ROLE
+You are an expert manga OCR transcriber.
+
+## OBJECTIVE
+Your sole purpose is to accurately transcribe the original text from a series of provided images. You must not translate, interpret, or add commentary.
+
+## CORE RULES
+- **Reading Context:** The image crops are presented in a {direction} reading order. Do not reorder them.
+- **Transcription Policy:** Preserve all original punctuation, ellipses, and casing. Collapse multi-line text into a single line, separated by a single space.
+- **Ignore Policy:** Ignore all non-text visual elements (borders, tails, watermarks, etc.).
+- **Language Focus:** Transcribe only the original {lang_label}text.
+- **Ruby/Furigana Policy:** If small phonetic characters (ruby/furigana) are present, you must ignore them and transcribe only the main, larger base text.
+- **Visual Emphasis Policy:** If the source text is visually emphasized (bold, slanted, etc.), you must mirror that emphasis in your transcription using markdown-style markers: `*italic*` for slanted text, `**bold**` for bold text, `***bold-italic***` for both.
+- **Quotes:** Do not wrap the transcribed text in quotation marks unless they are explicitly present in the image.
+- **Edge Cases:**
+  - If an image contains standalone periods/ellipses, you must return it exactly as it appears.
+  - If text is indecipherable, you must return the exact token: `[OCR FAILED]`.
+
+## OUTPUT SCHEMA
+- You must return your response as a single numbered list with exactly one line per input image.
+- The numbering must correspond to the input image order (1, 2, 3...).
+- The format must be `i: <transcribed {lang_label}text>` where `i` is the input image number.
+- Do not include section headers, explanations, internal thoughts, or any extra formatting anywhere in your response.
+"""  # noqa: E501
+
+
+def previous_context_note(previous_context_image_count: int,
+                          previous_context_text_count: int,
+                          image_order: str) -> str:
+    has_images = previous_context_image_count > 0
+    has_text = previous_context_text_count > 0
+    if has_images and has_text:
+        return (
+            f" {previous_context_image_count} previous source page image(s) are "
+            "attached as visual reference, and transcribed text from "
+            f"{previous_context_text_count} previous source page(s) is provided "
+            "in `## PREVIOUS PAGE TRANSCRIPTS`. Image order: "
+            f"{image_order}. Use this previous-page context only as narrative "
+            "reference; do not transcribe, translate, or renumber previous-page "
+            "material."
+        )
+    if has_images:
+        return (
+            f" {previous_context_image_count} previous source page image(s) "
+            f"are attached as reference. Image order: {image_order}."
+        )
+    if has_text:
+        return (
+            f" Transcribed text from {previous_context_text_count} previous "
+            "source page(s) is provided in `## PREVIOUS PAGE TRANSCRIPTS` "
+            "as narrative reference only — do not translate or renumber it."
+        )
+    return ""
+
+
+_PREV_RULE_BOTH = """
+- **Previous Page Context:** Earlier source-page images and transcripts are visual/narrative context only; do not transcribe, translate, number, or count them. Use them to maintain consistency:
+  - **Proper Nouns:** Keep character names, place names, organizations, technique/skill/title names, honorifics, and stylized terms consistent with established usage.
+  - **Character Voice:** Preserve each character's established voice, register, and pronoun choices.
+  - **Referents:** Disambiguate callbacks, ongoing beats, or unclear references using prior visuals and dialogue."""  # noqa: E501
+
+_PREV_RULE_IMAGES = """
+- **Previous Page Reference:** Earlier source pages are visual/narrative context only — do not transcribe, translate, number, or count them. Use them to maintain consistency:
+  - **Proper Nouns:** Keep character names, place names, organizations, technique/skill/title names, honorifics, and stylized terms spelled exactly as they appeared previously.
+  - **Character Voice:** Preserve each character's established voice, register, and pronoun choices.
+  - **Referents:** Disambiguate callbacks, ongoing beats, or unclear references using prior context."""  # noqa: E501
+
+_PREV_RULE_TEXTS = """
+- **Previous Page Transcripts:** Earlier source-page transcribed text is provided as narrative context only — do not translate, number, or count it. Use it to maintain consistency:
+  - **Proper Nouns:** Keep character names, place names, organizations, technique/skill/title names, honorifics, and stylized terms aligned with their established usage.
+  - **Character Voice:** Preserve each character's established voice, register, and pronoun choices.
+  - **Referents:** Disambiguate callbacks, ongoing beats, or unclear references using prior dialogue."""  # noqa: E501
+
+
+def build_system_prompt_translation(
+    output_language: str,
+    mode: str,
+    reading_direction: str,
+    full_page_context: bool = False,
+    previous_context_image_count: int = 0,
+    previous_context_text_count: int = 0,
+) -> str:
+    if mode not in ("one-step", "two-step"):
+        raise ValueError(f"Invalid mode '{mode}' specified for translation system prompt.")
+    direction = _direction(reading_direction)
+    input_type = "transcriptions" if mode == "two-step" else "image crops"
+    cohesion_visual = (
+        " Refer to the full-page image to resolve ambiguous context."
+        if full_page_context else ""
+    )
+
+    if mode == "two-step":
+        edge_cases = """- **Edge Cases:**
+  - If an input line contains standalone periods/ellipses, you must return it exactly as it appears.
+  - If an input line is the exact token `[OCR FAILED]`, you must output it unchanged."""
+    else:
+        edge_cases = """- **Edge Cases:**
+  - If an image contains standalone periods/ellipses, you must return it exactly as it appears.
+  - If text is indecipherable, you must return the exact token: `[OCR FAILED]`."""
+
+    if previous_context_image_count > 0 and previous_context_text_count > 0:
+        prev_rule = _PREV_RULE_BOTH
+    elif previous_context_image_count > 0:
+        prev_rule = _PREV_RULE_IMAGES
+    elif previous_context_text_count > 0:
+        prev_rule = _PREV_RULE_TEXTS
+    else:
+        prev_rule = ""
+
+    core_rules = f"""
+## CORE RULES
+- **Reading Context:** The {input_type} are presented in a {direction} reading order. Do not reorder them.
+- **Cohesion:** Treat the input lines as a continuous narrative. Ensure the translation flows logically and naturally as a cohesive whole.{cohesion_visual}
+- **Fidelity:** Focus on intent; translate functionally rather than literally.
+- **Conciseness:** Keep translations idiomatic and concise.
+- **Emphasis:** If the source text is visually emphasized (bold, slanted, etc.), mirror that emphasis using the STYLING GUIDE.
+- **Punctuation:** Replace ellipses (e.g., "…") with consecutive periods (e.g., "...").
+- **Quotes:** Do not wrap the translated text in quotation marks unless they are explicitly present in the source text.
+- **Text Types:**
+  - **Spoken Dialogue/Internal Monologue:** Translate naturally, matching the character's personality.
+  - **Narration:** Translate neutrally without special styling.
+  - **Audible SFX:** Translate physical sounds (Giongo) as standard onomatopoeia.
+  - **Mimetic FX:** Translate atmospheric text (Gitaigo) or silent actions as descriptive verbs or adjectives. Do not add a period at the end.
+{edge_cases}{prev_rule}
+"""  # noqa: E501
+
+    shared = f"""
+## ROLE
+You are a professional manga localization translator and editor.
+
+## OBJECTIVE
+Your goal is to produce natural-sounding, high-quality translations in {output_language} that are faithful to the original source's meaning, tone, and visual emphasis.
+
+## STYLING GUIDE
+You must use the following markdown-style markers to convey emphasis:
+- `*italic*`: Used for onomatopoeias, thoughts, flashbacks, distant sounds, or dialogue mediated by a device (e.g., phone, radio).
+- `**bold**`: Used for sound effects, shouting, timestamps, or individual emphatic words.
+- `***bold-italic***`: Used for extremely loud sounds or dialogue that also meets the criteria for italics (e.g., shouting over a radio).
+
+{core_rules}
+"""  # noqa: E501
+
+    if mode == "one-step":
+        schema = f"""
+## OUTPUT SCHEMA
+- You must return your response as a single numbered list with exactly one line per input image.
+- The numbering must correspond to the input image order (1, 2, 3...).
+- For each item, provide both transcription and translation in the format:
+  `i: <transcribed text> || <translated {output_language} text>` where `i` is the input image number.
+- Do not include section headers, explanations, internal thoughts, or any extra formatting anywhere in your response.
+"""  # noqa: E501
+    else:
+        schema = f"""
+## OUTPUT SCHEMA
+- You must return your response as a single numbered list with exactly one line per input text.
+- The numbering must correspond to the input order (1, 2, 3...).
+- The format must be `i: <translated {output_language} text>` where `i` is the input text number.
+- Do not include section headers, explanations, internal thoughts, or any extra formatting anywhere in your response.
+"""  # noqa: E501
+    return shared + schema
+
+
+def format_previous_context_texts(
+    previous_context_texts: Optional[List[List[str]]],
+) -> str:
+    """Labeled transcript block, oldest-to-newest, failures omitted
+    (reference :1046-1085)."""
+    if not previous_context_texts:
+        return ""
+    blocks = []
+    for page_index, page_texts in enumerate(previous_context_texts, start=1):
+        if not page_texts:
+            continue
+        lines = [
+            f"{idx}: {(t or '').strip()}"
+            for idx, t in enumerate(page_texts, start=1)
+            if (t or "").strip() and (t or "").strip() != "[OCR FAILED]"
+        ]
+        if lines:
+            blocks.append(f"### Previous Page {page_index}\n" + "\n".join(lines))
+    if not blocks:
+        return ""
+    return (
+        "\n## PREVIOUS PAGE TRANSCRIPTS\n"
+        "Listed oldest-to-newest. These are reference only — do not translate or renumber.\n"
+        + "\n\n".join(blocks) + "\n"
+    )
+
+
+def format_special_instructions(config: TranslationConfig) -> str:
+    if config.special_instructions and config.special_instructions.strip():
+        return f"\n\n## SPECIAL INSTRUCTIONS\n{config.special_instructions.strip()}\n"
+    return ""

@@ -1,0 +1,34 @@
+"""Safe ZIP extraction (path-traversal guarded) — reference utils/archive.py:5."""
+
+from __future__ import annotations
+
+import zipfile
+from pathlib import Path
+from typing import List
+
+from ..exceptions import ValidationError
+
+IMAGE_EXTENSIONS = {".png", ".jpg", ".jpeg", ".webp", ".bmp"}
+
+
+def safe_extract_zip(zip_path: Path, dest_dir: Path) -> List[Path]:
+    """Extract a ZIP refusing entries that escape dest_dir. Returns extracted
+    image paths in archive order."""
+    dest_dir = Path(dest_dir).resolve()
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    out: List[Path] = []
+    with zipfile.ZipFile(zip_path) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            target = (dest_dir / info.filename).resolve()
+            if not str(target).startswith(str(dest_dir)):
+                raise ValidationError(
+                    f"ZIP entry escapes extraction directory: {info.filename}"
+                )
+            target.parent.mkdir(parents=True, exist_ok=True)
+            with zf.open(info) as src, open(target, "wb") as dst:
+                dst.write(src.read())
+            if target.suffix.lower() in IMAGE_EXTENSIONS:
+                out.append(target)
+    return out

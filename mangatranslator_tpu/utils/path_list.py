@@ -1,0 +1,32 @@
+"""Failed-paths list round-trip (reference utils/path_list.py:36,80).
+
+A batch run writes the paths that failed to ``failed_paths.txt``; that file can
+be fed back as batch input to retry exactly those pages.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List
+
+
+def write_failed_paths(paths: List[str], out_file: Path) -> None:
+    out_file = Path(out_file)
+    out_file.parent.mkdir(parents=True, exist_ok=True)
+    out_file.write_text("\n".join(str(p) for p in paths) + ("\n" if paths else ""),
+                        encoding="utf-8")
+
+
+def read_failed_paths(list_file: Path) -> List[Path]:
+    """Existing, de-duplicated paths from a failed-paths .txt (order kept)."""
+    seen = set()
+    out: List[Path] = []
+    for line in Path(list_file).read_text(encoding="utf-8").splitlines():
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        p = Path(line)
+        if p.exists() and str(p) not in seen:
+            seen.add(str(p))
+            out.append(p)
+    return out

@@ -1,0 +1,164 @@
+"""End-to-end page pipeline in test mode (zero network, planted detectors).
+
+The golden-path e2e per SURVEY.md §4: full pipeline with placeholder text.
+Detector runners are planted via the model-manager cache; cleaning, sorting,
+layout, and rendering run for real.
+"""
+
+import numpy as np
+import cv2
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.config import MangaTranslatorConfig
+from mangatranslator_tpu.exceptions import CancellationError
+from mangatranslator_tpu.models.manager import (
+    ModelType,
+    get_model_manager,
+    reset_model_manager,
+)
+from mangatranslator_tpu.pipeline import CancellationManager, translate_and_render
+from tests.test_detection import FakeRunner, lb
+
+FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+PAGE_H, PAGE_W = 600, 450
+
+
+def make_page():
+    """Two white bubbles with dark text strokes on a gray page."""
+    img = np.full((PAGE_H, PAGE_W, 3), 170, np.uint8)
+    # two bubbles side by side (same row band) so RTL ordering is observable
+    bubbles = [((140, 150), (100, 80)), ((330, 160), (105, 85))]  # (cx,cy),(ax,ay)
+    boxes = []
+    for (cx, cy), (ax, ay) in bubbles:
+        cv2.ellipse(img, (cx, cy), (ax, ay), 0, 0, 360, (250, 250, 250), -1)
+        cv2.ellipse(img, (cx, cy), (ax, ay), 0, 0, 360, (30, 30, 30), 3)
+        for k in range(3):
+            y = cy - 25 + k * 22
+            cv2.line(img, (cx - 50, y), (cx + 50, y), (40, 40, 40), 5)
+        boxes.append([cx - ax, cy - ay, cx + ax, cy + ay])
+    return img, boxes
+
+
+@pytest.fixture()
+def planted_manager():
+    reset_model_manager()
+    reset_cache()
+    img, boxes = make_page()
+    mgr = get_model_manager()
+    imgsz = 256
+    bubble_runner = FakeRunner(
+        imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0) for b in boxes])
+    panel_runner = FakeRunner(
+        imgsz, [(lb([5, 5, PAGE_W - 5, PAGE_H - 5], (PAGE_H, PAGE_W), imgsz),
+                 0.8, 0)], with_masks=False)
+    # seed the runner cache so the pipeline never builds real models
+    for size in (imgsz, 640, 1600):
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_PANEL, size)] = panel_runner
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = FakeRunner(
+            size, [], with_masks=False)
+    yield mgr, img, boxes
+    reset_model_manager()
+
+
+def make_config(**kw):
+    cfg = MangaTranslatorConfig(yolo_model_path="x", **kw)
+    cfg.rendering.font_dir = FONT_DIR
+    cfg.rendering.max_font_size = 28
+    cfg.rendering.min_font_size = 6
+    return cfg
+
+
+class TestEndToEnd:
+    def test_test_mode_full_page(self, planted_manager, tmp_path):
+        mgr, img, boxes = planted_manager
+        cfg = make_config(test_mode=True)
+        out_path = tmp_path / "page_translated.png"
+        result, info = translate_and_render(
+            Image.fromarray(img), cfg, output_path=out_path)
+
+        assert out_path.exists()
+        assert info["bubbles"] == 2
+        assert info["rendered"] == 2
+        assert all(t.startswith("Lorem") for t in info["texts"])
+
+        arr = np.asarray(result)
+        # original text strokes cleaned away (white fill at stroke rows)
+        assert arr[150 - 25, 140, 0] > 200
+        # some placeholder glyph pixels rendered inside the left bubble
+        roi1 = arr[70:230, 40:240]
+        assert (roi1 < 100).any()
+
+    def test_cleaning_only_mode(self, planted_manager, tmp_path):
+        mgr, img, boxes = planted_manager
+        cfg = make_config(cleaning_only=True)
+        out_path = tmp_path / "cleaned.png"
+        result, info = translate_and_render(Image.fromarray(img), cfg,
+                                            output_path=out_path)
+        assert out_path.exists()
+        arr = np.asarray(result)
+        assert arr[125, 140, 0] > 200  # strokes gone
+        assert "texts" not in info
+
+    def test_no_detections_passthrough(self, planted_manager, tmp_path):
+        mgr, img, _ = planted_manager
+        # raise confidence above planted 0.9 → no detections
+        cfg = make_config(test_mode=True)
+        cfg.detection.confidence = 0.95
+        result, info = translate_and_render(Image.fromarray(img), cfg)
+        assert info["bubbles"] == 0
+        np.testing.assert_array_equal(np.asarray(result), img)
+
+    def test_cancellation(self, planted_manager):
+        mgr, img, _ = planted_manager
+        cfg = make_config(test_mode=True)
+        cancel = CancellationManager()
+        cancel.cancel()
+        with pytest.raises(CancellationError):
+            translate_and_render(Image.fromarray(img), cfg, cancellation=cancel)
+
+    def test_output_format_jpeg(self, planted_manager, tmp_path):
+        mgr, img, _ = planted_manager
+        cfg = make_config(test_mode=True)
+        cfg.output.output_format = "jpeg"
+        out_path = tmp_path / "page_translated.jpg"
+        translate_and_render(Image.fromarray(img), cfg, output_path=out_path)
+        assert out_path.exists()
+        assert Image.open(out_path).format == "JPEG"
+
+    def test_reading_order_rtl(self, planted_manager):
+        """RTL: the right bubble (x≈420) must be translated first."""
+        mgr, img, boxes = planted_manager
+        cfg = make_config(test_mode=True)
+        captured = []
+
+        def fake_translate(image, ordered, config):
+            captured.extend(d["bbox"][0] for d in ordered)
+            return ["Hi"] * len(ordered)
+
+        cfg.test_mode = False
+        translate_and_render(Image.fromarray(img), cfg,
+                             translate_fn=fake_translate)
+        assert captured[0] > captured[1]  # rightmost first (rtl)
+
+
+class TestPipelineIO:
+    def test_resolve_output_path(self, tmp_path):
+        from mangatranslator_tpu.pipeline.io import resolve_output_path
+
+        p = resolve_output_path(tmp_path / "ch1" / "p01.png", tmp_path / "out",
+                                output_format="webp")
+        assert p == tmp_path / "out" / "p01_translated.webp"
+        p2 = resolve_output_path(tmp_path / "p01.jpg", None, "auto")
+        assert p2.name == "p01_translated.jpg"
+
+    def test_natural_sort(self, tmp_path):
+        from mangatranslator_tpu.pipeline.io import collect_images
+
+        for name in ("p10.png", "p2.png", "p1.png"):
+            Image.new("RGB", (4, 4)).save(tmp_path / name)
+        files = collect_images(tmp_path)
+        assert [f.name for f in files] == ["p1.png", "p2.png", "p10.png"]
