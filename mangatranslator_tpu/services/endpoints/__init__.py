@@ -1,0 +1,34 @@
+"""Provider endpoint registry (reference utils/endpoints/__init__.py:12-24).
+
+All ten providers share one calling convention:
+    call(api_key_or_cfg, model_name, parts, generation_config, system_prompt,
+         debug=..., timeout=..., ...) -> Optional[str]
+``parts`` use the Google inline format ({"text": ...} or
+{"inline_data": {"mime_type", "data"}}); each endpoint reshapes them.
+"""
+
+from .google import call_gemini_endpoint  # noqa: F401
+from .openai import call_openai_endpoint  # noqa: F401
+from .anthropic import call_anthropic_endpoint  # noqa: F401
+from .openai_chat import (  # noqa: F401
+    call_deepseek_endpoint,
+    call_mimo_endpoint,
+    call_moonshot_endpoint,
+    call_openai_compatible_endpoint,
+    call_openrouter_endpoint,
+    call_xai_endpoint,
+    call_zai_endpoint,
+)
+
+ENDPOINTS = {
+    "Google": call_gemini_endpoint,
+    "OpenAI": call_openai_endpoint,
+    "Anthropic": call_anthropic_endpoint,
+    "SpaceXAI": call_xai_endpoint,
+    "DeepSeek": call_deepseek_endpoint,
+    "Z.ai": call_zai_endpoint,
+    "Moonshot AI": call_moonshot_endpoint,
+    "Xiaomi MiMo": call_mimo_endpoint,
+    "OpenRouter": call_openrouter_endpoint,
+    "OpenAI-Compatible": call_openai_compatible_endpoint,
+}

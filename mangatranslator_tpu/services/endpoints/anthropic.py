@@ -1,0 +1,84 @@
+"""Anthropic Messages API endpoint (reference utils/endpoints/anthropic.py:19-120):
+temperature clamped ≤1.0, thinking config tiers, effort parameter."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ...config import calculate_reasoning_budget
+from ...exceptions import ValidationError
+from ..http import post_json_with_retries
+
+BASE_URL = "https://api.anthropic.com"
+API_VERSION = "2023-06-01"
+
+
+def call_anthropic_endpoint(
+    api_key: str,
+    model_name: str,
+    parts: List[Dict[str, Any]],
+    generation_config: Dict[str, Any],
+    system_prompt: Optional[str] = None,
+    debug: bool = False,
+    timeout: int = 120,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    base_url: str = BASE_URL,
+) -> Optional[str]:
+    if not api_key:
+        raise ValidationError("API key is required for Anthropic endpoint")
+
+    content: List[Dict[str, Any]] = []
+    for part in parts:
+        if "inline_data" in part:
+            d = part["inline_data"]
+            content.append({
+                "type": "image",
+                "source": {"type": "base64", "media_type": d["mime_type"],
+                           "data": d["data"]},
+            })
+        elif "text" in part:
+            content.append({"type": "text", "text": part["text"]})
+
+    flags = generation_config.get("_metadata", {})
+    max_tokens = generation_config.get("max_tokens", 4096)
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "max_tokens": max_tokens,
+        "messages": [{"role": "user", "content": content}],
+    }
+    if system_prompt:
+        payload["system"] = system_prompt
+
+    no_sampling = flags.get("is_claude_effort_xhigh") or flags.get(
+        "is_claude_no_sampling")
+    if not no_sampling:
+        if "temperature" in generation_config:
+            payload["temperature"] = min(generation_config["temperature"], 1.0)
+        if generation_config.get("top_k"):
+            payload["top_k"] = generation_config["top_k"]
+
+    thinking_type = generation_config.get("thinking_type")
+    effort_level = generation_config.get("reasoning_effort")
+    if thinking_type == "adaptive":
+        payload["thinking"] = {"type": "adaptive"}
+    elif thinking_type == "enabled" and effort_level not in (None, "none", "auto"):
+        budget = max(1024, calculate_reasoning_budget(max_tokens, effort_level))
+        payload["thinking"] = {"type": "enabled", "budget_tokens": budget}
+        payload.pop("temperature", None)
+        payload.pop("top_k", None)
+    elif thinking_type == "disabled":
+        payload["thinking"] = {"type": "disabled"}
+    if generation_config.get("effort"):
+        payload["output_config"] = {"effort": generation_config["effort"]}
+
+    result = post_json_with_retries(
+        f"{base_url}/v1/messages", payload,
+        headers={"x-api-key": api_key, "anthropic-version": API_VERSION},
+        provider="Anthropic", timeout=timeout, max_retries=max_retries,
+        base_delay=base_delay, debug=debug,
+    )
+    for block in result.get("content", []):
+        if block.get("type") == "text" and block.get("text"):
+            return block["text"].strip()
+    return None

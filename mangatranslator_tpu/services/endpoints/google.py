@@ -1,0 +1,84 @@
+"""Google Gemini endpoint (reference utils/endpoints/google.py:11-179).
+
+v1alpha for Gemini-3 (per-part media_resolution), safety filters off, optional
+googleSearch/code_execution tools, thought-part filtering.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ...exceptions import ValidationError
+from ...logging import log_message
+from ..http import post_json_with_retries
+
+_SAFETY_OFF = [
+    {"category": c, "threshold": "BLOCK_NONE"}
+    for c in (
+        "HARM_CATEGORY_HARASSMENT",
+        "HARM_CATEGORY_HATE_SPEECH",
+        "HARM_CATEGORY_SEXUALLY_EXPLICIT",
+        "HARM_CATEGORY_DANGEROUS_CONTENT",
+    )
+]
+
+BASE_URL = "https://generativelanguage.googleapis.com"
+
+
+def call_gemini_endpoint(
+    api_key: str,
+    model_name: str,
+    parts: List[Dict[str, Any]],
+    generation_config: Dict[str, Any],
+    system_prompt: Optional[str] = None,
+    debug: bool = False,
+    timeout: int = 120,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    enable_web_search: bool = False,
+    enable_code_execution: bool = False,
+    base_url: str = BASE_URL,
+) -> Optional[str]:
+    if not api_key:
+        raise ValidationError("API key is required for Google endpoint")
+    api_version = "v1alpha" if "gemini-3" in (model_name or "").lower() else "v1beta"
+    url = (f"{base_url}/{api_version}/models/{model_name}:generateContent"
+           f"?key={api_key}")
+
+    gen_cfg = dict(generation_config)
+    gen_cfg.pop("media_resolution", None)  # applied per-part upstream
+    payload: Dict[str, Any] = {
+        "contents": [{"parts": parts}],
+        "generationConfig": gen_cfg,
+        "safetySettings": _SAFETY_OFF,
+    }
+    if system_prompt:
+        payload["systemInstruction"] = {"parts": [{"text": system_prompt}]}
+    tools = []
+    if enable_web_search:
+        tools.append({"googleSearch": {}})
+    if enable_code_execution:
+        tools.append({"code_execution": {}})
+    if tools:
+        payload["tools"] = tools
+
+    result = post_json_with_retries(url, payload, provider="Google",
+                                    timeout=timeout, max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    feedback = result.get("promptFeedback")
+    if feedback and feedback.get("blockReason"):
+        log_message(f"Google blocked: {feedback['blockReason']}", always_print=True)
+        return None
+    candidates = result.get("candidates") or []
+    if not candidates:
+        return None
+    content_parts = candidates[0].get("content", {}).get("parts", [{}])
+    for part in content_parts:
+        if "text" in part and not part.get("thought", False):
+            return part["text"].strip()
+    if content_parts and "text" in content_parts[0]:
+        return content_parts[0]["text"].strip()
+    log_message(
+        f"No text in Google response (finish: "
+        f"{candidates[0].get('finishReason', 'unknown')})", always_print=True)
+    return None

@@ -1,0 +1,79 @@
+"""OpenAI Responses API endpoint (reference utils/endpoints/openai.py, 252 LoC):
+input_image/input_text content, reasoning effort/mode, verbosity."""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ...exceptions import ValidationError
+from ..http import post_json_with_retries
+from ..metadata import resolve_openai_api_model_name
+
+BASE_URL = "https://api.openai.com"
+
+
+def call_openai_endpoint(
+    api_key: str,
+    model_name: str,
+    parts: List[Dict[str, Any]],
+    generation_config: Dict[str, Any],
+    system_prompt: Optional[str] = None,
+    debug: bool = False,
+    timeout: int = 120,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    base_url: str = BASE_URL,
+) -> Optional[str]:
+    if not api_key:
+        raise ValidationError("API key is required for OpenAI endpoint")
+
+    detail = generation_config.get("image_detail", "auto")
+    content: List[Dict[str, Any]] = []
+    for part in parts:
+        if "inline_data" in part:
+            d = part["inline_data"]
+            img: Dict[str, Any] = {
+                "type": "input_image",
+                "image_url": f"data:{d['mime_type']};base64,{d['data']}",
+            }
+            if detail != "original":
+                img["detail"] = detail
+            content.append(img)
+        elif "text" in part:
+            content.append({"type": "input_text", "text": part["text"]})
+
+    payload: Dict[str, Any] = {
+        "model": resolve_openai_api_model_name(model_name),
+        "input": [{"role": "user", "content": content}],
+        "max_output_tokens": generation_config.get("max_output_tokens", 4096),
+    }
+    if system_prompt:
+        payload["instructions"] = system_prompt
+    for key in ("temperature", "top_p"):
+        if key in generation_config:
+            payload[key] = generation_config[key]
+    reasoning: Dict[str, Any] = {}
+    if "reasoning_effort" in generation_config:
+        reasoning["effort"] = generation_config["reasoning_effort"]
+    if generation_config.get("reasoning_mode"):
+        reasoning["mode"] = generation_config["reasoning_mode"]
+    if reasoning:
+        payload["reasoning"] = reasoning
+    if "verbosity" in generation_config:
+        payload["text"] = {"verbosity": generation_config["verbosity"]}
+
+    result = post_json_with_retries(
+        f"{base_url}/v1/responses", payload,
+        headers={"Authorization": f"Bearer {api_key}"},
+        provider="OpenAI", timeout=timeout, max_retries=max_retries,
+        base_delay=base_delay, debug=debug,
+    )
+    # Responses API: output[] → message → content[] → output_text
+    if isinstance(result.get("output_text"), str):
+        return result["output_text"].strip()
+    for item in result.get("output", []):
+        if item.get("type") == "message":
+            for c in item.get("content", []):
+                if c.get("type") == "output_text" and c.get("text"):
+                    return c["text"].strip()
+    return None

@@ -1,0 +1,212 @@
+"""Chat-completions-style providers: SpaceXAI, DeepSeek, Z.ai, Moonshot AI,
+Xiaomi MiMo, OpenRouter, OpenAI-Compatible.
+
+Reference: utils/endpoints/{spacexai,deepseek,zai,moonshot,mimo,openrouter,
+openai_compatible}.py — all reshape Google-style parts into OpenAI chat
+messages with provider-specific extra fields.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ...exceptions import ValidationError
+from ..http import post_json_with_retries
+
+
+def _chat_messages(parts: List[Dict[str, Any]],
+                   system_prompt: Optional[str]) -> List[Dict[str, Any]]:
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    user_content: List[Dict[str, Any]] = []
+    for part in parts:
+        if "inline_data" in part:
+            d = part["inline_data"]
+            user_content.append({
+                "type": "image_url",
+                "image_url": {"url": f"data:{d['mime_type']};base64,{d['data']}"},
+            })
+    text = next((p["text"] for p in parts if "text" in p), None)
+    if text is None:
+        raise ValidationError("No text prompt found in parts")
+    user_content.append({"type": "text", "text": text})
+    messages.append({"role": "user", "content": user_content})
+    return messages
+
+
+def _extract_chat_text(result: Dict[str, Any]) -> Optional[str]:
+    choices = result.get("choices") or []
+    if not choices:
+        return None
+    msg = choices[0].get("message", {})
+    content = msg.get("content")
+    if isinstance(content, list):  # some providers return content blocks
+        for block in content:
+            if isinstance(block, dict) and block.get("type") == "text":
+                return (block.get("text") or "").strip()
+        return None
+    return content.strip() if content else None
+
+
+def _call_chat(
+    url: str,
+    api_key: Optional[str],
+    model_name: str,
+    parts: List[Dict[str, Any]],
+    generation_config: Dict[str, Any],
+    system_prompt: Optional[str],
+    provider: str,
+    extra_payload: Optional[Dict[str, Any]] = None,
+    extra_headers: Optional[Dict[str, str]] = None,
+    passthrough_keys: tuple = ("temperature", "top_p", "top_k", "reasoning_effort",
+                               "thinking"),
+    timeout: int = 120,
+    max_retries: int = 3,
+    base_delay: float = 1.0,
+    debug: bool = False,
+) -> Optional[str]:
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": _chat_messages(parts, system_prompt),
+        "max_tokens": generation_config.get("max_tokens", 4096),
+    }
+    for key in passthrough_keys:
+        value = generation_config.get(key)
+        if value is not None:
+            payload[key] = value
+    if extra_payload:
+        payload.update(extra_payload)
+    headers = {"Content-Type": "application/json"}
+    if api_key:
+        headers["Authorization"] = f"Bearer {api_key}"
+    if extra_headers:
+        headers.update(extra_headers)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider=provider, timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+def call_xai_endpoint(api_key, model_name, parts, generation_config,
+                      system_prompt=None, debug=False, timeout=120,
+                      max_retries=3, base_delay=1.0,
+                      base_url="https://api.x.ai") -> Optional[str]:
+    """SpaceXAI/xAI (reference spacexai.py, 243 LoC)."""
+    if not api_key:
+        raise ValidationError("API key is required for SpaceXAI endpoint")
+    extra = {}
+    if generation_config.get("prompt_cache_key"):
+        extra["prompt_cache_key"] = generation_config["prompt_cache_key"]
+    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
+                      parts, generation_config, system_prompt, "SpaceXAI",
+                      extra_payload=extra, timeout=timeout,
+                      max_retries=max_retries, base_delay=base_delay, debug=debug)
+
+
+def call_deepseek_endpoint(api_key, model_name, parts, generation_config,
+                           system_prompt=None, debug=False, timeout=120,
+                           max_retries=3, base_delay=1.0,
+                           base_url="https://api.deepseek.com") -> Optional[str]:
+    """DeepSeek (reference deepseek.py, 195 LoC)."""
+    if not api_key:
+        raise ValidationError("API key is required for DeepSeek endpoint")
+    return _call_chat(f"{base_url}/chat/completions", api_key, model_name, parts,
+                      generation_config, system_prompt, "DeepSeek",
+                      timeout=timeout, max_retries=max_retries,
+                      base_delay=base_delay, debug=debug)
+
+
+def call_zai_endpoint(api_key, model_name, parts, generation_config,
+                      system_prompt=None, debug=False, timeout=120,
+                      max_retries=3, base_delay=1.0,
+                      base_url="https://api.z.ai/api/paas") -> Optional[str]:
+    """Z.ai GLM (reference zai.py, 220 LoC)."""
+    if not api_key:
+        raise ValidationError("API key is required for Z.ai endpoint")
+    return _call_chat(f"{base_url}/v4/chat/completions", api_key, model_name,
+                      parts, generation_config, system_prompt, "Z.ai",
+                      timeout=timeout, max_retries=max_retries,
+                      base_delay=base_delay, debug=debug)
+
+
+def call_moonshot_endpoint(api_key, model_name, parts, generation_config,
+                           system_prompt=None, debug=False, timeout=120,
+                           max_retries=3, base_delay=1.0,
+                           base_url="https://api.moonshot.ai") -> Optional[str]:
+    """Moonshot AI Kimi (reference moonshot.py, 225 LoC)."""
+    if not api_key:
+        raise ValidationError("API key is required for Moonshot endpoint")
+    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
+                      parts, generation_config, system_prompt, "Moonshot AI",
+                      timeout=timeout, max_retries=max_retries,
+                      base_delay=base_delay, debug=debug)
+
+
+def call_mimo_endpoint(api_key, model_name, parts, generation_config,
+                       system_prompt=None, debug=False, timeout=120,
+                       max_retries=3, base_delay=1.0,
+                       base_url="https://api.xiaomimimo.com") -> Optional[str]:
+    """Xiaomi MiMo (reference mimo.py, 201 LoC)."""
+    if not api_key:
+        raise ValidationError("API key is required for MiMo endpoint")
+    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
+                      parts, generation_config, system_prompt, "Xiaomi MiMo",
+                      timeout=timeout, max_retries=max_retries,
+                      base_delay=base_delay, debug=debug)
+
+
+def call_openrouter_endpoint(api_key, model_name, parts, generation_config,
+                             system_prompt=None, debug=False, timeout=120,
+                             max_retries=3, base_delay=1.0,
+                             base_url="https://openrouter.ai/api") -> Optional[str]:
+    """OpenRouter (reference openrouter.py:19-323): chat completions with
+    reasoning block and optional provider-specific extras from _metadata."""
+    if not api_key:
+        raise ValidationError("API key is required for OpenRouter endpoint")
+    meta = generation_config.get("_metadata", {})
+    extra: Dict[str, Any] = {}
+    effort = generation_config.get("reasoning_effort")
+    if effort and effort not in ("none", "auto"):
+        extra["reasoning"] = {"effort": effort}
+    if generation_config.get("verbosity"):
+        extra["verbosity"] = generation_config["verbosity"]
+    if meta.get("is_claude_effort") and generation_config.get("effort"):
+        extra["effort"] = generation_config["effort"]
+    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
+                      parts, generation_config, system_prompt, "OpenRouter",
+                      extra_payload=extra,
+                      extra_headers={"HTTP-Referer": "https://mangatranslator",
+                                     "X-Title": "MangaTranslator"},
+                      timeout=timeout, max_retries=max_retries,
+                      base_delay=base_delay, debug=debug)
+
+
+def call_openrouter_models_metadata(api_key: Optional[str] = None,
+                                    timeout: int = 30) -> Dict[str, Any]:
+    """Fetch OpenRouter model metadata to detect reasoning support
+    (reference openrouter.py:19-64)."""
+    import requests
+
+    headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
+    resp = requests.get("https://openrouter.ai/api/v1/models", headers=headers,
+                        timeout=timeout)
+    resp.raise_for_status()
+    return resp.json()
+
+
+def call_openai_compatible_endpoint(base_url, api_key, model_name, parts,
+                                    generation_config, system_prompt=None,
+                                    debug=False, timeout=480, max_retries=5,
+                                    base_delay=1.0) -> Optional[str]:
+    """Generic llama.cpp-style endpoint (reference openai_compatible.py:11-203).
+
+    Note the distinct signature: base_url first, longer timeout, 5 retries.
+    """
+    if not base_url:
+        raise ValidationError("Base URL is required for OpenAI-Compatible endpoint")
+    return _call_chat(f"{base_url.rstrip('/')}/chat/completions", api_key,
+                      model_name, parts, generation_config, system_prompt,
+                      "OpenAI-Compatible", timeout=timeout,
+                      max_retries=max_retries, base_delay=base_delay, debug=debug)

@@ -1,0 +1,267 @@
+"""Per-provider generation-config shaping.
+
+Behavior parity with reference core/services/translation.py:301-688
+(_build_generation_config): max-token defaults (16384 reasoning / 4096),
+provider caps, Gemini thinkingConfig/budgets, OpenAI reasoning effort &
+verbosity, Anthropic thinking tiers, Grok/DeepSeek/Z.ai/Moonshot/MiMo variants,
+and the OpenRouter metadata blob.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, Optional
+
+from ..config import TranslationConfig, calculate_reasoning_budget
+from ..exceptions import TranslationError
+from ..logging import log_message
+from . import metadata as MD
+
+MEDIA_RESOLUTION_MAP = {
+    "auto": "MEDIA_RESOLUTION_UNSPECIFIED",
+    "high": "MEDIA_RESOLUTION_HIGH",
+    "medium": "MEDIA_RESOLUTION_MEDIUM",
+    "low": "MEDIA_RESOLUTION_LOW",
+}
+
+_REASONING_PREDICATES: Dict[str, Callable[[Optional[str]], bool]] = {
+    "Google": MD.is_google_reasoning_model,
+    "OpenAI": MD.is_openai_reasoning_model,
+    "Anthropic": MD.is_anthropic_reasoning_model,
+    "SpaceXAI": MD.is_xai_reasoning_model,
+    "OpenAI-Compatible": MD.is_openai_compatible_reasoning_model,
+    "DeepSeek": MD.is_deepseek_reasoning_model,
+    "Z.ai": MD.is_zai_reasoning_model,
+    "Moonshot AI": MD.is_moonshot_reasoning_model,
+    "Xiaomi MiMo": MD.is_mimo_reasoning_model,
+}
+
+
+def _resolve_max_tokens(provider: str, model_name: str,
+                        config: TranslationConfig,
+                        openrouter_is_reasoning: Optional[bool]) -> int:
+    if config.max_tokens is not None:
+        value = config.max_tokens
+    else:
+        if provider == "OpenRouter":
+            is_reasoning = bool(openrouter_is_reasoning)
+        else:
+            is_reasoning = _REASONING_PREDICATES.get(provider, lambda _: False)(
+                model_name)
+        value = 16384 if is_reasoning else 4096
+    cap = MD.get_max_tokens_cap(provider, model_name)
+    return min(value, cap) if cap is not None else value
+
+
+def _normalized_image_detail(config: TranslationConfig, model_name: str) -> str:
+    detail = (config.image_detail or "auto").lower()
+    if detail not in ("auto", "original", "high", "low"):
+        detail = "auto"
+    if detail == "original" and not MD.supports_openai_original_image_detail(model_name):
+        detail = "high"
+    return detail
+
+
+def build_generation_config(
+    provider: str,
+    model_name: str,
+    config: TranslationConfig,
+    debug: bool = False,
+    prompt_cache_key: Optional[str] = None,
+    openrouter_is_reasoning: Optional[bool] = None,
+) -> Dict[str, Any]:
+    """Provider-specific payload parameters for one API call."""
+    t, p, k = config.temperature, config.top_p, config.top_k
+    sampling = config.use_custom_sampling
+    max_tokens = _resolve_max_tokens(provider, model_name, config,
+                                     openrouter_is_reasoning)
+
+    if provider == "Google":
+        gc: Dict[str, Any] = {"maxOutputTokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": t, "topP": p, "topK": k})
+        gemini3 = MD.is_gemini_3_model(model_name)
+        if not gemini3:
+            gc["media_resolution"] = MEDIA_RESOLUTION_MAP.get(
+                config.media_resolution.lower(), "MEDIA_RESOLUTION_UNSPECIFIED")
+        if gemini3 or MD.is_gemma_model(model_name):
+            gc["thinkingConfig"] = {"thinkingLevel": config.reasoning_effort or "high"}
+        elif MD.is_google_reasoning_model(model_name):
+            effort = config.reasoning_effort or "auto"
+            if effort == "none":
+                if MD.is_gemini_25_flash_model(model_name):
+                    gc["thinkingConfig"] = {"thinkingBudget": 0}
+                elif MD.is_gemini_25_pro_model(model_name):
+                    gc["thinkingConfig"] = {"thinkingBudget": 128}
+            elif effort != "auto":
+                gc["thinkingConfig"] = {
+                    "thinkingBudget": calculate_reasoning_budget(max_tokens, effort)
+                }
+        return gc
+
+    if provider == "OpenAI":
+        gc = {"max_output_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": t, "top_p": p})  # no top_k on OpenAI
+        gc["image_detail"] = _normalized_image_detail(config, model_name)
+        chat = MD.is_gpt5_chat_variant(model_name)
+        if MD.is_openai_reasoning_model(model_name) and not chat:
+            gen = MD.get_gpt5_generation(model_name)
+            effort = config.reasoning_effort or "high"
+            if effort == "max" and not MD.supports_gpt5_max_effort(model_name):
+                effort = ("xhigh" if MD.supports_gpt5_xhigh_effort(model_name)
+                          else "high")
+            if effort == "xhigh" and not MD.supports_gpt5_xhigh_effort(model_name):
+                effort = "high"
+            if (gen is not None and gen != "5") or effort != "none":
+                gc["reasoning_effort"] = effort
+            if MD.is_gpt56_virtual_pro(model_name):
+                gc["reasoning_mode"] = "pro"
+        if MD.is_gpt5_series(model_name) and not chat:
+            gc["verbosity"] = config.verbosity or "low"
+        return gc
+
+    if provider == "Anthropic":
+        flags = MD.anthropic_model_flags(model_name)
+        gc = {"max_tokens": max_tokens, "_metadata": dict(flags)}
+        if sampling:
+            gc.update({"temperature": min(t, 1.0), "top_k": k})
+        if MD.is_anthropic_reasoning_model(model_name):
+            omit = flags.get("is_claude_omit_thinking", False)
+            adaptive = flags.get("is_claude_adaptive_default", False)
+            effort = config.reasoning_effort or ("auto" if adaptive else "none")
+            gc["reasoning_effort"] = effort
+            if adaptive and not omit:
+                gc["thinking_type"] = "disabled" if effort == "none" else "adaptive"
+            elif flags.get("is_claude_effort_max") and not omit:
+                if effort == "auto":
+                    gc["thinking_type"] = "adaptive"
+            elif not omit and effort != "none":
+                gc["thinking_type"] = "enabled"
+        if flags and config.effort:
+            gc["effort"] = config.effort
+        return gc
+
+    if provider == "SpaceXAI":
+        gc = {"max_tokens": max_tokens, "media_resolution": config.media_resolution}
+        if prompt_cache_key:
+            gc["prompt_cache_key"] = prompt_cache_key
+        if sampling:
+            gc.update({"temperature": t, "top_p": p})
+        if MD.supports_xai_reasoning_parameter(model_name):
+            gc["reasoning_effort"] = config.reasoning_effort or "high"
+        return gc
+
+    if provider == "DeepSeek":
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": t, "top_p": p})
+        if MD.is_deepseek_reasoning_model(model_name):
+            effort = config.reasoning_effort or "high"
+            enabled = effort != "none"
+            gc["thinking"] = {"type": "enabled" if enabled else "disabled"}
+            if enabled:
+                gc["reasoning_effort"] = effort
+        return gc
+
+    if provider == "Z.ai":
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": t, "top_p": p})
+        if MD.is_zai_reasoning_model(model_name):
+            supports_effort = MD.supports_zai_reasoning_effort(model_name)
+            effort = config.reasoning_effort or ("high" if supports_effort else "auto")
+            enabled = effort != "none"
+            gc["thinking"] = {"type": "enabled" if enabled else "disabled"}
+            if enabled and supports_effort:
+                gc["reasoning_effort"] = effort
+        return gc
+
+    if provider == "Moonshot AI":
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": min(t, 1.0), "top_p": p})
+        if MD.is_moonshot_reasoning_model(model_name):
+            if MD.supports_moonshot_reasoning_effort(model_name):
+                effort = config.reasoning_effort or "high"
+                if effort not in ("low", "high", "max"):
+                    effort = "high"
+                gc["reasoning_effort"] = effort
+            else:
+                effort = config.reasoning_effort or "auto"
+                gc["thinking"] = {
+                    "type": "enabled" if effort != "none" else "disabled"}
+        return gc
+
+    if provider == "Xiaomi MiMo":
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": min(t, 1.0), "top_p": p})
+        if MD.is_mimo_reasoning_model(model_name):
+            effort = config.reasoning_effort or "auto"
+            gc["thinking"] = {"type": "enabled" if effort != "none" else "disabled"}
+        return gc
+
+    if provider == "OpenRouter":
+        lm = (model_name or "").lower()
+        is_openai = MD.is_openai_model_family(model_name)
+        is_anthropic = MD.is_anthropic_model_family(model_name)
+        is_grok = "grok-4" in lm
+        is_google = MD.is_google_model_family(model_name)
+        flags = MD.anthropic_model_flags(model_name)
+
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc.update({"temperature": t,
+                       "top_p": p if not is_anthropic else None,
+                       "top_k": k})
+        if is_openai:
+            gc["image_detail"] = _normalized_image_detail(config, model_name)
+
+        is_openai_reasoning = is_openai and MD.is_openai_reasoning_model(model_name)
+        is_anthropic_reasoning = MD.is_anthropic_reasoning_model(model_name)
+        is_grok_reasoning = is_grok and "non-reasoning" not in lm
+        is_gpt5_1 = is_openai and "gpt-5.1" in lm
+        is_gpt5 = is_openai and "gpt-5" in lm and not is_gpt5_1
+        gc["_metadata"] = {
+            "is_openai_model": is_openai,
+            "is_anthropic_model": is_anthropic,
+            "is_grok_model": is_grok,
+            "is_gemini_3": MD.is_gemini_3_model(model_name),
+            "is_google_model": is_google,
+            "is_openai_reasoning": is_openai_reasoning,
+            "is_anthropic_reasoning": is_anthropic_reasoning,
+            "is_grok_reasoning": is_grok_reasoning,
+            "is_gpt5_1": is_gpt5_1,
+            "is_gpt5": is_gpt5,
+            "is_gpt5_model": is_openai and MD.is_gpt5_series(model_name),
+            **flags,
+        }
+        if is_openai_reasoning or is_anthropic_reasoning or is_grok_reasoning:
+            if is_anthropic_reasoning:
+                adaptive = flags.get("is_claude_adaptive_default", False)
+                is_46 = (flags.get("is_claude_effort_max")
+                         and not flags.get("is_claude_effort_xhigh") and not adaptive)
+                gc["reasoning_effort"] = config.reasoning_effort or (
+                    "auto" if (is_46 or adaptive) else "none")
+            elif is_gpt5_1:
+                gc["reasoning_effort"] = config.reasoning_effort
+            elif config.reasoning_effort and config.reasoning_effort != "none":
+                gc["reasoning_effort"] = config.reasoning_effort
+        elif is_google and config.reasoning_effort:
+            gc["reasoning_effort"] = config.reasoning_effort
+        if flags and config.effort:
+            gc["effort"] = config.effort
+        if gc["_metadata"]["is_gpt5_model"] and not MD.is_gpt5_chat_variant(model_name):
+            gc["verbosity"] = config.verbosity or "low"
+        return gc
+
+    if provider == "OpenAI-Compatible":
+        gc = {"max_tokens": max_tokens}
+        if sampling:
+            gc["temperature"] = t
+            gc["top_p"] = p
+            if k is not None:
+                gc["top_k"] = k
+        return gc
+
+    raise TranslationError(f"Unknown provider for generation config: {provider}")

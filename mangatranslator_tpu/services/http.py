@@ -1,0 +1,63 @@
+"""Shared HTTP machinery for provider endpoints.
+
+Retry policy parity with the reference endpoints (utils/endpoints/google.py:18-22,
+79-82 pattern repeated per provider): exponential backoff 1s·2^attempt capped at
+16 s, retrying on 429/5xx/connection errors; other HTTP errors raise
+TranslationError immediately.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Any, Callable, Dict, Optional
+
+import requests
+
+from ..exceptions import TranslationError
+from ..logging import log_message
+
+DEFAULT_TIMEOUT = 120
+DEFAULT_MAX_RETRIES = 3
+BASE_DELAY = 1.0
+MAX_DELAY = 16.0
+
+RETRYABLE_STATUS = {429, 500, 502, 503, 504}
+
+
+def post_json_with_retries(
+    url: str,
+    payload: Dict[str, Any],
+    headers: Optional[Dict[str, str]] = None,
+    provider: str = "API",
+    timeout: int = DEFAULT_TIMEOUT,
+    max_retries: int = DEFAULT_MAX_RETRIES,
+    base_delay: float = BASE_DELAY,
+    debug: bool = False,
+) -> Dict[str, Any]:
+    """POST JSON, returning the parsed JSON response. Raises TranslationError
+    after retries are exhausted or on non-retryable HTTP errors."""
+    last_error: Optional[str] = None
+    for attempt in range(max_retries + 1):
+        delay = min(base_delay * (2 ** attempt), MAX_DELAY)
+        try:
+            log_message(f"{provider} request (attempt {attempt + 1}/{max_retries + 1})",
+                        verbose=debug)
+            resp = requests.post(url, json=payload, headers=headers or {},
+                                 timeout=timeout)
+            if resp.status_code in RETRYABLE_STATUS:
+                last_error = f"HTTP {resp.status_code}: {resp.text[:300]}"
+                if attempt < max_retries:
+                    time.sleep(delay)
+                    continue
+                raise TranslationError(f"{provider}: {last_error}")
+            if resp.status_code >= 400:
+                raise TranslationError(
+                    f"{provider}: HTTP {resp.status_code}: {resp.text[:500]}")
+            return resp.json()
+        except (requests.ConnectionError, requests.Timeout) as e:
+            last_error = f"{type(e).__name__}: {e}"
+            if attempt < max_retries:
+                time.sleep(delay)
+                continue
+            raise TranslationError(f"{provider}: connection failed: {last_error}")
+    raise TranslationError(f"{provider}: exhausted retries: {last_error}")

@@ -1,0 +1,40 @@
+"""Local OCR extraction (manga-ocr / PaddleOCR-VL).
+
+Counterpart of reference core/image/ocr_detection.py:773 (manga-ocr) and :848
+(PaddleOCR-VL). The JAX ports of the OCR models (ViT+GPT2 VisionEncoderDecoder,
+PaddleOCR-VL VLM) land with the models package; this module is the stable entry
+point the translation service calls.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from PIL import Image
+
+from ..exceptions import ModelError
+
+
+def run_local_ocr(
+    image: Image.Image,
+    ordered_detections: List[Dict[str, Any]],
+    method: str,
+) -> List[str]:
+    """OCR each detection crop with a local model. Returns one string per
+    detection ('[OCR FAILED]' on per-crop failure)."""
+    if method == "manga-ocr":
+        from ..models.ocr import get_manga_ocr_runner
+
+        runner = get_manga_ocr_runner()
+    else:
+        raise ModelError(f"Local OCR method not yet available: {method}")
+
+    arr_texts: List[str] = []
+    for det in ordered_detections:
+        x1, y1, x2, y2 = [int(v) for v in det["bbox"]]
+        crop = image.convert("RGB").crop((x1, y1, x2, y2))
+        try:
+            arr_texts.append(runner(crop))
+        except Exception:
+            arr_texts.append("[OCR FAILED]")
+    return arr_texts

@@ -1,0 +1,308 @@
+"""Translation orchestrator: bubble prep, parts assembly, endpoint dispatch.
+
+Counterpart of reference core/services/translation.py:1435 (call_translation_api_batch),
+:1880 (prepare_bubble_images_for_translation), and the one-step/two-step flows
+(:1588-1868). Host-side network IO; image prep reuses the device upscaler.
+"""
+
+from __future__ import annotations
+
+import base64
+from io import BytesIO
+from typing import Any, Callable, Dict, List, Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..caching import get_cache, hash_params, is_deterministic_sampling
+from ..config import MangaTranslatorConfig, TranslationConfig
+from ..exceptions import TranslationError, ValidationError
+from ..logging import log_message
+from . import metadata as MD
+from .endpoints import ENDPOINTS
+from .gen_config import MEDIA_RESOLUTION_MAP, build_generation_config
+from .parsing import (
+    parse_numbered_response,
+    parse_one_step_response,
+    parse_rosetta_json,
+)
+from .prompts import (
+    build_system_prompt_ocr,
+    build_system_prompt_translation,
+    format_previous_context_texts,
+    format_special_instructions,
+    previous_context_note,
+)
+
+MIME_PNG = "image/png"
+
+
+def _b64_png(img: Image.Image) -> str:
+    buf = BytesIO()
+    img.save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode("ascii")
+
+
+def _inline_part(b64: str, media_resolution: Optional[str] = None) -> Dict[str, Any]:
+    part: Dict[str, Any] = {"inline_data": {"mime_type": MIME_PNG, "data": b64}}
+    if media_resolution:
+        level = MEDIA_RESOLUTION_MAP.get(media_resolution.lower(),
+                                         "MEDIA_RESOLUTION_UNSPECIFIED")
+        part["media_resolution"] = {"level": level}
+    return part
+
+
+def prepare_bubble_images_for_translation(
+    image: Image.Image,
+    detections: List[Dict[str, Any]],
+    config: TranslationConfig,
+    cleaned_by_idx: Optional[Dict[int, Any]] = None,
+) -> List[str]:
+    """Crop each bubble to its mask-tight bbox, white out conjoined-neighbor
+    pixels, upscale small crops to ``bubble_min_side_pixels``, b64-encode
+    (reference :1880-1990)."""
+    arr = np.asarray(image.convert("RGB"))
+    h, w = arr.shape[:2]
+    out: List[str] = []
+    for det in detections:
+        x1, y1, x2, y2 = [int(v) for v in det["bbox"]]
+        x1, y1 = max(0, x1), max(0, y1)
+        x2, y2 = min(w, x2), min(h, y2)
+        crop = arr[y1:y2, x1:x2].copy()
+        if config.whiteout_conjoined_bubbles and det.get("conjoined_siblings"):
+            # white out sibling mask pixels that intrude into this crop
+            sibs = det.get("_sibling_masks") or []
+            for smask in sibs:
+                sub = smask[y1:y2, x1:x2]
+                crop[sub > 0] = 255
+        pil = Image.fromarray(crop)
+        min_side = min(pil.size)
+        if min_side < config.bubble_min_side_pixels and min_side > 0:
+            scale = config.bubble_min_side_pixels / min_side
+            new_size = (round(pil.width * scale), round(pil.height * scale))
+            method = config.upscale_method
+            if method in ("model", "model_lite"):
+                from ..models.manager import get_model_manager
+
+                try:
+                    up = get_model_manager().get_upscaler(method)
+                    arr_up = np.asarray(pil)
+                    while min(arr_up.shape[:2]) < config.bubble_min_side_pixels:
+                        arr_up = up.upscale_image(arr_up)
+                    pil = Image.fromarray(arr_up).resize(new_size, Image.LANCZOS)
+                except Exception as e:
+                    log_message(f"Model upscale failed, lanczos fallback: {e}")
+                    pil = pil.resize(new_size, Image.LANCZOS)
+            elif method == "lanczos":
+                pil = pil.resize(new_size, Image.LANCZOS)
+            # "none": keep original size
+        out.append(_b64_png(pil))
+    return out
+
+
+def _resize_max_side(img: Image.Image, max_side: int) -> Image.Image:
+    if max(img.size) <= max_side:
+        return img
+    scale = max_side / max(img.size)
+    return img.resize((round(img.width * scale), round(img.height * scale)),
+                      Image.LANCZOS)
+
+
+def _provider_api_key(config: TranslationConfig) -> str:
+    return {
+        "Google": config.google_api_key,
+        "OpenAI": config.openai_api_key,
+        "Anthropic": config.anthropic_api_key,
+        "SpaceXAI": config.xai_api_key,
+        "DeepSeek": config.deepseek_api_key,
+        "Z.ai": config.zai_api_key,
+        "Moonshot AI": config.moonshot_api_key,
+        "Xiaomi MiMo": config.mimo_api_key,
+        "OpenRouter": config.openrouter_api_key,
+        "OpenAI-Compatible": config.openai_compatible_api_key or "",
+    }.get(config.provider, "")
+
+
+def _call_llm_endpoint(
+    config: TranslationConfig,
+    parts: List[Dict[str, Any]],
+    system_prompt: str,
+    debug: bool = False,
+) -> Optional[str]:
+    """Dispatch one request to the configured provider (reference :703-760)."""
+    provider = config.provider
+    endpoint = ENDPOINTS.get(provider)
+    if endpoint is None:
+        raise TranslationError(f"Unknown provider: {provider}")
+    gen_cfg = build_generation_config(provider, config.model_name, config,
+                                      debug=debug)
+    coordinator = config.request_coordinator
+
+    def do_call() -> Optional[str]:
+        if provider == "OpenAI-Compatible":
+            return endpoint(config.openai_compatible_url,
+                            config.openai_compatible_api_key, config.model_name,
+                            parts, gen_cfg, system_prompt, debug=debug)
+        if provider == "Google":
+            return endpoint(_provider_api_key(config), config.model_name, parts,
+                            gen_cfg, system_prompt, debug=debug,
+                            enable_web_search=config.enable_web_search,
+                            enable_code_execution=config.enable_code_execution)
+        return endpoint(_provider_api_key(config), config.model_name, parts,
+                        gen_cfg, system_prompt, debug=debug)
+
+    if coordinator is not None:
+        return coordinator.run(do_call)
+    return do_call()
+
+
+def _assemble_parts(
+    bubble_images_b64: List[str],
+    full_page_b64: Optional[str],
+    previous_pages_b64: List[str],
+    prompt_text: str,
+    config: TranslationConfig,
+) -> List[Dict[str, Any]]:
+    """Order parity (reference :1551-1585): previous pages (oldest→newest),
+    full page, bubble crops, then the text prompt. Per-part media resolution for
+    Gemini-3 / Grok."""
+    use_part_res = (MD.is_gemini_3_model(config.model_name)
+                    or config.provider == "SpaceXAI")
+    bubble_res = config.media_resolution_bubbles if use_part_res else None
+    ctx_res = config.media_resolution_context if use_part_res else None
+    parts: List[Dict[str, Any]] = []
+    for b64 in previous_pages_b64:
+        parts.append(_inline_part(b64, ctx_res))
+    if full_page_b64:
+        parts.append(_inline_part(full_page_b64, ctx_res))
+    for b64 in bubble_images_b64:
+        parts.append(_inline_part(b64, bubble_res))
+    parts.append({"text": prompt_text})
+    return parts
+
+
+def call_translation_api_batch(
+    config: TranslationConfig,
+    images_b64: List[str],
+    full_page_b64: Optional[str] = None,
+    previous_pages_b64: Optional[List[str]] = None,
+    previous_context_texts: Optional[List[List[str]]] = None,
+    ocr_texts: Optional[List[str]] = None,
+    debug: bool = False,
+) -> Tuple[List[str], List[str]]:
+    """Translate a batch of bubble crops. Returns (translations, ocr_texts).
+
+    one-step: single multimodal call returning 'ocr || translation' per line;
+    two-step: OCR pass then text translation pass (reference :1435-1868).
+    ``ocr_texts`` short-circuits the OCR pass (local OCR models upstream).
+    """
+    n = len(images_b64)
+    if n == 0:
+        return [], []
+    previous_pages_b64 = previous_pages_b64 or []
+    prev_img_count = len(previous_pages_b64)
+    prev_txt_count = len([p for p in (previous_context_texts or []) if p])
+
+    cache = get_cache()
+    cache_key = None
+    if is_deterministic_sampling(config.temperature, config.top_k, config.top_p):
+        cache_key = hash_params(
+            config.provider, config.model_name, config.translation_mode,
+            config.input_language, config.output_language,
+            config.reading_direction, images_b64, full_page_b64,
+            previous_pages_b64, previous_context_texts, ocr_texts,
+            config.special_instructions,
+        )
+        hit = cache.get("translation", cache_key)
+        if hit is not None:
+            return hit
+
+    special = format_special_instructions(config)
+    prev_note = previous_context_note(prev_img_count, prev_txt_count,
+                                      "oldest to newest, before the current page")
+    prev_texts_block = format_previous_context_texts(previous_context_texts)
+
+    mode = config.translation_mode
+    if mode == "two-step":
+        if ocr_texts is None:
+            ocr_prompt = build_system_prompt_ocr(config.input_language,
+                                                 config.reading_direction)
+            user_text = (f"Transcribe the text in these {n} images."
+                         f"{prev_note}{prev_texts_block}{special}")
+            parts = _assemble_parts(images_b64, full_page_b64, previous_pages_b64,
+                                    user_text, config)
+            resp = _call_llm_endpoint(config, parts, ocr_prompt, debug)
+            ocr_texts = parse_numbered_response(resp, n, config.provider, debug)
+        sys_prompt = build_system_prompt_translation(
+            config.output_language, "two-step", config.reading_direction,
+            bool(full_page_b64), prev_img_count, prev_txt_count)
+        numbered = "\n".join(f"{i + 1}: {t}" for i, t in enumerate(ocr_texts))
+        if MD.is_rosetta_model(config.model_name):
+            user_text = (f"Translate these lines to {config.output_language}, "
+                         f"returning a JSON array:\n{numbered}{special}")
+            parts = [{"text": user_text}]
+            resp = _call_llm_endpoint(config, parts, sys_prompt, debug)
+            translations = parse_rosetta_json(resp or "", n, config.provider)
+        else:
+            user_text = (f"Translate these {n} lines.{prev_note}"
+                         f"{prev_texts_block}{special}\n\n{numbered}")
+            parts = _assemble_parts([], full_page_b64, previous_pages_b64,
+                                    user_text, config)
+            resp = _call_llm_endpoint(config, parts, sys_prompt, debug)
+            translations = parse_numbered_response(resp, n, config.provider, debug)
+    else:  # one-step
+        sys_prompt = build_system_prompt_translation(
+            config.output_language, "one-step", config.reading_direction,
+            bool(full_page_b64), prev_img_count, prev_txt_count)
+        user_text = (f"Transcribe and translate the text in these {n} images."
+                     f"{prev_note}{prev_texts_block}{special}")
+        parts = _assemble_parts(images_b64, full_page_b64, previous_pages_b64,
+                                user_text, config)
+        resp = _call_llm_endpoint(config, parts, sys_prompt, debug)
+        ocr_texts, translations = parse_one_step_response(resp, n,
+                                                          config.provider, debug)
+
+    result = (translations, ocr_texts or [""] * n)
+    if cache_key is not None:
+        cache.put_translation(cache_key, result, temperature=config.temperature,
+                              top_k=config.top_k, top_p=config.top_p)
+    return result
+
+
+def translate_detections(
+    image: Image.Image,
+    ordered_detections: List[Dict[str, Any]],
+    config: MangaTranslatorConfig,
+    cleaned_by_idx: Optional[Dict[int, Any]] = None,
+    previous_pages_b64: Optional[List[str]] = None,
+    previous_context_texts: Optional[List[List[str]]] = None,
+) -> List[str]:
+    """Pipeline glue: prep crops → (local OCR) → LLM call → translations
+    aligned with the sorted detections."""
+    t = config.translation
+    if not ordered_detections:
+        return []
+    images_b64 = prepare_bubble_images_for_translation(
+        image, ordered_detections, t, cleaned_by_idx)
+    full_page_b64 = None
+    if t.send_full_page_context:
+        full_page_b64 = _b64_png(
+            _resize_max_side(image.convert("RGB"), t.context_image_max_side_pixels))
+
+    ocr_texts = None
+    if t.ocr_method in ("manga-ocr", "paddleocr-vl-1.6"):
+        try:
+            from .local_ocr import run_local_ocr
+
+            ocr_texts = run_local_ocr(image, ordered_detections, t.ocr_method)
+        except Exception as e:
+            log_message(f"Local OCR failed ({e}); falling back to LLM OCR",
+                        always_print=True)
+
+    translations, ocr_out = call_translation_api_batch(
+        t, images_b64, full_page_b64, previous_pages_b64,
+        previous_context_texts, ocr_texts, debug=config.verbose)
+    # surface OCR transcripts for cross-page context (reference ocr_texts_output)
+    for det, ocr in zip(ordered_detections, ocr_out):
+        det["ocr_text"] = ocr
+    return translations

@@ -1,0 +1,249 @@
+"""Translation services: parsing, gen-config shaping, and a live fake endpoint."""
+
+import json
+import threading
+from http.server import BaseHTTPRequestHandler, HTTPServer
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.config import TranslationConfig
+from mangatranslator_tpu.exceptions import TranslationError
+from mangatranslator_tpu.services import metadata as MD
+from mangatranslator_tpu.services.gen_config import build_generation_config
+from mangatranslator_tpu.services.parsing import (
+    parse_numbered_response,
+    parse_one_step_response,
+    parse_rosetta_json,
+)
+from mangatranslator_tpu.services.prompts import (
+    build_system_prompt_ocr,
+    build_system_prompt_translation,
+    format_previous_context_texts,
+)
+from mangatranslator_tpu.services.translation import (
+    call_translation_api_batch,
+    prepare_bubble_images_for_translation,
+)
+
+
+class TestParsing:
+    def test_numbered_basic(self):
+        out = parse_numbered_response("1: hello\n2: world", 2, "Google")
+        assert out == ["hello", "world"]
+
+    def test_numbered_dot_format_and_quotes(self):
+        out = parse_numbered_response('1. "hi there"\n2. ok', 2, "Google")
+        assert out == ["hi there", "ok"]
+
+    def test_missing_items_padded(self):
+        out = parse_numbered_response("2: only", 3, "OpenAI")
+        assert out[0] == "[OpenAI: Missing item 1]"
+        assert out[1] == "only"
+        assert out[2] == "[OpenAI: Missing item 3]"
+
+    def test_continuation_line_truncated(self):
+        # Reference-parity: with MULTILINE, $ matches each line end, so an
+        # unnumbered continuation line is dropped (models are instructed to
+        # emit single-line items; translation.py:920 uses this same pattern).
+        out = parse_numbered_response("1: line one\ncontinues\n2: two", 2, "X")
+        assert out[0] == "line one"
+        assert out[1] == "two"
+
+    def test_none_and_empty_raise(self):
+        with pytest.raises(TranslationError):
+            parse_numbered_response(None, 1, "X")
+        with pytest.raises(TranslationError):
+            parse_numbered_response("", 1, "X")
+
+    def test_one_step_split(self):
+        ocr, tr = parse_one_step_response(
+            "1: こんにちは || Hello\n2: just translation", 2, "Google")
+        assert ocr == ["こんにちは", ""]
+        assert tr == ["Hello", "just translation"]
+
+    def test_rosetta_json(self):
+        out = parse_rosetta_json('["a", "b"]', 3, "X")
+        assert out == ["a", "b", "[X: Missing item 3]"]
+
+
+class TestPrompts:
+    def test_ocr_prompt_contains_contract(self):
+        p = build_system_prompt_ocr("Japanese", "rtl")
+        assert "right-to-left" in p and "[OCR FAILED]" in p
+        assert "i: <transcribed Japanese text>" in p
+
+    def test_translation_prompt_modes(self):
+        one = build_system_prompt_translation("English", "one-step", "rtl")
+        assert "||" in one
+        two = build_system_prompt_translation("English", "two-step", "ltr")
+        assert "left-to-right" in two and "||" not in two
+        with pytest.raises(ValueError):
+            build_system_prompt_translation("English", "bad", "rtl")
+
+    def test_previous_transcripts_block(self):
+        block = format_previous_context_texts([["hi", "[OCR FAILED]"], []])
+        assert "### Previous Page 1" in block and "[OCR FAILED]" not in block
+        assert format_previous_context_texts(None) == ""
+
+
+class TestGenConfig:
+    def cfg(self, **kw):
+        return TranslationConfig(**kw)
+
+    def test_google_gemini3(self):
+        gc = build_generation_config("Google", "gemini-3.5-flash-lite", self.cfg())
+        assert gc["thinkingConfig"] == {"thinkingLevel": "high"}
+        assert "media_resolution" not in gc
+        assert gc["maxOutputTokens"] == 16384  # reasoning default
+
+    def test_google_gemini25_budget(self):
+        gc = build_generation_config(
+            "Google", "gemini-2.5-flash", self.cfg(reasoning_effort="medium"))
+        assert gc["thinkingConfig"]["thinkingBudget"] == 8192
+        gc_none = build_generation_config(
+            "Google", "gemini-2.5-flash", self.cfg(reasoning_effort="none"))
+        assert gc_none["thinkingConfig"] == {"thinkingBudget": 0}
+
+    def test_openai_gpt5_effort_downgrade(self):
+        gc = build_generation_config(
+            "OpenAI", "gpt-5", self.cfg(reasoning_effort="xhigh"))
+        assert gc["reasoning_effort"] == "high"  # gpt-5.0 lacks xhigh
+        gc2 = build_generation_config(
+            "OpenAI", "gpt-5.2", self.cfg(reasoning_effort="xhigh"))
+        assert gc2["reasoning_effort"] == "xhigh"
+        assert gc2["verbosity"] == "low"
+
+    def test_openai_caps(self):
+        gc = build_generation_config("OpenAI", "gpt-4.1", self.cfg(max_tokens=60000))
+        assert gc["max_output_tokens"] == 32768
+
+    def test_anthropic_tiers(self):
+        gc = build_generation_config(
+            "Anthropic", "claude-opus-4-6", self.cfg(reasoning_effort="auto"))
+        assert gc["_metadata"]["is_claude_effort_max"]
+        assert gc["thinking_type"] == "adaptive"
+        assert gc["temperature"] <= 1.0
+
+    def test_nonreasoning_default_tokens(self):
+        gc = build_generation_config("DeepSeek", "deepseek-chat", self.cfg())
+        assert gc["max_tokens"] == 4096
+
+    def test_metadata_predicates(self):
+        assert MD.is_google_reasoning_model("gemini-2.5-pro")
+        assert MD.is_anthropic_reasoning_model("claude-sonnet-4-6")
+        assert not MD.is_anthropic_reasoning_model("claude-3-haiku")
+        assert MD.anthropic_model_flags("claude-opus-4-5") == {
+            "is_claude_effort": True}
+        assert MD.is_rosetta_model("yanoljanext-rosetta-4b-2511")
+        assert MD.get_max_tokens_cap("Moonshot AI", "kimi-k2.5") == 32768
+
+
+# ---- live fake endpoint -------------------------------------------------------
+
+
+class FakeLLMHandler(BaseHTTPRequestHandler):
+    """Minimal OpenAI-Compatible /chat/completions stub."""
+
+    captured = []
+
+    def do_POST(self):
+        length = int(self.headers.get("Content-Length", 0))
+        payload = json.loads(self.rfile.read(length))
+        type(self).captured.append(payload)
+        # count input images to produce matching numbered lines
+        user = payload["messages"][-1]["content"]
+        n_images = sum(1 for c in user if c.get("type") == "image_url")
+        sys_prompt = payload["messages"][0]["content"] if (
+            payload["messages"][0]["role"] == "system") else ""
+        if "||" in sys_prompt:
+            body = "\n".join(f"{i+1}: src{i+1} || tr{i+1}" for i in range(n_images))
+        else:
+            n = n_images or len(
+                [ln for ln in user[-1]["text"].splitlines()
+                 if ln.strip() and ln.strip()[0].isdigit()])
+            body = "\n".join(f"{i+1}: tr{i+1}" for i in range(max(n, 1)))
+        resp = {"choices": [{"message": {"role": "assistant", "content": body}}]}
+        data = json.dumps(resp).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(data)))
+        self.end_headers()
+        self.wfile.write(data)
+
+    def log_message(self, *a):  # silence
+        pass
+
+
+@pytest.fixture(scope="module")
+def fake_server():
+    server = HTTPServer(("127.0.0.1", 0), FakeLLMHandler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}/v1"
+    server.shutdown()
+
+
+def _bubble_images(n=2):
+    img = Image.fromarray(np.full((64, 64, 3), 220, np.uint8))
+    from mangatranslator_tpu.services.translation import _b64_png
+
+    return [_b64_png(img) for _ in range(n)]
+
+
+class TestLiveFakeEndpoint:
+    def make_cfg(self, base_url, mode="one-step"):
+        return TranslationConfig(
+            provider="OpenAI-Compatible",
+            openai_compatible_url=base_url,
+            openai_compatible_api_key="test",
+            model_name="fake-model",
+            translation_mode=mode,
+            temperature=0.7,  # non-deterministic → no caching
+        )
+
+    def test_one_step(self, fake_server):
+        reset_cache()
+        cfg = self.make_cfg(fake_server)
+        translations, ocr = call_translation_api_batch(cfg, _bubble_images(2))
+        assert translations == ["tr1", "tr2"]
+        assert ocr == ["src1", "src2"]
+
+    def test_two_step_with_provided_ocr(self, fake_server):
+        reset_cache()
+        cfg = self.make_cfg(fake_server, mode="two-step")
+        translations, ocr = call_translation_api_batch(
+            cfg, _bubble_images(2), ocr_texts=["こん", "にち"])
+        assert translations == ["tr1", "tr2"]
+        assert ocr == ["こん", "にち"]
+
+    def test_deterministic_caching(self, fake_server):
+        reset_cache()
+        cfg = self.make_cfg(fake_server)
+        cfg.temperature = 0.0  # deterministic → cacheable
+        FakeLLMHandler.captured.clear()
+        imgs = _bubble_images(1)
+        r1 = call_translation_api_batch(cfg, imgs)
+        n_calls = len(FakeLLMHandler.captured)
+        r2 = call_translation_api_batch(cfg, imgs)
+        assert r1 == r2
+        assert len(FakeLLMHandler.captured) == n_calls  # served from cache
+
+
+class TestBubblePrep:
+    def test_prep_sizes_and_format(self):
+        img = Image.fromarray(np.full((200, 300, 3), 200, np.uint8))
+        dets = [{"bbox": [10, 10, 60, 60]}, {"bbox": [100, 50, 280, 190]}]
+        cfg = TranslationConfig(upscale_method="lanczos",
+                                bubble_min_side_pixels=128)
+        out = prepare_bubble_images_for_translation(img, dets, cfg)
+        assert len(out) == 2
+        import base64
+        from io import BytesIO
+
+        crop1 = Image.open(BytesIO(base64.b64decode(out[0])))
+        assert min(crop1.size) >= 128  # upscaled to min side
+        crop2 = Image.open(BytesIO(base64.b64decode(out[1])))
+        assert crop2.size == (180, 140)  # already large enough
