@@ -1,0 +1,9 @@
+#!/usr/bin/env python
+"""CLI entry point (reference main.py equivalent)."""
+
+import sys
+
+from mangatranslator_tpu.cli import main
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,400 @@
+"""Command-line interface.
+
+Flag-name parity with reference main.py:22-867 (~115 flags) mapping onto the
+config tree; single-image and batch flows mirror reference main.py:1334/1415.
+``--cpu`` maps to forcing the CPU JAX backend instead of torch device pick.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+from typing import List, Optional
+
+from .config import MangaTranslatorConfig
+from .llm_defaults import PROVIDERS, get_provider_sampling_defaults
+from .validation import (
+    autodetect_yolo_model_path,
+    clamp_settings,
+    validate_config,
+    validate_core_inputs,
+)
+from .version import __version__
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="manga-translator-tpu",
+        description="TPU-native manga/comic page translation pipeline "
+                    f"(v{__version__})",
+    )
+    p.add_argument("--input", type=str, required=True,
+                   help="Input image; with --batch: directory, ZIP, or "
+                        "failed_paths.txt")
+    p.add_argument("--output", type=str, default=None,
+                   help="Output path (file, or directory with --batch)")
+    p.add_argument("--batch", action="store_true",
+                   help="Process a directory/ZIP/failed-paths list")
+    p.add_argument("--models", type=str, default="./models",
+                   help="Directory containing model files")
+    p.add_argument("--verbose", action="store_true")
+    p.add_argument("--cpu", action="store_true",
+                   help="Force the CPU backend (no TPU)")
+    p.add_argument("--version", action="version", version=__version__)
+
+    d = p.add_argument_group("detection")
+    d.add_argument("--confidence", type=float, default=0.6)
+    d.add_argument("--conjoined-confidence", type=float, default=0.35)
+    d.add_argument("--panel-confidence", type=float, default=0.25)
+    d.add_argument("--seg-model", choices=["yolo", "sam2", "sam3"], default="yolo")
+    d.add_argument("--bubble-detector-model", choices=["yolo_1", "yolo_2"],
+                   default="yolo_2")
+    d.add_argument("--no-conjoined-detection", action="store_true")
+    d.add_argument("--no-panel-sorting", action="store_true")
+
+    c = p.add_argument_group("cleaning")
+    c.add_argument("--thresholding-value", type=int, default=200)
+    c.add_argument("--use-otsu-threshold", action="store_true")
+    c.add_argument("--roi-shrink-px", type=int, default=5)
+    c.add_argument("--inpaint-colored-bubbles", action="store_true")
+
+    t = p.add_argument_group("translation")
+    t.add_argument("--provider", choices=list(PROVIDERS), default="Google")
+    t.add_argument("--model-name", type=str, default=None)
+    t.add_argument("--google-api-key", type=str, default="")
+    t.add_argument("--openai-api-key", type=str, default="")
+    t.add_argument("--anthropic-api-key", type=str, default="")
+    t.add_argument("--spacexai-api-key", type=str, default="")
+    t.add_argument("--deepseek-api-key", type=str, default="")
+    t.add_argument("--zai-api-key", type=str, default="")
+    t.add_argument("--moonshot-api-key", type=str, default="")
+    t.add_argument("--mimo-api-key", type=str, default="")
+    t.add_argument("--openrouter-api-key", type=str, default="")
+    t.add_argument("--openai-compatible-url", type=str,
+                   default="http://localhost:8080/v1")
+    t.add_argument("--openai-compatible-api-key", type=str, default="")
+    t.add_argument("--temperature", type=float, default=None)
+    t.add_argument("--top-p", type=float, default=None)
+    t.add_argument("--top-k", type=int, default=None)
+    t.add_argument("--max-tokens", type=int, default=None)
+    t.add_argument("--input-language", type=str, default="Japanese")
+    t.add_argument("--output-language", type=str, default="English")
+    t.add_argument("--reading-direction", choices=["rtl", "ltr"], default="rtl")
+    t.add_argument("--translation-mode", choices=["one-step", "two-step"],
+                   default="one-step")
+    t.add_argument("--reasoning-effort", type=str, default=None)
+    t.add_argument("--effort", type=str, default=None)
+    t.add_argument("--verbosity", type=str, default=None)
+    t.add_argument("--no-full-page-context", action="store_true")
+    t.add_argument("--no-whiteout-conjoined-bubbles", action="store_true")
+    t.add_argument("--upscale-method",
+                   choices=["model", "model_lite", "lanczos", "none"],
+                   default="model_lite")
+    t.add_argument("--enable-web-search", action="store_true")
+    t.add_argument("--enable-code-execution", action="store_true")
+    t.add_argument("--no-custom-sampling", action="store_true")
+    t.add_argument("--image-detail",
+                   choices=["auto", "original", "high", "low"], default="auto")
+    t.add_argument("--media-resolution",
+                   choices=["auto", "high", "medium", "low"], default="auto")
+    t.add_argument("--media-resolution-bubbles",
+                   choices=["auto", "high", "medium", "low"], default="auto")
+    t.add_argument("--media-resolution-context",
+                   choices=["auto", "high", "medium", "low"], default="auto")
+    t.add_argument("--bubble-min-side-pixels", type=int, default=128)
+    t.add_argument("--context-image-max-side-pixels", type=int, default=1024)
+    t.add_argument("--batch-previous-context-images", type=int, default=0,
+                   dest="previous_context_images")
+    t.add_argument("--batch-previous-context-texts", type=int, default=0,
+                   dest="previous_context_texts")
+    t.add_argument("--osb-min-side-pixels", type=int, default=128)
+    t.add_argument("--special-instructions", type=str, default=None)
+    t.add_argument("--ocr-method",
+                   choices=["LLM", "manga-ocr", "paddleocr-vl-1.6"], default="LLM")
+
+    r = p.add_argument_group("rendering")
+    r.add_argument("--font-dir", type=str, default="CC Wild Words")
+    r.add_argument("--max-font-size", type=int, default=16)
+    r.add_argument("--min-font-size", type=int, default=8)
+    r.add_argument("--line-spacing-mult", type=float, default=1.0)
+    r.add_argument("--no-subpixel-rendering", action="store_true")
+    r.add_argument("--font-hinting", choices=["none", "slight", "normal", "full"],
+                   default="none")
+    r.add_argument("--use-ligatures", action="store_true")
+    r.add_argument("--no-hyphenate-before-scaling", action="store_true")
+    r.add_argument("--hyphen-penalty", type=float, default=1000.0)
+    r.add_argument("--hyphenation-min-word-length", type=int, default=8)
+    r.add_argument("--badness-exponent", type=float, default=3.0)
+    r.add_argument("--padding-pixels", type=float, default=4.0)
+    r.add_argument("--outline-width", type=float, default=0.0)
+    r.add_argument("--supersampling-factor", type=int, default=4)
+    r.add_argument("--no-detach-trailing-punctuation", action="store_true")
+    r.add_argument("--auto-vertical-text", action="store_true")
+
+    o = p.add_argument_group("outside text (OSB)")
+    o.add_argument("--osb-enable", action="store_true")
+    o.add_argument("--osb-filter-page-numbers", action="store_true")
+    o.add_argument("--osb-page-filter-margin", type=float, default=0.1)
+    o.add_argument("--osb-page-filter-min-area", type=float, default=0.05)
+    o.add_argument("--osb-min-area-ignore-ratio", type=float, default=0.0)
+    o.add_argument("--osb-seed", type=int, default=1)
+    o.add_argument("--osb-hf-token", type=str, default="")
+    o.add_argument("--osb-inpainting-method",
+                   choices=["flux_klein_9b", "flux_klein_4b", "flux_kontext",
+                            "opencv", "none"],
+                   default="flux_klein_4b")
+    o.add_argument("--osb-flux-backend", type=str, default="jax")
+    o.add_argument("--osb-flux-low-vram", action="store_true")
+    o.add_argument("--osb-flux-sdcpp-cache-mode", type=str, default="none")
+    o.add_argument("--osb-flux-sdcpp-diffusion-quant", type=str, default="Q4_K_M")
+    o.add_argument("--osb-flux-sdcpp-text-encoder-quant", type=str, default="")
+    o.add_argument("--osb-flux-steps", type=int, default=8)
+    o.add_argument("--osb-no-luminance-correction", action="store_true")
+    o.add_argument("--osb-no-flux-upscale-small-crops", action="store_true")
+    o.add_argument("--osb-flux-group-regions", action="store_true")
+    o.add_argument("--osb-flux-residual-threshold", type=float, default=0.15)
+    o.add_argument("--osb-confidence", type=float, default=0.6)
+    o.add_argument("--osb-font-dir", type=str, default=None)
+    o.add_argument("--osb-max-font-size", type=int, default=64)
+    o.add_argument("--osb-min-font-size", type=int, default=10)
+    o.add_argument("--osb-use-ligatures", action="store_true")
+    o.add_argument("--osb-outline-width", type=float, default=3.0)
+    o.add_argument("--osb-line-spacing", type=float, default=1.0)
+    o.add_argument("--osb-use-subpixel", action="store_true")
+    o.add_argument("--osb-font-hinting",
+                   choices=["none", "slight", "normal", "full"], default="none")
+    o.add_argument("--osb-bbox-expansion", type=float, default=0.1)
+    o.add_argument("--osb-render-expansion-narrow", type=float, default=1.0)
+    o.add_argument("--osb-render-expansion-tiny", type=float, default=1.0)
+    o.add_argument("--osb-render-expansion-aspect-threshold", type=float,
+                   default=0.4)
+    o.add_argument("--osb-render-expansion-area-threshold", type=float,
+                   default=0.005)
+    o.add_argument("--osb-text-box-proximity-ratio", type=float, default=0.02)
+
+    out = p.add_argument_group("output")
+    out.add_argument("--jpeg-quality", type=int, default=95)
+    out.add_argument("--png-compression", type=int, default=2)
+    out.add_argument("--output-format", choices=["auto", "png", "jpeg", "webp"],
+                     default="auto")
+    out.add_argument("--image-upscale-mode", choices=["off", "initial", "final"],
+                     default="off")
+    out.add_argument("--image-upscale-factor", type=float, default=2.0)
+    out.add_argument("--no-auto-scale", action="store_true")
+
+    m = p.add_argument_group("modes & scheduling")
+    m.add_argument("--cleaning-only", action="store_true")
+    m.add_argument("--upscaling-only", action="store_true")
+    m.add_argument("--test-mode", action="store_true",
+                   help="Full pipeline with placeholder text, no LLM calls")
+    m.add_argument("--parallel-requests", type=int, default=1)
+    m.add_argument("--batch-parallel-within-pages", action="store_true")
+    m.add_argument("--overlap-llm-with-inpaint", action="store_true")
+    m.add_argument("--retry-failed-once", action="store_true")
+    return p
+
+
+# Per-provider default model names (reference main.py:930-1006)
+PROVIDER_DEFAULT_MODELS = {
+    "Google": "gemini-3.5-flash-lite",
+    "OpenAI": "gpt-5.2-mini",
+    "Anthropic": "claude-sonnet-4-6",
+    "SpaceXAI": "grok-4.3-fast",
+    "DeepSeek": "deepseek-v4-flash",
+    "Z.ai": "glm-5.2",
+    "Moonshot AI": "kimi-k3",
+    "Xiaomi MiMo": "mimo-v2.5",
+    "OpenRouter": "google/gemini-3.5-flash-lite",
+    "OpenAI-Compatible": "local-model",
+}
+
+
+def args_to_config(args: argparse.Namespace) -> MangaTranslatorConfig:
+    models_dir = Path(args.models)
+    cfg = MangaTranslatorConfig(
+        yolo_model_path=str(
+            autodetect_yolo_model_path(models_dir, args.bubble_detector_model)),
+        verbose=args.verbose,
+        cleaning_only=args.cleaning_only,
+        upscaling_only=args.upscaling_only,
+        test_mode=args.test_mode,
+        parallel_requests=args.parallel_requests,
+        batch_parallel_within_pages=args.batch_parallel_within_pages,
+        overlap_llm_with_inpaint=args.overlap_llm_with_inpaint,
+        retry_failed_once=args.retry_failed_once,
+    )
+    d = cfg.detection
+    d.confidence = args.confidence
+    d.conjoined_confidence = args.conjoined_confidence
+    d.panel_confidence = args.panel_confidence
+    d.seg_model = args.seg_model
+    d.bubble_detector_model = args.bubble_detector_model
+    d.conjoined_detection = not args.no_conjoined_detection
+    d.use_panel_sorting = not args.no_panel_sorting
+
+    cl = cfg.cleaning
+    cl.thresholding_value = args.thresholding_value
+    cl.use_otsu_threshold = args.use_otsu_threshold
+    cl.roi_shrink_px = args.roi_shrink_px
+    cl.inpaint_colored_bubbles = args.inpaint_colored_bubbles
+
+    t = cfg.translation
+    t.provider = args.provider
+    t.model_name = args.model_name or PROVIDER_DEFAULT_MODELS[args.provider]
+    sampling = get_provider_sampling_defaults(args.provider)
+    t.temperature = args.temperature if args.temperature is not None else float(
+        sampling["temperature"])
+    t.top_p = args.top_p if args.top_p is not None else float(sampling["top_p"])
+    t.top_k = args.top_k if args.top_k is not None else int(sampling["top_k"])
+    t.max_tokens = args.max_tokens
+    for attr, val in [
+        ("google_api_key", args.google_api_key),
+        ("openai_api_key", args.openai_api_key),
+        ("anthropic_api_key", args.anthropic_api_key),
+        ("xai_api_key", args.spacexai_api_key),
+        ("deepseek_api_key", args.deepseek_api_key),
+        ("zai_api_key", args.zai_api_key),
+        ("moonshot_api_key", args.moonshot_api_key),
+        ("mimo_api_key", args.mimo_api_key),
+        ("openrouter_api_key", args.openrouter_api_key),
+        ("openai_compatible_api_key", args.openai_compatible_api_key),
+    ]:
+        if val:
+            setattr(t, attr, val)
+    t.openai_compatible_url = args.openai_compatible_url
+    t.input_language = args.input_language
+    t.output_language = args.output_language
+    t.reading_direction = args.reading_direction
+    t.translation_mode = args.translation_mode
+    t.reasoning_effort = args.reasoning_effort
+    t.effort = args.effort
+    t.verbosity = args.verbosity
+    t.send_full_page_context = not args.no_full_page_context
+    t.whiteout_conjoined_bubbles = not args.no_whiteout_conjoined_bubbles
+    t.upscale_method = args.upscale_method
+    t.enable_web_search = args.enable_web_search
+    t.enable_code_execution = args.enable_code_execution
+    t.use_custom_sampling = not args.no_custom_sampling
+    t.image_detail = args.image_detail
+    t.media_resolution = args.media_resolution
+    t.media_resolution_bubbles = args.media_resolution_bubbles
+    t.media_resolution_context = args.media_resolution_context
+    t.bubble_min_side_pixels = args.bubble_min_side_pixels
+    t.context_image_max_side_pixels = args.context_image_max_side_pixels
+    t.previous_context_image_count = args.previous_context_images
+    t.previous_context_text_count = args.previous_context_texts
+    t.osb_min_side_pixels = args.osb_min_side_pixels
+    t.special_instructions = args.special_instructions
+    t.ocr_method = args.ocr_method
+
+    r = cfg.rendering
+    r.font_dir = args.font_dir
+    r.max_font_size = args.max_font_size
+    r.min_font_size = args.min_font_size
+    r.line_spacing_mult = args.line_spacing_mult
+    r.use_subpixel_rendering = not args.no_subpixel_rendering
+    r.font_hinting = args.font_hinting
+    r.use_ligatures = args.use_ligatures
+    r.hyphenate_before_scaling = not args.no_hyphenate_before_scaling
+    r.hyphen_penalty = args.hyphen_penalty
+    r.hyphenation_min_word_length = args.hyphenation_min_word_length
+    r.badness_exponent = args.badness_exponent
+    r.padding_pixels = args.padding_pixels
+    r.outline_width = args.outline_width
+    r.supersampling_factor = args.supersampling_factor
+    r.detach_trailing_punctuation = not args.no_detach_trailing_punctuation
+    r.auto_vertical_text = args.auto_vertical_text
+
+    ot = cfg.outside_text
+    ot.enabled = args.osb_enable
+    ot.enable_page_number_filtering = args.osb_filter_page_numbers
+    ot.page_filter_margin_threshold = args.osb_page_filter_margin
+    ot.page_filter_min_area_ratio = args.osb_page_filter_min_area
+    ot.min_area_ignore_ratio = args.osb_min_area_ignore_ratio
+    ot.seed = args.osb_seed
+    if args.osb_hf_token:
+        ot.huggingface_token = args.osb_hf_token
+    ot.inpainting_method = args.osb_inpainting_method
+    ot.flux_backend = args.osb_flux_backend
+    ot.flux_low_vram = args.osb_flux_low_vram
+    ot.flux_sdcpp_cache_mode = args.osb_flux_sdcpp_cache_mode
+    ot.flux_sdcpp_diffusion_quant = args.osb_flux_sdcpp_diffusion_quant
+    ot.flux_sdcpp_text_encoder_quant = args.osb_flux_sdcpp_text_encoder_quant
+    ot.flux_num_inference_steps = args.osb_flux_steps
+    ot.flux_luminance_correction = not args.osb_no_luminance_correction
+    ot.flux_upscale_small_crops = not args.osb_no_flux_upscale_small_crops
+    ot.flux_group_regions = args.osb_flux_group_regions
+    ot.flux_residual_diff_threshold = args.osb_flux_residual_threshold
+    ot.osb_confidence = args.osb_confidence
+    ot.osb_font_dir = args.osb_font_dir
+    ot.osb_max_font_size = args.osb_max_font_size
+    ot.osb_min_font_size = args.osb_min_font_size
+    ot.osb_use_ligatures = args.osb_use_ligatures
+    ot.osb_outline_width = args.osb_outline_width
+    ot.osb_line_spacing = args.osb_line_spacing
+    ot.osb_use_subpixel_rendering = args.osb_use_subpixel
+    ot.osb_font_hinting = args.osb_font_hinting
+    ot.bbox_expansion_percent = args.osb_bbox_expansion
+    ot.osb_render_expansion_narrow_multiplier = args.osb_render_expansion_narrow
+    ot.osb_render_expansion_tiny_multiplier = args.osb_render_expansion_tiny
+    ot.osb_render_expansion_aspect_ratio_threshold = (
+        args.osb_render_expansion_aspect_threshold)
+    ot.osb_render_expansion_area_ratio_threshold = (
+        args.osb_render_expansion_area_threshold)
+    ot.text_box_proximity_ratio = args.osb_text_box_proximity_ratio
+    ot.flux_guidance_scale = 2.5
+
+    out = cfg.output
+    out.jpeg_quality = args.jpeg_quality
+    out.png_compression = args.png_compression
+    out.output_format = args.output_format
+    out.upscale_final_image = args.image_upscale_mode == "final"
+    out.image_upscale_factor = args.image_upscale_factor
+
+    cfg.preprocessing.enabled = args.image_upscale_mode == "initial"
+    cfg.preprocessing.factor = args.image_upscale_factor
+    cfg.preprocessing.auto_scale = not args.no_auto_scale
+
+    clamp_settings(cfg)
+    return cfg
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    cfg = args_to_config(args)
+    validate_config(cfg)
+
+    input_path = Path(args.input)
+    if args.batch:
+        from .pipeline.batch import batch_translate_images
+
+        out_dir = Path(args.output) if args.output else input_path.parent / "output"
+        result = batch_translate_images(input_path, cfg, out_dir)
+        print(f"Batch complete: {result['success_count']}/{result['total']} pages "
+              f"in {result['elapsed_s']:.1f}s "
+              f"({result['elapsed_s'] / max(1, result['total']):.2f}s/page)")
+        if result["failed_paths"]:
+            print(f"Failed: {len(result['failed_paths'])} "
+                  f"(see {out_dir / 'failed_paths.txt'})")
+            return 1
+        return 0
+
+    from .pipeline.io import resolve_output_path
+    from .pipeline.page import translate_and_render
+
+    out_path = (Path(args.output) if args.output
+                else resolve_output_path(input_path, None, cfg.output.output_format))
+    _, info = translate_and_render(input_path, cfg, out_path)
+    print(f"Saved {out_path} ({info['rendered']}/{info['bubbles']} bubbles, "
+          f"{info.get('elapsed_s', 0):.2f}s)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,229 @@
+"""Batch driver: directory/ZIP/path-list ingestion, page-parallel scheduling,
+cross-page OCR context chaining, one-shot retry, failed-paths output.
+
+Counterpart of reference core/pipeline.py:2458 (batch_translate_images) and
+:2192 (_batch_translate_parallel): first page runs alone to warm compiled
+programs, remaining pages fan out over a worker pool bounded by
+``parallel_requests``; each page's LLM call can wait on the previous N pages'
+OCR transcripts (threading.Event chain, reference :2324-2362). The TPU twist:
+"warm-up" here primes XLA-compiled programs instead of CUDA contexts, and
+page workers share the device through the jitted runners (XLA serializes
+device programs; host stages overlap).
+"""
+
+from __future__ import annotations
+
+import base64
+import tempfile
+import threading
+import time
+from concurrent.futures import ThreadPoolExecutor
+from io import BytesIO
+from pathlib import Path
+from typing import Any, Callable, Dict, List, Optional, Union
+
+from PIL import Image
+
+from ..config import MangaTranslatorConfig
+from ..exceptions import CancellationError, ValidationError
+from ..logging import log_json_event, log_message
+from ..utils.archive import safe_extract_zip
+from ..utils.path_list import read_failed_paths, write_failed_paths
+from ..validation import validate_batch_input_path
+from .cancellation import CancellationManager
+from .coordinator import BatchRequestCoordinator
+from .io import collect_images, resolve_output_path
+from .page import translate_and_render
+
+ProgressCb = Callable[[int, int, str], None]
+
+CONTEXT_WAIT_POLL_S = 0.2  # reference core/pipeline.py:2324 poll cadence
+CONTEXT_WAIT_TIMEOUT_S = 600.0
+
+
+class _PageContextChain:
+    """Per-page OCR transcript store with event signaling so later pages can
+    consume previous pages' transcripts (reference :2219-2362)."""
+
+    def __init__(self, n_pages: int):
+        self._events = [threading.Event() for _ in range(n_pages)]
+        self._texts: List[Optional[List[str]]] = [None] * n_pages
+        self._lock = threading.Lock()
+
+    def publish(self, index: int, texts: List[str]) -> None:
+        with self._lock:
+            self._texts[index] = texts
+        self._events[index].set()
+
+    def wait_previous(self, index: int, count: int,
+                      cancel: CancellationManager) -> List[List[str]]:
+        """Transcripts of up to ``count`` pages before ``index``, oldest first.
+        Polls with cancellation checks rather than blocking forever."""
+        if count <= 0 or index == 0:
+            return []
+        lo = max(0, index - count)
+        out: List[List[str]] = []
+        deadline = time.monotonic() + CONTEXT_WAIT_TIMEOUT_S
+        for i in range(lo, index):
+            while not self._events[i].wait(CONTEXT_WAIT_POLL_S):
+                cancel.check("previous-context wait")
+                if time.monotonic() > deadline:
+                    log_message(f"Timed out waiting for page {i} OCR context",
+                                always_print=True)
+                    break
+            with self._lock:
+                out.append(self._texts[i] or [])
+        return out
+
+
+def _encode_context_image(path: Path, max_side: int) -> Optional[str]:
+    try:
+        img = Image.open(path).convert("RGB")
+        if max(img.size) > max_side:
+            s = max_side / max(img.size)
+            img = img.resize((round(img.width * s), round(img.height * s)),
+                             Image.LANCZOS)
+        buf = BytesIO()
+        img.save(buf, format="PNG")
+        return base64.b64encode(buf.getvalue()).decode("ascii")
+    except Exception:
+        return None
+
+
+def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
+    """Resolve a directory/ZIP/failed-paths-txt batch input into image paths."""
+    input_path = validate_batch_input_path(input_path)
+    if input_path.is_dir():
+        return collect_images(input_path, recursive=True)
+    if input_path.suffix.lower() == ".zip":
+        extracted = safe_extract_zip(input_path, temp_dir / input_path.stem)
+        return sorted(extracted)
+    return read_failed_paths(input_path)
+
+
+def batch_translate_images(
+    input_path: Union[str, Path],
+    config: MangaTranslatorConfig,
+    output_dir: Optional[Union[str, Path]] = None,
+    progress_callback: Optional[ProgressCb] = None,
+    cancellation: Optional[CancellationManager] = None,
+    translate_fn: Optional[Callable] = None,
+) -> Dict[str, Any]:
+    """Translate every page of a chapter. Returns the reference-shaped result
+    dict: success/error counts, per-path errors, failed paths
+    (reference core/pipeline.py:2482-2494)."""
+    cancel = cancellation or CancellationManager()
+    t0 = time.perf_counter()
+    out_dir = Path(output_dir) if output_dir else None
+
+    with tempfile.TemporaryDirectory(prefix="mtx_batch_") as tmp:
+        images = _stage_inputs(Path(input_path), Path(tmp))
+        n = len(images)
+        result: Dict[str, Any] = {
+            "total": n, "success_count": 0, "error_count": 0,
+            "errors": {}, "failed_paths": [], "elapsed_s": 0.0,
+        }
+        if n == 0:
+            return result
+
+        # shared request budget across page workers (reference :2232-2244)
+        if config.batch_parallel_within_pages and config.parallel_requests > 1:
+            coordinator = BatchRequestCoordinator(config.parallel_requests, cancel)
+            config.translation.request_coordinator = coordinator
+            config.request_coordinator = coordinator
+
+        chain = _PageContextChain(n)
+        results_lock = threading.Lock()
+        tcfg = config.translation
+        root = Path(input_path) if Path(input_path).is_dir() else None
+
+        def process_page(index: int) -> bool:
+            cancel.check(f"page {index}")
+            path = images[index]
+            out_path = resolve_output_path(
+                path, out_dir, config.output.output_format,
+                relative_root=root) if out_dir else None
+            try:
+                prev_texts = chain.wait_previous(
+                    index, tcfg.previous_context_text_count, cancel)
+                prev_imgs: List[str] = []
+                for j in range(max(0, index - tcfg.previous_context_image_count),
+                               index):
+                    enc = _encode_context_image(
+                        images[j], tcfg.context_image_max_side_pixels)
+                    if enc:
+                        prev_imgs.append(enc)
+
+                page_translate = translate_fn
+                if page_translate is None and not config.test_mode:
+                    from ..services.translation import translate_detections
+
+                    def page_translate(img, ordered, cfg,  # type: ignore
+                                       _prev_i=prev_imgs, _prev_t=prev_texts):
+                        return translate_detections(
+                            img, ordered, cfg,
+                            previous_pages_b64=_prev_i,
+                            previous_context_texts=_prev_t)
+
+                _, info = translate_and_render(
+                    path, config, out_path, translate_fn=page_translate,
+                    cancellation=cancel)
+                ocr_texts = [d for d in info.get("texts", [])] if config.test_mode \
+                    else [""]
+                chain.publish(index, info.get("ocr_texts", ocr_texts) or [])
+                with results_lock:
+                    result["success_count"] += 1
+                if progress_callback:
+                    progress_callback(index + 1, n, str(path))
+                return True
+            except CancellationError:
+                chain.publish(index, [])
+                raise
+            except Exception as e:
+                chain.publish(index, [])
+                log_message(f"Page failed: {path}: {e}", always_print=True)
+                with results_lock:
+                    result["error_count"] += 1
+                    result["errors"][str(path)] = str(e)
+                    result["failed_paths"].append(str(path))
+                if progress_callback:
+                    progress_callback(index + 1, n, str(path))
+                return False
+
+        workers = max(1, int(config.parallel_requests))
+        if workers == 1 or n == 1:
+            for i in range(n):
+                process_page(i)
+        else:
+            # first page alone: warms every jitted program once (reference :2246)
+            process_page(0)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                futures = [pool.submit(process_page, i) for i in range(1, n)]
+                for f in futures:
+                    try:
+                        f.result()
+                    except CancellationError:
+                        pass
+
+        # one-shot end-of-batch retry (reference _retry_failed_batch_images :2058)
+        if config.retry_failed_once and result["failed_paths"] and not cancel.cancelled:
+            retry_paths = list(result["failed_paths"])
+            log_message(f"Retrying {len(retry_paths)} failed pages once",
+                        always_print=True)
+            for p in retry_paths:
+                # reset this page's failure bookkeeping; process_page re-adds
+                # it on a second failure
+                result["errors"].pop(p, None)
+                result["error_count"] -= 1
+                result["failed_paths"].remove(p)
+                process_page(images.index(Path(p)))
+
+        if out_dir and result["failed_paths"]:
+            write_failed_paths(result["failed_paths"], out_dir / "failed_paths.txt")
+
+        result["elapsed_s"] = time.perf_counter() - t0
+        log_json_event("batch_done", total=n,
+                       success=result["success_count"],
+                       errors=result["error_count"],
+                       seconds_per_image=result["elapsed_s"] / max(1, n))
+        return result

@@ -1,0 +1,85 @@
+"""Shared request budget + conflict-free wave partitioning.
+
+Counterpart of reference core/batch_coordinator.py:18-160: a bounded semaphore
+with re-entrant per-thread slot tracking shared by LLM calls and device inpaint
+jobs, order-preserving map, and partitioning of patch jobs into waves of
+non-overlapping boxes so parallel composites never collide.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Any, Callable, List, Optional, Sequence, Tuple
+
+from ..exceptions import CancellationError
+
+
+class BatchRequestCoordinator:
+    """Caps concurrent expensive requests across all page workers
+    (reference core/batch_coordinator.py:18-75)."""
+
+    def __init__(self, max_requests: int,
+                 cancellation: Optional[Any] = None):
+        self._sem = threading.BoundedSemaphore(max(1, max_requests))
+        self._held = threading.local()
+        self._cancellation = cancellation
+
+    def _check_cancel(self) -> None:
+        if self._cancellation is not None and getattr(
+                self._cancellation, "cancelled", False):
+            raise CancellationError("Cancelled before acquiring request slot")
+
+    def run(self, fn: Callable[[], Any]) -> Any:
+        """Run fn under a slot. Re-entrant per thread: nested run() calls on the
+        same thread do not deadlock on a second slot."""
+        depth = getattr(self._held, "depth", 0)
+        if depth > 0:
+            self._held.depth = depth + 1
+            try:
+                return fn()
+            finally:
+                self._held.depth -= 1
+        self._check_cancel()
+        self._sem.acquire()
+        self._held.depth = 1
+        try:
+            return fn()
+        finally:
+            self._held.depth = 0
+            self._sem.release()
+
+    def map_ordered(self, fns: Sequence[Callable[[], Any]],
+                    max_workers: Optional[int] = None) -> List[Any]:
+        """Run callables concurrently under the budget, results in input order."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        if not fns:
+            return []
+        workers = max_workers or len(fns)
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            futures = [pool.submit(self.run, fn) for fn in fns]
+            return [f.result() for f in futures]
+
+
+Box = Tuple[float, float, float, float]
+
+
+def _boxes_overlap(a: Box, b: Box) -> bool:
+    return not (a[2] <= b[0] or b[2] <= a[0] or a[3] <= b[1] or b[3] <= a[1])
+
+
+def partition_non_overlapping_waves(boxes: Sequence[Box]) -> List[List[int]]:
+    """Greedy wave partition: each wave holds indices of mutually
+    non-overlapping boxes; order within the input is preserved so composites
+    paste back in input order (reference batch_coordinator.py:121-160)."""
+    waves: List[List[int]] = []
+    for i, box in enumerate(boxes):
+        placed = False
+        for wave in waves:
+            if all(not _boxes_overlap(box, boxes[j]) for j in wave):
+                wave.append(i)
+                placed = True
+                break
+        if not placed:
+            waves.append([i])
+    return waves

@@ -1,0 +1,167 @@
+"""Batch scheduler: coordinator budget, wave partition, batch driver flows."""
+
+import threading
+import time
+from pathlib import Path
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.pipeline.coordinator import (
+    BatchRequestCoordinator,
+    partition_non_overlapping_waves,
+)
+from mangatranslator_tpu.pipeline.batch import batch_translate_images
+from mangatranslator_tpu.models.manager import (
+    ModelType,
+    get_model_manager,
+    reset_model_manager,
+)
+from tests.test_detection import FakeRunner, lb
+from tests.test_pipeline_e2e import make_config, make_page, PAGE_H, PAGE_W
+
+FONT_DIR = "/usr/share/fonts/truetype/dejavu"
+
+
+class TestCoordinator:
+    def test_budget_enforced(self):
+        coord = BatchRequestCoordinator(2)
+        active, peak = [0], [0]
+        lock = threading.Lock()
+
+        def job():
+            with lock:
+                active[0] += 1
+                peak[0] = max(peak[0], active[0])
+            time.sleep(0.05)
+            with lock:
+                active[0] -= 1
+            return 1
+
+        results = coord.map_ordered([job] * 6)
+        assert results == [1] * 6
+        assert peak[0] <= 2
+
+    def test_reentrant_no_deadlock(self):
+        coord = BatchRequestCoordinator(1)
+
+        def outer():
+            return coord.run(lambda: "inner")
+
+        assert coord.run(outer) == "inner"
+
+    def test_map_ordered_preserves_order(self):
+        coord = BatchRequestCoordinator(3)
+        fns = [lambda i=i: (time.sleep(0.01 * (5 - i)), i)[1] for i in range(5)]
+        assert coord.map_ordered(fns) == [0, 1, 2, 3, 4]
+
+
+class TestWaves:
+    def test_partition(self):
+        boxes = [(0, 0, 10, 10), (5, 5, 15, 15), (20, 20, 30, 30), (8, 8, 25, 25)]
+        waves = partition_non_overlapping_waves(boxes)
+        # each wave conflict-free
+        for wave in waves:
+            for i in wave:
+                for j in wave:
+                    if i < j:
+                        a, b = boxes[i], boxes[j]
+                        assert (a[2] <= b[0] or b[2] <= a[0]
+                                or a[3] <= b[1] or b[3] <= a[1])
+        assert sorted(i for w in waves for i in w) == [0, 1, 2, 3]
+        assert waves[0] == [0, 2]  # greedy packs disjoint boxes together
+
+    def test_all_disjoint_single_wave(self):
+        boxes = [(0, 0, 1, 1), (2, 2, 3, 3), (4, 4, 5, 5)]
+        assert partition_non_overlapping_waves(boxes) == [[0, 1, 2]]
+
+
+@pytest.fixture()
+def chapter(tmp_path):
+    """3-page chapter directory + planted detector runners."""
+    reset_model_manager()
+    reset_cache()
+    img, boxes = make_page()
+    pages_dir = tmp_path / "chapter"
+    pages_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    mgr = get_model_manager()
+    imgsz = 256
+    bubble_runner = FakeRunner(
+        imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0) for b in boxes])
+    panel_runner = FakeRunner(imgsz, [], with_masks=False)
+    for size in (imgsz, 640, 1600):
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_PANEL, size)] = panel_runner
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = FakeRunner(
+            size, [], with_masks=False)
+    yield pages_dir
+    reset_model_manager()
+
+
+class TestBatchDriver:
+    def test_sequential_batch(self, chapter, tmp_path):
+        cfg = make_config(test_mode=True)
+        out = tmp_path / "out"
+        result = batch_translate_images(chapter, cfg, out)
+        assert result["total"] == 3
+        assert result["success_count"] == 3
+        assert result["error_count"] == 0
+        outs = sorted(p.name for p in out.glob("*.png"))
+        assert outs == ["p1_translated.png", "p2_translated.png",
+                        "p3_translated.png"]
+
+    def test_parallel_batch(self, chapter, tmp_path):
+        cfg = make_config(test_mode=True)
+        cfg.parallel_requests = 3
+        progress = []
+        result = batch_translate_images(
+            chapter, cfg, tmp_path / "out2",
+            progress_callback=lambda i, n, p: progress.append((i, n)))
+        assert result["success_count"] == 3
+        assert len(progress) == 3
+
+    def test_failed_paths_and_retry(self, chapter, tmp_path):
+        cfg = make_config(test_mode=True)
+        cfg.retry_failed_once = True
+        calls = {}
+
+        def flaky_translate(img, ordered, config):
+            # first call for any page raises; retry succeeds
+            key = id(ordered[0]) if ordered else 0
+            raise RuntimeError("boom")
+
+        cfg.test_mode = False
+        out = tmp_path / "out3"
+        result = batch_translate_images(chapter, cfg, out,
+                                        translate_fn=flaky_translate)
+        # every page fails twice (original + retry)
+        assert result["error_count"] == 3
+        assert len(result["failed_paths"]) == 3
+        failed_file = out / "failed_paths.txt"
+        assert failed_file.exists()
+        assert len(failed_file.read_text().strip().splitlines()) == 3
+
+    def test_zip_input(self, chapter, tmp_path):
+        import zipfile
+
+        zpath = tmp_path / "ch.zip"
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for p in chapter.glob("*.png"):
+                zf.write(p, p.name)
+        cfg = make_config(test_mode=True)
+        result = batch_translate_images(zpath, cfg, tmp_path / "outz")
+        assert result["success_count"] == 3
+
+    def test_failed_paths_txt_input(self, chapter, tmp_path):
+        lst = tmp_path / "failed.txt"
+        lst.write_text(str(chapter / "p2.png") + "\n")
+        cfg = make_config(test_mode=True)
+        result = batch_translate_images(lst, cfg, tmp_path / "outt")
+        assert result["total"] == 1 and result["success_count"] == 1

@@ -1,0 +1,85 @@
+"""CLI: flag surface, config mapping, provider defaults."""
+
+import pytest
+
+from mangatranslator_tpu.cli import (
+    PROVIDER_DEFAULT_MODELS,
+    args_to_config,
+    build_parser,
+)
+
+
+def parse(extra):
+    return build_parser().parse_args(["--input", "x.png"] + extra)
+
+
+class TestCLI:
+    def test_minimal(self):
+        cfg = args_to_config(parse([]))
+        assert cfg.translation.provider == "Google"
+        assert cfg.translation.model_name == PROVIDER_DEFAULT_MODELS["Google"]
+        assert cfg.detection.confidence == 0.6
+        assert not cfg.test_mode
+
+    def test_provider_sampling_defaults_applied(self):
+        cfg = args_to_config(parse(["--provider", "OpenAI-Compatible"]))
+        assert cfg.translation.top_k == 40  # OpenAI-Compatible default
+
+    def test_explicit_sampling_overrides(self):
+        cfg = args_to_config(parse(["--temperature", "0.5", "--top-k", "7"]))
+        assert cfg.translation.temperature == 0.5
+        assert cfg.translation.top_k == 7
+
+    def test_negated_flags(self):
+        cfg = args_to_config(parse([
+            "--no-conjoined-detection", "--no-full-page-context",
+            "--no-hyphenate-before-scaling",
+        ]))
+        assert not cfg.detection.conjoined_detection
+        assert not cfg.translation.send_full_page_context
+        assert not cfg.rendering.hyphenate_before_scaling
+
+    def test_clamping_applied(self):
+        cfg = args_to_config(parse(["--confidence", "9.0",
+                                    "--parallel-requests", "99"]))
+        assert cfg.detection.confidence == 1.0
+        assert cfg.parallel_requests == 20
+
+    def test_upscale_modes(self):
+        cfg = args_to_config(parse(["--image-upscale-mode", "initial",
+                                    "--image-upscale-factor", "3"]))
+        assert cfg.preprocessing.enabled and cfg.preprocessing.factor == 3.0
+        assert not cfg.output.upscale_final_image
+        cfg2 = args_to_config(parse(["--image-upscale-mode", "final"]))
+        assert cfg2.output.upscale_final_image and not cfg2.preprocessing.enabled
+
+    def test_osb_flags(self):
+        cfg = args_to_config(parse([
+            "--osb-enable", "--osb-flux-steps", "4",
+            "--osb-inpainting-method", "opencv",
+        ]))
+        assert cfg.outside_text.enabled
+        assert cfg.outside_text.flux_num_inference_steps == 4
+        assert cfg.outside_text.inpainting_method == "opencv"
+
+    def test_reference_flag_names_accepted(self):
+        """Spot-check the reference's flag surface parses."""
+        parse([
+            "--test-mode", "--batch", "--parallel-requests", "4",
+            "--bubble-detector-model", "yolo_1", "--seg-model", "sam2",
+            "--use-otsu-threshold", "--roi-shrink-px", "3",
+            "--provider", "Anthropic", "--anthropic-api-key", "k",
+            "--reading-direction", "ltr", "--translation-mode", "two-step",
+            "--reasoning-effort", "high", "--verbosity", "low",
+            "--font-dir", "pack", "--max-font-size", "20",
+            "--badness-exponent", "2.5", "--supersampling-factor", "2",
+            "--osb-confidence", "0.5", "--osb-seed", "-1",
+            "--jpeg-quality", "90", "--png-compression", "4",
+            "--output-format", "webp", "--retry-failed-once",
+            "--overlap-llm-with-inpaint", "--batch-parallel-within-pages",
+            "--ocr-method", "manga-ocr", "--special-instructions", "be nice",
+        ])
+
+    def test_missing_input_errors(self):
+        with pytest.raises(SystemExit):
+            build_parser().parse_args([])
