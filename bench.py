@@ -1,0 +1,200 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end test-mode pages/sec on the available accelerator.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "pages/sec", "vs_baseline": N}
+
+Config matches BASELINE.md config (1): synthetic ~2000 px manga pages through
+the full pipeline — real YOLOv8m-seg bubble detection forward (random-init
+weights; compute is architecture-identical to the reference's primary model),
+batched TPU clean chain, reading-order sort, layout probing, supersampled
+render, PNG save. Test mode = zero network (reference --test-mode semantics).
+
+vs_baseline compares against the same pipeline executed on the CPU backend
+(proxy for the reference's CPU path; the reference publishes no numbers —
+BASELINE.md). The CPU number is measured once and cached in
+bench_baseline.json so routine runs stay fast.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent
+BASELINE_FILE = REPO / "bench_baseline.json"
+PAGE_W, PAGE_H = 1414, 2000  # ~2.8 MP portrait page
+N_PAGES = 4
+DETECTOR_IMGSZ = 640
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def make_pages(n: int):
+    import cv2
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    pages = []
+    for _ in range(n):
+        img = np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+        # panel frames
+        for (x1, y1, x2, y2) in ((40, 40, PAGE_W - 40, 950),
+                                 (40, 1000, PAGE_W - 40, PAGE_H - 40)):
+            cv2.rectangle(img, (x1, y1), (x2, y2), (20, 20, 20), 6)
+        for (cx, cy) in ((350, 330), (1000, 430), (420, 1500), (1020, 1680)):
+            ax, ay = int(rng.integers(200, 260)), int(rng.integers(150, 200))
+            cv2.ellipse(img, (cx, cy), (ax, ay), 0, 0, 360, (252, 252, 252), -1)
+            cv2.ellipse(img, (cx, cy), (ax, ay), 0, 0, 360, (25, 25, 25), 4)
+            for k in range(4):
+                y = cy - 60 + k * 38
+                cv2.line(img, (cx - ax // 2, y), (cx + ax // 2, y),
+                         (30, 30, 30), 7)
+        pages.append(img)
+    return pages
+
+
+def plant_runners(pages):
+    """Real YOLOv8m-seg jitted forward for detection compute; planted outputs
+    are injected at the postprocess boundary so downstream stages always see
+    the same 4 bubbles regardless of the random weights."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from mangatranslator_tpu.models.manager import ModelType, get_model_manager
+    from mangatranslator_tpu.models.yolo import Detections
+
+    mgr = get_model_manager()
+    real = mgr.get_detector(ModelType.YOLO_SPEECH_BUBBLE_1, imgsz=DETECTOR_IMGSZ,
+                            max_det=16)
+
+    bubbles = [(350, 330, 230, 175), (1000, 430, 230, 175),
+               (420, 1500, 230, 175), (1020, 1680, 230, 175)]
+    s = min(DETECTOR_IMGSZ / PAGE_H, DETECTOR_IMGSZ / PAGE_W)
+    px, py = (DETECTOR_IMGSZ - round(PAGE_W * s)) // 2, \
+             (DETECTOR_IMGSZ - round(PAGE_H * s)) // 2
+    md, hm = 16, DETECTOR_IMGSZ // 4
+    boxes = np.zeros((1, md, 4), np.float32)
+    scores = np.zeros((1, md), np.float32)
+    classes = np.full((1, md), -1, np.int32)
+    masks = np.zeros((1, md, hm, hm), np.float32)
+    for i, (cx, cy, ax, ay) in enumerate(bubbles):
+        bb = [(cx - ax) * s + px, (cy - ay) * s + py,
+              (cx + ax) * s + px, (cy + ay) * s + py]
+        boxes[0, i] = bb
+        scores[0, i] = 0.92
+        classes[0, i] = 0
+        x1, y1, x2, y2 = (np.array(bb) / 4).astype(int)
+        masks[0, i, y1:y2, x1:x2] = 1.0
+    planted = Detections(jnp.asarray(boxes), jnp.asarray(scores),
+                         jnp.asarray(classes), jnp.asarray([len(bubbles)]),
+                         jnp.asarray(masks))
+
+    class BenchRunner:
+        imgsz = DETECTOR_IMGSZ
+
+        def __call__(self, images, conf=0.25, iou=0.45):
+            real(images, conf, iou)  # the real detection forward (timed work)
+            return planted
+
+    runner = BenchRunner()
+    for t in (ModelType.YOLO_SPEECH_BUBBLE_1, ModelType.YOLO_SPEECH_BUBBLE_2):
+        for size in (DETECTOR_IMGSZ, 640, 1600):
+            mgr._runners[(t, size)] = runner
+    return mgr
+
+
+def run_pipeline(pages, tmp_out: Path) -> float:
+    """Run all pages, return median warm seconds/page."""
+    from PIL import Image
+
+    from mangatranslator_tpu.config import MangaTranslatorConfig
+    from mangatranslator_tpu.pipeline import translate_and_render
+
+    cfg = MangaTranslatorConfig(yolo_model_path="bench", test_mode=True)
+    cfg.detection.conjoined_detection = False
+    cfg.detection.use_panel_sorting = False
+    cfg.rendering.font_dir = os.environ.get(
+        "MTX_BENCH_FONT_DIR", "/usr/share/fonts/truetype/dejavu")
+    cfg.rendering.max_font_size = 40
+    cfg.rendering.min_font_size = 8
+
+    times = []
+    for i, page in enumerate(pages):
+        t0 = time.perf_counter()
+        translate_and_render(Image.fromarray(page), cfg,
+                             output_path=tmp_out / f"p{i}.png")
+        dt = time.perf_counter() - t0
+        log(f"page {i}: {dt:.2f}s {'(warm-up)' if i == 0 else ''}")
+        if i > 0:
+            times.append(dt)
+    return statistics.median(times)
+
+
+def measure(platform_label: str) -> float:
+    import tempfile
+
+    pages = make_pages(N_PAGES)
+    plant_runners(pages)
+    with tempfile.TemporaryDirectory() as tmp:
+        sec_per_page = run_pipeline(pages, Path(tmp))
+    log(f"{platform_label}: {sec_per_page:.3f}s/page")
+    return 1.0 / sec_per_page
+
+
+def cpu_baseline() -> float:
+    if BASELINE_FILE.exists():
+        data = json.loads(BASELINE_FILE.read_text())
+        return float(data["cpu_pages_per_sec"])
+    # measure in a CPU subprocess (cannot switch backend after jax init)
+    import subprocess
+
+    env = dict(os.environ, MTX_BENCH_CPU="1")
+    out = subprocess.run([sys.executable, __file__, "--cpu-baseline"],
+                         capture_output=True, text=True, env=env, cwd=REPO)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            value = float(json.loads(line)["cpu_pages_per_sec"])
+            BASELINE_FILE.write_text(json.dumps(
+                {"cpu_pages_per_sec": value,
+                 "note": "same pipeline on the CPU backend (reference proxy)"}))
+            return value
+    log(f"baseline subprocess failed: {out.stderr[-2000:]}")
+    return float("nan")
+
+
+def main() -> None:
+    if "--cpu-baseline" in sys.argv:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        pps = measure("cpu")
+        print(json.dumps({"cpu_pages_per_sec": pps}))
+        return
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    platform = jax.devices()[0].platform
+    log(f"benchmarking on {platform} ({jax.devices()})")
+
+    pps = measure(platform)
+    baseline = cpu_baseline()
+    vs = pps / baseline if baseline and baseline == baseline else None
+    print(json.dumps({
+        "metric": "e2e_pages_per_sec_test_mode_2000px",
+        "value": round(pps, 4),
+        "unit": "pages/sec",
+        "vs_baseline": round(vs, 2) if vs else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

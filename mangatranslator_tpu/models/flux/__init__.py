@@ -1,0 +1,11 @@
+"""FLUX diffusion family: DiT, VAE, flow sampler, inpainting pipeline."""
+
+from .dit import FLUX_PRESETS, FluxConfig, FluxDiT, init_flux  # noqa: F401
+from .pipeline import (  # noqa: F401
+    FluxInpainter,
+    FluxPipelineBundle,
+    KONTEXT_AR_BUCKETS,
+    build_random_inpainter,
+)
+from .sampler import euler_denoise, make_schedule  # noqa: F401
+from .vae import VAE_PRESETS, FluxVAE, VAEConfig, init_vae  # noqa: F401

@@ -1,0 +1,151 @@
+"""FLUX diffusion transformer (rectified-flow velocity predictor).
+
+Configurable across the reference's three pipelines (FLUX.1 Kontext dev,
+FLUX.2 Klein 4B/9B — reference core/ml/model_manager.py:1084-1367,
+utils/model_metadata.py:4-93): double-stream blocks over (txt, img) tokens,
+single-stream blocks over the fused sequence, 3-axis RoPE, AdaLN-zero
+conditioning on (timestep, guidance, pooled text).
+
+Kontext-style image conditioning: reference-image latent tokens are
+concatenated along the image sequence with a distinct position-id plane, so
+text removal sees the original page crop while denoising the clean target.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    DoubleStreamBlock,
+    FinalLayer,
+    MLPEmbedder,
+    SingleStreamBlock,
+    rope_freqs,
+    timestep_embedding,
+)
+
+
+@dataclass(frozen=True)
+class FluxConfig:
+    in_channels: int = 64            # packed latent channels (16 × 2×2 patch)
+    hidden_size: int = 3072
+    num_heads: int = 24
+    depth_double: int = 19
+    depth_single: int = 38
+    mlp_ratio: float = 4.0
+    ctx_dim: int = 4096              # text encoder feature dim
+    vec_dim: int = 768               # pooled conditioning dim
+    axes_dim: Tuple[int, int, int] = (16, 56, 56)
+    guidance_embed: bool = True      # Kontext is guidance-distilled
+    theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# Scaled-down presets: full-size dims (commented) are restored at weight
+# conversion time; random-init development uses the same topology smaller.
+FLUX_PRESETS = {
+    # FLUX.1 Kontext dev: hidden 3072, 19 double / 38 single, ctx 4096 (T5-XXL)
+    "kontext": FluxConfig(),
+    # FLUX.2 Klein 4B-class: leaner trunk, Qwen3 text features
+    "klein_4b": FluxConfig(hidden_size=2304, num_heads=18, depth_double=8,
+                           depth_single=24, ctx_dim=2560, vec_dim=768),
+    "klein_9b": FluxConfig(hidden_size=3072, num_heads=24, depth_double=12,
+                           depth_single=32, ctx_dim=4096, vec_dim=768),
+    # tiny config for tests / dryruns (in_channels = test VAE latents 4 × 2×2)
+    "test": FluxConfig(in_channels=16, hidden_size=128, num_heads=4,
+                       depth_double=2, depth_single=2, ctx_dim=64, vec_dim=32,
+                       axes_dim=(8, 12, 12)),
+}
+
+
+def make_img_ids(h_tok: int, w_tok: int, plane: int = 0) -> np.ndarray:
+    """Position ids for an h×w token grid; ``plane`` distinguishes target vs
+    Kontext reference-image tokens (FLUX uses the first axis for this)."""
+    ys, xs = np.meshgrid(np.arange(h_tok), np.arange(w_tok), indexing="ij")
+    ids = np.stack([np.full_like(ys, plane), ys, xs], axis=-1)
+    return ids.reshape(-1, 3).astype(np.int32)
+
+
+def make_txt_ids(seq_len: int) -> np.ndarray:
+    return np.zeros((seq_len, 3), np.int32)
+
+
+class FluxDiT(nn.Module):
+    cfg: FluxConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jnp.ndarray,        # [B, S_img, in_channels] packed latent tokens
+        img_ids: jnp.ndarray,    # [S_img, 3]
+        txt: jnp.ndarray,        # [B, S_txt, ctx_dim]
+        txt_ids: jnp.ndarray,    # [S_txt, 3]
+        t: jnp.ndarray,          # [B] flow time in [0, 1]
+        pooled: jnp.ndarray,     # [B, vec_dim]
+        guidance: Optional[jnp.ndarray] = None,  # [B]
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Dense(cfg.hidden_size, name="img_in")(img)
+        c = nn.Dense(cfg.hidden_size, name="txt_in")(txt)
+
+        vec = MLPEmbedder(cfg.hidden_size, name="time_in")(
+            timestep_embedding(t, 256))
+        if cfg.guidance_embed:
+            g = guidance if guidance is not None else jnp.ones_like(t)
+            vec = vec + MLPEmbedder(cfg.hidden_size, name="guidance_in")(
+                timestep_embedding(g, 256))
+        vec = vec + MLPEmbedder(cfg.hidden_size, name="vector_in")(pooled)
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        freqs = rope_freqs(ids, cfg.axes_dim, cfg.theta)  # [S, head_dim/2, 2]
+
+        for i in range(cfg.depth_double):
+            x, c = DoubleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                     cfg.mlp_ratio,
+                                     name=f"double_{i}")(x, c, vec, freqs)
+        seq = jnp.concatenate([c, x], axis=1)
+        for i in range(cfg.depth_single):
+            seq = SingleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                    cfg.mlp_ratio,
+                                    name=f"single_{i}")(seq, vec, freqs)
+        x = seq[:, txt.shape[1]:]
+        return FinalLayer(cfg.in_channels, name="final")(x, vec)
+
+
+def pack_latents(lat: jnp.ndarray) -> jnp.ndarray:
+    """[B, H, W, C] → [B, H/2·W/2, C·4] 2×2 patch packing (FLUX convention)."""
+    b, h, w, c = lat.shape
+    lat = lat.reshape(b, h // 2, 2, w // 2, 2, c)
+    lat = jnp.transpose(lat, (0, 1, 3, 5, 2, 4))
+    return lat.reshape(b, (h // 2) * (w // 2), c * 4)
+
+
+def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
+    """Inverse of pack_latents for an H×W latent grid."""
+    b, s, c4 = tokens.shape
+    c = c4 // 4
+    lat = tokens.reshape(b, h // 2, w // 2, c, 2, 2)
+    lat = jnp.transpose(lat, (0, 1, 4, 2, 5, 3))
+    return lat.reshape(b, h, w, c)
+
+
+def init_flux(cfg: FluxConfig, h_tok: int = 8, w_tok: int = 8,
+              txt_len: int = 8, seed: int = 0):
+    model = FluxDiT(cfg)
+    rng = jax.random.PRNGKey(seed)
+    img = jnp.zeros((1, h_tok * w_tok, cfg.in_channels))
+    return model.init(
+        rng, img, jnp.asarray(make_img_ids(h_tok, w_tok)),
+        jnp.zeros((1, txt_len, cfg.ctx_dim)), jnp.asarray(make_txt_ids(txt_len)),
+        jnp.zeros((1,)), jnp.zeros((1, cfg.vec_dim)), jnp.ones((1,)),
+    )

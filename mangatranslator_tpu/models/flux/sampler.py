@@ -1,0 +1,56 @@
+"""Rectified-flow Euler sampler with resolution-shifted schedule.
+
+FLUX flow matching: z_t = (1−t)·x + t·ε with a velocity predictor v(z_t, t);
+the Euler step is z_{t'} = z_t + (t'−t)·v. Sigma schedule uses the
+resolution-dependent time shift (higher shift for more tokens) as in the FLUX
+reference samplers; Klein is 4-step distilled at CFG 1.0, Kontext
+guidance-distilled at ~2.5 (reference core/image/inpainting.py:166-169,
+:988-990).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def time_shift(mu: float, sigma: float, t: jnp.ndarray) -> jnp.ndarray:
+    return jnp.exp(mu) / (jnp.exp(mu) + (1 / t - 1) ** sigma)
+
+
+def resolution_mu(seq_len: int, base_len: int = 256, max_len: int = 4096,
+                  base_shift: float = 0.5, max_shift: float = 1.15) -> float:
+    """Linear mu interpolation in sequence length (FLUX schedule rule)."""
+    m = (max_shift - base_shift) / (max_len - base_len)
+    return seq_len * m + (base_shift - base_len * m)
+
+
+def make_schedule(num_steps: int, seq_len: int, shift: bool = True) -> jnp.ndarray:
+    """Decreasing sigma schedule t_0=1 → t_N=0, length num_steps+1."""
+    ts = jnp.linspace(1.0, 0.0, num_steps + 1)
+    if shift:
+        mu = resolution_mu(seq_len)
+        # avoid the singular endpoints in the shift map
+        inner = jnp.clip(ts[1:-1], 1e-5, 1 - 1e-5)
+        ts = jnp.concatenate([ts[:1], time_shift(mu, 1.0, inner), ts[-1:]])
+    return ts
+
+
+def euler_denoise(
+    velocity_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    noise: jnp.ndarray,
+    schedule: jnp.ndarray,
+) -> jnp.ndarray:
+    """Integrate the flow from t=1 (noise) to t=0 via lax.scan — one compiled
+    program regardless of step count."""
+    def step(z, ts):
+        t_cur, t_next = ts
+        v = velocity_fn(z, jnp.full((z.shape[0],), t_cur, z.dtype))
+        return z + (t_next - t_cur) * v, None
+
+    pairs = jnp.stack([schedule[:-1], schedule[1:]], axis=1)
+    z, _ = jax.lax.scan(step, noise, pairs)
+    return z

@@ -1,0 +1,146 @@
+"""FLUX autoencoder (8× VAE) in Flax NHWC.
+
+Counterpart of the diffusers AutoencoderKL the reference loads for its FLUX
+pipelines (core/ml/model_manager.py:1084-1367): conv encoder/decoder with
+resnet blocks, a mid attention block, and a diagonal-Gaussian latent with
+scale/shift factors.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+
+@dataclass(frozen=True)
+class VAEConfig:
+    latent_channels: int = 16
+    base_channels: int = 128
+    channel_mults: Tuple[int, ...] = (1, 2, 4, 4)
+    blocks_per_level: int = 2
+    scale_factor: float = 0.3611
+    shift_factor: float = 0.1159
+
+
+VAE_PRESETS = {
+    "flux": VAEConfig(),
+    "test": VAEConfig(latent_channels=4, base_channels=16,
+                      channel_mults=(1, 2, 2), blocks_per_level=1,
+                      scale_factor=1.0, shift_factor=0.0),
+}
+
+
+class ResnetBlock(nn.Module):
+    out_ch: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = nn.GroupNorm(num_groups=min(32, x.shape[-1]), name="norm1")(x)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv1")(nn.swish(h))
+        h = nn.GroupNorm(num_groups=min(32, self.out_ch), name="norm2")(h)
+        h = nn.Conv(self.out_ch, (3, 3), padding="SAME", name="conv2")(nn.swish(h))
+        if x.shape[-1] != self.out_ch:
+            x = nn.Conv(self.out_ch, (1, 1), name="skip")(x)
+        return x + h
+
+
+class AttnBlock(nn.Module):
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=min(32, c), name="norm")(x).reshape(b, h * w, c)
+        q = nn.Dense(c, name="q")(y)
+        k = nn.Dense(c, name="k")(y)
+        v = nn.Dense(c, name="v")(y)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqc,bkc->bqk", q, k,
+                       preferred_element_type=jnp.float32) / jnp.sqrt(c), -1)
+        out = jnp.einsum("bqk,bkc->bqc", attn.astype(v.dtype), v)
+        return x + nn.Dense(c, name="proj")(out).reshape(b, h, w, c)
+
+
+class Encoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        ch = cfg.base_channels
+        h = nn.Conv(ch, (3, 3), padding="SAME", name="conv_in")(x)
+        for level, mult in enumerate(cfg.channel_mults):
+            out_ch = cfg.base_channels * mult
+            for b in range(cfg.blocks_per_level):
+                h = ResnetBlock(out_ch, name=f"down{level}_block{b}")(h)
+            if level < len(cfg.channel_mults) - 1:
+                h = nn.Conv(out_ch, (3, 3), strides=(2, 2),
+                            padding=((0, 1), (0, 1)), name=f"down{level}_ds")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block1")(h)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block2")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), name="norm_out")(h)
+        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding="SAME",
+                       name="conv_out")(nn.swish(h))
+
+
+class Decoder(nn.Module):
+    cfg: VAEConfig
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        mults = cfg.channel_mults
+        h = nn.Conv(cfg.base_channels * mults[-1], (3, 3), padding="SAME",
+                    name="conv_in")(z)
+        h = ResnetBlock(h.shape[-1], name="mid_block1")(h)
+        h = AttnBlock(name="mid_attn")(h)
+        h = ResnetBlock(h.shape[-1], name="mid_block2")(h)
+        for level, mult in enumerate(reversed(mults)):
+            out_ch = cfg.base_channels * mult
+            for b in range(cfg.blocks_per_level + 1):
+                h = ResnetBlock(out_ch, name=f"up{level}_block{b}")(h)
+            if level < len(mults) - 1:
+                bb, hh, ww, cc = h.shape
+                h = jax.image.resize(h, (bb, hh * 2, ww * 2, cc), "nearest")
+                h = nn.Conv(out_ch, (3, 3), padding="SAME",
+                            name=f"up{level}_us")(h)
+        h = nn.GroupNorm(num_groups=min(32, h.shape[-1]), name="norm_out")(h)
+        return nn.Conv(3, (3, 3), padding="SAME", name="conv_out")(nn.swish(h))
+
+
+class FluxVAE(nn.Module):
+    cfg: VAEConfig
+
+    def setup(self):
+        self.encoder = Encoder(self.cfg)
+        self.decoder = Decoder(self.cfg)
+
+    def encode(self, x: jnp.ndarray, rng=None) -> jnp.ndarray:
+        """RGB [-1,1] → scaled latents (mode of the gaussian unless rng given)."""
+        moments = self.encoder(x)
+        mean, logvar = jnp.split(moments, 2, axis=-1)
+        z = mean
+        if rng is not None:
+            z = mean + jnp.exp(0.5 * jnp.clip(logvar, -30, 20)) * \
+                jax.random.normal(rng, mean.shape)
+        return (z - self.cfg.shift_factor) * self.cfg.scale_factor
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        z = z / self.cfg.scale_factor + self.cfg.shift_factor
+        return self.decoder(z)
+
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode(x))
+
+
+def downsample_factor(cfg: VAEConfig) -> int:
+    return 2 ** (len(cfg.channel_mults) - 1)
+
+
+def init_vae(cfg: VAEConfig, size: int = 32, seed: int = 0):
+    model = FluxVAE(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, size, size, 3)))

@@ -1,0 +1,8 @@
+"""Mesh sharding rules, tensor-parallel specs, and the training step."""
+
+from .sharding import (  # noqa: F401
+    dryrun_multichip,
+    flux_param_spec,
+    make_flux_train_step,
+    shard_params,
+)

@@ -1,0 +1,142 @@
+"""Multi-chip sharding rules and the FLUX training step.
+
+The serving pipeline is data-parallel over pages (reference's page-thread pool
+→ `data` mesh axis); the FLUX DiT additionally tensor-shards over a `model`
+axis so a 4-chip v5e slice can host larger configs (SURVEY.md §2.7 mapping):
+
+* attention/MLP input projections: output features sharded over `model`
+  (column parallel); output projections: input features sharded (row parallel)
+  — XLA inserts the psum over ICI automatically from these specs;
+* everything small (norms, modulations, embedders) replicated;
+* batch/page axis sharded over `data`.
+
+Also provides the flow-matching training step used by the multichip dryrun:
+loss = ‖v_θ(z_t, t) − (ε − x)‖² with AdamW, donated buffers.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+# Dense-kernel classification by param-path suffix for tensor parallelism.
+_COLUMN_PARALLEL = ("img_qkv", "txt_qkv", "img_mlp_in", "txt_mlp_in", "lin1",
+                    "img_in", "txt_in")
+_ROW_PARALLEL = ("img_proj", "txt_proj", "img_mlp_out", "txt_mlp_out", "lin2")
+
+
+def flux_param_spec(path: Tuple[str, ...], value: Any) -> P:
+    """PartitionSpec for one FLUX DiT parameter."""
+    names = [getattr(k, "key", str(k)) for k in path]
+    leaf_module = names[-3] if len(names) >= 3 else ""
+    is_kernel = names[-1] == "kernel"
+    if is_kernel and getattr(value, "ndim", 0) == 2:
+        if any(leaf_module.endswith(s) or names[-2].endswith(s)
+               for s in _COLUMN_PARALLEL):
+            return P(None, "model")
+        if any(leaf_module.endswith(s) or names[-2].endswith(s)
+               for s in _ROW_PARALLEL):
+            return P("model", None)
+    return P()  # replicate norms/bias/modulation/small params
+
+
+def shard_params(params: Any, mesh: Mesh) -> Any:
+    """Place a param tree on the mesh according to flux_param_spec."""
+    def place(path, value):
+        spec = flux_param_spec(path, value)
+        return jax.device_put(value, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map_with_path(place, params)
+
+
+def data_spec(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P("data"))
+
+
+def make_flux_train_step(model, optimizer: optax.GradientTransformation,
+                         mesh: Optional[Mesh] = None):
+    """Jitted flow-matching training step.
+
+    state = (params, opt_state); batch = dict(img_tokens, img_ids, txt, txt_ids,
+    pooled, clean_tokens). Samples t~U(0,1), builds z_t = (1−t)x + tε, regresses
+    the velocity (ε − x).
+    """
+
+    def loss_fn(params, batch, rng):
+        x = batch["clean_tokens"]
+        b = x.shape[0]
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.uniform(t_rng, (b,), jnp.float32)
+        eps = jax.random.normal(n_rng, x.shape, x.dtype)
+        z_t = (1.0 - t[:, None, None]) * x + t[:, None, None] * eps
+        v = model.apply(params, z_t, batch["img_ids"], batch["txt"],
+                        batch["txt_ids"], t, batch["pooled"],
+                        jnp.ones((b,), x.dtype))
+        target = eps - x
+        return jnp.mean(jnp.square((v - target).astype(jnp.float32)))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def dryrun_multichip(n_devices: int) -> None:
+    """Compile + execute ONE sharded training step on an n-device mesh.
+
+    Mesh layout: data × model (dp × tp). Uses the tiny FLUX config and tiny
+    shapes; validates that the sharding specs compile and execute with XLA
+    collectives without real multi-chip hardware.
+    """
+    from ..models.flux.dit import FLUX_PRESETS, FluxDiT, init_flux, make_img_ids, \
+        make_txt_ids
+
+    devices = jax.devices()[:n_devices]
+    model_par = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+    data_par = n_devices // model_par
+    mesh = Mesh(np.array(devices).reshape(data_par, model_par),
+                ("data", "model"))
+
+    cfg = FLUX_PRESETS["test"]
+    model = FluxDiT(cfg)
+    with jax.default_device(devices[0]):
+        params = init_flux(cfg, h_tok=4, w_tok=4, txt_len=8)
+
+    with mesh:
+        params = shard_params(params, mesh)
+        optimizer = optax.adamw(1e-4)
+        opt_state = jax.tree.map(
+            lambda x: x,  # init on the sharded params keeps layouts aligned
+            optimizer.init(params))
+        train_step = make_flux_train_step(model, optimizer, mesh)
+
+        b = max(data_par * 2, 2)
+        ds = data_spec(mesh)
+        batch = {
+            "clean_tokens": jax.device_put(
+                np.random.RandomState(0).randn(b, 16, cfg.in_channels)
+                .astype(np.float32), ds),
+            "img_ids": jnp.asarray(make_img_ids(4, 4)),
+            "txt": jax.device_put(
+                np.random.RandomState(1).randn(b, 8, cfg.ctx_dim)
+                .astype(np.float32), ds),
+            "txt_ids": jnp.asarray(make_txt_ids(8)),
+            "pooled": jax.device_put(
+                np.zeros((b, cfg.vec_dim), np.float32), ds),
+        }
+        params, opt_state, loss = train_step(params, opt_state, batch,
+                                             jax.random.PRNGKey(0))
+        loss_val = float(loss)
+    assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
+    print(f"dryrun_multichip OK: mesh data={data_par} model={model_par}, "
+          f"one train step, loss={loss_val:.4f}")

@@ -1,0 +1,163 @@
+"""FLUX family: DiT shapes/RoPE/packing, VAE roundtrip shapes, sampler math,
+end-to-end inpaint pipeline on tiny configs."""
+
+import numpy as np
+import pytest
+import cv2
+import jax
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.flux.dit import (
+    FLUX_PRESETS,
+    FluxDiT,
+    init_flux,
+    make_img_ids,
+    make_txt_ids,
+    pack_latents,
+    unpack_latents,
+)
+from mangatranslator_tpu.models.flux.layers import apply_rope, rope_freqs
+from mangatranslator_tpu.models.flux.pipeline import (
+    build_random_inpainter,
+    pick_bucket_for,
+    prompt_embeddings,
+)
+from mangatranslator_tpu.models.flux.sampler import euler_denoise, make_schedule
+from mangatranslator_tpu.models.flux.vae import (
+    VAE_PRESETS,
+    FluxVAE,
+    downsample_factor,
+    init_vae,
+)
+
+CFG = FLUX_PRESETS["test"]
+
+
+class TestPacking:
+    def test_pack_unpack_roundtrip(self):
+        lat = jnp.asarray(np.random.rand(2, 8, 12, 4), jnp.float32)
+        packed = pack_latents(lat)
+        assert packed.shape == (2, 4 * 6, 16)
+        back = unpack_latents(packed, 8, 12)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(lat))
+
+
+class TestRoPE:
+    def test_rotation_preserves_norm(self):
+        ids = jnp.asarray(make_img_ids(4, 4))
+        freqs = rope_freqs(ids, CFG.axes_dim)
+        x = jnp.asarray(np.random.randn(2, 16, 4, sum(CFG.axes_dim)), jnp.float32)
+        rx = apply_rope(x, freqs)
+        np.testing.assert_allclose(
+            np.linalg.norm(np.asarray(x), axis=-1),
+            np.linalg.norm(np.asarray(rx), axis=-1), rtol=1e-5)
+
+    def test_position_zero_identity(self):
+        ids = jnp.zeros((5, 3), jnp.int32)
+        freqs = rope_freqs(ids, CFG.axes_dim)
+        x = jnp.asarray(np.random.randn(1, 5, 2, sum(CFG.axes_dim)), jnp.float32)
+        np.testing.assert_allclose(np.asarray(apply_rope(x, freqs)),
+                                   np.asarray(x), atol=1e-6)
+
+
+class TestDiT:
+    def test_forward_shape(self):
+        params = init_flux(CFG, h_tok=4, w_tok=4, txt_len=8)
+        model = FluxDiT(CFG)
+        img = jnp.asarray(np.random.randn(2, 16, CFG.in_channels), jnp.float32)
+        out = model.apply(
+            params, img, jnp.asarray(make_img_ids(4, 4)),
+            jnp.asarray(np.random.randn(2, 8, CFG.ctx_dim), jnp.float32),
+            jnp.asarray(make_txt_ids(8)),
+            jnp.asarray([0.5, 0.9]), jnp.zeros((2, CFG.vec_dim)),
+            jnp.ones((2,)))
+        assert out.shape == (2, 16, CFG.in_channels)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_timestep_sensitivity(self):
+        params = init_flux(CFG, h_tok=4, w_tok=4, txt_len=4)
+        model = FluxDiT(CFG)
+        img = jnp.asarray(np.random.randn(1, 16, CFG.in_channels), jnp.float32)
+        args = (img, jnp.asarray(make_img_ids(4, 4)),
+                jnp.zeros((1, 4, CFG.ctx_dim)), jnp.asarray(make_txt_ids(4)))
+        o1 = model.apply(params, *args, jnp.asarray([0.1]),
+                         jnp.zeros((1, CFG.vec_dim)), jnp.ones((1,)))
+        o2 = model.apply(params, *args, jnp.asarray([0.9]),
+                         jnp.zeros((1, CFG.vec_dim)), jnp.ones((1,)))
+        assert np.abs(np.asarray(o1) - np.asarray(o2)).max() > 1e-4
+
+
+class TestVAE:
+    def test_encode_decode_shapes(self):
+        cfg = VAE_PRESETS["test"]
+        params = init_vae(cfg, size=32)
+        vae = FluxVAE(cfg)
+        x = jnp.asarray(np.random.rand(1, 32, 32, 3) * 2 - 1, jnp.float32)
+        z = vae.apply(params, x, method=FluxVAE.encode)
+        f = downsample_factor(cfg)
+        assert z.shape == (1, 32 // f, 32 // f, cfg.latent_channels)
+        out = vae.apply(params, z, method=FluxVAE.decode)
+        assert out.shape == (1, 32, 32, 3)
+
+
+class TestSampler:
+    def test_schedule_monotone(self):
+        s = np.asarray(make_schedule(8, seq_len=1024))
+        assert s[0] == 1.0 and s[-1] == 0.0
+        assert np.all(np.diff(s) < 0)
+
+    def test_euler_integrates_linear_flow(self):
+        """With v = −x0_target + noise-direction… simplest check: constant
+        velocity field v=c integrates exactly: z(0) = z(1) − c."""
+        c = jnp.asarray(np.random.randn(1, 4, 8), jnp.float32)
+        noise = jnp.asarray(np.random.randn(1, 4, 8), jnp.float32)
+        out = euler_denoise(lambda z, t: jnp.broadcast_to(c, z.shape), noise,
+                            make_schedule(4, 16, shift=False))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(noise - c),
+                                   atol=1e-5)
+
+
+class TestPipeline:
+    def test_bucket_pick(self):
+        assert pick_bucket_for(1000, 1000) == (1024, 1024)
+        assert pick_bucket_for(500, 1100)[1] > pick_bucket_for(500, 1100)[0]
+
+    def test_prompt_embeddings_deterministic(self):
+        a1, v1 = prompt_embeddings("Remove all text.", 64, 32)
+        a2, v2 = prompt_embeddings("Remove all text.", 64, 32)
+        b1, _ = prompt_embeddings("other", 64, 32)
+        np.testing.assert_array_equal(a1, a2)
+        assert not np.array_equal(a1, b1)
+
+    def test_inpaint_end_to_end_tiny(self):
+        """Tiny random-weight pipeline: output differs inside the mask, is
+        untouched outside, and the program cache reuses compilations."""
+        inpainter = build_random_inpainter(buckets=((64, 64), (64, 96)))
+        img = np.full((100, 120, 3), 200, np.uint8)
+        cv2.putText(img, "AB", (40, 60), cv2.FONT_HERSHEY_SIMPLEX, 1, (0, 0, 0), 2)
+        mask = np.zeros((100, 120), np.uint8)
+        mask[35:70, 30:90] = 1
+        out = inpainter.inpaint_mask(img, mask, seed=3, num_inference_steps=2,
+                                     use_cache=False)
+        assert out.shape == img.shape
+        np.testing.assert_array_equal(out[:10], img[:10])  # outside untouched
+        assert (out[40:60, 40:80] != img[40:60, 40:80]).any()  # inside changed
+        assert len(inpainter._jitted) == 1
+
+    def test_inpaint_cache_roundtrip(self):
+        from mangatranslator_tpu.caching import reset_cache
+
+        reset_cache()
+        inpainter = build_random_inpainter(buckets=((64, 64),))
+        img = np.full((80, 80, 3), 180, np.uint8)
+        mask = np.zeros((80, 80), np.uint8)
+        mask[30:60, 30:60] = 1
+        out1 = inpainter.inpaint_mask(img, mask, seed=5, num_inference_steps=2)
+        out2 = inpainter.inpaint_mask(img, mask, seed=5, num_inference_steps=2)
+        np.testing.assert_array_equal(out1, out2)
+
+    def test_empty_mask_noop(self):
+        inpainter = build_random_inpainter(buckets=((64, 64),))
+        img = np.zeros((50, 50, 3), np.uint8)
+        out = inpainter.inpaint_mask(img, np.zeros((50, 50), np.uint8))
+        np.testing.assert_array_equal(out, img)

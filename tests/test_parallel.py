@@ -1,0 +1,62 @@
+"""Sharding rules + multichip dryrun on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from mangatranslator_tpu.parallel.sharding import (
+    dryrun_multichip,
+    flux_param_spec,
+    shard_params,
+)
+
+
+class TestParamSpecs:
+    def test_column_and_row_rules(self):
+        class K:  # fake DictKey
+            def __init__(self, key):
+                self.key = key
+
+        v = np.zeros((8, 24))
+        spec = flux_param_spec((K("params"), K("double_0"), K("img_qkv"),
+                                K("kernel")), v)
+        assert spec == P(None, "model")
+        spec = flux_param_spec((K("params"), K("double_0"), K("img_proj"),
+                                K("kernel")), v)
+        assert spec == P("model", None)
+        spec = flux_param_spec((K("params"), K("double_0"), K("img_mod"),
+                                K("lin"), K("kernel")), v)
+        assert spec == P()  # modulation replicated
+        bias = np.zeros((24,))
+        assert flux_param_spec((K("params"), K("x"), K("img_qkv"), K("bias")),
+                               bias) == P()
+
+    def test_shard_params_places_on_mesh(self):
+        mesh = Mesh(np.array(jax.devices()).reshape(4, 2), ("data", "model"))
+        params = {"double_0": {"img_qkv": {"kernel": np.zeros((16, 48),
+                                                              np.float32)}}}
+        sharded = shard_params(params, mesh)
+        kern = sharded["double_0"]["img_qkv"]["kernel"]
+        assert kern.sharding.spec == P(None, "model")
+
+
+class TestDryrun:
+    def test_dryrun_8_devices(self, capsys):
+        dryrun_multichip(8)
+        assert "dryrun_multichip OK" in capsys.readouterr().out
+
+    def test_dryrun_odd_devices(self, capsys):
+        dryrun_multichip(1)  # degenerate mesh still runs
+        assert "OK" in capsys.readouterr().out
+
+
+class TestGraftEntry:
+    def test_entry_shapes(self):
+        import __graft_entry__ as g
+
+        fn, args = g.entry()
+        # trace-only check (full compile is exercised by the driver / TPU)
+        shape = jax.eval_shape(fn, *args)
+        assert shape.shape == (1, 1024, 64)
