@@ -1,0 +1,210 @@
+"""OSB text removal orchestration: prepare/finish split, fills, Flux waves.
+
+Counterpart of reference core/outside_text_processor.py:32-1683: per spatial
+group — subtract the dilated bubble-union mask, probe the background (border
+sampling → solid fill beats diffusion; KMeans(2) background/text split for
+color stats), run the FLUX inpainter with per-region seeds (base+i) in
+conflict-free waves, and degrade to a cv2 fill on failure. The prepare/finish
+split lets inpainting overlap the LLM call (reference prepare :210 /
+finish :629; pipeline overlap at core/pipeline.py:836-866).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import OutsideTextConfig
+from ..detection.osb import OsbGroup, OutsideTextDetector, filter_page_numbers
+from ..logging import log_message
+from ..pipeline.coordinator import partition_non_overlapping_waves
+from ..scaling import scale_kernel
+
+BORDER_SOLID_STD_MAX = 6.0     # border-pixel spread below this → solid bg
+DARK_TEXT_LUMA_DELTA = 40.0    # KMeans cluster separation for text color
+
+
+@dataclass
+class OutsideTextWork:
+    """Deferred OSB work between prepare and finish (reference dataclass :32)."""
+
+    groups: List[OsbGroup] = field(default_factory=list)
+    results: List[Tuple[List[int], float]] = field(default_factory=list)
+    bubble_union_mask: Optional[np.ndarray] = None
+    render_infos: List[Dict[str, Any]] = field(default_factory=list)
+
+
+def _bubble_union(detections: List[Dict[str, Any]], h: int, w: int,
+                  processing_scale: float) -> np.ndarray:
+    """Dilated union of bubble masks to subtract from OSB regions
+    (reference :492-526)."""
+    import cv2
+
+    union = np.zeros((h, w), np.uint8)
+    for det in detections or []:
+        m = det.get("mask")
+        if m is not None:
+            union |= (np.asarray(m) > 0).astype(np.uint8)
+    if union.any():
+        kw, kh = scale_kernel((7, 7), processing_scale)
+        union = cv2.dilate(union, cv2.getStructuringElement(
+            cv2.MORPH_ELLIPSE, (kw, kh)))
+    return union
+
+
+def _border_stats(image: np.ndarray, bbox: Dict[str, int],
+                  pad: int = 4) -> Tuple[np.ndarray, float]:
+    """Mean color + spread of the pixels ringing the region
+    (reference :1226-1295 solid-background probe)."""
+    h, w = image.shape[:2]
+    x0 = max(0, bbox["x"] - pad)
+    y0 = max(0, bbox["y"] - pad)
+    x1 = min(w, bbox["x"] + bbox["width"] + pad)
+    y1 = min(h, bbox["y"] + bbox["height"] + pad)
+    region = image[y0:y1, x0:x1]
+    ring = np.concatenate([
+        region[:pad].reshape(-1, 3), region[-pad:].reshape(-1, 3),
+        region[:, :pad].reshape(-1, 3), region[:, -pad:].reshape(-1, 3),
+    ])
+    return ring.mean(axis=0), float(ring.std(axis=0).mean())
+
+
+def extract_text_color(image: np.ndarray, group: OsbGroup) -> Tuple[int, int, int]:
+    """KMeans(2) background/text split inside the region; the cluster farther
+    from the border color is the text color (reference :536-578, :1088-1157)."""
+    from sklearn.cluster import KMeans
+
+    b = group.bbox
+    region = image[b["y"]: b["y"] + b["height"], b["x"]: b["x"] + b["width"]]
+    px = region.reshape(-1, 3).astype(np.float32)
+    if len(px) < 8:
+        return (0, 0, 0)
+    sample = px[np.random.RandomState(0).choice(
+        len(px), min(2000, len(px)), replace=False)]
+    km = KMeans(n_clusters=2, n_init=3, random_state=0).fit(sample)
+    centers = km.cluster_centers_
+    border_color, _ = _border_stats(image, b)
+    dists = np.linalg.norm(centers - border_color, axis=1)
+    text_rgb = centers[int(np.argmax(dists))]
+    return tuple(int(v) for v in np.clip(text_rgb, 0, 255))
+
+
+def prepare_outside_text_work(
+    image: np.ndarray,
+    detector: OutsideTextDetector,
+    config: OutsideTextConfig,
+    bubble_detections: Optional[List[Dict[str, Any]]] = None,
+    text_free_boxes: Optional[List[List[int]]] = None,
+    processing_scale: float = 1.0,
+    verbose: bool = False,
+) -> OutsideTextWork:
+    """Detection + grouping + color probes — the LLM-overlappable half."""
+    h, w = image.shape[:2]
+    bubble_boxes = [d["bbox"] for d in bubble_detections or []]
+    results = detector.detect_outside_text(image, bubble_boxes, text_free_boxes,
+                                           verbose=verbose)
+    if config.enable_page_number_filtering:
+        results = filter_page_numbers(results, w, h,
+                                      config.page_filter_margin_threshold,
+                                      config.page_filter_min_area_ratio)
+    if config.min_area_ignore_ratio > 0:
+        page_area = h * w
+        results = [
+            (b, c) for b, c in results
+            if (b[2] - b[0]) * (b[3] - b[1]) >= page_area * config.min_area_ignore_ratio
+        ]
+    groups = detector.get_text_masks(
+        image, results, config.bbox_expansion_percent,
+        config.text_box_proximity_ratio, verbose=verbose)
+
+    work = OutsideTextWork(groups=groups, results=results)
+    work.bubble_union_mask = _bubble_union(bubble_detections or [], h, w,
+                                           processing_scale)
+    for g in groups:
+        g.combined_mask &= work.bubble_union_mask == 0  # subtract bubbles
+        work.render_infos.append({
+            "bbox": g.bbox,
+            "text_color": extract_text_color(image, g),
+        })
+    work.groups = [g for g in work.groups if g.combined_mask.any()]
+    return work
+
+
+def finish_outside_text_work(
+    image: np.ndarray,
+    work: OutsideTextWork,
+    config: OutsideTextConfig,
+    inpainter: Optional[Any] = None,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, List[Dict[str, Any]]]:
+    """Inpaint every group. Returns (image, render_infos). Modes:
+    flux_* → FluxInpainter waves; opencv → telea fill; none → flag regions for
+    text-background rendering (reference :1389-1604)."""
+    import cv2
+
+    out = image.copy()
+    method = config.inpainting_method
+    if not work.groups:
+        return out, work.render_infos
+
+    if method == "none":
+        for info in work.render_infos:
+            info["needs_text_background"] = True  # reference :1389-1397
+        return out, work.render_infos
+
+    boxes = [(g.bbox["x"], g.bbox["y"], g.bbox["x"] + g.bbox["width"],
+              g.bbox["y"] + g.bbox["height"]) for g in work.groups]
+    waves = partition_non_overlapping_waves(boxes)
+
+    def solid_or_cv2_fill(target: np.ndarray, g: OsbGroup) -> None:
+        mean_color, spread = _border_stats(target, g.bbox)
+        m = g.combined_mask.astype(np.uint8)
+        if spread <= BORDER_SOLID_STD_MAX:
+            target[m > 0] = np.clip(np.round(mean_color), 0, 255)  # plain fill
+        else:
+            filled = cv2.inpaint(target, m, 5, cv2.INPAINT_TELEA)
+            target[m > 0] = filled[m > 0]
+
+    for wave in waves:
+        for i in wave:
+            g = work.groups[i]
+            mean_color, spread = _border_stats(out, g.bbox)
+            if method == "opencv" or inpainter is None:
+                solid_or_cv2_fill(out, g)
+                continue
+            if spread <= BORDER_SOLID_STD_MAX:
+                # solid background: plain fill beats diffusion (reference :1226)
+                out[g.combined_mask] = np.clip(np.round(mean_color), 0, 255)
+                continue
+            try:
+                seed = config.seed + i if config.seed != -1 else -1
+                out = inpainter.inpaint_mask(
+                    out, g.combined_mask.astype(np.uint8), seed=seed,
+                    num_inference_steps=config.flux_num_inference_steps,
+                    guidance_scale=config.flux_guidance_scale,
+                    luminance_correction=config.flux_luminance_correction,
+                )
+            except Exception as e:  # degradation parity (reference :1493-1507)
+                log_message(f"Flux OSB inpaint failed, cv2 fallback: {e}",
+                            always_print=True)
+                solid_or_cv2_fill(out, g)
+    return out, work.render_infos
+
+
+def process_outside_text(
+    image: np.ndarray,
+    detector: OutsideTextDetector,
+    config: OutsideTextConfig,
+    bubble_detections: Optional[List[Dict[str, Any]]] = None,
+    inpainter: Optional[Any] = None,
+    processing_scale: float = 1.0,
+    verbose: bool = False,
+) -> Tuple[np.ndarray, List[Dict[str, Any]]]:
+    """Single-shot prepare+finish (reference process_outside_text :1640)."""
+    work = prepare_outside_text_work(image, detector, config, bubble_detections,
+                                     processing_scale=processing_scale,
+                                     verbose=verbose)
+    return finish_outside_text_work(image, work, config, inpainter,
+                                    verbose=verbose)

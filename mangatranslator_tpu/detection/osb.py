@@ -1,0 +1,235 @@
+"""Outside-speech-bubble (OSB) text detection and mask grouping.
+
+Counterpart of reference core/image/ocr_detection.py:24-772
+(OutsideTextDetector): OSB YOLO forward → nested-detection filter (IoA>0.9) →
+bubble subtraction (meaningful overlap: IoA ≥ 0.2 or center-in-bubble, with
+text_free-region exemption) → box expansion → union-find spatial grouping by
+center proximity (≤ ratio·min-dim) → oversized-group splitting at the 1568 px
+Kontext bound.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..logging import log_message
+from ..ops.boxes import UnionFind
+from .bubbles import DetectionRunner, _run_detector
+
+# reference ocr_detection.py thresholds
+OSB_BUBBLE_MATCH_IOA_THRESHOLD = 0.2
+NESTED_IOA_THRESHOLD = 0.9
+TEXT_FREE_BUBBLE_IOA_THRESHOLD = 0.5
+MAX_GROUP_DIMENSION = 1568  # Kontext bucket bound (reference :594-635)
+
+Box = List[int]
+
+
+def _area(b: Sequence[float]) -> float:
+    return max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+
+
+def _inter(a: Sequence[float], b: Sequence[float]) -> float:
+    return max(0.0, min(a[2], b[2]) - max(a[0], b[0])) * \
+        max(0.0, min(a[3], b[3]) - max(a[1], b[1]))
+
+
+def _ioa(inner: Sequence[float], outer: Sequence[float]) -> float:
+    a = _area(inner)
+    return _inter(inner, outer) / a if a > 0 else 0.0
+
+
+def text_box_meaningfully_matches_bubble(text_box, bubble_box) -> bool:
+    """IoA ≥ 0.2 or the text center lies inside the bubble (reference :77-91)."""
+    if _inter(text_box, bubble_box) <= 0 or _area(text_box) <= 0:
+        return False
+    cx = (text_box[0] + text_box[2]) / 2.0
+    cy = (text_box[1] + text_box[3]) / 2.0
+    in_box = (bubble_box[0] <= cx <= bubble_box[2]
+              and bubble_box[1] <= cy <= bubble_box[3])
+    return _ioa(text_box, bubble_box) >= OSB_BUBBLE_MATCH_IOA_THRESHOLD or in_box
+
+
+def bubble_is_text_free_region(bubble_box, text_free_boxes) -> bool:
+    """Bubble substantially coincides with a detected text_free region
+    (reference :131-147) — its OSB text must NOT be suppressed."""
+    for tf in text_free_boxes or []:
+        if (_ioa(bubble_box, tf) > TEXT_FREE_BUBBLE_IOA_THRESHOLD
+                or _ioa(tf, bubble_box) > TEXT_FREE_BUBBLE_IOA_THRESHOLD):
+            return True
+    return False
+
+
+def filter_nested_detections(results: List[Tuple[Box, float]]
+                             ) -> List[Tuple[Box, float]]:
+    """Drop boxes ≥90% contained in another box (reference :149-188)."""
+    if len(results) <= 1:
+        return results
+    keep = []
+    for i, (box_i, conf_i) in enumerate(results):
+        nested = any(
+            j != i and _ioa(box_i, results[j][0]) > NESTED_IOA_THRESHOLD
+            and _area(box_i) < _area(results[j][0])
+            for j in range(len(results))
+        )
+        if not nested:
+            keep.append((box_i, conf_i))
+    return keep
+
+
+@dataclass
+class OsbGroup:
+    """One spatial group of OSB text boxes (reference get_text_masks dict)."""
+
+    combined_mask: np.ndarray            # [H,W] bool
+    bbox: Dict[str, int]                 # x/y/width/height of the union
+    boxes: List[Box] = field(default_factory=list)
+    confidences: List[float] = field(default_factory=list)
+
+    @property
+    def confidence(self) -> float:
+        return float(np.mean(self.confidences)) if self.confidences else 0.0
+
+
+class OutsideTextDetector:
+    """OSB text detection over a YOLO-protocol runner (reference :24)."""
+
+    def __init__(self, runner: DetectionRunner, confidence: float = 0.6):
+        self.runner = runner
+        self.confidence = confidence
+
+    def detect_outside_text(
+        self,
+        image: np.ndarray,
+        bubble_boxes: Optional[Sequence[Box]] = None,
+        text_free_boxes: Optional[Sequence[Box]] = None,
+        verbose: bool = False,
+    ) -> List[Tuple[Box, float]]:
+        dets = _run_detector(image, self.runner, self.confidence)
+        results = [(d["bbox"], d["confidence"]) for d in dets]
+        results = filter_nested_detections(results)
+        if bubble_boxes:
+            kept = []
+            for box, conf in results:
+                inside_bubble = any(
+                    text_box_meaningfully_matches_bubble(box, bb)
+                    and not bubble_is_text_free_region(bb, text_free_boxes)
+                    for bb in bubble_boxes
+                )
+                if not inside_bubble:
+                    kept.append((box, conf))
+            results = kept
+        log_message(f"OSB text: {len(results)} boxes after filtering",
+                    verbose=verbose)
+        return results
+
+    # -- mask grouping -----------------------------------------------------------
+
+    @staticmethod
+    def _expand(box: Box, pct: float, w: int, h: int) -> Optional[Box]:
+        x0, y0, x1, y1 = box
+        ex, ey = (x1 - x0) * pct, (y1 - y0) * pct
+        out = [int(np.floor(max(0, x0 - ex))), int(np.floor(max(0, y0 - ey))),
+               int(np.ceil(min(w, x1 + ex))), int(np.ceil(min(h, y1 + ey)))]
+        return out if out[2] > out[0] and out[3] > out[1] else None
+
+    @staticmethod
+    def _group_spatially(boxes: List[Box], img_w: int, img_h: int,
+                         proximity_ratio: float) -> List[List[int]]:
+        """Union-find on center distance ≤ ratio · min(img dims) OR box overlap
+        (reference _group_text_boxes_spatially :690)."""
+        n = len(boxes)
+        uf = UnionFind(n)
+        limit = proximity_ratio * min(img_w, img_h)
+        centers = [((b[0] + b[2]) / 2, (b[1] + b[3]) / 2) for b in boxes]
+        for i in range(n):
+            for j in range(i + 1, n):
+                bi, bj = boxes[i], boxes[j]
+                overlap = _inter(bi, bj) > 0
+                # gap between box edges (0 when overlapping)
+                dx = max(0.0, max(bi[0], bj[0]) - min(bi[2], bj[2]))
+                dy = max(0.0, max(bi[1], bj[1]) - min(bi[3], bj[3]))
+                near = (dx * dx + dy * dy) ** 0.5 <= limit
+                if overlap or near:
+                    uf.union(i, j)
+        return uf.groups()
+
+    def get_text_masks(
+        self,
+        image: np.ndarray,
+        results: List[Tuple[Box, float]],
+        bbox_expansion_percent: float = 0.1,
+        text_box_proximity_ratio: float = 0.02,
+        verbose: bool = False,
+    ) -> List[OsbGroup]:
+        if not results:
+            return []
+        h, w = image.shape[:2]
+        expanded, confs = [], []
+        for box, conf in results:
+            e = self._expand(box, bbox_expansion_percent, w, h)
+            if e:
+                expanded.append(e)
+                confs.append(conf)
+        if not expanded:
+            return []
+
+        groups_idx = self._group_spatially(expanded, w, h,
+                                           text_box_proximity_ratio)
+        out: List[OsbGroup] = []
+        for idxs in groups_idx:
+            gboxes = [expanded[i] for i in idxs]
+            x0 = min(b[0] for b in gboxes)
+            y0 = min(b[1] for b in gboxes)
+            x1 = max(b[2] for b in gboxes)
+            y1 = max(b[3] for b in gboxes)
+            if x1 - x0 > MAX_GROUP_DIMENSION or y1 - y0 > MAX_GROUP_DIMENSION:
+                # oversized union: fall back to one group per box (:594-635)
+                splits = [[i] for i in idxs]
+            else:
+                splits = [idxs]
+            for sub in splits:
+                mask = np.zeros((h, w), bool)
+                sboxes = [expanded[i] for i in sub]
+                for b in sboxes:
+                    mask[b[1]: b[3], b[0]: b[2]] = True
+                sx0 = min(b[0] for b in sboxes)
+                sy0 = min(b[1] for b in sboxes)
+                sx1 = max(b[2] for b in sboxes)
+                sy1 = max(b[3] for b in sboxes)
+                out.append(OsbGroup(
+                    combined_mask=mask,
+                    bbox={"x": sx0, "y": sy0, "width": sx1 - sx0,
+                          "height": sy1 - sy0},
+                    boxes=sboxes,
+                    confidences=[confs[expanded.index(b)] if b in expanded else 0.0
+                                 for b in sboxes],
+                ))
+        log_message(f"OSB grouping: {len(out)} mask groups", verbose=verbose)
+        return out
+
+
+def filter_page_numbers(
+    results: List[Tuple[Box, float]],
+    img_w: int,
+    img_h: int,
+    margin_threshold: float = 0.1,
+    min_area_ratio: float = 0.05,
+) -> List[Tuple[Box, float]]:
+    """Heuristic page-number filter (reference outside_text_processor.py:281-341
+    geometric part): small boxes fully inside the top/bottom margin bands are
+    dropped. The OCR verification pass plugs in when local OCR is available."""
+    page_area = img_w * img_h
+    kept = []
+    for box, conf in results:
+        x0, y0, x1, y1 = box
+        in_margin = (y1 <= img_h * margin_threshold
+                     or y0 >= img_h * (1 - margin_threshold))
+        small = _area(box) <= page_area * min_area_ratio
+        if in_margin and small:
+            continue
+        kept.append((box, conf))
+    return kept

@@ -1,0 +1,132 @@
+"""OSB detection filtering, grouping, and the removal processor."""
+
+import cv2
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.config import OutsideTextConfig
+from mangatranslator_tpu.cleaning.osb_processor import (
+    extract_text_color,
+    finish_outside_text_work,
+    prepare_outside_text_work,
+    process_outside_text,
+)
+from mangatranslator_tpu.detection.osb import (
+    OutsideTextDetector,
+    filter_nested_detections,
+    filter_page_numbers,
+    text_box_meaningfully_matches_bubble,
+)
+from tests.test_detection import FakeRunner, lb
+
+PAGE = (400, 500)  # h, w
+
+
+def detector_with(boxes, imgsz=256, conf=0.9):
+    runner = FakeRunner(imgsz, [(lb(b, PAGE, imgsz), conf, 0) for b in boxes],
+                        with_masks=False)
+    return OutsideTextDetector(runner, confidence=0.5)
+
+
+class TestFilters:
+    def test_nested_filter(self):
+        results = [([10, 10, 100, 100], 0.9), ([20, 20, 60, 60], 0.8),
+                   ([200, 200, 260, 240], 0.7)]
+        out = filter_nested_detections(results)
+        assert [r[0] for r in out] == [[10, 10, 100, 100], [200, 200, 260, 240]]
+
+    def test_bubble_match(self):
+        bubble = [0, 0, 100, 100]
+        assert text_box_meaningfully_matches_bubble([10, 10, 50, 50], bubble)
+        assert text_box_meaningfully_matches_bubble([70, 40, 130, 80], bubble)
+        # marginal touch: IoA 0.1 and center outside → no match
+        assert not text_box_meaningfully_matches_bubble([80, 80, 180, 120], bubble)
+        assert not text_box_meaningfully_matches_bubble([200, 200, 300, 300],
+                                                        bubble)
+
+    def test_page_number_filter(self):
+        results = [([240, 380, 260, 396], 0.9),   # bottom margin, tiny → drop
+                   ([240, 200, 260, 216], 0.9)]   # middle → keep
+        out = filter_page_numbers(results, 500, 400)
+        assert len(out) == 1 and out[0][0][1] == 200
+
+
+class TestDetectorFlow:
+    def test_detect_filters_bubble_text(self):
+        det = detector_with([[50, 50, 120, 90], [300, 200, 420, 260]])
+        img = np.full((*PAGE, 3), 220, np.uint8)
+        results = det.detect_outside_text(img, bubble_boxes=[[40, 40, 140, 100]])
+        assert len(results) == 1
+        assert results[0][0][0] >= 295
+
+    def test_grouping_and_masks(self):
+        det = detector_with([[50, 50, 110, 80], [120, 52, 180, 82],
+                             [350, 300, 420, 340]])
+        img = np.full((*PAGE, 3), 220, np.uint8)
+        results = det.detect_outside_text(img)
+        groups = det.get_text_masks(img, results, bbox_expansion_percent=0.05,
+                                    text_box_proximity_ratio=0.05)
+        assert len(groups) == 2  # two nearby boxes merge; far one separate
+        big = max(groups, key=lambda g: g.bbox["width"])
+        assert big.combined_mask.any()
+        assert big.bbox["width"] >= 130
+
+
+class TestProcessor:
+    def page_with_text(self, solid=True):
+        img = np.full((*PAGE, 3), 240 if solid else 0, np.uint8)
+        if not solid:
+            # noisy background
+            img = (np.random.RandomState(0).rand(*PAGE, 3) * 255).astype(np.uint8)
+        cv2.putText(img, "BOOM", (60, 80), cv2.FONT_HERSHEY_SIMPLEX, 1.2,
+                    (10, 10, 10), 3)
+        return img
+
+    def test_solid_background_plain_fill(self):
+        img = self.page_with_text(solid=True)
+        det = detector_with([[50, 40, 200, 100]])
+        cfg = OutsideTextConfig(enabled=True, inpainting_method="opencv")
+        out, infos = process_outside_text(img, det, cfg)
+        region = out[50:90, 60:190]
+        assert region.std() < 12  # text removed, near-solid
+        assert len(infos) == 1
+
+    def test_none_mode_flags_background(self):
+        img = self.page_with_text()
+        det = detector_with([[50, 40, 200, 100]])
+        cfg = OutsideTextConfig(enabled=True, inpainting_method="none")
+        out, infos = process_outside_text(img, det, cfg)
+        np.testing.assert_array_equal(out, img)  # untouched
+        assert infos[0]["needs_text_background"]
+
+    def test_flux_path_with_tiny_inpainter(self):
+        from mangatranslator_tpu.models.flux.pipeline import build_random_inpainter
+
+        img = self.page_with_text(solid=False)
+        det = detector_with([[50, 40, 200, 100]])
+        cfg = OutsideTextConfig(enabled=True, inpainting_method="flux_klein_4b",
+                                flux_num_inference_steps=2, seed=3)
+        inpainter = build_random_inpainter(buckets=((64, 64), (64, 96), (96, 64)))
+        out, infos = process_outside_text(img, det, cfg, inpainter=inpainter)
+        assert (out[50:90, 60:190] != img[50:90, 60:190]).any()
+
+    def test_bubble_subtraction(self):
+        img = self.page_with_text()
+        det = detector_with([[50, 40, 200, 100]])
+        # a bubble mask overlapping the left half of the OSB region
+        bm = np.zeros(PAGE, np.uint8)
+        bm[0:200, 0:120] = 1
+        bubbles = [{"bbox": [0, 0, 120, 200], "mask": bm}]
+        cfg = OutsideTextConfig(enabled=True)
+        work = prepare_outside_text_work(img, det, cfg, bubble_detections=bubbles)
+        if work.groups:
+            assert not work.groups[0].combined_mask[:, :115].any()
+
+    def test_text_color_extraction(self):
+        img = np.full((*PAGE, 3), 240, np.uint8)
+        cv2.rectangle(img, (60, 50), (180, 90), (200, 30, 30), -1)  # red text blob
+        det = detector_with([[50, 40, 200, 100]])
+        results = det.detect_outside_text(img)
+        groups = det.get_text_masks(img, results)
+        color = extract_text_color(img, groups[0])
+        assert color[0] > 120 and color[1] < 120  # red-ish
