@@ -84,9 +84,27 @@ class ModelManager:
     def checkpoint_path(self, mtype: ModelType) -> Path:
         return self.models_dir / "converted" / f"{mtype.value}.flax.safetensors"
 
+    _hub_reachable: Optional[bool] = None
+
+    @classmethod
+    def _hub_available(cls) -> bool:
+        """One cheap DNS probe per process — zero-egress environments fail in
+        milliseconds instead of paying the hub's retry/backoff loop."""
+        if os.environ.get("HF_HUB_OFFLINE") == "1":
+            return False
+        if cls._hub_reachable is None:
+            import socket
+
+            try:
+                socket.getaddrinfo("huggingface.co", 443)
+                cls._hub_reachable = True
+            except OSError:
+                cls._hub_reachable = False
+        return cls._hub_reachable
+
     def _try_download(self, mtype: ModelType) -> Optional[Path]:
         src = HF_SOURCES.get(mtype)
-        if src is None:
+        if src is None or not self._hub_available():
             return None
         try:
             from huggingface_hub import hf_hub_download

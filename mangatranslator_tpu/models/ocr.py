@@ -1,0 +1,222 @@
+"""manga-ocr style VisionEncoderDecoder in Flax.
+
+Counterpart of the reference's kha-white/manga-ocr (ViT encoder + Japanese
+BERT-style causal decoder, loaded at core/ml/model_manager.py:856-926 and run
+per bubble crop at core/image/ocr_detection.py:773-846).
+
+TPU-first decode: fixed-length greedy generation as ONE jitted lax.fori_loop
+program (causal-masked decoder re-run over the padded sequence each step —
+sequence lengths here are tiny, ≤64 tokens, so recompute beats KV-cache
+plumbing). Crops batch along a padded batch axis.
+"""
+
+from __future__ import annotations
+
+import functools
+import threading
+from dataclasses import dataclass
+from typing import Callable, List, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class OcrConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    encoder_dim: int = 768
+    encoder_depth: int = 12
+    encoder_heads: int = 12
+    decoder_dim: int = 768
+    decoder_depth: int = 2       # manga-ocr uses a 2-layer decoder
+    decoder_heads: int = 12
+    vocab_size: int = 6144
+    max_length: int = 64
+    bos_id: int = 2
+    eos_id: int = 3
+    pad_id: int = 0
+
+
+OCR_PRESETS = {
+    "manga_ocr": OcrConfig(),
+    "test": OcrConfig(image_size=32, patch_size=8, encoder_dim=32,
+                      encoder_depth=1, encoder_heads=2, decoder_dim=32,
+                      decoder_depth=1, decoder_heads=2, vocab_size=50,
+                      max_length=8),
+}
+
+
+class TransformerBlock(nn.Module):
+    dim: int
+    heads: int
+    causal: bool = False
+    cross: bool = False
+
+    def _mha(self, q, kv, name, mask=None):
+        d = self.dim // self.heads
+        qp = nn.Dense(self.dim, name=f"{name}_q")(q)
+        kp = nn.Dense(self.dim, name=f"{name}_k")(kv)
+        vp = nn.Dense(self.dim, name=f"{name}_v")(kv)
+        qp = qp.reshape(q.shape[0], q.shape[1], self.heads, d)
+        kp = kp.reshape(kv.shape[0], kv.shape[1], self.heads, d)
+        vp = vp.reshape(kv.shape[0], kv.shape[1], self.heads, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                            preferred_element_type=jnp.float32) / np.sqrt(d)
+        if mask is not None:
+            logits = jnp.where(mask, logits, -1e9)
+        attn = jax.nn.softmax(logits, -1).astype(vp.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, vp)
+        return nn.Dense(self.dim, name=f"{name}_o")(
+            out.reshape(q.shape[0], q.shape[1], self.dim))
+
+    @nn.compact
+    def __call__(self, x, enc=None):
+        mask = None
+        if self.causal:
+            s = x.shape[1]
+            mask = jnp.tril(jnp.ones((s, s), bool))[None, None]
+        normed = nn.LayerNorm(name="ln1")(x)
+        x = x + self._mha(normed, normed, "self", mask)
+        if self.cross and enc is not None:
+            x = x + self._mha(nn.LayerNorm(name="ln_cross")(x), enc, "cross")
+        y = nn.LayerNorm(name="ln2")(x)
+        y = nn.Dense(self.dim * 4, name="mlp_in")(y)
+        return x + nn.Dense(self.dim, name="mlp_out")(nn.gelu(y))
+
+
+class VitEncoder(nn.Module):
+    cfg: OcrConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        p = cfg.patch_size
+        x = nn.Conv(cfg.encoder_dim, (p, p), strides=(p, p), name="patch")(images)
+        b, h, w, c = x.shape
+        x = x.reshape(b, h * w, c)
+        pos = self.param("pos", nn.initializers.normal(0.02), (1, h * w, c))
+        x = x + pos
+        for i in range(cfg.encoder_depth):
+            x = TransformerBlock(cfg.encoder_dim, cfg.encoder_heads,
+                                 name=f"block{i}")(x)
+        return nn.LayerNorm(name="ln_out")(x)
+
+
+class OcrDecoder(nn.Module):
+    cfg: OcrConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, enc: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        emb = nn.Embed(cfg.vocab_size, cfg.decoder_dim, name="embed")(tokens)
+        pos = self.param("pos", nn.initializers.normal(0.02),
+                         (1, cfg.max_length, cfg.decoder_dim))
+        x = emb + pos[:, : tokens.shape[1]]
+        if enc.shape[-1] != cfg.decoder_dim:
+            enc = nn.Dense(cfg.decoder_dim, name="enc_proj")(enc)
+        for i in range(cfg.decoder_depth):
+            x = TransformerBlock(cfg.decoder_dim, cfg.decoder_heads, causal=True,
+                                 cross=True, name=f"block{i}")(x, enc)
+        x = nn.LayerNorm(name="ln_out")(x)
+        return nn.Dense(cfg.vocab_size, name="lm_head")(x)
+
+
+class MangaOcrModel(nn.Module):
+    cfg: OcrConfig
+
+    def setup(self):
+        self.encoder = VitEncoder(self.cfg)
+        self.decoder = OcrDecoder(self.cfg)
+
+    def encode(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(images)
+
+    def decode_step(self, tokens: jnp.ndarray, enc: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(tokens, enc)
+
+    def __call__(self, images: jnp.ndarray, tokens: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(tokens, self.encoder(images))
+
+
+def greedy_generate(model: MangaOcrModel, params, images: jnp.ndarray,
+                    cfg: OcrConfig) -> jnp.ndarray:
+    """Greedy decode as one compiled fori_loop. Returns [B, max_length] ids."""
+    b = images.shape[0]
+    enc = model.apply(params, images, method=MangaOcrModel.encode)
+    tokens0 = jnp.full((b, cfg.max_length), cfg.pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, 0].set(cfg.bos_id)
+
+    def body(i, state):
+        tokens, done = state
+        logits = model.apply(params, tokens, enc,
+                             method=MangaOcrModel.decode_step)
+        nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_id, nxt)
+        tokens = tokens.at[:, i + 1].set(nxt)
+        done = done | (nxt == cfg.eos_id)
+        return tokens, done
+
+    tokens, _ = jax.lax.fori_loop(0, cfg.max_length - 1, body,
+                                  (tokens0, jnp.zeros((b,), bool)))
+    return tokens
+
+
+def _stub_detokenize(ids: np.ndarray, cfg: OcrConfig) -> str:
+    """Deterministic id→char mapping used until the real vocab is converted."""
+    chars = []
+    for t in ids[1:]:
+        if t == cfg.eos_id or t == cfg.pad_id:
+            break
+        chars.append(chr(0x3041 + (int(t) % 83)))  # hiragana block
+    return "".join(chars)
+
+
+class MangaOcrRunner:
+    """Per-crop OCR callable (reference extract_text_with_manga_ocr
+    ocr_detection.py:773)."""
+
+    def __init__(self, cfg: OcrConfig, params,
+                 detokenize: Optional[Callable[[np.ndarray], str]] = None):
+        self.cfg = cfg
+        self.model = MangaOcrModel(cfg)
+        self._params = params
+        self._detok = detokenize
+
+        @jax.jit
+        def _gen(params, images):
+            return greedy_generate(self.model, params, images, cfg)
+
+        self._gen = _gen
+
+    def __call__(self, pil_image) -> str:
+        import numpy as np
+
+        img = pil_image.convert("RGB").resize(
+            (self.cfg.image_size, self.cfg.image_size))
+        arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+        ids = np.asarray(self._gen(self._params, jnp.asarray(arr[None])))[0]
+        if self._detok is not None:
+            return self._detok(ids)
+        return _stub_detokenize(ids, self.cfg)
+
+
+_runner: Optional[MangaOcrRunner] = None
+_lock = threading.Lock()
+
+
+def get_manga_ocr_runner(preset: str = "manga_ocr") -> MangaOcrRunner:
+    """Lazy singleton (reference get_manga_ocr model_manager.py:856)."""
+    global _runner
+    with _lock:
+        if _runner is None:
+            cfg = OCR_PRESETS[preset]
+            model = MangaOcrModel(cfg)
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+                jnp.zeros((1, cfg.max_length), jnp.int32))
+            _runner = MangaOcrRunner(cfg, params)
+        return _runner

@@ -1,0 +1,271 @@
+"""SAM2-style box-prompted mask refinement in Flax.
+
+Counterpart of the reference's SAM 2.1 hiera-large / SAM 3 tracker usage
+(core/ml/model_manager.py:982-1083; batched box-prompt forward at
+core/image/detection.py:475-511): a hierarchical windowed-attention image
+encoder with an FPN neck, a prompt encoder embedding box corners with Fourier
+positional features, and a two-way transformer mask decoder with learned mask
+tokens — all N bubble prompts refined in ONE forward.
+
+TPU-first: the image is encoded once per page at a fixed size; prompts batch
+along a padded prompt axis so the program compiles once for max_prompts.
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SamConfig:
+    img_size: int = 1024
+    patch_size: int = 16
+    encoder_dim: int = 144        # hiera-large base dim (scaled per stage)
+    encoder_depths: Tuple[int, ...] = (2, 3, 16, 3)
+    encoder_heads: Tuple[int, ...] = (2, 4, 8, 16)
+    window_size: int = 8
+    neck_dim: int = 256
+    decoder_dim: int = 256
+    decoder_depth: int = 2
+    num_mask_tokens: int = 4
+    mask_threshold: float = 0.5   # reference SAM_MASK_THRESHOLD detection.py:16
+
+
+SAM_PRESETS = {
+    "sam2_hiera_large": SamConfig(),
+    "test": SamConfig(img_size=128, patch_size=8, encoder_dim=32,
+                      encoder_depths=(1, 1), encoder_heads=(2, 4),
+                      window_size=4, neck_dim=32, decoder_dim=32,
+                      decoder_depth=1),
+}
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        win = min(self.window, h, w)
+        ph, pw = (-h) % win, (-w) % win
+        xp = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+        hh, ww = xp.shape[1] // win, xp.shape[2] // win
+        xw = xp.reshape(b, hh, win, ww, win, c).transpose(0, 1, 3, 2, 4, 5)
+        xw = xw.reshape(b * hh * ww, win * win, c)
+        qkv = nn.Dense(3 * self.dim, name="qkv")(xw)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        d = self.dim // self.heads
+        q = q.reshape(-1, win * win, self.heads, d)
+        k = k.reshape(-1, win * win, self.heads, d)
+        v = v.reshape(-1, win * win, self.heads, d)
+        attn = jax.nn.softmax(
+            jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                       preferred_element_type=jnp.float32) / np.sqrt(d), -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn.astype(v.dtype), v)
+        out = out.reshape(b, hh, ww, win, win, c).transpose(0, 1, 3, 2, 4, 5)
+        out = out.reshape(b, hh * win, ww * win, c)[:, :h, :w]
+        return nn.Dense(self.dim, name="proj")(out)
+
+
+class EncoderBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + WindowAttention(self.dim, self.heads, self.window, name="attn")(
+            nn.LayerNorm(name="ln1")(x))
+        y = nn.LayerNorm(name="ln2")(x)
+        y = nn.Dense(self.dim * 4, name="mlp_in")(y)
+        return x + nn.Dense(self.dim, name="mlp_out")(nn.gelu(y))
+
+
+class HieraEncoder(nn.Module):
+    """Hierarchical windowed ViT: stages double the channel dim and pool 2×."""
+
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        p = cfg.patch_size
+        x = nn.Conv(cfg.encoder_dim, (p, p), strides=(p, p), name="patch")(x)
+        dim = cfg.encoder_dim
+        for s, (depth, heads) in enumerate(zip(cfg.encoder_depths,
+                                               cfg.encoder_heads)):
+            if s > 0:
+                dim *= 2
+                x = nn.Conv(dim, (2, 2), strides=(2, 2), name=f"pool{s}")(x)
+            for b in range(depth):
+                x = EncoderBlock(dim, heads, cfg.window_size,
+                                 name=f"s{s}_b{b}")(x)
+        # FPN-style neck back to a single stride-16-ish feature map
+        return nn.Conv(cfg.neck_dim, (1, 1), name="neck")(x)
+
+
+def fourier_point_embedding(points01: jnp.ndarray, dim: int,
+                            seed: int = 0) -> jnp.ndarray:
+    """Random Fourier features of normalized (x, y) points (SAM positional
+    encoding scheme). points01 [..., 2] in [0,1] → [..., dim]."""
+    rng = np.random.RandomState(seed)
+    freqs = jnp.asarray(rng.randn(2, dim // 2).astype(np.float32))
+    angles = 2 * np.pi * points01 @ freqs
+    return jnp.concatenate([jnp.sin(angles), jnp.cos(angles)], axis=-1)
+
+
+class PromptEncoder(nn.Module):
+    """Box → two corner tokens with learned corner-type embeddings."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, boxes01: jnp.ndarray) -> jnp.ndarray:
+        # boxes01 [N, 4] normalized xyxy → [N, 2, dim]
+        tl = fourier_point_embedding(boxes01[:, :2], self.dim)
+        br = fourier_point_embedding(boxes01[:, 2:], self.dim)
+        e_tl = self.param("tl_embed", nn.initializers.normal(0.02), (self.dim,))
+        e_br = self.param("br_embed", nn.initializers.normal(0.02), (self.dim,))
+        return jnp.stack([tl + e_tl, br + e_br], axis=1)
+
+
+class TwoWayBlock(nn.Module):
+    dim: int
+    heads: int = 8
+
+    def _attn(self, q, k, v, name):
+        d = self.dim // self.heads
+        qp = nn.Dense(self.dim, name=f"{name}_q")(q).reshape(
+            q.shape[0], q.shape[1], self.heads, d)
+        kp = nn.Dense(self.dim, name=f"{name}_k")(k).reshape(
+            k.shape[0], k.shape[1], self.heads, d)
+        vp = nn.Dense(self.dim, name=f"{name}_v")(v).reshape(
+            v.shape[0], v.shape[1], self.heads, d)
+        a = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                                      preferred_element_type=jnp.float32)
+                           / np.sqrt(d), -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", a.astype(vp.dtype), vp)
+        return nn.Dense(self.dim, name=f"{name}_o")(
+            out.reshape(q.shape[0], q.shape[1], self.dim))
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, image: jnp.ndarray):
+        tokens = nn.LayerNorm(name="ln1")(
+            tokens + self._attn(tokens, tokens, tokens, "self"))
+        tokens = nn.LayerNorm(name="ln2")(
+            tokens + self._attn(tokens, image, image, "t2i"))
+        y = nn.Dense(self.dim * 4, name="mlp_in")(tokens)
+        tokens = nn.LayerNorm(name="ln3")(
+            tokens + nn.Dense(self.dim, name="mlp_out")(nn.gelu(y)))
+        image = nn.LayerNorm(name="ln4")(
+            image + self._attn(image, tokens, tokens, "i2t"))
+        return tokens, image
+
+
+class MaskDecoder(nn.Module):
+    cfg: SamConfig
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray, prompts: jnp.ndarray) -> jnp.ndarray:
+        """feat [1, Hf, Wf, C]; prompts [N, 2, C] → mask logits [N, 4Hf, 4Wf]."""
+        cfg = self.cfg
+        n = prompts.shape[0]
+        hf, wf, c = feat.shape[1:]
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(0.02),
+                                 (cfg.num_mask_tokens, cfg.decoder_dim))
+        tokens = jnp.concatenate(
+            [jnp.broadcast_to(mask_tokens[None], (n,) + mask_tokens.shape),
+             prompts], axis=1)
+
+        ys = (jnp.arange(hf, dtype=jnp.float32) + 0.5) / hf
+        xs = (jnp.arange(wf, dtype=jnp.float32) + 0.5) / wf
+        grid = jnp.stack(jnp.meshgrid(xs, ys, indexing="xy"), axis=-1)
+        pe = fourier_point_embedding(grid.reshape(-1, 2), cfg.decoder_dim)
+        img = feat.reshape(1, hf * wf, c) + pe[None]
+        img = jnp.broadcast_to(img, (n, hf * wf, c))
+
+        for i in range(cfg.decoder_depth):
+            tokens, img = TwoWayBlock(cfg.decoder_dim, name=f"tw{i}")(tokens, img)
+
+        # upscale image features 4× and dot with the first mask token
+        img2d = img.reshape(n, hf, wf, c)
+        up = nn.ConvTranspose(c // 2, (2, 2), strides=(2, 2), name="up1")(img2d)
+        up = nn.gelu(up)
+        up = nn.ConvTranspose(c // 4, (2, 2), strides=(2, 2), name="up2")(up)
+        hyper = nn.Dense(c // 4, name="hyper")(tokens[:, 0])  # first mask token
+        return jnp.einsum("nhwc,nc->nhw", up, hyper)
+
+
+class SamModel(nn.Module):
+    cfg: SamConfig
+
+    def setup(self):
+        self.encoder = HieraEncoder(self.cfg)
+        self.prompt_encoder = PromptEncoder(self.cfg.decoder_dim)
+        self.decoder = MaskDecoder(self.cfg)
+
+    def encode_image(self, image: jnp.ndarray) -> jnp.ndarray:
+        return self.encoder(image)
+
+    def decode_boxes(self, feat: jnp.ndarray, boxes01: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(feat, self.prompt_encoder(boxes01))
+
+    def __call__(self, image: jnp.ndarray, boxes01: jnp.ndarray) -> jnp.ndarray:
+        return self.decode_boxes(self.encode_image(image), boxes01)
+
+
+class SamRefiner:
+    """Batched box-prompt refinement callable plugged into detection
+    (detect_speech_bubbles sam_refiner hook)."""
+
+    MAX_PROMPTS = 16
+
+    def __init__(self, cfg: SamConfig, params):
+        self.cfg = cfg
+        self.model = SamModel(cfg)
+        self._params = params
+
+        @jax.jit
+        def _run(params, image, boxes01):
+            logits = self.model.apply(params, image, boxes01)
+            return jax.nn.sigmoid(logits)
+
+        self._run = _run
+
+    def __call__(self, image: np.ndarray, boxes: np.ndarray):
+        """image RGB uint8 [H,W,3]; boxes [N,4] page xyxy → list of page-res
+        uint8 masks (one batched forward, reference detection.py:475-511)."""
+        import cv2
+
+        h, w = image.shape[:2]
+        size = self.cfg.img_size
+        n = len(boxes)
+        if n == 0:
+            return []
+        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+        norm = np.array([w, h, w, h], np.float32)
+        boxes01 = np.zeros((self.MAX_PROMPTS, 4), np.float32)
+        boxes01[:n] = np.asarray(boxes, np.float32)[: self.MAX_PROMPTS] / norm
+        probs = np.asarray(self._run(self._params, jnp.asarray(resized[None]),
+                                     jnp.asarray(boxes01)))
+        out = []
+        for i in range(n):
+            m = cv2.resize(probs[i], (w, h), interpolation=cv2.INTER_LINEAR)
+            out.append((m > self.cfg.mask_threshold).astype(np.uint8))
+        return out
+
+
+def init_sam(cfg: SamConfig, seed: int = 0):
+    model = SamModel(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+                      jnp.zeros((4, 4)))

@@ -1,0 +1,67 @@
+"""manga-ocr model: shapes, greedy decode invariants, runner interface."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.models.ocr import (
+    OCR_PRESETS,
+    MangaOcrModel,
+    MangaOcrRunner,
+    greedy_generate,
+)
+
+CFG = OCR_PRESETS["test"]
+
+
+@pytest.fixture(scope="module")
+def ocr_params():
+    model = MangaOcrModel(CFG)
+    return model.init(jax.random.PRNGKey(0),
+                      jnp.zeros((1, CFG.image_size, CFG.image_size, 3)),
+                      jnp.zeros((1, CFG.max_length), jnp.int32))
+
+
+def test_logits_shape(ocr_params):
+    model = MangaOcrModel(CFG)
+    out = model.apply(ocr_params,
+                      jnp.zeros((2, CFG.image_size, CFG.image_size, 3)),
+                      jnp.zeros((2, CFG.max_length), jnp.int32))
+    assert out.shape == (2, CFG.max_length, CFG.vocab_size)
+
+
+def test_greedy_generate_structure(ocr_params):
+    model = MangaOcrModel(CFG)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(
+        2, CFG.image_size, CFG.image_size, 3), jnp.float32)
+    ids = np.asarray(greedy_generate(model, ocr_params, imgs, CFG))
+    assert ids.shape == (2, CFG.max_length)
+    assert (ids[:, 0] == CFG.bos_id).all()
+    # deterministic
+    ids2 = np.asarray(greedy_generate(model, ocr_params, imgs, CFG))
+    np.testing.assert_array_equal(ids, ids2)
+    # after an EOS, everything is PAD
+    for row in ids:
+        seen_eos = False
+        for t in row[1:]:
+            if seen_eos:
+                assert t == CFG.pad_id
+            if t == CFG.eos_id:
+                seen_eos = True
+
+
+def test_image_sensitivity(ocr_params):
+    model = MangaOcrModel(CFG)
+    a = jnp.zeros((1, CFG.image_size, CFG.image_size, 3))
+    b = jnp.ones((1, CFG.image_size, CFG.image_size, 3))
+    la = model.apply(ocr_params, a, jnp.zeros((1, CFG.max_length), jnp.int32))
+    lb = model.apply(ocr_params, b, jnp.zeros((1, CFG.max_length), jnp.int32))
+    assert np.abs(np.asarray(la) - np.asarray(lb)).max() > 1e-5
+
+
+def test_runner_returns_string(ocr_params):
+    runner = MangaOcrRunner(CFG, ocr_params)
+    out = runner(Image.new("RGB", (80, 40), (230, 230, 230)))
+    assert isinstance(out, str)
