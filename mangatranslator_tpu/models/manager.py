@@ -173,6 +173,59 @@ class ModelManager:
             self._runners[key] = runner
             return runner
 
+    # -- SAM / FLUX / OCR ----------------------------------------------------------
+
+    def get_sam_refiner(self, variant: str = "sam2"):
+        mtype = ModelType.SAM2 if variant == "sam2" else ModelType.SAM3
+        key = (mtype, 0)
+        with self._lock:
+            if key in self._runners:
+                return self._runners[key]
+            from .sam import SAM_PRESETS, SamRefiner, init_sam
+
+            preset = os.environ.get("MTX_SAM_PRESET", "test")
+            cfg = SAM_PRESETS[preset]
+            params = self._load_converted(mtype)
+            if params is None:
+                self._try_download(mtype)
+                log_message(
+                    f"No converted checkpoint for {mtype.value}; using random init",
+                    always_print=True)
+                params = init_sam(cfg)
+            runner = SamRefiner(cfg, params)
+            self._runners[key] = runner
+            return runner
+
+    def get_flux_inpainter(self, method: str = "flux_klein_4b",
+                           prompt: Optional[str] = None):
+        mtype = {
+            "flux_klein_4b": ModelType.FLUX_KLEIN_4B,
+            "flux_klein_9b": ModelType.FLUX_KLEIN_9B,
+            "flux_kontext": ModelType.FLUX_KONTEXT,
+        }.get(method, ModelType.FLUX_KLEIN_4B)
+        key = (mtype, 0)
+        with self._lock:
+            if key in self._runners:
+                return self._runners[key]
+            from .flux.pipeline import DEFAULT_PROMPT, build_random_inpainter
+
+            preset = os.environ.get("MTX_FLUX_PRESET", "test")
+            vae_preset = os.environ.get("MTX_FLUX_VAE_PRESET", "test")
+            log_message(
+                f"No converted checkpoint for {mtype.value}; using random init "
+                f"(preset {preset})", always_print=True)
+            inpainter = build_random_inpainter(
+                preset=preset, vae_preset=vae_preset,
+                prompt=prompt or DEFAULT_PROMPT)
+            self._runners[key] = inpainter
+            return inpainter
+
+    def get_osb_detector(self, confidence: float = 0.6):
+        from ..detection.osb import OutsideTextDetector
+
+        runner = self.get_detector(ModelType.YOLO_OSB_TEXT)
+        return OutsideTextDetector(runner, confidence)
+
     def unload_all(self) -> None:
         """Drop runner references (reference bulk unloaders :1390-1493).
 

@@ -106,6 +106,42 @@ def _render_one_bubble(
     return image, False
 
 
+def _render_osb_text(
+    image: Image.Image,
+    det: Dict[str, Any],
+    text: str,
+    config: MangaTranslatorConfig,
+    processing_scale: float,
+) -> Tuple[Image.Image, bool]:
+    """Render an OSB translation over its inpainted region with the OSB
+    settings; fallback chain horizontal → vertical stack → restore/skip
+    (reference core/pipeline.py:1706-1798)."""
+    ot = config.outside_text
+    info = det.get("render_info", {})
+    font_dir = ot.osb_font_dir or config.rendering.font_dir
+    kwargs = dict(
+        font_dir=font_dir,
+        max_font_size=scale_font_size(ot.osb_max_font_size, processing_scale),
+        min_font_size=scale_font_size(ot.osb_min_font_size, processing_scale),
+        line_spacing_mult=ot.osb_line_spacing,
+        outline_width=ot.osb_outline_width,
+        supersampling_factor=config.rendering.supersampling_factor,
+        output_language=config.translation.output_language,
+        text_color_rgb=info.get("text_color"),
+        verbose=config.verbose,
+    )
+    for auto_vertical in (False, True):
+        try:
+            out, _ = render_text(image, text, tuple(det["bbox"]), None,
+                                 auto_vertical=auto_vertical, **kwargs)
+            return out, True
+        except Exception:
+            continue
+    log_message(f"OSB render failed for {det['bbox']}; region left inpainted",
+                always_print=True)
+    return image, False
+
+
 def translate_and_render(
     image_path: Union[str, Path, Image.Image],
     config: MangaTranslatorConfig,
@@ -170,9 +206,17 @@ def translate_and_render(
                 manager.get_detector(ModelType.RTDETR_CONJOINED)
                 if config.detection.conjoined_detection else None
             )
+            sam_refiner = None
+            if config.detection.seg_model in ("sam2", "sam3"):
+                try:
+                    sam_refiner = manager.get_sam_refiner(config.detection.seg_model)
+                except Exception as e:
+                    log_message(f"SAM unavailable, YOLO masks kept: {e}",
+                                always_print=True)
             detections = detect_speech_bubbles(
                 arr, bubble_runner, config.detection,
-                conjoined_runner=conjoined_runner, verbose=config.verbose,
+                conjoined_runner=conjoined_runner, sam_refiner=sam_refiner,
+                verbose=config.verbose,
             )
         except DetectionError as e:
             log_message(f"Detection failed: {e}", always_print=True)
@@ -191,6 +235,55 @@ def translate_and_render(
                 )
             except DetectionError as e:
                 log_message(f"Panel detection failed: {e}", always_print=True)
+
+    # OSB (outside-speech-bubble text removal) --------------------------------
+    osb_work = None
+    osb_infos: List[Dict[str, Any]] = []
+    if config.outside_text.enabled:
+        cancel.check("osb")
+        with timers.span("osb_prepare"):
+            try:
+                from ..cleaning.osb_processor import (
+                    finish_outside_text_work,
+                    prepare_outside_text_work,
+                )
+
+                osb_detector = manager.get_osb_detector(
+                    config.outside_text.osb_confidence)
+                osb_work = prepare_outside_text_work(
+                    arr, osb_detector, config.outside_text, detections,
+                    processing_scale=scale, verbose=config.verbose)
+            except Exception as e:
+                log_message(f"OSB detection failed: {e}", always_print=True)
+                info["errors"].append(f"osb: {e}")
+                osb_work = None
+
+    def _finish_osb(img_arr):
+        from ..cleaning.osb_processor import finish_outside_text_work
+
+        inpainter = None
+        method = config.outside_text.inpainting_method
+        if method.startswith("flux"):
+            try:
+                inpainter = manager.get_flux_inpainter(
+                    method, prompt=config.outside_text.flux_prompt)
+            except Exception as e:
+                log_message(f"Flux unavailable, cv2 fallback: {e}",
+                            always_print=True)
+        return finish_outside_text_work(img_arr, osb_work, config.outside_text,
+                                        inpainter, verbose=config.verbose)
+
+    # Without LLM overlap, finish OSB inpainting before cleaning (reference
+    # runs the split only when overlap_llm_with_inpaint is set)
+    if osb_work is not None and osb_work.groups and not (
+            config.overlap_llm_with_inpaint and not config.test_mode
+            and not config.cleaning_only):
+        with timers.span("osb_inpaint"):
+            arr, osb_infos = _finish_osb(arr)
+        osb_work = None
+    elif osb_work is not None and not osb_work.groups:
+        osb_infos = osb_work.render_infos
+        osb_work = None
 
     # CLEAN ------------------------------------------------------------------
     cleaned_img = arr
@@ -244,14 +337,34 @@ def translate_and_render(
             panels if config.detection.use_panel_sorting else None,
         )
 
-    # TRANSLATE -------------------------------------------------------------------
+    # append OSB regions as translation items after the sorted bubbles
+    # (reference includes them in the LLM batch with is_outside_text metadata);
+    # in overlap mode the render infos come from the prepared (unfinished) work
+    pending_infos = osb_work.render_infos if osb_work is not None else osb_infos
+    osb_items: List[Dict[str, Any]] = []
+    for oi in pending_infos:
+        b = oi["bbox"]
+        osb_items.append({
+            "bbox": [b["x"], b["y"], b["x"] + b["width"], b["y"] + b["height"]],
+            "is_outside_text": True,
+            "render_info": oi,
+        })
+    if osb_items:
+        from ..detection.sorting import _spatial_sort
+
+        osb_items = _spatial_sort(
+            osb_items, config.translation.reading_direction == "rtl")
+        ordered = ordered + osb_items
+
+    # TRANSLATE (optionally overlapped with deferred OSB inpainting) -----------
     cancel.check("translate")
-    with timers.span("translate"):
+
+    def run_translate():
         if config.test_mode:
-            texts = []
+            out = []
             for det in ordered:
-                c = cleaned_by_idx.get(det["_idx"])
-                texts.append(generate_test_placeholder(
+                c = cleaned_by_idx.get(det.get("_idx", -1))
+                out.append(generate_test_placeholder(
                     image, det["bbox"],
                     c.fill_mask if (c and c.success) else None,
                     config.rendering.font_dir,
@@ -260,13 +373,30 @@ def translate_and_render(
                     min_font_size=scale_font_size(
                         config.rendering.min_font_size, scale),
                 ))
-        elif translate_fn is not None:
-            texts = translate_fn(image, ordered, config)
-        else:
-            from ..services.translation import translate_detections
+            return out
+        if translate_fn is not None:
+            return translate_fn(image, ordered, config)
+        from ..services.translation import translate_detections
 
-            texts = translate_detections(image, ordered, config,
-                                         cleaned_by_idx=cleaned_by_idx)
+        return translate_detections(image, ordered, config,
+                                    cleaned_by_idx=cleaned_by_idx)
+
+    with timers.span("translate"):
+        if osb_work is not None and osb_work.groups:
+            # overlap: OSB diffusion on device while the LLM round-trips
+            # (reference overlap_llm_with_inpaint, core/pipeline.py:1378-1461)
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                f_osb = pool.submit(_finish_osb, np.asarray(image))
+                texts = run_translate()
+                new_arr, osb_infos2 = f_osb.result()
+            image = Image.fromarray(new_arr)
+            # refresh render infos for the already-appended OSB items
+            for item, oi in zip(osb_items, osb_infos2):
+                item["render_info"] = oi
+        else:
+            texts = run_translate()
         info["texts"] = texts
 
     # RENDER ------------------------------------------------------------------------
@@ -275,8 +405,12 @@ def translate_and_render(
         for det, text in zip(ordered, texts):
             if not text or not text.strip():
                 continue
-            c = cleaned_by_idx.get(det["_idx"])
-            image, ok = _render_one_bubble(image, det, text, c, config, scale)
+            if det.get("is_outside_text"):
+                image, ok = _render_osb_text(image, det, text, config, scale)
+            else:
+                c = cleaned_by_idx.get(det["_idx"])
+                image, ok = _render_one_bubble(image, det, text, c, config,
+                                               scale)
             info["rendered"] += int(ok)
 
     # FINAL UPSCALE -------------------------------------------------------------------

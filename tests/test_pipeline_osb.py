@@ -1,0 +1,93 @@
+"""Pipeline with OSB enabled: removal + translated-OSB rendering + overlap."""
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.models.manager import (
+    ModelType,
+    get_model_manager,
+    reset_model_manager,
+)
+from mangatranslator_tpu.pipeline import translate_and_render
+from tests.test_detection import FakeRunner, lb
+from tests.test_pipeline_e2e import FONT_DIR, PAGE_H, PAGE_W, make_config, make_page
+
+
+@pytest.fixture()
+def osb_manager():
+    reset_model_manager()
+    reset_cache()
+    img, boxes = make_page()
+    # draw OSB text at the bottom (outside bubbles)
+    cv2.putText(img, "SFX", (120, 520), cv2.FONT_HERSHEY_SIMPLEX, 2,
+                (20, 20, 20), 5)
+    osb_box = [100, 470, 280, 540]
+
+    mgr = get_model_manager()
+    imgsz = 256
+    bubble_runner = FakeRunner(
+        imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0) for b in boxes])
+    osb_runner = FakeRunner(
+        imgsz, [(lb(osb_box, (PAGE_H, PAGE_W), imgsz), 0.9, 0)],
+        with_masks=False)
+    for size in (imgsz, 640, 1600):
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = bubble_runner
+        mgr._runners[(ModelType.YOLO_PANEL, size)] = FakeRunner(
+            size, [], with_masks=False)
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = FakeRunner(
+            size, [], with_masks=False)
+        mgr._runners[(ModelType.YOLO_OSB_TEXT, size)] = osb_runner
+    yield mgr, img
+    reset_model_manager()
+
+
+class TestOsbPipeline:
+    def test_opencv_osb_removal_and_render(self, osb_manager):
+        mgr, img = osb_manager
+        cfg = make_config(test_mode=True)
+        cfg.outside_text.enabled = True
+        cfg.outside_text.inpainting_method = "opencv"
+        out, info = translate_and_render(Image.fromarray(img), cfg)
+        # 2 bubbles + 1 OSB item all rendered
+        assert info["rendered"] == 3
+        assert len(info["texts"]) == 3
+        arr = np.asarray(out)
+        # the original heavy SFX strokes are gone (region re-filled + re-text)
+        orig = img[490:510, 130:250]
+        new = arr[490:510, 130:250]
+        assert (orig != new).any()
+
+    def test_osb_with_overlap_and_translate(self, osb_manager):
+        mgr, img = osb_manager
+        cfg = make_config()
+        cfg.outside_text.enabled = True
+        cfg.outside_text.inpainting_method = "opencv"
+        cfg.overlap_llm_with_inpaint = True
+        calls = []
+
+        def fake_translate(image, ordered, config):
+            calls.append(len(ordered))
+            return ["Hi"] * len(ordered)
+
+        out, info = translate_and_render(Image.fromarray(img), cfg,
+                                         translate_fn=fake_translate)
+        assert calls == [3]
+        assert info["rendered"] == 3
+
+    def test_osb_disabled_unchanged(self, osb_manager):
+        mgr, img = osb_manager
+        cfg = make_config(test_mode=True)
+        cfg.outside_text.enabled = False
+        out, info = translate_and_render(Image.fromarray(img), cfg)
+        assert info["rendered"] == 2  # bubbles only
+
+    def test_sam_seg_model_path(self, osb_manager):
+        mgr, img = osb_manager
+        cfg = make_config(test_mode=True)
+        cfg.detection.seg_model = "sam2"
+        out, info = translate_and_render(Image.fromarray(img), cfg)
+        assert info["bubbles"] == 2  # SAM (random) refinement didn't break flow
