@@ -1,0 +1,161 @@
+"""ctypes bindings for the native host kernels (native/libmtx_native.so).
+
+Provides: PNG encoding (libpng+zlib — the oxipng role, reference
+image_utils.py:140-163), connected components with stats + hole fill (the cv2
+contour role on the clean path), and exact HarfBuzz 26.6 shaping widths (the
+uharfbuzz role feeding the layout DP). Every entry point has a pure-Python
+fallback so the framework runs without the compiled library.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import threading
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+_LIB_PATHS = (
+    Path(__file__).resolve().parent.parent / "native" / "libmtx_native.so",
+    Path(__file__).resolve().parent / "libmtx_native.so",
+)
+
+_lib = None
+_lib_lock = threading.Lock()
+_load_failed = False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _load_failed
+    if _lib is not None or _load_failed:
+        return _lib
+    with _lib_lock:
+        if _lib is not None or _load_failed:
+            return _lib
+        for p in _LIB_PATHS:
+            if p.exists():
+                try:
+                    lib = ctypes.CDLL(str(p))
+                except OSError:
+                    continue
+                lib.mtx_png_encode.argtypes = [
+                    ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                lib.mtx_png_encode.restype = ctypes.c_int
+                lib.mtx_connected_components.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_double), ctypes.c_int]
+                lib.mtx_connected_components.restype = ctypes.c_int
+                lib.mtx_fill_holes.argtypes = [
+                    ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
+                lib.mtx_fill_holes.restype = ctypes.c_int
+                lib.mtx_hb_shape_width.argtypes = [
+                    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32),
+                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
+                    ctypes.POINTER(ctypes.c_int)]
+                lib.mtx_hb_shape_width.restype = ctypes.c_longlong
+                _lib = lib
+                return _lib
+        _load_failed = True
+        return None
+
+
+def available() -> bool:
+    return _load() is not None
+
+
+def png_encode(path: str, pixels: np.ndarray, compress_level: int = 6) -> bool:
+    """Write RGB/RGBA uint8 HWC pixels as PNG. Returns False on fallback."""
+    lib = _load()
+    if lib is None:
+        return False
+    arr = np.ascontiguousarray(pixels, np.uint8)
+    if arr.ndim != 3 or arr.shape[2] not in (3, 4):
+        return False
+    rc = lib.mtx_png_encode(
+        str(path).encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        arr.shape[1], arr.shape[0], arr.shape[2], int(compress_level))
+    return rc == 0
+
+
+def connected_components_with_stats(
+    mask: np.ndarray, max_labels: int = 4096
+) -> Optional[Tuple[int, np.ndarray, np.ndarray, np.ndarray]]:
+    """cv2.connectedComponentsWithStats-shaped output:
+    (num, labels int32 [H,W], stats [num,5]=(x0,y0,w,h,area), centroids [num,2]).
+    None → caller falls back to cv2."""
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray((np.asarray(mask) > 0).astype(np.uint8))
+    h, w = m.shape
+    labels = np.zeros((h, w), np.int32)
+    raw_stats = np.zeros((max_labels, 6), np.int32)
+    centroids = np.zeros((max_labels, 2), np.float64)
+    num = lib.mtx_connected_components(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w,
+        labels.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        raw_stats.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        centroids.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), max_labels)
+    if num <= 0:
+        return None
+    stats = np.zeros((num, 5), np.int32)
+    stats[:, 0] = raw_stats[:num, 1]                      # x0
+    stats[:, 1] = raw_stats[:num, 2]                      # y0
+    stats[:, 2] = raw_stats[:num, 3] - raw_stats[:num, 1] + 1  # w
+    stats[:, 3] = raw_stats[:num, 4] - raw_stats[:num, 2] + 1  # h
+    stats[:, 4] = raw_stats[:num, 0]                      # area
+    return num, labels, stats, centroids[:num]
+
+
+def fill_holes(mask: np.ndarray) -> Optional[np.ndarray]:
+    lib = _load()
+    if lib is None:
+        return None
+    m = np.ascontiguousarray((np.asarray(mask) > 0).astype(np.uint8))
+    lib.mtx_fill_holes(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                       m.shape[0], m.shape[1])
+    return m
+
+
+def hb_shape_width(font_path: str, text: str, px_size: int
+                   ) -> Optional[float]:
+    """Exact HarfBuzz-shaped advance width in pixels (26.6 fixed point ÷ 64).
+    None when the shim or libharfbuzz is unavailable."""
+    lib = _load()
+    if lib is None:
+        return None
+    total = lib.mtx_hb_shape_width(str(font_path).encode(),
+                                   text.encode("utf-8"), int(px_size),
+                                   None, None, None, 0, None)
+    if total < 0:
+        return None
+    return total / 64.0
+
+
+def hb_shape_glyphs(font_path: str, text: str, px_size: int,
+                    max_glyphs: int = 512
+                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """(glyph_ids, clusters, advances_px) from HarfBuzz, or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    gids = np.zeros(max_glyphs, np.int32)
+    clus = np.zeros(max_glyphs, np.int32)
+    adv = np.zeros(max_glyphs, np.int32)
+    n = ctypes.c_int(0)
+    total = lib.mtx_hb_shape_width(
+        str(font_path).encode(), text.encode("utf-8"), int(px_size),
+        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        clus.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        adv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_glyphs,
+        ctypes.byref(n))
+    if total < 0:
+        return None
+    k = n.value
+    return gids[:k], clus[:k], adv[:k] / 64.0

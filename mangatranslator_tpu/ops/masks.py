@@ -254,8 +254,15 @@ def largest_component_np(mask: np.ndarray, min_area: int = MIN_CONTOUR_AREA,
     """
     import cv2
 
+    from .. import native
+
     m8 = (np.asarray(mask) > 0.5).astype(np.uint8)
-    num, labels, stats, centroids = cv2.connectedComponentsWithStats(m8, connectivity=8)
+    ccl = native.connected_components_with_stats(m8)
+    if ccl is not None:
+        num, labels, stats, centroids = ccl  # native CCL (stats col 4 = area)
+    else:
+        num, labels, stats, centroids = cv2.connectedComponentsWithStats(
+            m8, connectivity=8)
     best, best_area = 0, 0
     for i in range(1, num):
         area = int(stats[i, cv2.CC_STAT_AREA])

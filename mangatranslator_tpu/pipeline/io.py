@@ -56,8 +56,14 @@ def save_image_with_compression(
     out_path.parent.mkdir(parents=True, exist_ok=True)
     suffix = out_path.suffix.lower()
     if suffix == ".png":
-        img.save(out_path, format="PNG",
-                 compress_level=max(0, min(9, int(png_compression) + 3)))
+        level = max(0, min(9, int(png_compression) + 3))
+        from .. import native
+        import numpy as np
+
+        if img.mode in ("RGB", "RGBA") and native.png_encode(
+                out_path, np.asarray(img), level):
+            return out_path  # native libpng encoder (oxipng role)
+        img.save(out_path, format="PNG", compress_level=level)
     elif suffix in (".jpg", ".jpeg"):
         convert_image_to_target_mode(img, "RGB").save(
             out_path, format="JPEG", quality=int(jpeg_quality), subsampling=0)

@@ -27,6 +27,19 @@ SQUEEZE_RETRIES = 3
 SQUEEZE_FACTOR = 0.90
 
 
+_measurer_cache: Dict[str, "TextMeasurer"] = {}
+
+
+def get_measurer(font_dir: str, verbose: bool = False) -> "TextMeasurer":
+    """Per-font-pack measurer cache — keeps the word-width cache warm across
+    bubbles/pages instead of rebuilding per render call."""
+    m = _measurer_cache.get(font_dir)
+    if m is None:
+        m = TextMeasurer(font_dir, verbose=verbose)
+        _measurer_cache[font_dir] = m
+    return m
+
+
 class TextMeasurer:
     """Width/metric oracle over the discovered font variants, with a per-size
     word-width cache (mirrors reference word_width_cache, layout_engine.py:727)."""

@@ -22,9 +22,9 @@ from . import processing as TP
 from .fonts import load_pil_font
 from .layout import (
     LayoutResult,
-    TextMeasurer,
     build_vertical_layout,
     find_optimal_layout,
+    get_measurer,
 )
 
 BBOX_FALLBACK_PADDING = 0.08  # padded-bbox fallback inset (reference :184-198)
@@ -47,7 +47,17 @@ def calculate_centroid_expansion_box(
     if cleaned_mask is None or not np.any(cleaned_mask):
         raise ImageProcessingError("Invalid or empty mask provided")
 
-    mask = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+    mask_full = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+    # The EDT is local to the mask's neighborhood: everything outside the
+    # nonzero bbox is already background, so crop before transforming instead
+    # of paying a full-page EDT per bubble (the reference pays full-page cv2
+    # distanceTransform; this is the hot render-path cost).
+    fy, fx = np.nonzero(mask_full)
+    m = 2
+    cy0, cy1 = max(0, fy.min() - m), min(mask_full.shape[0], fy.max() + 1 + m)
+    cx0, cx1 = max(0, fx.min() - m), min(mask_full.shape[1], fx.max() + 1 + m)
+    mask = mask_full[cy0:cy1, cx0:cx1]
+
     padded = np.pad(mask, 1)  # image edges are hard boundaries
     dist = ndi.distance_transform_edt(padded)[1:-1, 1:-1]
     safe = dist >= padding_pixels
@@ -95,7 +105,8 @@ def calculate_centroid_expansion_box(
     by = int(round(centroid_y - bh / 2.0))
     if bx < 0 or by < 0 or bx + bw > w or by + bh > h:
         raise ImageProcessingError("Failed to create safe area mask")
-    return (bx, by, bw, bh), (centroid_x, centroid_y)
+    # shift crop-local coordinates back to page space
+    return (bx + cx0, by + cy0, bw, bh), (centroid_x + cx0, centroid_y + cy0)
 
 
 def padded_bbox_fallback(
@@ -213,7 +224,7 @@ def render_text(
     ``layout_only`` probes the layout engine and returns ``info['font_size']``
     without drawing (test-mode placeholder sizing, reference :305-309).
     """
-    measurer = TextMeasurer(font_dir, verbose=verbose)
+    measurer = get_measurer(font_dir, verbose=verbose)
 
     safe_mask = None
     if cleaned_mask is not None and np.any(cleaned_mask):

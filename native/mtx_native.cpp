@@ -1,0 +1,268 @@
+// mtx_native: host-side native kernels for mangatranslator_tpu.
+//
+// Replaces the reference's native dependencies on the host path (SURVEY.md
+// §2.9): oxipng (Rust) → libpng+zlib encoder here; cv2 contour/component
+// extraction → two-pass union-find CCL with stats + border flood hole fill;
+// uharfbuzz shaping → a dlopen shim over libharfbuzz (26.6 fixed-point
+// advances feeding the Knuth-Plass layout).
+//
+// Exposed via a plain C ABI consumed from Python with ctypes
+// (mangatranslator_tpu/native.py).
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <vector>
+
+#include <png.h>
+#include <zlib.h>
+#include <dlfcn.h>
+
+extern "C" {
+
+// ---------------------------------------------------------------------------
+// PNG encoding (libpng + zlib)
+// ---------------------------------------------------------------------------
+
+// Encode RGB8/RGBA8 rows to a PNG file. Returns 0 on success.
+int mtx_png_encode(const char* path, const uint8_t* pixels, int width,
+                   int height, int channels, int compress_level) {
+    if (channels != 3 && channels != 4) return -1;
+    FILE* fp = fopen(path, "wb");
+    if (!fp) return -2;
+    png_structp png = png_create_write_struct(PNG_LIBPNG_VER_STRING, nullptr,
+                                              nullptr, nullptr);
+    if (!png) { fclose(fp); return -3; }
+    png_infop pinfo = png_create_info_struct(png);
+    if (!pinfo) { png_destroy_write_struct(&png, nullptr); fclose(fp); return -3; }
+    if (setjmp(png_jmpbuf(png))) {
+        png_destroy_write_struct(&png, &pinfo);
+        fclose(fp);
+        return -4;
+    }
+    png_init_io(png, fp);
+    if (compress_level < 0) compress_level = 6;
+    if (compress_level > 9) compress_level = 9;
+    png_set_compression_level(png, compress_level);
+    // adaptive filtering gives most of oxipng's win at a fraction of its cost
+    png_set_filter(png, 0, PNG_ALL_FILTERS);
+    png_set_IHDR(png, pinfo, width, height, 8,
+                 channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_RGBA,
+                 PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
+                 PNG_FILTER_TYPE_DEFAULT);
+    png_write_info(png, pinfo);
+    std::vector<png_bytep> rows(height);
+    for (int y = 0; y < height; ++y)
+        rows[y] = const_cast<uint8_t*>(pixels) + (size_t)y * width * channels;
+    png_write_image(png, rows.data());
+    png_write_end(png, nullptr);
+    png_destroy_write_struct(&png, &pinfo);
+    fclose(fp);
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Connected components with stats (8-connectivity, two-pass union-find)
+// ---------------------------------------------------------------------------
+
+static inline int uf_find(std::vector<int>& parent, int x) {
+    while (parent[x] != x) { parent[x] = parent[parent[x]]; x = parent[x]; }
+    return x;
+}
+
+// labels: out int32 [h*w]; stats: out int32 [max_labels*6]
+// (area, x0, y0, x1, y1, unused) per label; centroids: out double [max*2].
+// Returns the number of labels incl. background (label 0).
+int mtx_connected_components(const uint8_t* mask, int h, int w,
+                             int32_t* labels, int32_t* stats,
+                             double* centroids, int max_labels) {
+    std::vector<int> parent(1, 0);
+    std::vector<int32_t> row_prev(w, 0);
+    // first pass
+    for (int y = 0; y < h; ++y) {
+        int32_t left = 0;
+        for (int x = 0; x < w; ++x) {
+            int idx = y * w + x;
+            if (!mask[idx]) { labels[idx] = 0; left = 0; continue; }
+            // neighbours already labeled: left, up-left, up, up-right
+            int cand[4] = {left,
+                           (y && x) ? labels[idx - w - 1] : 0,
+                           y ? labels[idx - w] : 0,
+                           (y && x + 1 < w) ? labels[idx - w + 1] : 0};
+            int lab = 0;
+            for (int c : cand) if (c && (lab == 0 || c < lab)) lab = c;
+            if (lab == 0) {
+                lab = (int)parent.size();
+                parent.push_back(lab);
+            } else {
+                for (int c : cand)
+                    if (c && c != lab) {
+                        int ra = uf_find(parent, c), rb = uf_find(parent, lab);
+                        if (ra != rb) parent[ra > rb ? ra : rb] = ra > rb ? rb : ra;
+                    }
+            }
+            labels[idx] = lab;
+            left = lab;
+        }
+    }
+    // flatten + renumber
+    std::vector<int32_t> remap(parent.size(), 0);
+    int next = 1;
+    for (size_t i = 1; i < parent.size(); ++i) {
+        int r = uf_find(parent, (int)i);
+        if ((size_t)r == i) remap[i] = next++;
+    }
+    if (next > max_labels) next = max_labels;
+    // stats accumulation
+    std::vector<int64_t> area(next, 0), sx(next, 0), sy(next, 0);
+    std::vector<int32_t> x0(next, INT32_MAX), y0(next, INT32_MAX),
+        x1(next, -1), y1(next, -1);
+    for (int y = 0; y < h; ++y)
+        for (int x = 0; x < w; ++x) {
+            int idx = y * w + x;
+            if (!labels[idx]) continue;
+            int lab = remap[uf_find(parent, labels[idx])];
+            if (lab >= next) lab = 0;
+            labels[idx] = lab;
+            if (!lab) continue;
+            area[lab]++; sx[lab] += x; sy[lab] += y;
+            if (x < x0[lab]) x0[lab] = x;
+            if (y < y0[lab]) y0[lab] = y;
+            if (x > x1[lab]) x1[lab] = x;
+            if (y > y1[lab]) y1[lab] = y;
+        }
+    for (int lab = 0; lab < next; ++lab) {
+        stats[lab * 6 + 0] = (int32_t)area[lab];
+        stats[lab * 6 + 1] = x0[lab] == INT32_MAX ? 0 : x0[lab];
+        stats[lab * 6 + 2] = y0[lab] == INT32_MAX ? 0 : y0[lab];
+        stats[lab * 6 + 3] = x1[lab] < 0 ? 0 : x1[lab];
+        stats[lab * 6 + 4] = y1[lab] < 0 ? 0 : y1[lab];
+        stats[lab * 6 + 5] = 0;
+        centroids[lab * 2 + 0] = area[lab] ? (double)sx[lab] / area[lab] : 0.0;
+        centroids[lab * 2 + 1] = area[lab] ? (double)sy[lab] / area[lab] : 0.0;
+    }
+    return next;
+}
+
+// Fill interior holes of a binary mask in place: background reachable from the
+// border stays background, the rest becomes foreground.
+int mtx_fill_holes(uint8_t* mask, int h, int w) {
+    std::vector<uint8_t> reach((size_t)h * w, 0);
+    std::vector<int> stack;
+    stack.reserve(h * w / 16);
+    auto push = [&](int y, int x) {
+        int idx = y * w + x;
+        if (!reach[idx] && !mask[idx]) { reach[idx] = 1; stack.push_back(idx); }
+    };
+    for (int x = 0; x < w; ++x) { push(0, x); push(h - 1, x); }
+    for (int y = 0; y < h; ++y) { push(y, 0); push(y, w - 1); }
+    while (!stack.empty()) {
+        int idx = stack.back(); stack.pop_back();
+        int y = idx / w, x = idx % w;
+        if (y > 0) push(y - 1, x);
+        if (y + 1 < h) push(y + 1, x);
+        if (x > 0) push(y, x - 1);
+        if (x + 1 < w) push(y, x + 1);
+    }
+    for (size_t i = 0; i < (size_t)h * w; ++i)
+        if (!mask[i] && !reach[i]) mask[i] = 1;
+    return 0;
+}
+
+// ---------------------------------------------------------------------------
+// HarfBuzz shaping shim (dlopen — no headers needed at build time)
+// ---------------------------------------------------------------------------
+
+namespace hb {
+typedef void hb_blob_t;
+typedef void hb_face_t;
+typedef void hb_font_t;
+typedef void hb_buffer_t;
+struct glyph_info_t { uint32_t codepoint; uint32_t mask; uint32_t cluster;
+                      uint32_t var1, var2; };
+struct glyph_position_t { int32_t x_advance, y_advance, x_offset, y_offset;
+                          uint32_t var; };
+
+static void* lib = nullptr;
+static hb_blob_t* (*blob_from_file)(const char*);
+static hb_face_t* (*face_create)(hb_blob_t*, unsigned);
+static hb_font_t* (*font_create)(hb_face_t*);
+static void (*font_set_scale)(hb_font_t*, int, int);
+static hb_buffer_t* (*buffer_create)();
+static void (*buffer_add_utf8)(hb_buffer_t*, const char*, int, unsigned, int);
+static void (*buffer_guess)(hb_buffer_t*);
+static void (*shape)(hb_font_t*, hb_buffer_t*, const void*, unsigned);
+static glyph_info_t* (*get_infos)(hb_buffer_t*, unsigned*);
+static glyph_position_t* (*get_positions)(hb_buffer_t*, unsigned*);
+static void (*buffer_destroy)(hb_buffer_t*);
+static void (*font_destroy)(hb_font_t*);
+static void (*face_destroy)(hb_face_t*);
+static void (*blob_destroy)(hb_blob_t*);
+
+static bool load() {
+    if (lib) return true;
+    lib = dlopen("libharfbuzz.so.0", RTLD_LAZY);
+    if (!lib) lib = dlopen("libharfbuzz.so", RTLD_LAZY);
+    if (!lib) return false;
+#define SYM(var, name) *(void**)(&var) = dlsym(lib, name); if (!var) return false
+    SYM(blob_from_file, "hb_blob_create_from_file");
+    SYM(face_create, "hb_face_create");
+    SYM(font_create, "hb_font_create");
+    SYM(font_set_scale, "hb_font_set_scale");
+    SYM(buffer_create, "hb_buffer_create");
+    SYM(buffer_add_utf8, "hb_buffer_add_utf8");
+    SYM(buffer_guess, "hb_buffer_guess_segment_properties");
+    SYM(shape, "hb_shape");
+    SYM(get_infos, "hb_buffer_get_glyph_infos");
+    SYM(get_positions, "hb_buffer_get_glyph_positions");
+    SYM(buffer_destroy, "hb_buffer_destroy");
+    SYM(font_destroy, "hb_font_destroy");
+    SYM(face_destroy, "hb_face_destroy");
+    SYM(blob_destroy, "hb_blob_destroy");
+#undef SYM
+    return true;
+}
+}  // namespace hb
+
+// Shape UTF-8 text; returns total advance width in 26.6 fixed point (÷64 for
+// px) and writes up to max_glyphs (glyph_id, cluster, x_advance) triples.
+// Returns -1 when HarfBuzz is unavailable.
+long long mtx_hb_shape_width(const char* font_path, const char* utf8_text,
+                             int px_size, int32_t* glyph_ids,
+                             int32_t* clusters, int32_t* advances,
+                             int max_glyphs, int* n_glyphs) {
+    if (!hb::load()) return -1;
+    hb::hb_blob_t* blob = hb::blob_from_file(font_path);
+    if (!blob) return -2;
+    hb::hb_face_t* face = hb::face_create(blob, 0);
+    hb::hb_font_t* font = hb::font_create(face);
+    hb::font_set_scale(font, px_size * 64, px_size * 64);
+    hb::hb_buffer_t* buf = hb::buffer_create();
+    hb::buffer_add_utf8(buf, utf8_text, -1, 0, -1);
+    hb::buffer_guess(buf);
+    hb::shape(font, buf, nullptr, 0);
+    unsigned n = 0;
+    hb::glyph_info_t* infos = hb::get_infos(buf, &n);
+    unsigned np = 0;
+    hb::glyph_position_t* pos = hb::get_positions(buf, &np);
+    long long total = 0;
+    int count = (int)n;
+    if (count > max_glyphs) count = max_glyphs;
+    for (int i = 0; i < (int)n; ++i) {
+        total += pos[i].x_advance;
+        if (i < count) {
+            if (glyph_ids) glyph_ids[i] = (int32_t)infos[i].codepoint;
+            if (clusters) clusters[i] = (int32_t)infos[i].cluster;
+            if (advances) advances[i] = pos[i].x_advance;
+        }
+    }
+    if (n_glyphs) *n_glyphs = count;
+    hb::buffer_destroy(buf);
+    hb::font_destroy(font);
+    hb::face_destroy(face);
+    hb::blob_destroy(blob);
+    return total;
+}
+
+}  // extern "C"

@@ -1,0 +1,96 @@
+"""Native C++ kernels vs cv2/PIL references."""
+
+import cv2
+import numpy as np
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu import native
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="libmtx_native.so not built")
+
+
+class TestPng:
+    def test_roundtrip_rgb(self, tmp_path, rng):
+        img = rng.integers(0, 256, (64, 48, 3), np.uint8)
+        p = tmp_path / "out.png"
+        assert native.png_encode(p, img, compress_level=6)
+        back = np.asarray(Image.open(p).convert("RGB"))
+        np.testing.assert_array_equal(back, img)
+
+    def test_roundtrip_rgba(self, tmp_path, rng):
+        img = rng.integers(0, 256, (32, 32, 4), np.uint8)
+        p = tmp_path / "out.png"
+        assert native.png_encode(p, img)
+        back = np.asarray(Image.open(p))
+        np.testing.assert_array_equal(back, img)
+
+    def test_smaller_than_uncompressed(self, tmp_path):
+        img = np.full((256, 256, 3), 255, np.uint8)
+        p = tmp_path / "flat.png"
+        native.png_encode(p, img, compress_level=9)
+        assert p.stat().st_size < 256 * 256 * 3 / 50
+
+
+class TestCCL:
+    def test_matches_cv2(self, rng):
+        mask = np.zeros((80, 100), np.uint8)
+        cv2.circle(mask, (25, 30), 12, 1, -1)
+        cv2.circle(mask, (70, 50), 15, 1, -1)
+        cv2.rectangle(mask, (5, 65), (20, 75), 1, -1)
+        num_n, labels_n, stats_n, cent_n = native.connected_components_with_stats(mask)
+        num_c, labels_c, stats_c, cent_c = cv2.connectedComponentsWithStats(
+            mask, connectivity=8)
+        assert num_n == num_c
+        # same partition (label ids may permute): compare component pixel sets
+        areas_n = sorted(stats_n[1:, 4].tolist())
+        areas_c = sorted(stats_c[1:, cv2.CC_STAT_AREA].tolist())
+        assert areas_n == areas_c
+        # centroids match up to ordering
+        cn = sorted(map(tuple, np.round(cent_n[1:], 3).tolist()))
+        cc = sorted(map(tuple, np.round(cent_c[1:], 3).tolist()))
+        np.testing.assert_allclose(cn, cc, atol=1e-6)
+
+    def test_diagonal_connectivity(self):
+        mask = np.eye(10, dtype=np.uint8)
+        num, labels, stats, _ = native.connected_components_with_stats(mask)
+        assert num == 2  # one 8-connected diagonal component
+
+    def test_fill_holes(self):
+        mask = np.zeros((40, 40), np.uint8)
+        cv2.circle(mask, (20, 20), 15, 1, -1)
+        cv2.circle(mask, (20, 20), 6, 0, -1)  # hole
+        filled = native.fill_holes(mask)
+        assert filled[20, 20] == 1
+        assert filled[0, 0] == 0
+
+
+class TestHarfBuzz:
+    FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
+
+    def test_width_positive_and_scales(self):
+        w16 = native.hb_shape_width(self.FONT, "Hello world", 16)
+        if w16 is None:
+            pytest.skip("libharfbuzz unavailable")
+        w32 = native.hb_shape_width(self.FONT, "Hello world", 32)
+        assert w16 > 20
+        assert abs(w32 - 2 * w16) < 2.0
+
+    def test_close_to_pil_measurement(self):
+        w = native.hb_shape_width(self.FONT, "Hello world", 24)
+        if w is None:
+            pytest.skip("libharfbuzz unavailable")
+        from PIL import ImageFont
+
+        pil_w = ImageFont.truetype(self.FONT, 24).getlength("Hello world")
+        assert abs(w - pil_w) / pil_w < 0.05
+
+    def test_glyph_output(self):
+        out = native.hb_shape_glyphs(self.FONT, "AVA", 20)
+        if out is None:
+            pytest.skip("libharfbuzz unavailable")
+        gids, clusters, advances = out
+        assert len(gids) == 3
+        assert (advances > 0).all()
+        assert list(clusters) == [0, 1, 2]
