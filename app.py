@@ -1,0 +1,26 @@
+#!/usr/bin/env python
+"""Web UI entry point (reference app.py equivalent, port 7676)."""
+
+import argparse
+
+from mangatranslator_tpu.logging import log_message
+from mangatranslator_tpu.runtime import get_device_info
+from mangatranslator_tpu.ui.webapp import DEFAULT_PORT, WebApp
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description="MangaTranslator TPU web UI")
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=DEFAULT_PORT)
+    parser.add_argument("--models", default="models")
+    parser.add_argument("--fonts", default="fonts")
+    args = parser.parse_args()
+
+    info = get_device_info()
+    log_message(f"Device: {info['device_kind']} ({info['platform']}, "
+                f"{info['num_devices']} device(s))", always_print=True)
+    WebApp(args.models, args.fonts).serve_forever(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,1 @@
+"""Web UI: settings persistence, config mapping, stdlib HTTP app."""

@@ -1,0 +1,171 @@
+"""Settings-dict → backend config mapping.
+
+Counterpart of reference ui/ui_models.py:707 (map_ui_to_backend_config): the
+persisted flat settings schema (settings_manager) maps onto the
+MangaTranslatorConfig tree.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from ..config import MangaTranslatorConfig
+from ..validation import autodetect_yolo_model_path, clamp_settings
+
+
+def map_settings_to_config(
+    settings: Dict[str, Any],
+    models_dir: Optional[Path] = None,
+    fonts_base_dir: Optional[Path] = None,
+    batch: bool = False,
+) -> MangaTranslatorConfig:
+    s = settings
+    models_dir = Path(models_dir or "models")
+    cfg = MangaTranslatorConfig(
+        yolo_model_path=str(autodetect_yolo_model_path(
+            models_dir, s.get("bubble_detector_model", "yolo_2"))),
+        verbose=bool(s.get("verbose", False)),
+        cleaning_only=bool(s.get("cleaning_only", False)),
+        upscaling_only=bool(s.get("upscaling_only", False)),
+        test_mode=bool(s.get("test_mode", False)),
+    )
+
+    d = cfg.detection
+    d.confidence = s.get("confidence", d.confidence)
+    d.conjoined_confidence = s.get("conjoined_confidence", d.conjoined_confidence)
+    d.panel_confidence = s.get("panel_confidence", d.panel_confidence)
+    d.seg_model = s.get("seg_model", d.seg_model)
+    d.bubble_detector_model = s.get("bubble_detector_model",
+                                    d.bubble_detector_model)
+    d.conjoined_detection = bool(s.get("conjoined_detection", True))
+    d.use_panel_sorting = bool(s.get("use_panel_sorting", True))
+    d.use_osb_text_verification = bool(s.get("use_osb_text_verification", True))
+
+    c = cfg.cleaning
+    c.thresholding_value = s.get("thresholding_value", c.thresholding_value)
+    c.use_otsu_threshold = bool(s.get("use_otsu_threshold", False))
+    c.roi_shrink_px = s.get("roi_shrink_px", c.roi_shrink_px)
+    c.inpaint_colored_bubbles = bool(s.get("inpaint_colored_bubbles", False))
+
+    t = cfg.translation
+    for key in ("provider", "model_name", "temperature", "top_p", "top_k",
+                "max_tokens", "reading_direction", "translation_mode",
+                "reasoning_effort", "effort", "verbosity", "image_detail",
+                "media_resolution", "media_resolution_bubbles",
+                "media_resolution_context", "bubble_min_side_pixels",
+                "context_image_max_side_pixels", "osb_min_side_pixels",
+                "ocr_method", "upscale_method", "openai_compatible_url",
+                "openai_compatible_api_key"):
+        if key in s and s[key] is not None:
+            setattr(t, key, s[key])
+    for ui_key, attr in (("google_api_key", "google_api_key"),
+                         ("openai_api_key", "openai_api_key"),
+                         ("anthropic_api_key", "anthropic_api_key"),
+                         ("xai_api_key", "xai_api_key"),
+                         ("deepseek_api_key", "deepseek_api_key"),
+                         ("zai_api_key", "zai_api_key"),
+                         ("moonshot_api_key", "moonshot_api_key"),
+                         ("mimo_api_key", "mimo_api_key"),
+                         ("openrouter_api_key", "openrouter_api_key")):
+        if s.get(ui_key):
+            setattr(t, attr, s[ui_key])
+    prefix = "batch_" if batch else ""
+    t.input_language = s.get(f"{prefix}input_language",
+                             s.get("input_language", t.input_language))
+    t.output_language = s.get(f"{prefix}output_language",
+                              s.get("output_language", t.output_language))
+    t.special_instructions = s.get(f"{prefix}special_instructions",
+                                   s.get("special_instructions")) or None
+    t.send_full_page_context = bool(s.get("send_full_page_context", True))
+    t.whiteout_conjoined_bubbles = bool(s.get("whiteout_conjoined_bubbles", True))
+    t.enable_web_search = bool(s.get("enable_web_search", False))
+    t.enable_code_execution = bool(s.get("enable_code_execution", False))
+    t.use_custom_sampling = bool(s.get("use_custom_sampling", True))
+    if batch:
+        t.previous_context_image_count = int(
+            s.get("batch_previous_context_image_count", 0))
+        t.previous_context_text_count = int(
+            s.get("batch_previous_context_text_count", 0))
+
+    r = cfg.rendering
+    font_pack = s.get(f"{prefix}font_pack") or s.get("font_pack")
+    if font_pack:
+        base = Path(fonts_base_dir or "fonts")
+        r.font_dir = str(base / font_pack)
+    elif s.get("font_dir"):  # absolute path escape hatch (API clients)
+        r.font_dir = s["font_dir"]
+    for key in ("max_font_size", "min_font_size", "line_spacing_mult",
+                "font_hinting", "hyphen_penalty", "hyphenation_min_word_length",
+                "badness_exponent", "padding_pixels", "supersampling_factor"):
+        if key in s:
+            setattr(r, key, s[key])
+    r.use_subpixel_rendering = bool(s.get("use_subpixel_rendering", True))
+    r.use_ligatures = bool(s.get("use_ligatures", False))
+    r.hyphenate_before_scaling = bool(s.get("hyphenate_before_scaling", True))
+    r.detach_trailing_punctuation = bool(s.get("detach_trailing_punctuation",
+                                               True))
+    r.auto_vertical_text = bool(s.get("auto_vertical_text", False))
+
+    ot = cfg.outside_text
+    ot.enabled = bool(s.get("outside_text_enabled", False))
+    for skey, attr in (
+        ("outside_text_seed", "seed"),
+        ("outside_text_huggingface_token", "huggingface_token"),
+        ("outside_text_inpainting_method", "inpainting_method"),
+        ("outside_text_flux_backend", "flux_backend"),
+        ("outside_text_flux_num_inference_steps", "flux_num_inference_steps"),
+        ("outside_text_flux_residual_diff_threshold",
+         "flux_residual_diff_threshold"),
+        ("outside_text_osb_confidence", "osb_confidence"),
+        ("outside_text_page_filter_margin_threshold",
+         "page_filter_margin_threshold"),
+        ("outside_text_page_filter_min_area_ratio", "page_filter_min_area_ratio"),
+        ("outside_text_min_area_ignore_ratio", "min_area_ignore_ratio"),
+        ("outside_text_bbox_expansion_percent", "bbox_expansion_percent"),
+        ("outside_text_osb_max_font_size", "osb_max_font_size"),
+        ("outside_text_osb_min_font_size", "osb_min_font_size"),
+        ("outside_text_osb_outline_width", "osb_outline_width"),
+        ("outside_text_osb_line_spacing", "osb_line_spacing"),
+        ("outside_text_osb_font_hinting", "osb_font_hinting"),
+        ("outside_text_text_box_proximity_ratio", "text_box_proximity_ratio"),
+    ):
+        if skey in s:
+            setattr(ot, attr, s[skey])
+    ot.enable_page_number_filtering = bool(
+        s.get("outside_text_enable_page_number_filtering", False))
+    ot.flux_luminance_correction = bool(
+        s.get("outside_text_flux_luminance_correction", True))
+    ot.flux_upscale_small_crops = bool(
+        s.get("outside_text_flux_upscale_small_crops", True))
+    ot.flux_group_regions = bool(s.get("outside_text_flux_group_regions", False))
+    osb_pack = s.get("outside_text_osb_font_pack")
+    if osb_pack:
+        ot.osb_font_dir = str(Path(fonts_base_dir or "fonts") / osb_pack)
+
+    out = cfg.output
+    out.jpeg_quality = s.get("jpeg_quality", out.jpeg_quality)
+    out.png_compression = s.get("png_compression", out.png_compression)
+    out.output_format = s.get("output_format", out.output_format)
+    mode = s.get("image_upscale_mode", "off")
+    out.upscale_final_image = mode == "final"
+    out.image_upscale_factor = s.get("image_upscale_factor",
+                                     out.image_upscale_factor)
+    out.image_upscale_model = s.get("image_upscale_model",
+                                    out.image_upscale_model)
+    cfg.preprocessing.enabled = mode == "initial"
+    cfg.preprocessing.factor = out.image_upscale_factor
+    cfg.preprocessing.auto_scale = bool(s.get("auto_scale", True))
+
+    if batch:
+        cfg.parallel_requests = int(s.get("batch_parallel_requests", 1))
+        cfg.batch_parallel_within_pages = bool(
+            s.get("batch_parallel_within_pages", False))
+        cfg.overlap_llm_with_inpaint = bool(
+            s.get("batch_overlap_llm_with_inpaint", False))
+        cfg.retry_failed_once = bool(s.get("batch_retry_failed_once", False))
+    else:
+        cfg.overlap_llm_with_inpaint = bool(s.get("overlap_llm_with_inpaint",
+                                                  False))
+
+    return clamp_settings(cfg)

@@ -1,0 +1,267 @@
+"""Built-in web UI (stdlib HTTP server, no framework dependency).
+
+Functional counterpart of the reference's Gradio app (reference app.py:29-119 +
+ui/layout.py three-tab surface): Translator / Batch / Config tabs over a JSON
+API. The reference depends on gradio; this serves a single-page UI from the
+standard library so the web surface works in any environment.
+
+Endpoints:
+  GET  /                → single-page UI
+  GET  /api/settings    → saved settings + provider model lists + font packs
+  POST /api/settings    → persist settings (config.json schema parity)
+  POST /api/translate   → {image_b64, settings?} → {image_b64, info}
+  POST /api/batch       → {input_path, output_dir, settings?} → result dict
+  POST /api/cancel      → cooperative cancellation
+  GET  /api/device      → device banner info
+"""
+
+from __future__ import annotations
+
+import base64
+import json
+import threading
+import traceback
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from io import BytesIO
+from pathlib import Path
+from typing import Any, Dict, Optional
+
+from PIL import Image
+
+from ..logging import log_message
+from ..pipeline.cancellation import CancellationManager
+from .mapping import map_settings_to_config
+from .settings_manager import (
+    DEFAULT_BATCH_SETTINGS,
+    DEFAULT_SETTINGS,
+    PROVIDER_MODELS,
+    get_saved_settings,
+    save_config,
+)
+
+DEFAULT_PORT = 7676  # reference app.py port
+
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>MangaTranslator TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:0;background:#14161a;color:#e6e6e6}
+header{padding:12px 20px;background:#1c1f26;display:flex;justify-content:space-between}
+nav button{margin-right:8px;padding:8px 16px;background:#2a2e38;color:#e6e6e6;
+border:none;border-radius:6px;cursor:pointer}
+nav button.active{background:#4466dd}
+main{padding:20px;max-width:1100px;margin:auto}
+.tab{display:none}.tab.active{display:block}
+.row{display:flex;gap:20px;flex-wrap:wrap}
+.col{flex:1;min-width:320px}
+img.preview{max-width:100%;border:1px solid #333;border-radius:6px}
+label{display:block;margin:8px 0 2px;font-size:13px;color:#aab}
+input,select,textarea{width:100%;padding:6px;background:#20232b;color:#eee;
+border:1px solid #3a3f4d;border-radius:4px;box-sizing:border-box}
+button.go{margin-top:12px;padding:10px 24px;background:#36a855;color:white;
+border:none;border-radius:6px;cursor:pointer;font-size:15px}
+#status{margin-top:10px;color:#8fc;white-space:pre-wrap;font-size:13px}
+</style></head><body>
+<header><b>MangaTranslator <span style="color:#6af">TPU</span></b>
+<span id="device"></span></header>
+<nav style="padding:10px 20px;background:#1c1f26">
+<button data-tab="translate" class="active">Translator</button>
+<button data-tab="batch">Batch</button>
+<button data-tab="config">Config</button></nav>
+<main>
+<div id="translate" class="tab active"><div class="row">
+<div class="col"><label>Page image</label><input type="file" id="file">
+<label>Font pack</label><select id="font_pack"></select>
+<label>Provider</label><select id="provider"></select>
+<label>Model</label><select id="model_name"></select>
+<label>Output language</label><input id="output_language" value="English">
+<label><input type="checkbox" id="test_mode" style="width:auto"> Test mode
+(no LLM)</label>
+<button class="go" id="run">Translate</button>
+<button class="go" id="cancel" style="background:#a33">Cancel</button>
+<div id="status"></div></div>
+<div class="col"><img id="preview" class="preview"></div></div></div>
+<div id="batch" class="tab">
+<label>Input path (directory / zip / failed_paths.txt on the server)</label>
+<input id="batch_input"><label>Output directory</label><input id="batch_output">
+<label>Parallel page workers</label><input id="parallel" type="number" value="1">
+<button class="go" id="run_batch">Run batch</button>
+<div id="batch_status"></div></div>
+<div id="config" class="tab">
+<p>Settings persist to config.json (same schema as the reference app).</p>
+<textarea id="settings_json" rows="24" spellcheck="false"></textarea>
+<button class="go" id="save_settings">Save settings</button>
+<div id="cfg_status"></div></div>
+</main>
+<script>
+const $=id=>document.getElementById(id);
+document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
+ document.querySelectorAll('nav button').forEach(x=>x.classList.remove('active'));
+ document.querySelectorAll('.tab').forEach(x=>x.classList.remove('active'));
+ b.classList.add('active');$(b.dataset.tab).classList.add('active');});
+let SETTINGS={},MODELS={};
+fetch('/api/device').then(r=>r.json()).then(d=>
+ $('device').textContent=d.platform+' × '+d.num_devices);
+fetch('/api/settings').then(r=>r.json()).then(d=>{
+ SETTINGS=d.settings;MODELS=d.provider_models;
+ $('settings_json').value=JSON.stringify(d.settings,null,2);
+ for(const p of Object.keys(MODELS)){const o=document.createElement('option');
+  o.textContent=p;$('provider').appendChild(o);}
+ $('provider').value=SETTINGS.provider;fillModels();
+ for(const f of d.font_packs){const o=document.createElement('option');
+  o.textContent=f;$('font_pack').appendChild(o);}});
+function fillModels(){$('model_name').innerHTML='';
+ for(const m of MODELS[$('provider').value]||[]){
+  const o=document.createElement('option');o.textContent=m;
+  $('model_name').appendChild(o);}}
+$('provider').onchange=fillModels;
+$('run').onclick=async()=>{
+ const f=$('file').files[0];if(!f){$('status').textContent='pick an image';return}
+ $('status').textContent='processing…';
+ const b64=await new Promise(res=>{const r=new FileReader();
+  r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});
+ const s={...SETTINGS,provider:$('provider').value,
+  model_name:$('model_name').value,output_language:$('output_language').value,
+  test_mode:$('test_mode').checked,font_pack:$('font_pack').value||null};
+ const resp=await fetch('/api/translate',{method:'POST',
+  body:JSON.stringify({image_b64:b64,settings:s})});
+ const d=await resp.json();
+ if(d.error){$('status').textContent='error: '+d.error;return}
+ $('preview').src='data:image/png;base64,'+d.image_b64;
+ $('status').textContent=JSON.stringify(d.info,null,1);};
+$('cancel').onclick=()=>fetch('/api/cancel',{method:'POST'});
+$('run_batch').onclick=async()=>{
+ $('batch_status').textContent='running…';
+ const resp=await fetch('/api/batch',{method:'POST',body:JSON.stringify({
+  input_path:$('batch_input').value,output_dir:$('batch_output').value,
+  settings:{...SETTINGS,batch_parallel_requests:+$('parallel').value}})});
+ $('batch_status').textContent=JSON.stringify(await resp.json(),null,1);};
+$('save_settings').onclick=async()=>{
+ try{const s=JSON.parse($('settings_json').value);
+  const r=await fetch('/api/settings',{method:'POST',body:JSON.stringify(s)});
+  $('cfg_status').textContent=JSON.stringify(await r.json());SETTINGS=s;}
+ catch(e){$('cfg_status').textContent='invalid JSON: '+e}};
+</script></body></html>"""
+
+
+def _list_font_packs(fonts_base_dir: Path) -> list:
+    if not fonts_base_dir.is_dir():
+        return []
+    return sorted(
+        p.name for p in fonts_base_dir.iterdir()
+        if p.is_dir() and (list(p.glob("*.ttf")) + list(p.glob("*.otf")))
+    )
+
+
+class WebApp:
+    def __init__(self, models_dir: str = "models", fonts_dir: str = "fonts",
+                 config_file: Optional[Path] = None):
+        self.models_dir = Path(models_dir)
+        self.fonts_dir = Path(fonts_dir)
+        self.config_file = config_file
+        self.cancellation = CancellationManager()
+
+    # -- API handlers -------------------------------------------------------
+
+    def handle(self, method: str, path: str, body: Optional[Dict]) -> Dict[str, Any]:
+        if method == "GET" and path == "/api/settings":
+            return {
+                "settings": get_saved_settings(self.config_file),
+                "provider_models": PROVIDER_MODELS,
+                "font_packs": _list_font_packs(self.fonts_dir),
+                "defaults": {**DEFAULT_SETTINGS, **DEFAULT_BATCH_SETTINGS},
+            }
+        if method == "GET" and path == "/api/device":
+            from ..runtime import get_device_info
+
+            return get_device_info()
+        if method == "POST" and path == "/api/settings":
+            ok = save_config(body or {}, self.config_file)
+            return {"saved": ok}
+        if method == "POST" and path == "/api/cancel":
+            self.cancellation.cancel()
+            return {"cancelled": True}
+        if method == "POST" and path == "/api/translate":
+            return self._translate(body or {})
+        if method == "POST" and path == "/api/batch":
+            return self._batch(body or {})
+        return {"error": f"unknown endpoint {method} {path}"}
+
+    def _merged_settings(self, overrides: Optional[Dict]) -> Dict[str, Any]:
+        s = get_saved_settings(self.config_file)
+        if overrides:
+            s.update({k: v for k, v in overrides.items() if k in s or True})
+        return s
+
+    def _translate(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        from ..pipeline.page import translate_and_render
+
+        self.cancellation.reset()
+        settings = self._merged_settings(body.get("settings"))
+        cfg = map_settings_to_config(settings, self.models_dir, self.fonts_dir)
+        img = Image.open(BytesIO(base64.b64decode(body["image_b64"])))
+        out, info = translate_and_render(img, cfg,
+                                         cancellation=self.cancellation)
+        buf = BytesIO()
+        out.save(buf, format="PNG")
+        return {"image_b64": base64.b64encode(buf.getvalue()).decode(),
+                "info": {k: v for k, v in info.items() if k != "texts"} |
+                        {"texts": info.get("texts", [])}}
+
+    def _batch(self, body: Dict[str, Any]) -> Dict[str, Any]:
+        from ..pipeline.batch import batch_translate_images
+
+        self.cancellation.reset()
+        settings = self._merged_settings(body.get("settings"))
+        cfg = map_settings_to_config(settings, self.models_dir, self.fonts_dir,
+                                     batch=True)
+        return batch_translate_images(
+            body["input_path"], cfg, body.get("output_dir"),
+            cancellation=self.cancellation)
+
+    # -- server --------------------------------------------------------------
+
+    def make_server(self, host: str = "127.0.0.1",
+                    port: int = DEFAULT_PORT) -> ThreadingHTTPServer:
+        app = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code: int, content: bytes,
+                      ctype: str = "application/json") -> None:
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(content)))
+                self.end_headers()
+                self.wfile.write(content)
+
+            def do_GET(self):
+                if self.path in ("/", "/index.html"):
+                    self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+                    return
+                try:
+                    out = app.handle("GET", self.path, None)
+                    self._send(200, json.dumps(out, default=str).encode())
+                except Exception as e:
+                    self._send(500, json.dumps({"error": str(e)}).encode())
+
+            def do_POST(self):
+                length = int(self.headers.get("Content-Length", 0))
+                try:
+                    body = json.loads(self.rfile.read(length) or b"{}")
+                    out = app.handle("POST", self.path, body)
+                    self._send(200, json.dumps(out, default=str).encode())
+                except Exception as e:
+                    log_message(traceback.format_exc(), always_print=True)
+                    self._send(500, json.dumps({"error": str(e)}).encode())
+
+            def log_message(self, *args):
+                pass
+
+        return ThreadingHTTPServer((host, port), Handler)
+
+    def serve_forever(self, host: str = "127.0.0.1",
+                      port: int = DEFAULT_PORT) -> None:
+        server = self.make_server(host, port)
+        log_message(f"MangaTranslator TPU web UI on http://{host}:{port}",
+                    always_print=True)
+        server.serve_forever()

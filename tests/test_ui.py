@@ -1,0 +1,160 @@
+"""UI layer: settings persistence, config mapping, live web API."""
+
+import base64
+import json
+import threading
+from io import BytesIO
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.ui.mapping import map_settings_to_config
+from mangatranslator_tpu.ui.settings_manager import (
+    DEFAULT_BATCH_SETTINGS,
+    DEFAULT_SETTINGS,
+    PROVIDER_MODELS,
+    get_saved_settings,
+    reset_provider_sampling,
+    save_config,
+)
+from mangatranslator_tpu.ui.webapp import WebApp
+
+
+class TestSettings:
+    def test_defaults_roundtrip(self, tmp_path):
+        cfg_file = tmp_path / "config.json"
+        s = get_saved_settings(cfg_file)
+        assert s["provider"] == "Google"
+        assert s["outside_text_inpainting_method"] == "flux_klein_4b"
+        s["confidence"] = 0.8
+        s["batch_parallel_requests"] = 4
+        assert save_config(s, cfg_file)
+        back = get_saved_settings(cfg_file)
+        assert back["confidence"] == 0.8
+        assert back["batch_parallel_requests"] == 4
+
+    def test_clamped_on_save(self, tmp_path):
+        cfg_file = tmp_path / "config.json"
+        s = dict(DEFAULT_SETTINGS, confidence=99.0)
+        save_config(s, cfg_file)
+        assert get_saved_settings(cfg_file)["confidence"] == 1.0
+
+    def test_canonical_order(self, tmp_path):
+        cfg_file = tmp_path / "config.json"
+        save_config({**DEFAULT_SETTINGS, **DEFAULT_BATCH_SETTINGS}, cfg_file)
+        keys = list(json.loads(cfg_file.read_text()).keys())
+        assert keys[0] == "provider"
+        assert keys == [k for k in (list(DEFAULT_SETTINGS)
+                                    + list(DEFAULT_BATCH_SETTINGS)) if k in keys]
+
+    def test_provider_sampling_reset(self):
+        s = {"temperature": 1.5, "top_p": 0.1, "top_k": 3}
+        reset_provider_sampling(s, "OpenAI-Compatible")
+        assert s["top_k"] == 40
+
+    def test_provider_model_lists(self):
+        assert "claude-sonnet-4-6" in PROVIDER_MODELS["Anthropic"]
+        assert PROVIDER_MODELS["OpenRouter"] == []
+
+
+class TestMapping:
+    def test_basic_mapping(self):
+        s = dict(DEFAULT_SETTINGS, confidence=0.7, test_mode=True,
+                 provider="Anthropic", model_name="claude-sonnet-4-6",
+                 image_upscale_mode="final", image_upscale_factor=3.0)
+        cfg = map_settings_to_config(s)
+        assert cfg.detection.confidence == 0.7
+        assert cfg.test_mode
+        assert cfg.translation.provider == "Anthropic"
+        assert cfg.output.upscale_final_image
+        assert cfg.output.image_upscale_factor == 3.0
+        assert not cfg.preprocessing.enabled
+
+    def test_batch_mapping(self):
+        s = {**DEFAULT_SETTINGS, **DEFAULT_BATCH_SETTINGS,
+             "batch_parallel_requests": 5, "batch_output_language": "French"}
+        cfg = map_settings_to_config(s, batch=True)
+        assert cfg.parallel_requests == 5
+        assert cfg.translation.output_language == "French"
+        assert cfg.translation.previous_context_text_count == 3
+
+    def test_font_pack_mapping(self, tmp_path):
+        s = dict(DEFAULT_SETTINGS, font_pack="MyFont")
+        cfg = map_settings_to_config(s, fonts_base_dir=tmp_path / "fonts")
+        assert cfg.rendering.font_dir.endswith("fonts/MyFont")
+
+
+@pytest.fixture()
+def web_server(tmp_path):
+    from mangatranslator_tpu.caching import reset_cache
+    from mangatranslator_tpu.models.manager import (
+        ModelType, get_model_manager, reset_model_manager)
+    from tests.test_detection import FakeRunner, lb
+    from tests.test_pipeline_e2e import PAGE_H, PAGE_W, make_page
+
+    reset_model_manager()
+    reset_cache()
+    img, boxes = make_page()
+    mgr = get_model_manager()
+    imgsz = 256
+    br = FakeRunner(imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0)
+                            for b in boxes])
+    for size in (imgsz, 640, 1600):
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = br
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = br
+        mgr._runners[(ModelType.YOLO_PANEL, size)] = FakeRunner(
+            size, [], with_masks=False)
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = FakeRunner(
+            size, [], with_masks=False)
+
+    app = WebApp(config_file=tmp_path / "config.json")
+    server = app.make_server(port=0)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{server.server_port}", img
+    server.shutdown()
+    reset_model_manager()
+
+
+class TestWebApp:
+    def test_index_and_device(self, web_server):
+        import requests
+
+        url, _ = web_server
+        html = requests.get(url + "/").text
+        assert "MangaTranslator" in html and "Translate" in html
+        dev = requests.get(url + "/api/device").json()
+        assert dev["num_devices"] >= 1
+
+    def test_settings_api(self, web_server):
+        import requests
+
+        url, _ = web_server
+        d = requests.get(url + "/api/settings").json()
+        assert d["settings"]["provider"] == "Google"
+        assert "Anthropic" in d["provider_models"]
+        r = requests.post(url + "/api/settings",
+                          json={**d["settings"], "confidence": 0.75}).json()
+        assert r["saved"]
+        assert requests.get(
+            url + "/api/settings").json()["settings"]["confidence"] == 0.75
+
+    def test_translate_endpoint(self, web_server):
+        import requests
+
+        url, img = web_server
+        buf = BytesIO()
+        Image.fromarray(img).save(buf, format="PNG")
+        b64 = base64.b64encode(buf.getvalue()).decode()
+        resp = requests.post(url + "/api/translate", json={
+            "image_b64": b64,
+            "settings": {"test_mode": True, "font_pack": None,
+                         "font_dir": "/usr/share/fonts/truetype/dejavu",
+                         "max_font_size": 24, "min_font_size": 6},
+        }).json()
+        if "error" in resp:
+            pytest.fail(f"translate failed: {resp['error']}")
+        out = Image.open(BytesIO(base64.b64decode(resp["image_b64"])))
+        assert out.size == (img.shape[1], img.shape[0])
+        assert resp["info"]["bubbles"] == 2
