@@ -19,6 +19,9 @@ def main() -> None:
     info = get_device_info()
     log_message(f"Device: {info['device_kind']} ({info['platform']}, "
                 f"{info['num_devices']} device(s))", always_print=True)
+    from mangatranslator_tpu.utils.update_checker import check_in_background
+
+    check_in_background()
     WebApp(args.models, args.fonts).serve_forever(args.host, args.port)
 
 

@@ -1,0 +1,73 @@
+"""Debug artifact dumps.
+
+Counterpart of reference core/pipeline.py:63,499,566 (ENABLE_COMPONENT_ORDER_DEBUG):
+a dashed-rectangle + index-overlay PNG showing the resolved reading order, and
+per-bubble LLM crop dumps. Enabled with MTX_COMPONENT_ORDER_DEBUG=1.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+from PIL import Image, ImageDraw, ImageFont
+
+ENV_FLAG = "MTX_COMPONENT_ORDER_DEBUG"
+
+
+def enabled() -> bool:
+    return os.environ.get(ENV_FLAG, "0") == "1"
+
+
+def write_component_order_debug_image(
+    image: Image.Image,
+    ordered_detections: List[Dict[str, Any]],
+    out_path: Path,
+) -> Optional[Path]:
+    """Dashed boxes + 1-based order indices (reference
+    _write_component_order_debug_image :499)."""
+    img = image.convert("RGB").copy()
+    draw = ImageDraw.Draw(img)
+    try:
+        font = ImageFont.truetype(
+            "/usr/share/fonts/truetype/dejavu/DejaVuSans-Bold.ttf", 28)
+    except Exception:
+        font = ImageFont.load_default()
+    for i, det in enumerate(ordered_detections, start=1):
+        x1, y1, x2, y2 = [int(v) for v in det["bbox"]]
+        color = (230, 60, 60) if det.get("is_outside_text") else (60, 120, 230)
+        # dashed rectangle
+        step = 12
+        for x in range(x1, x2, step):
+            draw.line([(x, y1), (min(x + 6, x2), y1)], fill=color, width=3)
+            draw.line([(x, y2), (min(x + 6, x2), y2)], fill=color, width=3)
+        for y in range(y1, y2, step):
+            draw.line([(x1, y), (x1, min(y + 6, y2))], fill=color, width=3)
+            draw.line([(x2, y), (x2, min(y + 6, y2))], fill=color, width=3)
+        draw.text((x1 + 4, y1 + 2), str(i), fill=color, font=font,
+                  stroke_width=2, stroke_fill=(255, 255, 255))
+    out_path = Path(out_path)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    img.save(out_path)
+    return out_path
+
+
+def write_llm_crop_dumps(
+    images_b64: List[str],
+    out_dir: Path,
+) -> List[Path]:
+    """Dump the exact crops sent to the LLM (reference
+    _write_llm_crop_debug_images :566)."""
+    import base64
+    from io import BytesIO
+
+    out_dir = Path(out_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    paths = []
+    for i, b64 in enumerate(images_b64, start=1):
+        p = out_dir / f"llm_crop_{i:02d}.png"
+        Image.open(BytesIO(base64.b64decode(b64))).save(p)
+        paths.append(p)
+    return paths

@@ -356,6 +356,14 @@ def translate_and_render(
             osb_items, config.translation.reading_direction == "rtl")
         ordered = ordered + osb_items
 
+    from . import debug as dbg
+
+    if dbg.enabled():
+        dbg.write_component_order_debug_image(
+            image, ordered,
+            Path(str(output_path) + ".order_debug.png") if output_path
+            else Path("order_debug.png"))
+
     # TRANSLATE (optionally overlapped with deferred OSB inpainting) -----------
     cancel.check("translate")
 

@@ -1,0 +1,54 @@
+"""GitHub release update check (reference utils/update_checker.py:44).
+
+Runs in a background thread at web-app startup; silent in offline
+environments.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Optional
+
+from ..logging import log_message
+from ..version import __version__
+
+RELEASES_URL = ("https://api.github.com/repos/meangrinch/MangaTranslator"
+                "/releases/latest")
+
+
+def _parse_version(tag: str) -> tuple:
+    tag = tag.lstrip("vV")
+    parts = []
+    for p in tag.split("."):
+        try:
+            parts.append(int(p))
+        except ValueError:
+            break
+    return tuple(parts)
+
+
+def check_for_updates(timeout: float = 5.0) -> Optional[str]:
+    """Latest release tag when newer than the running version, else None."""
+    try:
+        import requests
+
+        resp = requests.get(RELEASES_URL, timeout=timeout)
+        resp.raise_for_status()
+        tag = resp.json().get("tag_name", "")
+        if tag and _parse_version(tag) > _parse_version(__version__):
+            return tag
+    except Exception:
+        pass
+    return None
+
+
+def check_in_background(callback: Optional[Callable[[str], None]] = None) -> None:
+    def run() -> None:
+        tag = check_for_updates()
+        if tag:
+            msg = f"A newer release is available: {tag}"
+            log_message(msg, always_print=True)
+            if callback:
+                callback(tag)
+
+    threading.Thread(target=run, daemon=True).start()

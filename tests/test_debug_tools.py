@@ -1,0 +1,41 @@
+"""Debug artifact dumps + update checker plumbing."""
+
+import base64
+from io import BytesIO
+
+import numpy as np
+from PIL import Image
+
+from mangatranslator_tpu.pipeline.debug import (
+    write_component_order_debug_image,
+    write_llm_crop_dumps,
+)
+from mangatranslator_tpu.utils.update_checker import _parse_version, check_for_updates
+
+
+def test_order_debug_image(tmp_path):
+    img = Image.new("RGB", (300, 200), "white")
+    dets = [{"bbox": [20, 20, 120, 100]},
+            {"bbox": [150, 50, 280, 150], "is_outside_text": True}]
+    p = write_component_order_debug_image(img, dets, tmp_path / "dbg.png")
+    assert p.exists()
+    arr = np.asarray(Image.open(p))
+    assert (arr != 255).any()  # boxes drawn
+
+
+def test_llm_crop_dumps(tmp_path):
+    buf = BytesIO()
+    Image.new("RGB", (10, 10), "red").save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    paths = write_llm_crop_dumps([b64, b64], tmp_path / "crops")
+    assert len(paths) == 2 and all(p.exists() for p in paths)
+
+
+def test_version_parse():
+    assert _parse_version("v1.21.5") == (1, 21, 5)
+    assert _parse_version("2.0") > _parse_version("1.99.99")
+
+
+def test_update_check_offline_silent():
+    # zero-egress environment: must return None without raising
+    assert check_for_updates(timeout=0.5) is None
