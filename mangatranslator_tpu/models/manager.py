@@ -64,8 +64,6 @@ _DETECTOR_SPECS: Dict[ModelType, Tuple[str, str, int, bool, int]] = {
     ModelType.YOLO_SPEECH_BUBBLE_2: ("v8", "m", 1, True, 1600),
     ModelType.YOLO_OSB_TEXT: ("v11", "x", 1, False, 640),
     ModelType.YOLO_PANEL: ("v11", "l", 4, False, 640),
-    # RT-DETR served by a v11 detector until the DETR decoder lands
-    ModelType.RTDETR_CONJOINED: ("v11", "m", 3, False, 640),
 }
 
 
@@ -128,7 +126,9 @@ class ModelManager:
     # -- detectors ---------------------------------------------------------------
 
     def get_detector(self, mtype: ModelType, imgsz: Optional[int] = None,
-                     max_det: int = 64) -> YoloRunner:
+                     max_det: int = 64):
+        if mtype == ModelType.RTDETR_CONJOINED:
+            return self._get_rtdetr(imgsz or 640, max_det)
         spec = _DETECTOR_SPECS.get(mtype)
         if spec is None:
             raise ModelError(f"{mtype} is not a detector")
@@ -148,6 +148,26 @@ class ModelManager:
                 )
                 params = init_yolo(cfg, size)
             runner = YoloRunner(cfg, params, imgsz=size, max_det=max_det)
+            self._runners[key] = runner
+            return runner
+
+    def _get_rtdetr(self, imgsz: int, max_det: int):
+        key = (ModelType.RTDETR_CONJOINED, imgsz)
+        with self._lock:
+            if key in self._runners:
+                return self._runners[key]
+            from .rtdetr import RTDETR_PRESETS, RTDetrRunner, init_rtdetr
+
+            preset = os.environ.get("MTX_RTDETR_PRESET", "test")
+            cfg = RTDETR_PRESETS[preset]
+            params = self._load_converted(ModelType.RTDETR_CONJOINED)
+            if params is None:
+                self._try_download(ModelType.RTDETR_CONJOINED)
+                log_message(
+                    "No converted checkpoint for rtdetr_conjoined; using "
+                    "random init", always_print=True)
+                params = init_rtdetr(cfg, imgsz)
+            runner = RTDetrRunner(cfg, params, imgsz=imgsz, max_det=max_det)
             self._runners[key] = runner
             return runner
 

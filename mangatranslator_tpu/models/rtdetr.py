@@ -1,0 +1,299 @@
+"""RT-DETR v2 detector in Flax.
+
+Counterpart of the reference's ogkalu/comic-text-and-bubble-detector
+(HF RTDetrV2ForObjectDetection wrapped in a YOLO-compatible adapter,
+core/ml/rtdetr_adapter.py:36-139; used as the secondary conjoined/missed-bubble
+detector, detection.py:1388-1539, classes bubble/text_bubble/text_free).
+
+Architecture: ResNet-ish backbone → hybrid encoder (AIFI self-attention on the
+top level + top-down/bottom-up CCFF fusion) → deformable-attention decoder with
+top-k query selection. TPU notes: deformable sampling is implemented as
+vectorized bilinear gathers (static point counts); the decoder runs a fixed
+number of layers with static query counts, so the whole graph jits once.
+
+Exposes the same runner protocol as YoloRunner (fixed imgsz, Detections out) so
+detection orchestration treats YOLO and RT-DETR uniformly — the reference's
+adapter seam (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .yolo import Detections
+from ..ops.boxes import nms
+
+
+@dataclass(frozen=True)
+class RTDetrConfig:
+    num_classes: int = 3            # bubble / text_bubble / text_free
+    hidden_dim: int = 256
+    backbone_dims: Tuple[int, ...] = (64, 128, 256, 512)
+    backbone_depths: Tuple[int, ...] = (2, 2, 2, 2)
+    num_queries: int = 300
+    decoder_layers: int = 6
+    num_heads: int = 8
+    num_points: int = 4             # deformable sampling points per level
+    num_levels: int = 3
+
+
+RTDETR_PRESETS = {
+    "comic_text_bubble": RTDetrConfig(),
+    "test": RTDetrConfig(hidden_dim=32, backbone_dims=(8, 16, 32, 32),
+                         backbone_depths=(1, 1, 1, 1), num_queries=20,
+                         decoder_layers=2, num_heads=2, num_points=2),
+}
+
+
+class ConvBN(nn.Module):
+    ch: int
+    k: int = 3
+    s: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.k // 2
+        x = nn.Conv(self.ch, (self.k, self.k), strides=(self.s, self.s),
+                    padding=((p, p), (p, p)), use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, name="bn")(x)
+        return nn.relu(x)
+
+
+class ResBlock(nn.Module):
+    ch: int
+    stride: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        y = ConvBN(self.ch, 3, self.stride, name="c1")(x)
+        y = nn.Conv(self.ch, (3, 3), padding="SAME", use_bias=False,
+                    name="c2")(y)
+        y = nn.BatchNorm(use_running_average=True, name="bn2")(y)
+        if x.shape[-1] != self.ch or self.stride != 1:
+            x = nn.Conv(self.ch, (1, 1), strides=(self.stride, self.stride),
+                        use_bias=False, name="down")(x)
+            x = nn.BatchNorm(use_running_average=True, name="bn_down")(x)
+        return nn.relu(x + y)
+
+
+class Backbone(nn.Module):
+    cfg: RTDetrConfig
+
+    @nn.compact
+    def __call__(self, x) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        x = ConvBN(cfg.backbone_dims[0] // 2, 3, 2, name="stem1")(x)
+        x = ConvBN(cfg.backbone_dims[0], 3, 2, name="stem2")(x)
+        feats = []
+        for si, (ch, depth) in enumerate(zip(cfg.backbone_dims,
+                                             cfg.backbone_depths)):
+            for bi in range(depth):
+                stride = 2 if (bi == 0 and si > 0) else 1
+                x = ResBlock(ch, stride, name=f"s{si}_b{bi}")(x)
+            if si >= 1:
+                feats.append(x)  # strides 8, 16, 32
+        return feats
+
+
+class AIFI(nn.Module):
+    """Encoder self-attention over the stride-32 feature map."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        seq = x.reshape(b, h * w, c)
+        q = nn.LayerNorm(name="ln1")(seq)
+        attn = nn.MultiHeadDotProductAttention(num_heads=self.heads,
+                                               name="attn")(q, q)
+        seq = seq + attn
+        y = nn.LayerNorm(name="ln2")(seq)
+        y = nn.Dense(self.dim * 4, name="mlp_in")(y)
+        seq = seq + nn.Dense(self.dim, name="mlp_out")(nn.gelu(y))
+        return seq.reshape(b, h, w, c)
+
+
+class HybridEncoder(nn.Module):
+    """Project levels to hidden_dim, AIFI on top, top-down + bottom-up fusion."""
+
+    cfg: RTDetrConfig
+
+    @nn.compact
+    def __call__(self, feats: List[jnp.ndarray]) -> List[jnp.ndarray]:
+        d = self.cfg.hidden_dim
+        proj = [ConvBN(d, 1, name=f"proj{i}")(f) for i, f in enumerate(feats)]
+        proj[-1] = AIFI(d, self.cfg.num_heads, name="aifi")(proj[-1])
+        # top-down
+        for i in range(len(proj) - 1, 0, -1):
+            b, h, w, c = proj[i - 1].shape
+            up = jax.image.resize(proj[i], (b, h, w, c), "nearest")
+            proj[i - 1] = ConvBN(d, 3, name=f"td{i}")(
+                jnp.concatenate([proj[i - 1], up], axis=-1))
+        # bottom-up
+        for i in range(len(proj) - 1):
+            down = ConvBN(d, 3, 2, name=f"bu{i}")(proj[i])
+            mixed = ConvBN(d, 1, name=f"bu_mix{i}")(
+                jnp.concatenate([proj[i + 1], down], axis=-1))
+            proj[i + 1] = ConvBN(d, 3, name=f"bu_fuse{i}")(mixed)
+        return proj
+
+
+def _bilinear_sample(feat: jnp.ndarray, pts01: jnp.ndarray) -> jnp.ndarray:
+    """feat [B,H,W,C], pts01 [B,Q,P,2] in [0,1] → [B,Q,P,C] bilinear gather."""
+    b, h, w, c = feat.shape
+    x = jnp.clip(pts01[..., 0] * (w - 1), 0, w - 1)
+    y = jnp.clip(pts01[..., 1] * (h - 1), 0, h - 1)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, w - 1)
+    y1 = jnp.minimum(y0 + 1, h - 1)
+    wx = (x - x0)[..., None]
+    wy = (y - y0)[..., None]
+
+    flat = feat.reshape(b, h * w, c)
+
+    def gather(yy, xx):
+        idx = (yy * w + xx).reshape(b, -1)  # [B, Q*P]
+        out = jnp.take_along_axis(flat, idx[..., None].repeat(c, -1), axis=1)
+        return out.reshape(yy.shape + (c,))
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x1)
+    v10 = gather(y1, x0)
+    v11 = gather(y1, x1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+class DeformableAttention(nn.Module):
+    """Multi-scale deformable cross-attention (static points, gather-based)."""
+
+    cfg: RTDetrConfig
+
+    @nn.compact
+    def __call__(self, queries: jnp.ndarray, ref01: jnp.ndarray,
+                 feats: List[jnp.ndarray]) -> jnp.ndarray:
+        cfg = self.cfg
+        d, heads, pts = cfg.hidden_dim, cfg.num_heads, cfg.num_points
+        L = len(feats)
+        b, q, _ = queries.shape
+        offsets = nn.Dense(L * pts * 2, name="offsets")(queries)
+        offsets = offsets.reshape(b, q, L, pts, 2) * 0.1  # small learned offsets
+        weights = nn.Dense(L * pts, name="weights")(queries)
+        weights = jax.nn.softmax(weights.reshape(b, q, L * pts), -1)
+        weights = weights.reshape(b, q, L, pts)
+
+        value = []
+        for li, f in enumerate(feats):
+            v = nn.Dense(d, name=f"value{li}")(f)
+            pts01 = ref01[:, :, None, :] + offsets[:, :, li]
+            sampled = _bilinear_sample(v, jnp.clip(pts01, 0.0, 1.0))
+            value.append(jnp.einsum("bqpc,bqp->bqc", sampled,
+                                    weights[:, :, li]))
+        out = sum(value)
+        return nn.Dense(d, name="out")(out)
+
+
+class DecoderLayer(nn.Module):
+    cfg: RTDetrConfig
+
+    @nn.compact
+    def __call__(self, queries, ref01, feats):
+        d = self.cfg.hidden_dim
+        qn = nn.LayerNorm(name="ln1")(queries)
+        queries = queries + nn.MultiHeadDotProductAttention(
+            num_heads=self.cfg.num_heads, name="self_attn")(qn, qn)
+        qn = nn.LayerNorm(name="ln2")(queries)
+        queries = queries + DeformableAttention(self.cfg, name="cross")(
+            qn, ref01, feats)
+        y = nn.LayerNorm(name="ln3")(queries)
+        y = nn.Dense(d * 4, name="mlp_in")(y)
+        return queries + nn.Dense(d, name="mlp_out")(nn.gelu(y))
+
+
+class RTDetrModel(nn.Module):
+    cfg: RTDetrConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        feats = Backbone(cfg, name="backbone")(images)
+        feats = HybridEncoder(cfg, name="encoder")(feats)
+
+        # dense proposals from all levels → top-k query selection
+        tokens = jnp.concatenate(
+            [f.reshape(f.shape[0], -1, cfg.hidden_dim) for f in feats], axis=1)
+        enc_logits = nn.Dense(cfg.num_classes, name="enc_cls")(tokens)
+        enc_boxes = jax.nn.sigmoid(nn.Dense(4, name="enc_box")(tokens))
+        scores = jnp.max(enc_logits, axis=-1)
+        _, topk = jax.lax.top_k(scores, cfg.num_queries)
+        take = lambda t: jnp.take_along_axis(
+            t, topk[..., None].repeat(t.shape[-1], -1), axis=1)
+        queries = take(tokens)
+        ref = take(enc_boxes)[..., :2]  # cxcy as reference points
+
+        for i in range(cfg.decoder_layers):
+            queries = DecoderLayer(cfg, name=f"dec{i}")(queries, ref, feats)
+
+        logits = nn.Dense(cfg.num_classes, name="cls")(queries)
+        boxes = jax.nn.sigmoid(nn.Dense(4, name="box")(queries))  # cxcywh 0..1
+        return {"logits": logits, "boxes": boxes}
+
+
+class RTDetrRunner:
+    """YoloRunner-protocol wrapper (the reference adapter seam,
+    rtdetr_adapter.py:36): DETR outputs → Detections with device NMS."""
+
+    CLASS_NAMES = ("bubble", "text_bubble", "text_free")
+
+    def __init__(self, cfg: RTDetrConfig, params, imgsz: int = 640,
+                 max_det: int = 64):
+        self.cfg = cfg
+        self.imgsz = imgsz
+        self.max_det = max_det
+        self.model = RTDetrModel(cfg)
+        self._params = params
+
+        @jax.jit
+        def _run(params, images, conf, iou):
+            out = self.model.apply(params, images)
+            probs = jax.nn.sigmoid(out["logits"])
+            scores = jnp.max(probs, axis=-1)
+            classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
+            cxcywh = out["boxes"] * imgsz
+            xyxy = jnp.concatenate(
+                [cxcywh[..., :2] - cxcywh[..., 2:] / 2,
+                 cxcywh[..., :2] + cxcywh[..., 2:] / 2], axis=-1)
+
+            def per_image(bx, sc, cl):
+                keep, num = nms(bx, sc, iou, conf, max_det)
+                safe = jnp.maximum(keep, 0)
+                valid = keep >= 0
+                return (jnp.where(valid[:, None], bx[safe], 0.0),
+                        jnp.where(valid, sc[safe], 0.0),
+                        jnp.where(valid, cl[safe], -1), num)
+
+            kb, ks, kc, num = jax.vmap(per_image)(xyxy, scores, classes)
+            return Detections(kb, ks, kc, num, None)
+
+        self._run = _run
+
+    def __call__(self, images, conf: float = 0.35, iou: float = 0.45):
+        return self._run(self._params, images, jnp.float32(conf),
+                         jnp.float32(iou))
+
+
+def init_rtdetr(cfg: RTDetrConfig, imgsz: int = 640, seed: int = 0):
+    model = RTDetrModel(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, imgsz, imgsz, 3)))
