@@ -120,6 +120,7 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     cfg = MangaTranslatorConfig(yolo_model_path="bench", test_mode=True)
     cfg.detection.conjoined_detection = False
     cfg.detection.use_panel_sorting = False
+    cfg.detection.use_osb_text_verification = False
     cfg.rendering.font_dir = os.environ.get(
         "MTX_BENCH_FONT_DIR", "/usr/share/fonts/truetype/dejavu")
     cfg.rendering.max_font_size = 40

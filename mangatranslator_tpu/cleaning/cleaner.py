@@ -38,6 +38,35 @@ from ..ops.image import pick_bucket
 
 _EROSION_KERNEL = (5, 5)  # centroid-validity erosion (reference EROSION_KERNEL_SIZE)
 
+# Colored-bubble classification thresholds (reference cleaning.py:33-38)
+BRIGHT_RATIO_THRESHOLD = 0.65
+DARK_RATIO_THRESHOLD = 0.65
+BRIGHT_DOM_RATIO_MIN = 0.40
+DARK_DOM_RATIO_MIN = 0.40
+BRIGHT_DARK_RATIO_MAX = 0.10
+DARK_BRIGHT_RATIO_MAX = 0.10
+_BRIGHT_LEVEL = 200.0
+_DARK_LEVEL = 55.0
+
+
+def classify_bubble_kind(gray_roi: np.ndarray, mask_roi: np.ndarray) -> str:
+    """'white' / 'black' / 'colored' by bright/dark pixel ratios inside the
+    mask (reference colored-bubble classification, cleaning.py:389-460)."""
+    px = gray_roi[mask_roi > 0]
+    if px.size == 0:
+        return "white"
+    bright = float((px >= _BRIGHT_LEVEL).mean())
+    dark = float((px <= _DARK_LEVEL).mean())
+    if bright >= BRIGHT_RATIO_THRESHOLD and dark <= BRIGHT_DARK_RATIO_MAX:
+        return "white"
+    if dark >= DARK_RATIO_THRESHOLD and bright <= DARK_BRIGHT_RATIO_MAX:
+        return "black"
+    if bright >= BRIGHT_DOM_RATIO_MIN and bright > dark:
+        return "white"
+    if dark >= DARK_DOM_RATIO_MIN and dark > bright:
+        return "black"
+    return "colored"
+
 
 @dataclass
 class CleanedBubble:
@@ -175,7 +204,19 @@ def clean_speech_bubbles(
         ys, xs = np.nonzero(comp)
         text_bbox = [int(xs.min() + x1), int(ys.min() + y1),
                      int(xs.max() + x1), int(ys.max() + y1)]
-        fill_color = (0, 0, 0) if is_black else (255, 255, 255)
+        kind = classify_bubble_kind(gray_page[y1:y2, x1:x2],
+                                    det["mask"][y1:y2, x1:x2])
+        if kind == "colored":
+            # fill with the bubble's dominant interior color outside the text
+            # region (reference colored-bubble fallback; flux path opt-in)
+            interior = (det["mask"][y1:y2, x1:x2] > 0) & (comp == 0)
+            px = image[y1:y2, x1:x2][interior]
+            fill_color = (tuple(int(v) for v in np.median(px, axis=0))
+                          if px.size else ((0, 0, 0) if is_black
+                                           else (255, 255, 255)))
+        else:
+            is_black = kind == "black"
+            fill_color = (0, 0, 0) if is_black else (255, 255, 255)
         # text pixels = inside fill region but darker/lighter than threshold
         roi_gray = gray_page[y1:y2, x1:x2]
         text_px = (roi_gray < thr_eff[i]) if not is_black else (roi_gray > thr_eff[i])

@@ -107,12 +107,51 @@ def _box_mask(bbox: Sequence[int], h: int, w: int) -> np.ndarray:
     return m
 
 
+AMBIGUOUS_TEXT_MATCH_RATIO = 0.85  # reference detection.py:23-25
+
+
+def expand_boxes_with_osb_text(
+    dets: List[Dict[str, Any]],
+    text_boxes: List[List[int]],
+    page_h: int,
+    page_w: int,
+) -> None:
+    """Expand bubble boxes to cover OSB text detections that belong to exactly
+    one bubble (reference _expand_boxes_with_osb_text, detection.py:120-218).
+    Text boxes matching two bubbles nearly equally (ratio ≥ 0.85) are skipped."""
+    from .osb import _ioa, text_box_meaningfully_matches_bubble
+
+    for tb in text_boxes:
+        matches = [
+            (i, _ioa(tb, d["bbox"])) for i, d in enumerate(dets)
+            if text_box_meaningfully_matches_bubble(tb, d["bbox"])
+        ]
+        if not matches:
+            continue
+        matches.sort(key=lambda m: -m[1])
+        if len(matches) > 1 and matches[0][1] > 0 and (
+                matches[1][1] / matches[0][1]) >= AMBIGUOUS_TEXT_MATCH_RATIO:
+            continue  # ambiguous between sibling bubbles
+        i = matches[0][0]
+        b = dets[i]["bbox"]
+        grown = [min(b[0], tb[0]), min(b[1], tb[1]),
+                 max(b[2], tb[2]), max(b[3], tb[3])]
+        grown = [max(0, grown[0]), max(0, grown[1]),
+                 min(page_w, grown[2]), min(page_h, grown[3])]
+        if grown != b:
+            dets[i]["bbox"] = grown
+            # grow the mask to cover the added text area too
+            if dets[i].get("mask") is not None:
+                dets[i]["mask"][tb[1]: tb[3], tb[0]: tb[2]] = 1
+
+
 def detect_speech_bubbles(
     image: np.ndarray,
     bubble_runner: DetectionRunner,
     config: Optional[DetectionConfig] = None,
     conjoined_runner: Optional[DetectionRunner] = None,
     sam_refiner: Optional[Any] = None,
+    osb_text_runner: Optional[DetectionRunner] = None,
     use_cache: bool = True,
     verbose: bool = False,
 ) -> List[Dict[str, Any]]:
@@ -158,6 +197,17 @@ def detect_speech_bubbles(
         if "mask" not in d or d["mask"] is None or not d["mask"].any():
             d["mask"] = _box_mask(d["bbox"], page_h, page_w)
 
+    # bubble-box expansion to cover OSB text detections that overflow the
+    # bubble (reference _expand_boxes_with_osb_text :120-218)
+    if cfg.use_osb_text_verification and osb_text_runner is not None and dets:
+        try:
+            text_dets = _run_detector(image, osb_text_runner, 0.25)
+            expand_boxes_with_osb_text(dets, [t["bbox"] for t in text_dets],
+                                       page_h, page_w)
+        except Exception as e:
+            log_message(f"OSB-text box expansion failed: {e}",
+                        always_print=True)
+
     # SAM mask refinement over all boxes in one batched forward
     if sam_refiner is not None and cfg.seg_model in ("sam2", "sam3"):
         try:
@@ -169,18 +219,35 @@ def detect_speech_bubbles(
             log_message(f"SAM refinement failed, keeping YOLO masks: {e}",
                         always_print=True)
 
-    # conjoined handling: secondary detector parents + synthetic groups
+    # conjoined handling: secondary detector parents + synthetic groups.
+    # RT-DETR classes: 0=bubble, 1=text_bubble (parents), 2=text_free regions
+    # routed to OSB (reference detection.py:1429-1539).
     groups: List[List[int]] = []
-    if cfg.conjoined_detection and conjoined_runner is not None and len(dets) >= 2:
+    text_free_boxes: List[List[int]] = []
+    if cfg.conjoined_detection and conjoined_runner is not None and dets:
         try:
-            parents = _run_detector(image, conjoined_runner, cfg.conjoined_confidence)
+            secondary = _run_detector(image, conjoined_runner,
+                                      cfg.conjoined_confidence)
         except Exception as e:
             log_message(f"Conjoined detection failed: {e}", always_print=True)
-            parents = []
-        if parents:
+            secondary = []
+        parents = [p for p in secondary if p.get("class") in (0, 1)]
+        text_free_boxes = [p["bbox"] for p in secondary if p.get("class") == 2]
+        if parents and len(dets) >= 2:
             pboxes = np.array([p["bbox"] for p in parents], float)
             _, assignment = geometry.categorize_detections(boxes, pboxes)
             groups.extend(assignment.values())
+        # missed bubbles: parents with no primary overlap become detections
+        from ..ops.boxes import ioa_matrix_np
+
+        for p in parents:
+            pb = np.array([p["bbox"]], float)
+            if len(boxes) == 0 or ioa_matrix_np(boxes, pb).max() < 0.2:
+                d = {"bbox": p["bbox"], "confidence": p["confidence"],
+                     "class": "bubble",
+                     "mask": _box_mask(p["bbox"], page_h, page_w)}
+                dets.append(d)
+                boxes = np.concatenate([boxes, pb]) if len(boxes) else pb
     if cfg.conjoined_detection and len(dets) >= 2:
         grouped = {i for g in groups for i in g}
         loose = [i for i in range(len(dets)) if i not in grouped]
@@ -199,6 +266,16 @@ def detect_speech_bubbles(
                 dets[i]["mask"] = child_mask
             dets[i]["is_conjoined_child"] = True
             dets[i]["conjoined_siblings"] = [j for j in group if j != i]
+        for i in group:
+            # shared mask refs for the crop whiteout (translation.py:1966-1990)
+            dets[i]["_sibling_masks"] = [
+                dets[j]["mask"] for j in dets[i]["conjoined_siblings"]]
+
+    # text_free regions ride along as routing entries (consumed by the OSB
+    # stage, never cleaned/translated as bubbles)
+    for tf in text_free_boxes:
+        dets.append({"bbox": tf, "confidence": 1.0, "class": "text_free",
+                     "mask": None})
 
     if cache is not None:
         cache.put("yolo", cache_key, dets)

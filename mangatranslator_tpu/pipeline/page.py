@@ -213,15 +213,26 @@ def translate_and_render(
                 except Exception as e:
                     log_message(f"SAM unavailable, YOLO masks kept: {e}",
                                 always_print=True)
+            osb_text_runner = None
+            if config.detection.use_osb_text_verification:
+                try:
+                    osb_text_runner = manager.get_detector(
+                        ModelType.YOLO_OSB_TEXT)
+                except Exception:
+                    osb_text_runner = None
             detections = detect_speech_bubbles(
                 arr, bubble_runner, config.detection,
                 conjoined_runner=conjoined_runner, sam_refiner=sam_refiner,
-                verbose=config.verbose,
+                osb_text_runner=osb_text_runner, verbose=config.verbose,
             )
         except DetectionError as e:
             log_message(f"Detection failed: {e}", always_print=True)
             info["errors"].append(str(e))
             detections = []
+    # split off text_free routing entries (RT-DETR class → OSB stage)
+    text_free_boxes = [d["bbox"] for d in detections
+                       if d.get("class") == "text_free"]
+    detections = [d for d in detections if d.get("class") != "text_free"]
     info["bubbles"] = len(detections)
 
     panels: List[List[int]] = []
@@ -252,6 +263,7 @@ def translate_and_render(
                     config.outside_text.osb_confidence)
                 osb_work = prepare_outside_text_work(
                     arr, osb_detector, config.outside_text, detections,
+                    text_free_boxes=text_free_boxes,
                     processing_scale=scale, verbose=config.verbose)
             except Exception as e:
                 log_message(f"OSB detection failed: {e}", always_print=True)

@@ -1,0 +1,41 @@
+"""Colored-bubble classification + fill behavior."""
+
+import cv2
+import numpy as np
+
+from mangatranslator_tpu.cleaning.cleaner import (
+    classify_bubble_kind,
+    clean_speech_bubbles,
+)
+from mangatranslator_tpu.config import CleaningConfig
+
+
+def test_classify_kinds():
+    white = np.full((50, 50), 250.0, np.float32)
+    black = np.full((50, 50), 10.0, np.float32)
+    colored = np.full((50, 50), 128.0, np.float32)
+    mask = np.ones((50, 50), np.uint8)
+    assert classify_bubble_kind(white, mask) == "white"
+    assert classify_bubble_kind(black, mask) == "black"
+    assert classify_bubble_kind(colored, mask) == "colored"
+
+
+def test_colored_bubble_filled_with_dominant_color():
+    # orange bubble with dark text on a gray page
+    img = np.full((200, 260, 3), 150, np.uint8)
+    cv2.ellipse(img, (130, 100), (100, 75), 0, 0, 360, (240, 160, 40), -1)
+    for k in range(3):
+        cv2.line(img, (80, 80 + k * 20), (180, 80 + k * 20), (20, 20, 20), 4)
+    mask = np.zeros((200, 260), np.uint8)
+    cv2.ellipse(mask, (130, 100), (100, 75), 0, 0, 360, 1, -1)
+    det = {"bbox": [30, 25, 230, 175], "mask": mask}
+    # orange is mid-luminance → colored; threshold must still catch dark text
+    cleaned, results = clean_speech_bubbles(
+        img, [det], CleaningConfig(thresholding_value=100))
+    r = results[0]
+    assert r.success
+    # fill color close to the bubble orange, not white
+    assert abs(r.fill_color[0] - 240) < 25
+    assert abs(r.fill_color[2] - 40) < 30
+    px = cleaned[80, 130]
+    assert px[0] > 200 and px[2] < 90  # text row now orange

@@ -66,6 +66,7 @@ def planted_manager():
 
 def make_config(**kw):
     cfg = MangaTranslatorConfig(yolo_model_path="x", **kw)
+    cfg.detection.use_osb_text_verification = False  # no planted OSB runner
     cfg.rendering.font_dir = FONT_DIR
     cfg.rendering.max_font_size = 28
     cfg.rendering.min_font_size = 6
