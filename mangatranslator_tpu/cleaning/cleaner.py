@@ -16,6 +16,10 @@ Adaptive junction-zone shrink for conjoined children
 
 from __future__ import annotations
 
+import functools
+
+import jax
+
 from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -104,6 +108,52 @@ def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, i
     return tuple(int(v) for v in med)
 
 
+@functools.partial(jax.jit, static_argnames=("use_otsu", "fixed_thresh",
+                                              "shrink_radius", "use_pallas"))
+def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
+                          shrink_radius: int, use_pallas: bool):
+    """The whole per-page clean chain as ONE compiled program: black/white
+    classification, fixed/Otsu thresholds, dilate→threshold→AND→disk-shrink,
+    and the centroid-validity erosion. One dispatch per page instead of a
+    chain of eager ops (each eager op costs a host↔device round trip)."""
+    import jax.numpy as jnp
+
+    from ..ops.masks import (
+        binary_dilate,
+        binary_erode as _erode,
+        mask_shrink,
+        otsu_threshold_value as _otsu,
+        threshold_binary,
+    )
+
+    n = gray_b.shape[0]
+    lum = jnp.sum(gray_b * mask_b, axis=(1, 2)) / jnp.maximum(
+        jnp.sum(mask_b, (1, 2)), 1.0)
+    inverts = (lum < GRAYSCALE_MIDPOINT).astype(jnp.int32)
+    if use_otsu:
+        thresholds = _otsu(gray_b, mask_b)
+    else:
+        thresholds = jnp.full((n,), fixed_thresh, jnp.float32)
+    # Black bubbles: the reference thresholds the INVERTED ROI, i.e. keeps
+    # pixels with (255-g) > t ⟺ g < 255-t. The invert flag computes (g <= thr),
+    # so thr = 255-t-1 matches exactly on integer gray levels.
+    thr_eff = jnp.where(inverts > 0, 255.0 - thresholds - 1.0, thresholds)
+
+    if use_pallas:
+        from ..ops.pallas_clean import fused_bubble_clean
+
+        radii = jnp.full((n,), shrink_radius, jnp.int32)
+        cand = fused_bubble_clean(gray_b, mask_b, thr_eff, inverts, radii)
+    else:
+        dil = binary_dilate(mask_b, structuring_ellipse(7, 7))
+        binf = threshold_binary(gray_b, thr_eff)
+        binf = jnp.where(inverts[:, None, None] > 0, 1.0 - binf, binf)
+        cand = mask_shrink(binf * dil, shrink_radius)
+
+    validity = _erode(mask_b, structuring_ellipse(*_EROSION_KERNEL))
+    return cand, validity, inverts, thr_eff
+
+
 def clean_speech_bubbles(
     image: np.ndarray,
     detections: List[Dict[str, Any]],
@@ -119,10 +169,10 @@ def clean_speech_bubbles(
     core/pipeline.py:125-130).
     """
     import cv2
+    import jax
     import jax.numpy as jnp
 
     from ..ops.compose import fill_masks_with_colors
-    from ..ops.pallas_clean import reference_bubble_clean
 
     cfg = config or CleaningConfig()
     if not detections:
@@ -152,37 +202,18 @@ def clean_speech_bubbles(
         mask_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
             det["mask"][y1:y2, x1:x2]
 
-    # --- classify black/white + thresholds (device) ----------------------------
-    g = jnp.asarray(gray_b)
-    m = jnp.asarray(mask_b)
-    lum = np.asarray(jnp.sum(g * m, axis=(1, 2)) / jnp.maximum(jnp.sum(m, (1, 2)), 1))
-    inverts = (lum < GRAYSCALE_MIDPOINT).astype(np.int32)
-    if cfg.use_otsu_threshold:
-        thresholds = np.asarray(otsu_threshold_value(g, m))
-    else:
-        thresholds = np.full((n,), float(cfg.thresholding_value), np.float32)
-    # Black bubbles: the reference thresholds the INVERTED ROI, i.e. keeps
-    # pixels with (255-g) > t ⟺ g < 255-t. Our kernel's invert flag computes
-    # (g <= thr), so thr = 255-t-1 matches exactly on integer gray levels.
-    thr_eff = np.where(inverts > 0, 255.0 - thresholds - 1.0,
-                       thresholds).astype(np.float32)
-    radii = np.full((n,), shrink_px, np.int32)
-
-    # --- fused clean chain (device; Pallas on TPU, XLA fallback elsewhere) -----
-    import jax
-
-    if jax.devices()[0].platform == "tpu":
-        from ..ops.pallas_clean import fused_bubble_clean
-
-        cand = np.asarray(fused_bubble_clean(
-            g, m, jnp.asarray(thr_eff), jnp.asarray(inverts), jnp.asarray(radii)))
-    else:
-        cand = np.asarray(reference_bubble_clean(
-            g, m, jnp.asarray(thr_eff), jnp.asarray(inverts), jnp.asarray(radii)))
+    use_pallas = jax.devices()[0].platform == "tpu"
+    cand_d, validity_d, inverts_d, thr_d = _clean_device_program(
+        jnp.asarray(gray_b), jnp.asarray(mask_b),
+        use_otsu=bool(cfg.use_otsu_threshold),
+        fixed_thresh=float(cfg.thresholding_value),
+        shrink_radius=int(shrink_px), use_pallas=use_pallas)
+    cand = np.asarray(cand_d)
+    validity_b = np.asarray(validity_d)
+    inverts = np.asarray(inverts_d)
+    thr_eff = np.asarray(thr_d)
 
     # --- host contour filter + page-res fill masks ------------------------------
-    erosion = structuring_ellipse(*_EROSION_KERNEL)
-    validity_b = np.asarray(binary_erode(m, erosion))
     min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)
 
     results: List[CleanedBubble] = []

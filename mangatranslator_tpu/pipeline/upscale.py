@@ -1,0 +1,82 @@
+"""Upscaling helpers over the RCAN runners, with result caching.
+
+Counterpart of reference core/image/image_utils.py:377 (upscale_image_to_dimension
+— iterative 2× passes until a min/max-side target), :503 (factor-based
+upscale_image) and :678 (process_bubble_image_cached). The reference spills
+intermediates to temp PNGs to cap memory; the tiled device runner makes that
+unnecessary.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+from ..caching import get_cache, make_key
+from ..models.manager import get_model_manager
+
+
+def upscale_image(img: Image.Image, factor: float,
+                  variant: str = "model_lite") -> Image.Image:
+    """Upscale by an exact factor: iterated 2× RCAN passes + LANCZOS snap
+    (reference upscale_image :503)."""
+    runner = get_model_manager().get_upscaler(variant)
+    arr = np.asarray(img.convert("RGB"))
+    tw, th = round(img.width * factor), round(img.height * factor)
+    while arr.shape[1] < tw or arr.shape[0] < th:
+        arr = runner.upscale_image(arr)
+    out = Image.fromarray(arr)
+    return out if out.size == (tw, th) else out.resize((tw, th), Image.LANCZOS)
+
+
+def upscale_image_to_dimension(
+    img: Image.Image,
+    min_side: Optional[int] = None,
+    max_side: Optional[int] = None,
+    variant: str = "model_lite",
+    use_cache: bool = True,
+) -> Image.Image:
+    """Iterative 2× passes until the min side reaches ``min_side`` (then clamp
+    so the max side stays ≤ ``max_side``), matching the reference's semantics
+    (image_utils.py:377-500). Results cached in the 'upscale' domain."""
+    arr = np.asarray(img.convert("RGB"))
+    cache = get_cache() if use_cache else None
+    key = None
+    if cache is not None:
+        key = make_key(arr, min_side, max_side, variant)
+        hit = cache.get("upscale", key)
+        if hit is not None:
+            return Image.fromarray(hit)
+
+    runner = get_model_manager().get_upscaler(variant)
+    if min_side:
+        while min(arr.shape[:2]) < min_side:
+            arr = runner.upscale_image(arr)
+    out = Image.fromarray(arr)
+    if max_side and max(out.size) > max_side:
+        s = max_side / max(out.size)
+        out = out.resize((round(out.width * s), round(out.height * s)),
+                         Image.LANCZOS)
+    if cache is not None:
+        cache.put("upscale", key, np.asarray(out))
+    return out
+
+
+def process_bubble_image_cached(
+    crop: Image.Image,
+    min_side_pixels: int,
+    method: str = "model_lite",
+) -> Image.Image:
+    """Cached bubble-crop prep for the LLM (reference
+    process_bubble_image_cached :678): model/lanczos/none upscale to the
+    configured minimum side."""
+    if method == "none" or min(crop.size) >= min_side_pixels:
+        return crop
+    if method == "lanczos":
+        s = min_side_pixels / min(crop.size)
+        return crop.resize((round(crop.width * s), round(crop.height * s)),
+                           Image.LANCZOS)
+    return upscale_image_to_dimension(crop, min_side=min_side_pixels,
+                                      variant=method)

@@ -1,0 +1,143 @@
+"""Per-model UI widget interactivity matrices.
+
+Counterpart of reference ui/utils.py:57-1498 (the dynamic-visibility handlers,
+ui/callbacks.py:1619-2250): given a provider+model, which knobs are live, which
+reasoning-effort choices exist, whether sampling sliders apply, and whether
+media-resolution controls show. Served to the web UI via /api/interactivity.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List, Optional
+
+from ..services import metadata as MD
+
+
+def reasoning_effort_options(provider: str, model: Optional[str]
+                             ) -> Dict[str, Any]:
+    """(visible, choices, default) for the reasoning-effort dropdown."""
+    if provider == "Google":
+        if MD.is_gemini_3_model(model) or MD.is_gemma_model(model):
+            return {"visible": True, "choices": ["high", "medium", "low"],
+                    "default": "high"}
+        if MD.is_google_reasoning_model(model):
+            choices = ["auto", "high", "medium", "low", "minimal"]
+            if MD.is_gemini_25_flash_model(model) or MD.is_gemini_25_pro_model(model):
+                choices.append("none")
+            return {"visible": True, "choices": choices, "default": "auto"}
+        return {"visible": False, "choices": [], "default": None}
+    if provider == "OpenAI":
+        if not MD.is_openai_reasoning_model(model) or MD.is_gpt5_chat_variant(model):
+            return {"visible": False, "choices": [], "default": None}
+        choices = ["high", "medium", "low"]
+        if MD.supports_gpt5_xhigh_effort(model):
+            choices.insert(0, "xhigh")
+        if MD.supports_gpt5_max_effort(model):
+            choices.insert(0, "max")
+        gen = MD.get_gpt5_generation(model)
+        if gen and gen != "5":
+            choices.append("none")
+        return {"visible": True, "choices": choices, "default": "high"}
+    if provider == "Anthropic":
+        visible, choices, default = MD.anthropic_reasoning_effort_config(model)
+        return {"visible": visible, "choices": choices, "default": default}
+    if provider == "SpaceXAI":
+        ok = MD.supports_xai_reasoning_parameter(model)
+        return {"visible": ok, "choices": ["high", "low"] if ok else [],
+                "default": "high" if ok else None}
+    if provider == "DeepSeek":
+        ok = MD.is_deepseek_reasoning_model(model)
+        return {"visible": ok,
+                "choices": ["high", "medium", "low", "none"] if ok else [],
+                "default": "high" if ok else None}
+    if provider == "Z.ai":
+        if not MD.is_zai_reasoning_model(model):
+            return {"visible": False, "choices": [], "default": None}
+        if MD.supports_zai_reasoning_effort(model):
+            return {"visible": True,
+                    "choices": ["high", "medium", "low", "none"],
+                    "default": "high"}
+        return {"visible": True, "choices": ["auto", "none"], "default": "auto"}
+    if provider == "Moonshot AI":
+        if MD.supports_moonshot_reasoning_effort(model):
+            return {"visible": True, "choices": ["max", "high", "low"],
+                    "default": "high"}
+        if MD.is_moonshot_reasoning_model(model):
+            return {"visible": True, "choices": ["auto", "none"],
+                    "default": "auto"}
+        return {"visible": False, "choices": [], "default": None}
+    if provider == "Xiaomi MiMo":
+        ok = MD.is_mimo_reasoning_model(model)
+        return {"visible": ok, "choices": ["auto", "none"] if ok else [],
+                "default": "auto" if ok else None}
+    if provider == "OpenRouter":
+        if MD.is_anthropic_model_family(model):
+            visible, choices, default = MD.anthropic_reasoning_effort_config(model)
+            return {"visible": visible, "choices": choices, "default": default}
+        if MD.is_openai_model_family(model) and MD.is_openai_reasoning_model(model):
+            return reasoning_effort_options("OpenAI", model)
+        if MD.is_google_model_family(model):
+            return reasoning_effort_options("Google", model)
+        return {"visible": True, "choices": ["high", "medium", "low", "none"],
+                "default": "none"}
+    if provider == "OpenAI-Compatible":
+        ok = MD.is_openai_compatible_reasoning_model(model)
+        return {"visible": ok, "choices": ["high", "medium", "low"] if ok else [],
+                "default": "high" if ok else None}
+    return {"visible": False, "choices": [], "default": None}
+
+
+def effort_options(provider: str, model: Optional[str]) -> Dict[str, Any]:
+    """Anthropic 'effort' dropdown (Opus 4.5+ tiers)."""
+    if provider in ("Anthropic", "OpenRouter"):
+        visible, choices, default = MD.anthropic_effort_config(model)
+        return {"visible": visible, "choices": choices, "default": default}
+    return {"visible": False, "choices": [], "default": None}
+
+
+def verbosity_options(provider: str, model: Optional[str]) -> Dict[str, Any]:
+    gpt5 = (provider in ("OpenAI", "OpenRouter") and MD.is_gpt5_series(model)
+            and not MD.is_gpt5_chat_variant(model))
+    return {"visible": gpt5, "choices": ["high", "medium", "low"] if gpt5 else [],
+            "default": "low" if gpt5 else None}
+
+
+def sampling_enabled(provider: str, model: Optional[str]) -> Dict[str, bool]:
+    """Which sampling sliders apply (reference slider-enablement matrix)."""
+    no_sampling = (provider in ("Anthropic", "OpenRouter")
+                   and MD.is_anthropic_no_sampling_model(model))
+    top_k = provider in ("Google", "OpenRouter", "OpenAI-Compatible")
+    if provider == "Anthropic" and not no_sampling:
+        top_k = True
+    return {
+        "temperature": not no_sampling,
+        "top_p": not no_sampling and provider != "Anthropic",
+        "top_k": top_k and not no_sampling,
+    }
+
+
+def media_resolution_visibility(provider: str, model: Optional[str]
+                                ) -> Dict[str, bool]:
+    g3 = MD.is_gemini_3_model(model)
+    return {
+        "media_resolution": provider == "Google" and not g3,
+        "media_resolution_bubbles": (provider == "SpaceXAI"
+                                     or (provider == "Google" and g3)),
+        "media_resolution_context": (provider == "SpaceXAI"
+                                     or (provider == "Google" and g3)),
+        "image_detail": provider == "OpenAI" or (
+            provider == "OpenRouter" and MD.is_openai_model_family(model)),
+    }
+
+
+def model_interactivity(provider: str, model: Optional[str]) -> Dict[str, Any]:
+    """Everything the UI needs for one provider/model selection."""
+    return {
+        "reasoning_effort": reasoning_effort_options(provider, model),
+        "effort": effort_options(provider, model),
+        "verbosity": verbosity_options(provider, model),
+        "sampling": sampling_enabled(provider, model),
+        "media_resolution": media_resolution_visibility(provider, model),
+        "web_search": provider in ("Google", "OpenRouter"),
+        "code_execution": provider == "Google" and MD.is_gemini_3_flash_model(model),
+    }

@@ -175,6 +175,14 @@ class WebApp:
             from ..runtime import get_device_info
 
             return get_device_info()
+        if method == "GET" and path.startswith("/api/interactivity"):
+            from urllib.parse import parse_qs, urlparse
+
+            from .interactivity import model_interactivity
+
+            q = parse_qs(urlparse(path).query)
+            return model_interactivity(q.get("provider", ["Google"])[0],
+                                       q.get("model", [None])[0])
         if method == "POST" and path == "/api/settings":
             ok = save_config(body or {}, self.config_file)
             return {"saved": ok}

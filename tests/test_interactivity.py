@@ -1,0 +1,48 @@
+"""UI interactivity matrices per provider/model."""
+
+from mangatranslator_tpu.ui.interactivity import (
+    model_interactivity,
+    reasoning_effort_options,
+    sampling_enabled,
+)
+
+
+def test_gemini3_levels():
+    r = reasoning_effort_options("Google", "gemini-3.5-flash-lite")
+    assert r["visible"] and r["default"] == "high"
+
+
+def test_gemini25_has_none_for_flash():
+    r = reasoning_effort_options("Google", "gemini-2.5-flash")
+    assert "none" in r["choices"] and r["default"] == "auto"
+
+
+def test_gpt5_tiers():
+    assert "xhigh" not in reasoning_effort_options("OpenAI", "gpt-5")["choices"]
+    r = reasoning_effort_options("OpenAI", "gpt-5.6-sol")
+    assert r["choices"][:2] == ["max", "xhigh"]
+    assert not reasoning_effort_options("OpenAI", "gpt-5.2-chat")["visible"]
+
+
+def test_anthropic_tiers():
+    r = reasoning_effort_options("Anthropic", "claude-opus-4-6")
+    assert r["choices"] == ["auto", "none"]
+    r2 = reasoning_effort_options("Anthropic", "claude-opus-4-5-20251101")
+    assert r2["choices"] == ["high", "medium", "low", "none"]
+    assert not reasoning_effort_options("Anthropic", "claude-fable-5")["visible"]
+
+
+def test_sampling_matrix():
+    s = sampling_enabled("Anthropic", "claude-opus-4-7")
+    assert not s["temperature"]  # xhigh tier strips sampling
+    s2 = sampling_enabled("Google", "gemini-2.5-flash")
+    assert s2["temperature"] and s2["top_k"]
+    assert not sampling_enabled("OpenAI", "gpt-5")["top_k"]
+
+
+def test_full_matrix_shape():
+    m = model_interactivity("Google", "gemini-3-flash-preview")
+    assert m["code_execution"]  # Gemini 3 Flash only
+    assert m["media_resolution"]["media_resolution_bubbles"]
+    m2 = model_interactivity("DeepSeek", "deepseek-chat")
+    assert not m2["reasoning_effort"]["visible"]

@@ -70,4 +70,10 @@ def test_runner_in_detection_orchestration(rtdetr_params):
     dets = detect_speech_bubbles(
         img, primary, DetectionConfig(confidence=0.5),
         conjoined_runner=runner, use_cache=False)
-    assert len(dets) == 2  # random-weight DETR adds nothing, flow intact
+    # random-weight DETR may emit text_free routing entries / missed bubbles;
+    # the two planted primaries must survive with their classes intact
+    bubbles = [d for d in dets if d["class"] == "bubble"]
+    assert len(bubbles) >= 2
+    xs = sorted(b["bbox"][0] for b in bubbles)[:2]
+    assert abs(xs[0] - 40) <= 2 and abs(xs[1] - 140) <= 2
+    assert all(d["class"] in ("bubble", "text_free") for d in dets)
