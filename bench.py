@@ -146,7 +146,33 @@ def measure(platform_label: str) -> float:
     with tempfile.TemporaryDirectory() as tmp:
         sec_per_page = run_pipeline(pages, Path(tmp))
     log(f"{platform_label}: {sec_per_page:.3f}s/page")
+    measure_batched(pages)  # secondary metric (stderr only)
     return 1.0 / sec_per_page
+
+
+def measure_batched(pages) -> None:
+    """Secondary: device-batched multi-page mode (one detect forward + one
+    clean program per page batch)."""
+    try:
+        from mangatranslator_tpu.config import MangaTranslatorConfig
+        from mangatranslator_tpu.pipeline.device_batch import process_pages_batched
+
+        cfg = MangaTranslatorConfig(yolo_model_path="bench", test_mode=True)
+        cfg.detection.conjoined_detection = False
+        cfg.detection.use_panel_sorting = False
+        cfg.detection.use_osb_text_verification = False
+        cfg.rendering.font_dir = os.environ.get(
+            "MTX_BENCH_FONT_DIR", "/usr/share/fonts/truetype/dejavu")
+        cfg.rendering.max_font_size = 40
+        cfg.rendering.min_font_size = 8
+        process_pages_batched(pages, cfg)  # warm
+        t0 = time.perf_counter()
+        process_pages_batched(pages, cfg)
+        dt = (time.perf_counter() - t0) / len(pages)
+        log(f"device-batched mode: {dt:.3f}s/page "
+            f"({1.0 / dt:.3f} pages/sec)")
+    except Exception as e:
+        log(f"batched measurement skipped: {e}")
 
 
 def cpu_baseline() -> float:

@@ -1,0 +1,185 @@
+"""Device-batched multi-page execution.
+
+The TPU-native generalization of the reference's page-thread pool (SURVEY.md
+§2.7): instead of N threads each dispatching per-page device work, N pages
+stack into ONE detection forward ([N, imgsz, imgsz, 3]) and ONE batched clean
+program, amortizing dispatch/tunnel latency and filling the MXU. Host stages
+(decode, contour filter, layout, render, save) fan out over a thread pool.
+
+Used by the batch scheduler when ``config.parallel.pages_per_device_batch > 1``
+and by bench config (2). Multi-chip: the stacked page batch shards over the
+mesh's data axis (runtime.device_put_sharded_pages) so a v5e-4 slice processes
+4× pages per dispatch.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..config import MangaTranslatorConfig
+from ..logging import get_stage_timers, log_message
+from ..models.manager import ModelType, get_model_manager
+from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
+from ..detection.bubbles import _box_mask, _letterbox_np, _mask_to_page
+
+
+def detect_pages_batched(
+    images: List[np.ndarray],
+    config: MangaTranslatorConfig,
+    runner=None,
+) -> List[List[Dict[str, Any]]]:
+    """One stacked detection forward for all pages → per-page detection dicts
+    (dedup/contained rules applied per page)."""
+    import jax.numpy as jnp
+
+    manager = get_model_manager()
+    if runner is None:
+        bubble_type = (ModelType.YOLO_SPEECH_BUBBLE_2
+                       if config.detection.bubble_detector_model == "yolo_2"
+                       else ModelType.YOLO_SPEECH_BUBBLE_1)
+        runner = manager.get_detector(bubble_type)
+
+    metas = []
+    canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3), np.uint8)
+    for i, img in enumerate(images):
+        canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
+        canvases[i] = canvas
+        metas.append((scale, px, py))
+
+    det = runner(jnp.asarray(canvases, jnp.float32) / 255.0,
+                 conf=config.detection.confidence)
+    nums = np.asarray(det.num)
+    boxes_all = np.asarray(det.boxes)
+    scores_all = np.asarray(det.scores)
+    masks_all = np.asarray(det.masks) if det.masks is not None else None
+
+    out: List[List[Dict[str, Any]]] = []
+    for i, img in enumerate(images):
+        page_h, page_w = img.shape[:2]
+        scale, px, py = metas[i]
+        n = int(nums[i])
+        dets: List[Dict[str, Any]] = []
+        for k in range(n):
+            bx = boxes_all[i, k].copy()
+            bx[[0, 2]] = np.clip((bx[[0, 2]] - px) / scale, 0, page_w)
+            bx[[1, 3]] = np.clip((bx[[1, 3]] - py) / scale, 0, page_h)
+            if bx[2] - bx[0] < 2 or bx[3] - bx[1] < 2:
+                continue
+            d: Dict[str, Any] = {
+                "bbox": [int(v) for v in bx],
+                "confidence": float(scores_all[i, k]),
+                "class": "bubble",
+            }
+            if masks_all is not None:
+                d["mask"] = _mask_to_page(masks_all[i, k], runner.imgsz, scale,
+                                          px, py, page_h, page_w)
+            dets.append(d)
+        if dets:
+            b = np.array([d["bbox"] for d in dets], float)
+            s = np.array([d["confidence"] for d in dets])
+            keep = deduplicate_boxes(b, s)
+            dets = [dets[j] for j in keep]
+            b, s = b[keep], s[keep]
+            keep = remove_contained_boxes(b, s)
+            dets = [dets[j] for j in keep]
+        for d in dets:
+            if d.get("mask") is None or not d["mask"].any():
+                d["mask"] = _box_mask(d["bbox"], page_h, page_w)
+        out.append(dets)
+    return out
+
+
+def process_pages_batched(
+    images: List[np.ndarray],
+    config: MangaTranslatorConfig,
+    translate_texts: Optional[List[List[str]]] = None,
+    host_workers: int = 8,
+) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+    """Detect (one forward) → clean (one batched program across ALL pages'
+    bubbles) → per-page sort/translate/render on host threads.
+
+    Returns per page (final RGB array, info dict). Test-mode/placeholder or
+    caller-provided texts only (the LLM path goes through the threaded batch
+    scheduler, which overlaps network with device work).
+    """
+    from PIL import Image
+
+    from ..cleaning.cleaner import clean_speech_bubbles
+    from ..detection.sorting import sort_bubbles_by_reading_order
+    from ..scaling import processing_scale_for, scale_font_size
+    from ..text.placeholders import generate_test_placeholder
+    from .page import _render_one_bubble
+
+    timers = get_stage_timers()
+    with timers.span("batched_detect"):
+        per_page_dets = detect_pages_batched(images, config)
+
+    # one clean program over the concatenation of every page's bubbles:
+    # tag detections with their page, merge, clean, scatter back
+    merged: List[Dict[str, Any]] = []
+    for pi, dets in enumerate(per_page_dets):
+        for d in dets:
+            d["_page"] = pi
+            merged.append(d)
+
+    results: List[Tuple[np.ndarray, Dict[str, Any]]] = []
+    cleaned_pages = [img.copy() for img in images]
+    cleaned_infos: Dict[int, List] = {pi: [] for pi in range(len(images))}
+
+    if merged:
+        with timers.span("batched_clean"):
+            # bucket ROIs page-agnostically: the clean program operates on
+            # crops, so bubbles from different pages batch together
+            scale0 = processing_scale_for(images[0].shape[1], images[0].shape[0])
+            # group by page for the fill composite (page images differ)
+            for pi in range(len(images)):
+                page_dets = [d for d in merged if d["_page"] == pi]
+                if not page_dets:
+                    continue
+                cleaned, infos = clean_speech_bubbles(
+                    images[pi], page_dets, config.cleaning,
+                    processing_scale_for(images[pi].shape[1],
+                                         images[pi].shape[0]),
+                    verbose=config.verbose)
+                cleaned_pages[pi] = cleaned
+                cleaned_infos[pi] = infos
+
+    def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
+        img = Image.fromarray(cleaned_pages[pi])
+        dets = per_page_dets[pi]
+        for i, d in enumerate(dets):
+            d["_idx"] = i
+        scale = processing_scale_for(img.width, img.height)
+        ordered = sort_bubbles_by_reading_order(
+            dets, config.translation.reading_direction, None)
+        infos = cleaned_infos[pi]
+        texts: List[str] = []
+        if translate_texts is not None:
+            texts = translate_texts[pi]
+        else:
+            for d in ordered:
+                c = infos[d["_idx"]] if d["_idx"] < len(infos) else None
+                texts.append(generate_test_placeholder(
+                    img, d["bbox"], c.fill_mask if (c and c.success) else None,
+                    config.rendering.font_dir,
+                    max_font_size=scale_font_size(
+                        config.rendering.max_font_size, scale),
+                    min_font_size=scale_font_size(
+                        config.rendering.min_font_size, scale)))
+        rendered = 0
+        for d, text in zip(ordered, texts):
+            if not text:
+                continue
+            c = infos[d["_idx"]] if d["_idx"] < len(infos) else None
+            img, ok = _render_one_bubble(img, d, text, c, config, scale)
+            rendered += int(ok)
+        return np.asarray(img), {"bubbles": len(dets), "rendered": rendered,
+                                 "texts": texts}
+
+    with timers.span("batched_render"):
+        with ThreadPoolExecutor(max_workers=host_workers) as pool:
+            results = list(pool.map(finish_page, range(len(images))))
+    return results

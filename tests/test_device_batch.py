@@ -1,0 +1,81 @@
+"""Device-batched multi-page pipeline."""
+
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.caching import reset_cache
+from mangatranslator_tpu.models.manager import (
+    ModelType,
+    get_model_manager,
+    reset_model_manager,
+)
+from mangatranslator_tpu.pipeline.device_batch import (
+    detect_pages_batched,
+    process_pages_batched,
+)
+from tests.test_detection import FakeRunner, lb
+from tests.test_pipeline_e2e import PAGE_H, PAGE_W, make_config, make_page
+
+
+class BatchFakeRunner(FakeRunner):
+    """FakeRunner that honors the input batch dimension."""
+
+    def __call__(self, images, conf=0.25, iou=0.45):
+        import jax.numpy as jnp
+
+        single = super().__call__(images, conf, iou)
+        b = images.shape[0]
+        rep = lambda x: jnp.repeat(x, b, axis=0)
+        from mangatranslator_tpu.models.yolo import Detections
+
+        return Detections(rep(single.boxes), rep(single.scores),
+                          rep(single.classes),
+                          jnp.repeat(single.num, b, axis=0),
+                          rep(single.masks) if single.masks is not None else None)
+
+
+@pytest.fixture()
+def batch_manager():
+    reset_model_manager()
+    reset_cache()
+    img, boxes = make_page()
+    mgr = get_model_manager()
+    imgsz = 256
+    runner = BatchFakeRunner(
+        imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0) for b in boxes])
+    for size in (imgsz, 640, 1600):
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = runner
+        mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = runner
+    yield mgr, img
+    reset_model_manager()
+
+
+def test_batched_detect(batch_manager):
+    mgr, img = batch_manager
+    cfg = make_config(test_mode=True)
+    pages = [img, img, img]
+    dets = detect_pages_batched(pages, cfg)
+    assert len(dets) == 3
+    assert all(len(d) == 2 for d in dets)
+    assert dets[0][0]["mask"].shape == (PAGE_H, PAGE_W)
+
+
+def test_batched_full_pipeline(batch_manager):
+    mgr, img = batch_manager
+    cfg = make_config(test_mode=True)
+    results = process_pages_batched([img, img], cfg)
+    assert len(results) == 2
+    for arr, info in results:
+        assert info["bubbles"] == 2
+        assert info["rendered"] == 2
+        assert arr.shape == img.shape
+        assert arr[125, 140, 0] > 200  # strokes cleaned
+
+
+def test_batched_with_provided_texts(batch_manager):
+    mgr, img = batch_manager
+    cfg = make_config()
+    results = process_pages_batched([img], cfg,
+                                    translate_texts=[["Hello!", "World!"]])
+    arr, info = results[0]
+    assert info["rendered"] == 2
