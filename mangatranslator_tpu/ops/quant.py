@@ -1,0 +1,105 @@
+"""Int8 quantized matmul (Pallas) + weight quantization helpers.
+
+TPU-native replacement for the reference's quantized FLUX backends (SURVEY.md
+§2.9: Nunchaku SVDQuant int4 / SDNQ uint4+Triton int8). Weights store as int8
+with per-output-channel scales; the Pallas kernel runs the int8×int8 matmul on
+the MXU with int32 accumulation and fuses the dequant scale into the epilogue —
+halving HBM weight traffic vs bf16.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def quantize_weights_int8(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float → (int8 values [K, N], per-column scales [N])."""
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(absmax / 127.0, 1e-8)
+    q = jnp.clip(jnp.round(w / scale), -127, 127).astype(jnp.int8)
+    return q, scale.astype(jnp.float32)
+
+
+def dequantize_int8(q: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return q.astype(jnp.float32) * scale
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _q8_matmul_kernel(x_ref, w_ref, scale_ref, out_ref):
+    # int8 weights feed the MXU with int32 accumulation; activations arrive
+    # bf16 and are quantized per-tile to int8 with a dynamic scale
+    x = x_ref[:]
+    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    x_scale = x_absmax / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_ref[:],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out_ref[:] = acc.astype(jnp.float32) * (x_scale * scale_ref[:])[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q8_matmul(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    block_m: int = 256,
+    block_n: int = 256,
+) -> jnp.ndarray:
+    """x [M, K] float × int8 weights [K, N] (+ scales [N]) → [M, N] float32.
+
+    Grid-tiled Pallas kernel: per-tile dynamic activation quantization, int8
+    MXU matmul, fused dequant epilogue.
+    """
+    m, k = x.shape
+    k2, n = w_q.shape
+    assert k == k2, (k, k2)
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, 0)))
+    wp = jnp.pad(w_q, ((0, 0), (0, np_ - n)))
+    sp = jnp.pad(w_scale, (0, np_ - n))
+
+    grid = (mp // block_m, np_ // block_n)
+    out = pl.pallas_call(
+        _q8_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, k), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, block_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_n,), lambda i, j: (j,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(xp, wp, sp)
+    return out[:m, :n]
+
+
+def q8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray,
+                  w_scale: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback with the same semantics (whole-tensor activation scale)."""
+    x = x.astype(jnp.float32)
+    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    x_scale = x_absmax / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    acc = jax.lax.dot_general(
+        xq, w_q, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]

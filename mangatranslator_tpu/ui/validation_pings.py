@@ -1,0 +1,69 @@
+"""Live API-key / endpoint validation pings.
+
+Counterpart of reference ui/utils.py:100-178: cheap requests that confirm a key
+is accepted before a batch run burns pages. All return (ok, message) and never
+raise.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+
+def _ping(url: str, headers=None, timeout: float = 8.0) -> Tuple[bool, str]:
+    try:
+        import requests
+
+        resp = requests.get(url, headers=headers or {}, timeout=timeout)
+        if resp.status_code in (200, 204):
+            return True, "OK"
+        if resp.status_code in (401, 403):
+            return False, f"Key rejected (HTTP {resp.status_code})"
+        return False, f"HTTP {resp.status_code}"
+    except Exception as e:
+        return False, f"{type(e).__name__}: {e}"
+
+
+def validate_api_key(provider: str, api_key: str,
+                     base_url: Optional[str] = None) -> Tuple[bool, str]:
+    if not api_key and provider != "OpenAI-Compatible":
+        return False, "No API key provided"
+    if provider == "Google":
+        return _ping("https://generativelanguage.googleapis.com/v1beta/models"
+                     f"?key={api_key}&pageSize=1")
+    if provider == "OpenAI":
+        return _ping("https://api.openai.com/v1/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "Anthropic":
+        return _ping("https://api.anthropic.com/v1/models",
+                     {"x-api-key": api_key, "anthropic-version": "2023-06-01"})
+    if provider == "SpaceXAI":
+        return _ping("https://api.x.ai/v1/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "DeepSeek":
+        return _ping("https://api.deepseek.com/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "Z.ai":
+        return _ping("https://api.z.ai/api/paas/v4/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "Moonshot AI":
+        return _ping("https://api.moonshot.ai/v1/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "Xiaomi MiMo":
+        return _ping("https://api.xiaomimimo.com/v1/models",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "OpenRouter":
+        return _ping("https://openrouter.ai/api/v1/key",
+                     {"Authorization": f"Bearer {api_key}"})
+    if provider == "OpenAI-Compatible":
+        url = (base_url or "http://localhost:8080/v1").rstrip("/")
+        headers = {"Authorization": f"Bearer {api_key}"} if api_key else {}
+        return _ping(f"{url}/models", headers)
+    return False, f"Unknown provider: {provider}"
+
+
+def validate_hf_token(token: str) -> Tuple[bool, str]:
+    if not token:
+        return False, "No token provided"
+    return _ping("https://huggingface.co/api/whoami-v2",
+                 {"Authorization": f"Bearer {token}"})
