@@ -91,21 +91,63 @@ def make_flux_train_step(model, optimizer: optax.GradientTransformation,
     return train_step
 
 
+def make_sp_train_step(model, optimizer: optax.GradientTransformation):
+    """Training step with an explicit sequence-parallel activation constraint:
+    image tokens shard over the 'seq' mesh axis between blocks; XLA inserts the
+    all-gathers the joint attention needs over ICI (the sharded-latents design
+    for full-page FLUX, SURVEY.md §5 long-context note)."""
+
+    def loss_fn(params, batch, rng):
+        x = batch["clean_tokens"]
+        b = x.shape[0]
+        t_rng, n_rng = jax.random.split(rng)
+        t = jax.random.uniform(t_rng, (b,), jnp.float32)
+        eps = jax.random.normal(n_rng, x.shape, x.dtype)
+        z_t = (1.0 - t[:, None, None]) * x + t[:, None, None] * eps
+        z_t = jax.lax.with_sharding_constraint(
+            z_t, P("data", "seq", None))
+        v = model.apply(params, z_t, batch["img_ids"], batch["txt"],
+                        batch["txt_ids"], t, batch["pooled"],
+                        jnp.ones((b,), x.dtype))
+        v = jax.lax.with_sharding_constraint(v, P("data", "seq", None))
+        return jnp.mean(jnp.square((v - (eps - x)).astype(jnp.float32)))
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Compile + execute ONE sharded training step on an n-device mesh.
 
-    Mesh layout: data × model (dp × tp). Uses the tiny FLUX config and tiny
-    shapes; validates that the sharding specs compile and execute with XLA
-    collectives without real multi-chip hardware.
+    Mesh layout: data × model × seq (dp × tp × sp) when n_devices ≥ 8, else
+    data × model. Uses the tiny FLUX config and tiny shapes; validates that
+    the sharding specs compile and execute with XLA collectives without real
+    multi-chip hardware. (pp/ep are N/A for this model family: the FLUX DiT
+    has no experts, and its 2×-ish depth doesn't warrant pipeline stages at
+    the target slice sizes.)
     """
     from ..models.flux.dit import FLUX_PRESETS, FluxDiT, init_flux, make_img_ids, \
         make_txt_ids
 
     devices = jax.devices()[:n_devices]
-    model_par = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
-    data_par = n_devices // model_par
-    mesh = Mesh(np.array(devices).reshape(data_par, model_par),
-                ("data", "model"))
+    if n_devices >= 8 and n_devices % 8 == 0:
+        data_par, model_par, seq_par = n_devices // 4, 2, 2
+        mesh = Mesh(np.array(devices).reshape(data_par, model_par, seq_par),
+                    ("data", "model", "seq"))
+        use_sp = True
+    else:
+        model_par = 2 if n_devices % 2 == 0 and n_devices >= 2 else 1
+        data_par = n_devices // model_par
+        seq_par = 1
+        mesh = Mesh(np.array(devices).reshape(data_par, model_par),
+                    ("data", "model"))
+        use_sp = False
 
     cfg = FLUX_PRESETS["test"]
     model = FluxDiT(cfg)
@@ -118,7 +160,8 @@ def dryrun_multichip(n_devices: int) -> None:
         opt_state = jax.tree.map(
             lambda x: x,  # init on the sharded params keeps layouts aligned
             optimizer.init(params))
-        train_step = make_flux_train_step(model, optimizer, mesh)
+        train_step = (make_sp_train_step(model, optimizer) if use_sp
+                      else make_flux_train_step(model, optimizer, mesh))
 
         b = max(data_par * 2, 2)
         ds = data_spec(mesh)
