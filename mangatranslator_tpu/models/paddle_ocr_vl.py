@@ -1,0 +1,184 @@
+"""PaddleOCR-VL style vision-language OCR model in Flax.
+
+Counterpart of the reference's PaddleOCR-VL-1.6 usage (loaded via
+AutoModelForImageTextToText at core/ml/model_manager.py:927-980; driven with a
+chat template + generate(max_new_tokens=1024) at core/image/ocr_detection.py:848).
+
+Decoder-only VLM: ViT vision encoder → linear projector → image tokens prefix
+the text sequence; the causal decoder attends freely within the image prefix.
+Greedy decode runs as one compiled fori_loop (same TPU decode pattern as
+models/ocr.py).
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .ocr import TransformerBlock, VitEncoder
+
+
+@dataclass(frozen=True)
+class PaddleVLConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    encoder_dim: int = 1024
+    encoder_depth: int = 24
+    encoder_heads: int = 16
+    decoder_dim: int = 1024
+    decoder_depth: int = 12
+    decoder_heads: int = 16
+    vocab_size: int = 16384
+    max_new_tokens: int = 128    # page crops; reference allows up to 1024
+    prompt_len: int = 4          # tokenized task prompt ("OCR:")
+    bos_id: int = 1
+    eos_id: int = 2
+    pad_id: int = 0
+
+
+PADDLE_VL_PRESETS = {
+    "paddle_ocr_vl_1_6": PaddleVLConfig(),
+    "test": PaddleVLConfig(image_size=28, patch_size=14, encoder_dim=32,
+                           encoder_depth=1, encoder_heads=2, decoder_dim=32,
+                           decoder_depth=1, decoder_heads=2, vocab_size=64,
+                           max_new_tokens=6, prompt_len=2),
+}
+
+
+@dataclass(frozen=True)
+class _EncCfg:
+    """Adapter: reuse ocr.VitEncoder with VL dims."""
+
+    image_size: int
+    patch_size: int
+    encoder_dim: int
+    encoder_depth: int
+    encoder_heads: int
+
+
+class PaddleVLModel(nn.Module):
+    cfg: PaddleVLConfig
+
+    def setup(self):
+        c = self.cfg
+        self.vision = VitEncoder(_EncCfg(c.image_size, c.patch_size,
+                                         c.encoder_dim, c.encoder_depth,
+                                         c.encoder_heads))
+        self.projector = nn.Dense(c.decoder_dim)
+        self.embed = nn.Embed(c.vocab_size, c.decoder_dim)
+        self.blocks = [
+            TransformerBlock(c.decoder_dim, c.decoder_heads, causal=True,
+                             name=f"dec{i}")
+            for i in range(c.decoder_depth)
+        ]
+        self.ln_out = nn.LayerNorm()
+        self.lm_head = nn.Dense(c.vocab_size)
+        n_img = (c.image_size // c.patch_size) ** 2
+        self.pos = self.param(
+            "pos", nn.initializers.normal(0.02),
+            (1, n_img + c.prompt_len + c.max_new_tokens + 1, c.decoder_dim))
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.projector(self.vision(images))
+
+    def decode(self, img_tokens: jnp.ndarray, text_ids: jnp.ndarray) -> jnp.ndarray:
+        """Logits over the text positions. The image prefix is prepended; the
+        causal mask over the joint sequence keeps the prefix fully visible."""
+        txt = self.embed(text_ids)
+        seq = jnp.concatenate([img_tokens, txt], axis=1)
+        seq = seq + self.pos[:, : seq.shape[1]]
+        for blk in self.blocks:
+            seq = blk(seq)
+        return self.lm_head(self.ln_out(seq))[:, img_tokens.shape[1]:]
+
+    def __call__(self, images: jnp.ndarray, text_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode_image(images), text_ids)
+
+
+def greedy_generate_vl(model: PaddleVLModel, params, images: jnp.ndarray,
+                       prompt_ids: jnp.ndarray, cfg: PaddleVLConfig) -> jnp.ndarray:
+    b = images.shape[0]
+    img_tokens = model.apply(params, images, method=PaddleVLModel.encode_image)
+    total = cfg.prompt_len + cfg.max_new_tokens + 1
+    tokens0 = jnp.full((b, total), cfg.pad_id, jnp.int32)
+    tokens0 = tokens0.at[:, : cfg.prompt_len].set(prompt_ids[None])
+    tokens0 = tokens0.at[:, cfg.prompt_len].set(cfg.bos_id)
+
+    def body(i, state):
+        tokens, done = state
+        pos = cfg.prompt_len + i
+        logits = model.apply(params, img_tokens, tokens,
+                             method=PaddleVLModel.decode)
+        nxt = jnp.argmax(logits[:, pos], axis=-1).astype(jnp.int32)
+        nxt = jnp.where(done, cfg.pad_id, nxt)
+        tokens = tokens.at[:, pos + 1].set(nxt)
+        return tokens, done | (nxt == cfg.eos_id)
+
+    tokens, _ = jax.lax.fori_loop(0, cfg.max_new_tokens, body,
+                                  (tokens0, jnp.zeros((b,), bool)))
+    return tokens
+
+
+def _stub_detokenize(ids: np.ndarray, cfg: PaddleVLConfig) -> str:
+    out = []
+    for t in ids[cfg.prompt_len + 1:]:
+        if t in (cfg.eos_id, cfg.pad_id):
+            break
+        out.append(chr(0x30A1 + (int(t) % 85)))  # katakana block
+    return "".join(out)
+
+
+class PaddleVLRunner:
+    """Per-crop OCR callable for ocr_method='paddleocr-vl-1.6'."""
+
+    def __init__(self, cfg: PaddleVLConfig, params,
+                 detokenize: Optional[Callable[[np.ndarray], str]] = None):
+        self.cfg = cfg
+        self.model = PaddleVLModel(cfg)
+        self._params = params
+        self._detok = detokenize
+        self._prompt = jnp.arange(3, 3 + cfg.prompt_len, dtype=jnp.int32)
+
+        @jax.jit
+        def _gen(params, images):
+            return greedy_generate_vl(self.model, params, images,
+                                      self._prompt, cfg)
+
+        self._gen = _gen
+
+    def __call__(self, pil_image) -> str:
+        img = pil_image.convert("RGB").resize(
+            (self.cfg.image_size, self.cfg.image_size))
+        arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+        ids = np.asarray(self._gen(self._params, jnp.asarray(arr[None])))[0]
+        if self._detok is not None:
+            return self._detok(ids)
+        return _stub_detokenize(ids, self.cfg)
+
+
+_runner: Optional[PaddleVLRunner] = None
+_lock = threading.Lock()
+
+
+def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunner:
+    """Lazy singleton (reference get_paddle_ocr_vl model_manager.py:927)."""
+    import os
+
+    global _runner
+    with _lock:
+        if _runner is None:
+            cfg = PADDLE_VL_PRESETS[os.environ.get("MTX_PADDLE_PRESET", preset)]
+            model = PaddleVLModel(cfg)
+            params = model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+                jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
+                          jnp.int32))
+            _runner = PaddleVLRunner(cfg, params)
+        return _runner

@@ -26,8 +26,12 @@ def run_local_ocr(
         from ..models.ocr import get_manga_ocr_runner
 
         runner = get_manga_ocr_runner()
+    elif method == "paddleocr-vl-1.6":
+        from ..models.paddle_ocr_vl import get_paddle_ocr_vl_runner
+
+        runner = get_paddle_ocr_vl_runner()
     else:
-        raise ModelError(f"Local OCR method not yet available: {method}")
+        raise ModelError(f"Local OCR method not available: {method}")
 
     arr_texts: List[str] = []
     for det in ordered_detections:

@@ -1,0 +1,51 @@
+"""PaddleOCR-VL style model: shapes + greedy decode + runner."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from mangatranslator_tpu.models.paddle_ocr_vl import (
+    PADDLE_VL_PRESETS,
+    PaddleVLModel,
+    PaddleVLRunner,
+    greedy_generate_vl,
+)
+
+CFG = PADDLE_VL_PRESETS["test"]
+
+
+@pytest.fixture(scope="module")
+def vl_params():
+    model = PaddleVLModel(CFG)
+    return model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, CFG.image_size, CFG.image_size, 3)),
+        jnp.zeros((1, CFG.prompt_len + CFG.max_new_tokens + 1), jnp.int32))
+
+
+def test_logits_shape(vl_params):
+    model = PaddleVLModel(CFG)
+    total = CFG.prompt_len + CFG.max_new_tokens + 1
+    out = model.apply(vl_params,
+                      jnp.zeros((2, CFG.image_size, CFG.image_size, 3)),
+                      jnp.zeros((2, total), jnp.int32))
+    assert out.shape == (2, total, CFG.vocab_size)
+
+
+def test_greedy_decode(vl_params):
+    model = PaddleVLModel(CFG)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(
+        2, CFG.image_size, CFG.image_size, 3), jnp.float32)
+    prompt = jnp.arange(3, 3 + CFG.prompt_len, dtype=jnp.int32)
+    ids = np.asarray(greedy_generate_vl(model, vl_params, imgs, prompt, CFG))
+    assert ids.shape == (2, CFG.prompt_len + CFG.max_new_tokens + 1)
+    assert (ids[:, CFG.prompt_len] == CFG.bos_id).all()
+    ids2 = np.asarray(greedy_generate_vl(model, vl_params, imgs, prompt, CFG))
+    np.testing.assert_array_equal(ids, ids2)
+
+
+def test_runner(vl_params):
+    runner = PaddleVLRunner(CFG, vl_params)
+    assert isinstance(runner(Image.new("RGB", (50, 30), "white")), str)
