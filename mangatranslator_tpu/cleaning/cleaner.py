@@ -151,7 +151,11 @@ def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
         cand = mask_shrink(binf * dil, shrink_radius)
 
     validity = _erode(mask_b, structuring_ellipse(*_EROSION_KERNEL))
-    return cand, validity, inverts, thr_eff
+    # pack both masks into one uint8 plane: host readback over a remote-TPU
+    # tunnel is the bottleneck (measured 1.5 MB/s down vs 600 MB/s up), so
+    # ship 1 byte/pixel instead of 8 float bytes
+    packed = (cand + 2.0 * validity).astype(jnp.uint8)
+    return packed, inverts, thr_eff
 
 
 def clean_speech_bubbles(
@@ -203,13 +207,14 @@ def clean_speech_bubbles(
             det["mask"][y1:y2, x1:x2]
 
     use_pallas = jax.devices()[0].platform == "tpu"
-    cand_d, validity_d, inverts_d, thr_d = _clean_device_program(
+    packed_d, inverts_d, thr_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
         shrink_radius=int(shrink_px), use_pallas=use_pallas)
-    cand = np.asarray(cand_d)
-    validity_b = np.asarray(validity_d)
+    packed = np.asarray(packed_d)
+    cand = (packed & 1).astype(np.float32)
+    validity_b = (packed >> 1).astype(np.float32)
     inverts = np.asarray(inverts_d)
     thr_eff = np.asarray(thr_d)
 
@@ -261,13 +266,13 @@ def clean_speech_bubbles(
     if not fill_masks:
         return image, results
 
-    # --- one batched fill composite on device -----------------------------------
-    out = np.asarray(fill_masks_with_colors(
-        jnp.asarray(image, jnp.float32),
-        jnp.asarray(np.stack(fill_masks), jnp.float32),
-        jnp.asarray(np.array(fill_colors, np.float32)),
-    ))
-    cleaned = np.clip(np.round(out), 0, 255).astype(np.uint8)
+    # --- fills on host: masked assignment is ~ms, and a device composite would
+    # ship the full page back through the slow readback path. The device
+    # variant (ops.compose.fill_masks_with_colors) remains for HBM-resident
+    # page batches.
+    cleaned = image.copy()
+    for m_, c_ in zip(fill_masks, fill_colors):
+        cleaned[m_ > 0] = c_
     log_message(
         f"Cleaned {sum(r.success for r in results)}/{len(results)} bubbles",
         verbose=verbose,
