@@ -28,6 +28,7 @@ from ..exceptions import (
     CancellationError,
     DetectionError,
     RenderingError,
+    TranslationError,
     ValidationError,
 )
 from ..logging import get_stage_timers, log_message
@@ -119,6 +120,25 @@ def _render_osb_text(
     ot = config.outside_text
     info = det.get("render_info", {})
     font_dir = ot.osb_font_dir or config.rendering.font_dir
+
+    # narrow / tiny region render expansion (reference outside_text_processor
+    # render-box growth, config osb_render_expansion_* knobs): grow the box
+    # around its center so translations (usually longer than SFX glyphs) fit
+    x1, y1, x2, y2 = det["bbox"]
+    w_box, h_box = max(1, x2 - x1), max(1, y2 - y1)
+    aspect = min(w_box, h_box) / max(w_box, h_box)
+    area_ratio = (w_box * h_box) / float(image.width * image.height)
+    mult = 1.0
+    if aspect < ot.osb_render_expansion_aspect_ratio_threshold:
+        mult = max(mult, ot.osb_render_expansion_narrow_multiplier)
+    if area_ratio < ot.osb_render_expansion_area_ratio_threshold:
+        mult = max(mult, ot.osb_render_expansion_tiny_multiplier)
+    if mult > 1.0:
+        cx, cy = (x1 + x2) / 2.0, (y1 + y2) / 2.0
+        hw, hh = w_box * mult / 2.0, h_box * mult / 2.0
+        det = dict(det, bbox=[
+            int(max(0, cx - hw)), int(max(0, cy - hh)),
+            int(min(image.width, cx + hw)), int(min(image.height, cy + hh))])
     kwargs = dict(
         font_dir=font_dir,
         max_font_size=scale_font_size(ot.osb_max_font_size, processing_scale),
@@ -418,6 +438,19 @@ def translate_and_render(
         else:
             texts = run_translate()
         info["texts"] = texts
+        # OCR transcripts for cross-page context chaining (reference
+        # ocr_texts_output / ocr_text_history, core/pipeline.py:2374)
+        info["ocr_texts"] = [d.get("ocr_text", "") for d in ordered]
+
+        # critical-token escalation: rate limits / auth / quota failures make
+        # the whole page fail so the batch retry/failed-paths machinery sees
+        # it (reference core/pipeline.py:1414-1461)
+        critical = ("429", "quota", "rate limit", "unauthorized", "api key",
+                    "authentication", "exhausted")
+        for t in texts:
+            tl = (t or "").lower()
+            if tl.startswith("[") and any(tok in tl for tok in critical):
+                raise TranslationError(f"Critical translation failure: {t}")
 
     # RENDER ------------------------------------------------------------------------
     cancel.check("render")
