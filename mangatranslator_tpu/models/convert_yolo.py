@@ -1,0 +1,174 @@
+"""Ultralytics YOLO checkpoint → our Flax YoloModel param tree.
+
+The module naming in models/yolo.py mirrors ultralytics layer indices
+(model_0 … model_22) precisely so this mapping is mechanical:
+
+  model.N.conv/bn                → model_N/{conv,bn}            (Conv blocks)
+  model.N.cv1|cv2|m.K.cvX        → model_N/{cv1,cv2,mK/cvX}     (C2f/SPPF)
+  model.22.cv2.I.{0,1,2}         → model_22/boxI_{0,1,2}        (box branch)
+  model.22.cv3.I.{0,1,2}         → model_22/clsI_{0,1,2}        (cls branch)
+  model.22.cv4.I.{0,1,2}         → model_22/mcI_{0,1,2}         (mask coefs)
+  model.22.proto.{cv1,upsample,cv2,cv3} → model_22_proto/{cv1,up,cv2,cv3}
+
+The DFL conv (model.22.dfl) is a fixed arange projection the decode computes
+analytically (models/yolo.py:decode_boxes) — skipped.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from .convert import (
+    batchnorm,
+    conv_kernel,
+    conv_transpose_kernel,
+    plain_conv,
+    set_path,
+    to_flax_variables,
+)
+
+_HEAD_BRANCHES = {"cv2": "box", "cv3": "cls", "cv4": "mc"}
+
+
+def _convert_conv_block(sd: Mapping[str, np.ndarray], torch_prefix: str,
+                        params: Dict, stats: Dict, path: Tuple[str, ...]) -> bool:
+    """ConvBnAct at torch ``{prefix}.conv`` + ``{prefix}.bn``."""
+    if f"{torch_prefix}.conv.weight" not in sd:
+        return False
+    set_path(params, path + ("conv", "kernel"),
+             conv_kernel(np.asarray(sd[f"{torch_prefix}.conv.weight"])))
+    p, s = batchnorm(f"{torch_prefix}.bn", sd)
+    set_path(params, path + ("bn",), p)
+    set_path(stats, path + ("bn",), s)
+    return True
+
+
+def convert_ultralytics_yolo(sd: Mapping[str, np.ndarray],
+                             head_index: int = 22) -> Dict[str, Any]:
+    """Convert an ultralytics state dict (already numpy) to Flax variables."""
+    params: Dict[str, Any] = {}
+    stats: Dict[str, Any] = {}
+    head = f"model.{head_index}"
+
+    for key in sd:
+        if not key.endswith(".weight") or ".bn." in key:
+            continue
+        m = re.match(r"model\.(\d+)\.(.*)\.weight$", key)
+        if not m:
+            continue
+        idx, rest = int(m.group(1)), m.group(2)
+        layer = f"model_{idx}"
+
+        if idx == head_index:
+            hm = re.match(r"(cv[234])\.(\d+)\.(\d+)(?:\.conv)?$", rest)
+            if hm:
+                branch = _HEAD_BRANCHES[hm.group(1)]
+                i, j = int(hm.group(2)), int(hm.group(3))
+                name = f"{branch}{i}_{j}"
+                prefix = f"{head}.{hm.group(1)}.{i}.{j}"
+                if j < 2:
+                    _convert_conv_block(sd, prefix, params, stats,
+                                        (layer, name))
+                else:
+                    plain_conv(prefix, sd, params, (layer, name))
+                continue
+            pm = re.match(r"proto\.(cv\d|upsample)(?:\.conv)?$", rest)
+            if pm:
+                sub = pm.group(1)
+                if sub == "upsample":
+                    set_path(params, (f"{layer}_proto", "up", "kernel"),
+                             conv_transpose_kernel(
+                                 np.asarray(sd[f"{head}.proto.upsample.weight"])))
+                    if f"{head}.proto.upsample.bias" in sd:
+                        set_path(params, (f"{layer}_proto", "up", "bias"),
+                                 np.asarray(sd[f"{head}.proto.upsample.bias"]))
+                else:
+                    _convert_conv_block(sd, f"{head}.proto.{sub}", params,
+                                        stats, (f"{layer}_proto", sub))
+                continue
+            continue  # dfl etc.
+
+        # backbone / neck: Conv blocks and CSP internals
+        cm = re.match(r"(?:(cv\d)|m\.(\d+)\.(cv\d)(?:\.(cv\d))?)?(?:\.conv)?$",
+                      rest)
+        if rest == "conv":
+            _convert_conv_block(sd, f"model.{idx}", params, stats, (layer,))
+        elif re.match(r"cv\d\.conv$", rest):
+            sub = rest.split(".")[0]
+            _convert_conv_block(sd, f"model.{idx}.{sub}", params, stats,
+                                (layer, sub))
+        elif re.match(r"m\.\d+\.cv\d\.conv$", rest):
+            _, k, sub, _c = rest.split(".")
+            _convert_conv_block(sd, f"model.{idx}.m.{k}.{sub}", params, stats,
+                                (layer, f"m{k}", sub))
+        elif re.match(r"m\.\d+\.(cv\d|m\.\d+\.cv\d)\.conv$", rest):
+            parts = rest.split(".")
+            # nested C3k inside C3k2 (v11): m.K.m.J.cvX
+            if parts[2] == "m":
+                k, j, sub = parts[1], parts[3], parts[4]
+                _convert_conv_block(
+                    sd, f"model.{idx}.m.{k}.m.{j}.{sub}", params, stats,
+                    (layer, f"m{k}", f"m{j}", sub))
+    return to_flax_variables(params, stats)
+
+
+_INV_BRANCHES = {v: k for k, v in _HEAD_BRANCHES.items()}
+_BN_LEAF = {"scale": "weight", "bias": "bias", "mean": "running_mean",
+            "var": "running_var"}
+
+
+def export_to_ultralytics_style(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse mapping (tests/interop): our Flax tree → torch-style numpy
+    state dict. Round-trips through convert_ultralytics_yolo."""
+    sd: Dict[str, np.ndarray] = {}
+
+    def emit(prefix: str, module: str, leaf: str, arr: np.ndarray) -> None:
+        if module == "conv":          # ConvBnAct's conv (no bias)
+            sd[f"{prefix}.conv.weight"] = arr.transpose(3, 2, 0, 1)
+        elif module == "bn":
+            sd[f"{prefix}.bn.{_BN_LEAF[leaf]}"] = arr
+        elif module == "up":          # proto ConvTranspose
+            if leaf == "kernel":
+                sd[f"{prefix}.upsample.weight"] = \
+                    arr[::-1, ::-1].transpose(2, 3, 0, 1)
+            else:
+                sd[f"{prefix}.upsample.bias"] = arr
+        elif module == "plain":       # bare nn.Conv (head leaf, has bias)
+            if leaf == "kernel":
+                sd[f"{prefix}.weight"] = arr.transpose(3, 2, 0, 1)
+            else:
+                sd[f"{prefix}.bias"] = arr
+
+    def walk(node: Any, path: Tuple[str, ...]) -> None:
+        if isinstance(node, Mapping):
+            for k, v in node.items():
+                walk(v, path + (k,))
+            return
+        arr = np.asarray(node)
+        m = re.match(r"model_(\d+)(_proto)?$", path[0])
+        if not m:
+            return
+        prefix = f"model.{m.group(1)}" + (".proto" if m.group(2) else "")
+        comps, leaf = list(path[1:-1]), path[-1]
+
+        module = "plain"
+        if comps and comps[-1] in ("conv", "bn", "up"):
+            module = comps.pop()
+        for c in comps:
+            mk = re.match(r"m(\d+)$", c)
+            hk = re.match(r"(box|cls|mc)(\d+)_(\d+)$", c)
+            if mk:
+                prefix += f".m.{mk.group(1)}"
+            elif hk:
+                prefix += (f".{_INV_BRANCHES[hk.group(1)]}"
+                           f".{hk.group(2)}.{hk.group(3)}")
+            else:
+                prefix += f".{c}"
+        emit(prefix, module, leaf, arr)
+
+    for coll in ("params", "batch_stats"):
+        walk(variables.get(coll, {}), ())
+    return sd

@@ -123,6 +123,33 @@ class ModelManager:
             return load_flax_safetensors(str(p))
         return None
 
+    def convert_and_store(self, mtype: ModelType, torch_path: Path) -> Optional[Dict]:
+        """Convert a downloaded torch checkpoint to our Flax tree and persist
+        it (one-time; reference loads torch directly every run)."""
+        try:
+            from .convert import load_torch_state_dict, save_flax_safetensors
+
+            sd = load_torch_state_dict(str(torch_path))
+            if mtype in (ModelType.YOLO_SPEECH_BUBBLE_1,
+                         ModelType.YOLO_SPEECH_BUBBLE_2,
+                         ModelType.YOLO_OSB_TEXT, ModelType.YOLO_PANEL):
+                from .convert_yolo import convert_ultralytics_yolo
+
+                variables = convert_ultralytics_yolo(sd)
+            else:
+                log_message(f"No converter wired yet for {mtype.value}",
+                            always_print=True)
+                return None
+            out = self.checkpoint_path(mtype)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            save_flax_safetensors(variables, str(out))
+            log_message(f"Converted {torch_path.name} → {out}", always_print=True)
+            return variables
+        except Exception as e:
+            log_message(f"Checkpoint conversion failed for {mtype.value}: {e}",
+                        always_print=True)
+            return None
+
     # -- detectors ---------------------------------------------------------------
 
     def get_detector(self, mtype: ModelType, imgsz: Optional[int] = None,
@@ -141,7 +168,10 @@ class ModelManager:
             cfg = yolo_config(arch, scale, nc, seg)
             params = self._load_converted(mtype)
             if params is None:
-                self._try_download(mtype)  # conversion of torch ckpts: convert.py
+                torch_ckpt = self._try_download(mtype)
+                if torch_ckpt is not None:
+                    params = self.convert_and_store(mtype, torch_ckpt)
+            if params is None:
                 log_message(
                     f"No converted checkpoint for {mtype.value}; using random init",
                     always_print=True,

@@ -1,0 +1,62 @@
+"""YOLO conversion mapping: full round-trip through the torch-style naming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mangatranslator_tpu.models.convert_yolo import (
+    convert_ultralytics_yolo,
+    export_to_ultralytics_style,
+)
+from mangatranslator_tpu.models.yolo import YoloModel, init_yolo, yolo_config
+
+
+def _flatten(tree, prefix=()):
+    out = {}
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (k,)))
+    else:
+        out[prefix] = np.asarray(tree)
+    return out
+
+
+@pytest.mark.parametrize("seg", [True, False])
+def test_roundtrip_v8n(seg):
+    cfg = yolo_config("v8", "n", num_classes=2, seg=seg)
+    variables = init_yolo(cfg, imgsz=64, seed=7)
+    variables = jax.tree.map(np.asarray, variables)
+
+    sd = export_to_ultralytics_style(variables)
+    assert any(k.startswith("model.0.conv") for k in sd)
+    assert any(".m.0.cv1.conv.weight" in k for k in sd)
+    assert any("model.22.cv2.0.2.weight" in k for k in sd)
+    if seg:
+        assert "model.22.proto.upsample.weight" in sd
+
+    back = convert_ultralytics_yolo(sd)
+    orig_flat = _flatten(variables)
+    back_flat = _flatten(back)
+    missing = set(orig_flat) - set(back_flat)
+    assert not missing, f"{len(missing)} missing params, e.g. {sorted(missing)[:5]}"
+    for key in orig_flat:
+        np.testing.assert_allclose(back_flat[key], orig_flat[key], atol=1e-6,
+                                   err_msg=str(key))
+
+
+def test_converted_params_produce_identical_outputs():
+    cfg = yolo_config("v8", "n", num_classes=1, seg=True)
+    variables = jax.tree.map(np.asarray, init_yolo(cfg, imgsz=64, seed=3))
+    sd = export_to_ultralytics_style(variables)
+    back = convert_ultralytics_yolo(sd)
+
+    model = YoloModel(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    out_a = model.apply(variables, x)
+    out_b = model.apply(jax.tree.map(jnp.asarray, back), x)
+    for key in ("box", "cls"):
+        for a, b in zip(out_a[key], out_b[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out_a["proto"]),
+                               np.asarray(out_b["proto"]), atol=1e-6)
