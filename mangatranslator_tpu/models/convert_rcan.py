@@ -1,0 +1,110 @@
+"""RCAN checkpoint → our Flax RCAN tree (2x-AnimeSharp upscalers).
+
+Standard RCAN naming (what spandrel reads from the 2x-AnimeSharpV4 safetensors,
+reference core/ml/model_manager.py:617-700):
+
+  head.0                                   → head
+  body.{g}.body.{b}.body.0 / .2            → group{g}/rcab{b}/conv0 / conv1
+  body.{g}.body.{b}.body.3.conv_du.0 / .2  → group{g}/rcab{b}/ca/down / up
+  body.{g}.body.{B}                        → group{g}/conv        (B = n_blocks)
+  body.{G}                                 → body_conv            (G = n_groups)
+  tail.0.0                                 → up2                  (pre-shuffle)
+  tail.1                                   → tail
+
+Dims (n_feats / n_groups / n_blocks / reduction / scale) are inferred from the
+checkpoint so the AnimeSharp "Fast" variant maps without a preset.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from .convert import conv_kernel, set_path
+from .rcan import RCANConfig
+
+
+def infer_rcan_config(sd: Mapping[str, np.ndarray]) -> RCANConfig:
+    n_feats = sd["head.0.weight"].shape[0]
+    groups = set()
+    blocks = set()
+    for k in sd:
+        m = re.match(r"body\.(\d+)\.body\.(\d+)\.body\.0\.weight$", k)
+        if m:
+            groups.add(int(m.group(1)))
+            blocks.add(int(m.group(2)))
+    n_groups = max(groups) + 1 if groups else 1
+    n_blocks = max(blocks) + 1 if blocks else 1
+    ca_key = "body.0.body.0.body.3.conv_du.0.weight"
+    reduction = (n_feats // sd[ca_key].shape[0]) if ca_key in sd else 16
+    # scale from the number of pre-shuffle convs in the tail
+    n_up = len([k for k in sd if re.match(r"tail\.0\.\d+\.weight$", k)])
+    scale = 2 ** max(1, n_up)
+    return RCANConfig(scale=scale, n_feats=n_feats, n_groups=n_groups,
+                      n_blocks=n_blocks, reduction=reduction)
+
+
+def convert_rcan(sd: Mapping[str, np.ndarray]) -> Tuple[Dict[str, Any], RCANConfig]:
+    cfg = infer_rcan_config(sd)
+    params: Dict[str, Any] = {}
+
+    def conv(torch_key: str, path: Tuple[str, ...]) -> None:
+        set_path(params, path + ("kernel",),
+                 conv_kernel(np.asarray(sd[f"{torch_key}.weight"])))
+        if f"{torch_key}.bias" in sd:
+            set_path(params, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+
+    conv("head.0", ("head",))
+    for g in range(cfg.n_groups):
+        for b in range(cfg.n_blocks):
+            base = f"body.{g}.body.{b}"
+            conv(f"{base}.body.0", (f"group{g}", f"rcab{b}", "conv0"))
+            conv(f"{base}.body.2", (f"group{g}", f"rcab{b}", "conv1"))
+            conv(f"{base}.body.3.conv_du.0",
+                 (f"group{g}", f"rcab{b}", "ca", "down"))
+            conv(f"{base}.body.3.conv_du.2",
+                 (f"group{g}", f"rcab{b}", "ca", "up"))
+        conv(f"body.{g}.body.{cfg.n_blocks}", (f"group{g}", "conv"))
+    conv(f"body.{cfg.n_groups}", ("body_conv",))
+    # upsampler: one conv per 2× stage, names up{scale}, up{scale//2}, ...
+    s = cfg.scale
+    stage = 0
+    while s > 1:
+        conv(f"tail.0.{stage * 2}", (f"up{s}",))  # convs sit at even indices
+        s //= 2
+        stage += 1
+    conv("tail.1", ("tail",))
+    return {"params": params}, cfg
+
+
+def export_rcan_style(variables: Dict[str, Any],
+                      cfg: RCANConfig) -> Dict[str, np.ndarray]:
+    """Inverse mapping for round-trip tests."""
+    sd: Dict[str, np.ndarray] = {}
+    p = variables["params"]
+
+    def put(torch_key: str, node: Mapping[str, np.ndarray]) -> None:
+        sd[f"{torch_key}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+        if "bias" in node:
+            sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    put("head.0", p["head"])
+    for g in range(cfg.n_groups):
+        for b in range(cfg.n_blocks):
+            rc = p[f"group{g}"][f"rcab{b}"]
+            put(f"body.{g}.body.{b}.body.0", rc["conv0"])
+            put(f"body.{g}.body.{b}.body.2", rc["conv1"])
+            put(f"body.{g}.body.{b}.body.3.conv_du.0", rc["ca"]["down"])
+            put(f"body.{g}.body.{b}.body.3.conv_du.2", rc["ca"]["up"])
+        put(f"body.{g}.body.{cfg.n_blocks}", p[f"group{g}"]["conv"])
+    put(f"body.{cfg.n_groups}", p["body_conv"])
+    s = cfg.scale
+    stage = 0
+    while s > 1:
+        put(f"tail.0.{stage * 2}", p[f"up{s}"])
+        s //= 2
+        stage += 1
+    put("tail.1", p["tail"])
+    return sd

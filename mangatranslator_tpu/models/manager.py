@@ -213,7 +213,23 @@ class ModelManager:
             cfg = RCAN_PRESETS["model" if variant == "model" else "model_lite"]
             params = self._load_converted(mtype)
             if params is None:
-                self._try_download(mtype)
+                torch_ckpt = self._try_download(mtype)
+                if torch_ckpt is not None:
+                    try:
+                        from .convert import (load_torch_state_dict,
+                                              save_flax_safetensors)
+                        from .convert_rcan import convert_rcan
+
+                        sd = load_torch_state_dict(str(torch_ckpt))
+                        params, cfg = convert_rcan(sd)  # cfg inferred from ckpt
+                        out = self.checkpoint_path(mtype)
+                        out.parent.mkdir(parents=True, exist_ok=True)
+                        save_flax_safetensors(params, str(out))
+                    except Exception as e:
+                        log_message(f"RCAN conversion failed: {e}",
+                                    always_print=True)
+                        params = None
+            if params is None:
                 log_message(
                     f"No converted checkpoint for {mtype.value}; using random init",
                     always_print=True,

@@ -1,0 +1,36 @@
+"""RCAN conversion: config inference + round-trip + identical forwards."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.convert_rcan import (
+    convert_rcan,
+    export_rcan_style,
+    infer_rcan_config,
+)
+from mangatranslator_tpu.models.rcan import RCAN, RCANConfig, init_rcan
+
+TINY = RCANConfig(scale=2, n_feats=8, n_groups=2, n_blocks=2, reduction=4)
+
+
+def test_roundtrip_and_inference():
+    variables = jax.tree.map(np.asarray, init_rcan(TINY, seed=11))
+    sd = export_rcan_style(variables, TINY)
+    assert "head.0.weight" in sd
+    assert "body.0.body.0.body.3.conv_du.0.weight" in sd
+    assert "tail.0.0.weight" in sd
+
+    inferred = infer_rcan_config(sd)
+    assert inferred.n_feats == TINY.n_feats
+    assert inferred.n_groups == TINY.n_groups
+    assert inferred.n_blocks == TINY.n_blocks
+    assert inferred.reduction == TINY.reduction
+    assert inferred.scale == 2
+
+    back, cfg = convert_rcan(sd)
+    model = RCAN(TINY)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3), jnp.float32)
+    out_a = np.asarray(model.apply(variables, x))
+    out_b = np.asarray(model.apply(jax.tree.map(jnp.asarray, back), x))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-6)
