@@ -42,6 +42,16 @@ from ..ops.image import pick_bucket
 
 _EROSION_KERNEL = (5, 5)  # centroid-validity erosion (reference EROSION_KERNEL_SIZE)
 
+# Coarse compile-shape ladders (see bucket note in clean_speech_bubbles)
+CLEAN_BUCKETS = (512, 1024, 1536, 2048)
+
+
+def _count_bucket(n: int) -> int:
+    b = 4
+    while b < n:
+        b *= 2
+    return b
+
 # Colored-bubble classification thresholds (reference cleaning.py:33-38)
 BRIGHT_RATIO_THRESHOLD = 0.65
 DARK_RATIO_THRESHOLD = 0.65
@@ -151,11 +161,11 @@ def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
         cand = mask_shrink(binf * dil, shrink_radius)
 
     validity = _erode(mask_b, structuring_ellipse(*_EROSION_KERNEL))
-    # pack both masks into one uint8 plane: host readback over a remote-TPU
-    # tunnel is the bottleneck (measured 1.5 MB/s down vs 600 MB/s up), so
-    # ship 1 byte/pixel instead of 8 float bytes
-    packed = (cand + 2.0 * validity).astype(jnp.uint8)
-    return packed, inverts, thr_eff
+    # bitpack both masks (8 px/byte): host readback over a remote-TPU tunnel
+    # is the bottleneck (measured 1.5 MB/s down vs 600 MB/s up)
+    from ..ops.masks import bitpack_mask
+
+    return (bitpack_mask(cand), bitpack_mask(validity), inverts, thr_eff)
 
 
 def clean_speech_bubbles(
@@ -188,17 +198,22 @@ def clean_speech_bubbles(
                     scale_length(cfg.roi_shrink_px, processing_scale, minimum=0.0))
 
     # --- extract bucketed ROIs -------------------------------------------------
+    # COARSE buckets: every distinct (count, bh, bw, radius) is a fresh XLA
+    # compile — minutes on remote-attached TPUs — so ROI dims snap to a 4-value
+    # ladder and the bubble count pads to powers of two. Wasted FLOPs on padded
+    # pixels are ~free next to a recompile.
     rois, bounds = [], []
     for det in detections:
         x1, y1, x2, y2 = _roi_bounds(det["bbox"], h, w, PAD_MARGIN)
         bounds.append((x1, y1, x2, y2))
         rois.append((y2 - y1, x2 - x1))
-    bh = pick_bucket(max(r[0] for r in rois) + 2 * PAD_MARGIN)
-    bw = pick_bucket(max(r[1] for r in rois) + 2 * PAD_MARGIN)
+    bh = pick_bucket(max(r[0] for r in rois) + 2 * PAD_MARGIN, CLEAN_BUCKETS)
+    bw = pick_bucket(max(r[1] for r in rois) + 2 * PAD_MARGIN, CLEAN_BUCKETS)
 
     n = len(detections)
-    gray_b = np.zeros((n, bh, bw), np.float32)
-    mask_b = np.zeros((n, bh, bw), np.float32)
+    n_pad = _count_bucket(n)
+    gray_b = np.zeros((n_pad, bh, bw), np.float32)
+    mask_b = np.zeros((n_pad, bh, bw), np.float32)
     for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
         gh, gw = y2 - y1, x2 - x1
         gray_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
@@ -207,14 +222,15 @@ def clean_speech_bubbles(
             det["mask"][y1:y2, x1:x2]
 
     use_pallas = jax.devices()[0].platform == "tpu"
-    packed_d, inverts_d, thr_d = _clean_device_program(
+    cand_p, val_p, inverts_d, thr_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
         shrink_radius=int(shrink_px), use_pallas=use_pallas)
-    packed = np.asarray(packed_d)
-    cand = (packed & 1).astype(np.float32)
-    validity_b = (packed >> 1).astype(np.float32)
+    from ..ops.masks import bitunpack_mask_np
+
+    cand = bitunpack_mask_np(np.asarray(cand_p), bw).astype(np.float32)
+    validity_b = bitunpack_mask_np(np.asarray(val_p), bw).astype(np.float32)
     inverts = np.asarray(inverts_d)
     thr_eff = np.asarray(thr_d)
 

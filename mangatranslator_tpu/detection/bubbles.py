@@ -45,6 +45,16 @@ def _letterbox_np(image: np.ndarray, target: int):
     return canvas, scale, px, py
 
 
+def unpack_detection_masks(masks: np.ndarray, proto_w: int) -> np.ndarray:
+    """Undo device bitpacking when present ([..., W/8] uint8 → [..., W] 0/1).
+    Unpacked (test-double) masks pass through."""
+    if masks.dtype == np.uint8 and masks.shape[-1] * 8 == proto_w:
+        from ..ops.masks import bitunpack_mask_np
+
+        return bitunpack_mask_np(masks, proto_w)
+    return masks
+
+
 def _mask_to_page(
     mask_proto: np.ndarray, imgsz: int, scale: float, px: int, py: int,
     page_h: int, page_w: int,
@@ -80,7 +90,10 @@ def _run_detector(
     boxes = np.asarray(det.boxes[0][:num])
     scores = np.asarray(det.scores[0][:num])
     classes = np.asarray(det.classes[0][:num])
-    masks = np.asarray(det.masks[0][:num]) if det.masks is not None else None
+    masks = None
+    if det.masks is not None:
+        masks = unpack_detection_masks(np.asarray(det.masks[0][:num]),
+                                       runner.imgsz // 4)
 
     out: List[Dict[str, Any]] = []
     for i in range(num):

@@ -280,9 +280,11 @@ def postprocess(
                 (xs >= x1[:, None, None]) & (xs < x2[:, None, None])
                 & (ys >= y1[:, None, None]) & (ys < y2[:, None, None])
             )
-            # uint8 masks: host readback over a remote-TPU tunnel is the
-            # bottleneck; 1 byte/px instead of 4
-            masks = (inbox & (m > 0.5)).astype(jnp.uint8)
+            # bitpacked masks (8 px/byte): host readback over a remote-TPU
+            # tunnel is the bottleneck
+            from ..ops.masks import bitpack_mask
+
+            masks = bitpack_mask((inbox & (m > 0.5)).astype(jnp.uint8))
         return kb, ks, kc, num, masks
 
     if with_masks:

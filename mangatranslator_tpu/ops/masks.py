@@ -231,6 +231,25 @@ def gaussian_blur(img: jnp.ndarray, sigma: float, radius: Optional[int] = None) 
     return _conv2d_same(out, k[:, None])
 
 
+def bitpack_mask(mask: jnp.ndarray) -> jnp.ndarray:
+    """Pack a binary mask's last axis 8 px/byte (np.unpackbits-compatible,
+    big-endian bit order). Device→host readback is the bottleneck on
+    remote-attached TPUs; 1 bit/px cuts transfer 32× vs float32.
+
+    Last axis must be a multiple of 8.
+    """
+    *lead, w = mask.shape
+    bits = (mask > 0.5).astype(jnp.uint8).reshape(*lead, w // 8, 8)
+    weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.uint8)
+    return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+
+def bitunpack_mask_np(packed: np.ndarray, width: int) -> np.ndarray:
+    """Host-side inverse of bitpack_mask → uint8 0/1 with last axis ``width``."""
+    un = np.unpackbits(packed, axis=-1)
+    return un[..., :width]
+
+
 def mean_luminance(gray: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     """Masked mean gray level — black-vs-white bubble classification against
     GRAYSCALE_MIDPOINT (reference cleaning.py:214-330)."""

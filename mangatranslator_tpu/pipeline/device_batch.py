@@ -54,7 +54,12 @@ def detect_pages_batched(
     nums = np.asarray(det.num)
     boxes_all = np.asarray(det.boxes)
     scores_all = np.asarray(det.scores)
-    masks_all = np.asarray(det.masks) if det.masks is not None else None
+    masks_all = None
+    if det.masks is not None:
+        from ..detection.bubbles import unpack_detection_masks
+
+        masks_all = unpack_detection_masks(np.asarray(det.masks),
+                                           runner.imgsz // 4)
 
     out: List[List[Dict[str, Any]]] = []
     for i, img in enumerate(images):

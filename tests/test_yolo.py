@@ -115,8 +115,8 @@ class TestDecode:
             atol=1e-2,
         )
         # mask: sigmoid(0·proto)=0.5, not >0.5 → empty inside box is fine;
-        # shape contract is what we pin here
-        assert det.masks.shape == (1, 8, imgsz // 4, imgsz // 4)
+        # shape contract (bitpacked last axis, 8 px/byte) is what we pin here
+        assert det.masks.shape == (1, 8, imgsz // 4, imgsz // 4 // 8)
 
     def test_postprocess_mask_crop(self):
         """Positive coefficients + all-ones proto → mask == box region."""
@@ -144,7 +144,9 @@ class TestDecode:
                "proto": proto}
         det = postprocess(raw, imgsz, conf_threshold=0.5, max_det=4)
         assert int(det.num[0]) == 1
-        m = np.asarray(det.masks[0, 0])
+        from mangatranslator_tpu.ops.masks import bitunpack_mask_np
+
+        m = bitunpack_mask_np(np.asarray(det.masks[0, 0]), imgsz // 4)
         x1, y1, x2, y2 = np.asarray(det.boxes[0, 0]) / 4.0  # proto scale
         ys, xs = np.nonzero(m)
         assert len(ys) > 0
