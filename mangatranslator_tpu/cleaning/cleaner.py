@@ -229,10 +229,10 @@ def clean_speech_bubbles(
         shrink_radius=int(shrink_px), use_pallas=use_pallas)
     from ..ops.masks import bitunpack_mask_np
 
-    cand = bitunpack_mask_np(np.asarray(cand_p), bw).astype(np.float32)
-    validity_b = bitunpack_mask_np(np.asarray(val_p), bw).astype(np.float32)
-    inverts = np.asarray(inverts_d)
-    thr_eff = np.asarray(thr_d)
+    cand_p, val_p, inverts, thr_eff = jax.device_get(
+        (cand_p, val_p, inverts_d, thr_d))  # one batched readback
+    cand = bitunpack_mask_np(cand_p, bw).astype(np.float32)
+    validity_b = bitunpack_mask_np(val_p, bw).astype(np.float32)
 
     # --- host contour filter + page-res fill masks ------------------------------
     min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)

@@ -82,18 +82,23 @@ def _run_detector(
     """Forward + host unpacking to page-coordinate detection dicts."""
     import jax.numpy as jnp
 
+    import jax
+
     page_h, page_w = image.shape[:2]
     canvas, scale, px, py = _letterbox_np(image, runner.imgsz)
     batch = jnp.asarray(canvas[None], jnp.float32) / 255.0
     det = runner(batch, conf=conf)
-    num = int(det.num[0])
-    boxes = np.asarray(det.boxes[0][:num])
-    scores = np.asarray(det.scores[0][:num])
-    classes = np.asarray(det.classes[0][:num])
+    # ONE batched device_get: each separate readback pays a tunnel round trip
+    fetched = jax.device_get((det.num, det.boxes, det.scores, det.classes,
+                              det.masks))
+    num_a, boxes_a, scores_a, classes_a, masks_a = fetched
+    num = int(num_a[0])
+    boxes = boxes_a[0][:num]
+    scores = scores_a[0][:num]
+    classes = classes_a[0][:num]
     masks = None
-    if det.masks is not None:
-        masks = unpack_detection_masks(np.asarray(det.masks[0][:num]),
-                                       runner.imgsz // 4)
+    if masks_a is not None:
+        masks = unpack_detection_masks(masks_a[0][:num], runner.imgsz // 4)
 
     out: List[Dict[str, Any]] = []
     for i in range(num):

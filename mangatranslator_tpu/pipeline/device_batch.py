@@ -49,17 +49,16 @@ def detect_pages_batched(
         canvases[i] = canvas
         metas.append((scale, px, py))
 
+    import jax
+
     det = runner(jnp.asarray(canvases, jnp.float32) / 255.0,
                  conf=config.detection.confidence)
-    nums = np.asarray(det.num)
-    boxes_all = np.asarray(det.boxes)
-    scores_all = np.asarray(det.scores)
-    masks_all = None
-    if det.masks is not None:
+    nums, boxes_all, scores_all, masks_all = jax.device_get(
+        (det.num, det.boxes, det.scores, det.masks))
+    if masks_all is not None:
         from ..detection.bubbles import unpack_detection_masks
 
-        masks_all = unpack_detection_masks(np.asarray(det.masks),
-                                           runner.imgsz // 4)
+        masks_all = unpack_detection_masks(masks_all, runner.imgsz // 4)
 
     out: List[List[Dict[str, Any]]] = []
     for i, img in enumerate(images):
