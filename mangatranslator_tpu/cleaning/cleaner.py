@@ -26,7 +26,6 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import CleaningConfig
-from ..exceptions import CleaningError
 from ..logging import log_message
 from ..ops.masks import (
     GRAYSCALE_MIDPOINT,
@@ -43,7 +42,7 @@ from ..ops.image import pick_bucket
 _EROSION_KERNEL = (5, 5)  # centroid-validity erosion (reference EROSION_KERNEL_SIZE)
 
 # Coarse compile-shape ladders (see bucket note in clean_speech_bubbles)
-CLEAN_BUCKETS = (512, 1024, 1536, 2048)
+CLEAN_BUCKETS = (256, 512, 1024, 1536, 2048)
 
 
 def _count_bucket(n: int) -> int:
@@ -221,7 +220,12 @@ def clean_speech_bubbles(
         mask_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
             det["mask"][y1:y2, x1:x2]
 
-    use_pallas = jax.devices()[0].platform == "tpu"
+    # Pallas path only for VMEM-safe ROI blocks: the fused kernel processes a
+    # whole ROI per grid step and its unrolled temporaries OOM scoped VMEM
+    # beyond ~256×512 f32 (measured: 512×1024 needs 47.7MB vs the 16MB limit).
+    # Larger ROIs take the XLA conv chain, which tiles itself.
+    use_pallas = (jax.devices()[0].platform == "tpu"
+                  and bh * bw <= 256 * 512)
     cand_p, val_p, inverts_d, thr_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),

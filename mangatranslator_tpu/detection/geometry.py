@@ -13,7 +13,7 @@ metric. Line-cut parity refinement is tracked for a later round.
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ SURVEY.md §2.2 model inventory).
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

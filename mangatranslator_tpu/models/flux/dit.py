@@ -13,8 +13,7 @@ text removal sees the original page crop while denoising the clean target.
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Optional, Tuple
 
 import flax.linen as nn

@@ -11,7 +11,7 @@ single-stream blocks.
 from __future__ import annotations
 
 import math
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import flax.linen as nn
 import jax

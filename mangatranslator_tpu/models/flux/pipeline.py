@@ -17,18 +17,16 @@ Counterpart of reference core/image/inpainting.py:88 (FluxKontextInpainter) and
 
 from __future__ import annotations
 
-import functools
 import hashlib
 import threading
 from dataclasses import dataclass
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...caching import get_cache, hash_params, hash_pixels
-from ...logging import log_message
 from ...ops.color import match_luminance_lab
 from ...ops.masks import distance_transform_edt, gaussian_blur
 from .dit import (

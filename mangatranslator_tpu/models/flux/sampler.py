@@ -10,8 +10,7 @@ guidance-distilled at ~2.5 (reference core/image/inpainting.py:166-169,
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,7 @@ scale/shift factors.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

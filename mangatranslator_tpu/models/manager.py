@@ -23,8 +23,8 @@ from typing import Any, Dict, Optional, Tuple
 
 from ..exceptions import ModelError
 from ..logging import log_message
-from .rcan import RCANConfig, RCAN_PRESETS, UpscalerRunner, init_rcan
-from .yolo import YoloConfig, YoloRunner, init_yolo, yolo_config
+from .rcan import RCAN_PRESETS, UpscalerRunner, init_rcan
+from .yolo import YoloRunner, init_yolo, yolo_config
 
 
 class ModelType(enum.Enum):

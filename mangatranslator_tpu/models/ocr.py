@@ -12,10 +12,9 @@ plumbing). Crops batch along a padded batch axis.
 
 from __future__ import annotations
 
-import functools
 import threading
 from dataclasses import dataclass
-from typing import Callable, List, Optional
+from typing import Callable, Optional
 
 import flax.linen as nn
 import jax

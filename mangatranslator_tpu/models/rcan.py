@@ -13,10 +13,7 @@ buckets and jits once per bucket.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Optional, Tuple
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -18,9 +18,8 @@ adapter seam (SURVEY.md §4).
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Tuple
 
 import flax.linen as nn
 import jax

@@ -13,9 +13,8 @@ along a padded prompt axis so the program compiles once for max_prompts.
 
 from __future__ import annotations
 
-import functools
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Tuple
 
 import flax.linen as nn
 import jax

@@ -16,7 +16,7 @@ published checkpoints convert 1:1 (models/convert.py).
 from __future__ import annotations
 
 import functools
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn

@@ -12,7 +12,7 @@ from __future__ import annotations
 import ctypes
 import threading
 from pathlib import Path
-from typing import List, Optional, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

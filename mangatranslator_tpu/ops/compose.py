@@ -9,8 +9,6 @@ single fused elementwise pass over the image instead of N sequential ROI writes.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

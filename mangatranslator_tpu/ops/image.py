@@ -9,7 +9,7 @@ letterboxed/padded into fixed buckets so XLA compiles one program per bucket.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Sequence, Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp

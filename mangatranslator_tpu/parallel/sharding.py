@@ -17,7 +17,7 @@ loss = ‖v_θ(z_t, t) − (ε − x)‖² with AdamW, donated buffers.
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -25,7 +25,7 @@ from typing import Any, Callable, Dict, List, Optional, Union
 from PIL import Image
 
 from ..config import MangaTranslatorConfig
-from ..exceptions import CancellationError, ValidationError
+from ..exceptions import CancellationError
 from ..logging import log_json_event, log_message
 from ..utils.archive import safe_extract_zip
 from ..utils.path_list import read_failed_paths, write_failed_paths

@@ -11,7 +11,6 @@ import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional
 
-import numpy as np
 from PIL import Image, ImageDraw, ImageFont
 
 ENV_FLAG = "MTX_COMPONENT_ORDER_DEBUG"

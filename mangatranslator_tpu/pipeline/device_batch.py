@@ -20,7 +20,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from ..config import MangaTranslatorConfig
-from ..logging import get_stage_timers, log_message
+from ..logging import get_stage_timers
 from ..models.manager import ModelType, get_model_manager
 from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
 from ..detection.bubbles import _box_mask, _letterbox_np, _mask_to_page

@@ -9,7 +9,7 @@ unnecessary.
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 from PIL import Image

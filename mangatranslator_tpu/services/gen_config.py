@@ -13,7 +13,6 @@ from typing import Any, Callable, Dict, Optional
 
 from ..config import TranslationConfig, calculate_reasoning_budget
 from ..exceptions import TranslationError
-from ..logging import log_message
 from . import metadata as MD
 
 MEDIA_RESOLUTION_MAP = {

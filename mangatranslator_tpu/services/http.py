@@ -9,7 +9,7 @@ TranslationError immediately.
 from __future__ import annotations
 
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import requests
 

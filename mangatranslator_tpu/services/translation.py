@@ -9,14 +9,14 @@ from __future__ import annotations
 
 import base64
 from io import BytesIO
-from typing import Any, Callable, Dict, List, Optional, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import numpy as np
 from PIL import Image
 
 from ..caching import get_cache, hash_params, is_deterministic_sampling
 from ..config import MangaTranslatorConfig, TranslationConfig
-from ..exceptions import TranslationError, ValidationError
+from ..exceptions import TranslationError
 from ..logging import log_message
 from . import metadata as MD
 from .endpoints import ENDPOINTS

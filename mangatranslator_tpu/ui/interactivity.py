@@ -8,7 +8,7 @@ media-resolution controls show. Served to the web UI via /api/interactivity.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, Optional
 
 from ..services import metadata as MD
 

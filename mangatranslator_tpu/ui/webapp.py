@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import base64
 import json
-import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from io import BytesIO

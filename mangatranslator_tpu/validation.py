@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple, Union
+from typing import Any, Dict, Tuple, Union
 
 from .config import MangaTranslatorConfig, RenderingConfig, TranslationConfig
 from .exceptions import ValidationError
