@@ -101,7 +101,14 @@ def plant_runners(pages):
 
         def __call__(self, images, conf=0.25, iou=0.45):
             real(images, conf, iou)  # the real detection forward (timed work)
-            return planted
+            b = images.shape[0]
+            if b == 1:
+                return planted
+            rep = lambda x: jnp.repeat(x, b, axis=0)
+            return Detections(rep(planted.boxes), rep(planted.scores),
+                              rep(planted.classes),
+                              jnp.repeat(planted.num, b, axis=0),
+                              rep(planted.masks))
 
     runner = BenchRunner()
     for t in (ModelType.YOLO_SPEECH_BUBBLE_1, ModelType.YOLO_SPEECH_BUBBLE_2):
