@@ -101,6 +101,42 @@ def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
     return read_failed_paths(input_path)
 
 
+def _run_device_batched(images, config, out_dir, root, result,
+                        progress_callback) -> None:
+    """Stack pages into single device programs (test-mode fast path)."""
+    import numpy as np
+
+    from .device_batch import process_pages_batched
+    from .io import load_image, save_image_with_compression
+
+    bs = config.parallel.pages_per_device_batch
+    done = 0
+    for start in range(0, len(images), bs):
+        chunk = images[start: start + bs]
+        arrs = [np.asarray(load_image(p).convert("RGB")) for p in chunk]
+        try:
+            outs = process_pages_batched(arrs, config)
+            for p, (arr_out, _info) in zip(chunk, outs):
+                if out_dir:
+                    save_image_with_compression(
+                        Image.fromarray(arr_out),
+                        resolve_output_path(p, out_dir,
+                                            config.output.output_format,
+                                            relative_root=root),
+                        config.output.jpeg_quality,
+                        config.output.png_compression)
+                result["success_count"] += 1
+                done += 1
+                if progress_callback:
+                    progress_callback(done, len(images), str(p))
+        except Exception as e:
+            log_message(f"Device batch failed: {e}", always_print=True)
+            for p in chunk:
+                result["error_count"] += 1
+                result["errors"][str(p)] = str(e)
+                result["failed_paths"].append(str(p))
+
+
 def batch_translate_images(
     input_path: Union[str, Path],
     config: MangaTranslatorConfig,
@@ -190,8 +226,17 @@ def batch_translate_images(
                     progress_callback(index + 1, n, str(path))
                 return False
 
+        # Device-batched fast path: test-mode pages have no LLM dependency, so
+        # they stack into single detection/clean programs (device_batch.py)
+        use_device_batch = (config.parallel.pages_per_device_batch > 1
+                            and config.test_mode and n > 1)
+        if use_device_batch:
+            _run_device_batched(images, config, out_dir, root, result,
+                                progress_callback)
         workers = max(1, int(config.parallel_requests))
-        if workers == 1 or n == 1:
+        if use_device_batch:
+            pass
+        elif workers == 1 or n == 1:
             for i in range(n):
                 process_page(i)
         else:

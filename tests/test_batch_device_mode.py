@@ -1,0 +1,23 @@
+"""Batch driver's device-batched fast path (pages_per_device_batch > 1)."""
+
+from PIL import Image
+
+from mangatranslator_tpu.pipeline.batch import batch_translate_images
+from tests.test_device_batch import batch_manager  # noqa: F401 (fixture)
+from tests.test_pipeline_e2e import make_config
+
+
+def test_device_batched_batch_driver(batch_manager, tmp_path):  # noqa: F811
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(5):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2  # chunks of 2 (+ remainder)
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out)
+    assert result["success_count"] == 5
+    assert result["error_count"] == 0
+    assert len(list(out.glob("*_translated.png"))) == 5
