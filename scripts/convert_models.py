@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Convert reference torch checkpoints to Flax safetensors.
+
+Usage:
+  python scripts/convert_models.py --models-dir ./models [--download]
+  python scripts/convert_models.py --yolo path/to/model.pt --type yolo_speech_bubble_2
+  python scripts/convert_models.py --rcan path/to/2x-AnimeSharpV4_RCAN.safetensors --type upscale_model
+
+With --download (network required) every known checkpoint is fetched from HF
+and converted (sources: mangatranslator_tpu/models/manager.py HF_SOURCES).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from mangatranslator_tpu.models.manager import (  # noqa: E402
+    HF_SOURCES,
+    ModelManager,
+    ModelType,
+)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models-dir", default="./models")
+    ap.add_argument("--download", action="store_true",
+                    help="Fetch all known checkpoints from HF and convert")
+    ap.add_argument("--yolo", help="Path to an ultralytics .pt/.safetensors")
+    ap.add_argument("--rcan", help="Path to an RCAN safetensors")
+    ap.add_argument("--type", help="ModelType value for --yolo/--rcan input")
+    args = ap.parse_args()
+
+    mgr = ModelManager(Path(args.models_dir))
+    converted = 0
+
+    if args.yolo or args.rcan:
+        mtype = ModelType(args.type)
+        src = Path(args.yolo or args.rcan)
+        if args.rcan:
+            from mangatranslator_tpu.models.convert import (
+                load_torch_state_dict, save_flax_safetensors)
+            from mangatranslator_tpu.models.convert_rcan import convert_rcan
+
+            variables, cfg = convert_rcan(load_torch_state_dict(str(src)))
+            out = mgr.checkpoint_path(mtype)
+            out.parent.mkdir(parents=True, exist_ok=True)
+            save_flax_safetensors(variables, str(out))
+            print(f"converted {src} -> {out} ({cfg})")
+        else:
+            if mgr.convert_and_store(mtype, src):
+                print(f"converted {src}")
+        return 0
+
+    if args.download:
+        for mtype in HF_SOURCES:
+            path = mgr._try_download(mtype)
+            if path is None:
+                print(f"skip {mtype.value}: download unavailable")
+                continue
+            if mgr.convert_and_store(mtype, path):
+                converted += 1
+        print(f"converted {converted} checkpoints")
+        return 0
+
+    ap.print_help()
+    return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
