@@ -35,6 +35,7 @@ from ..ops.masks import (
     otsu_threshold_value,
     structuring_ellipse,
 )
+from ..ops.masks import JUNCTION_ADJACENCY_MARGIN
 from ..ops.pallas_clean import MAX_SHRINK_RADIUS, PAD_MARGIN
 from ..scaling import scale_area, scale_length
 from ..ops.image import pick_bucket
@@ -118,9 +119,11 @@ def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, i
 
 
 @functools.partial(jax.jit, static_argnames=("use_otsu", "fixed_thresh",
-                                              "shrink_radius", "use_pallas"))
+                                              "shrink_radius", "use_pallas",
+                                              "junction_radius"))
 def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
-                          shrink_radius: int, use_pallas: bool):
+                          shrink_radius: int, use_pallas: bool,
+                          junction_radius: int = 1):
     """The whole per-page clean chain as ONE compiled program: black/white
     classification, fixed/Otsu thresholds, dilate→threshold→AND→disk-shrink,
     and the centroid-validity erosion. One dispatch per page instead of a
@@ -148,23 +151,28 @@ def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
     # so thr = 255-t-1 matches exactly on integer gray levels.
     thr_eff = jnp.where(inverts > 0, 255.0 - thresholds - 1.0, thresholds)
 
+    dil = binary_dilate(mask_b, structuring_ellipse(7, 7))
+    binf = threshold_binary(gray_b, thr_eff)
+    binf = jnp.where(inverts[:, None, None] > 0, 1.0 - binf, binf)
+    cand_raw = binf * dil
     if use_pallas:
         from ..ops.pallas_clean import fused_bubble_clean
 
         radii = jnp.full((n,), shrink_radius, jnp.int32)
         cand = fused_bubble_clean(gray_b, mask_b, thr_eff, inverts, radii)
     else:
-        dil = binary_dilate(mask_b, structuring_ellipse(7, 7))
-        binf = threshold_binary(gray_b, thr_eff)
-        binf = jnp.where(inverts[:, None, None] > 0, 1.0 - binf, binf)
-        cand = mask_shrink(binf * dil, shrink_radius)
+        cand = mask_shrink(cand_raw, shrink_radius)
+    # light shrink for junction-zone restoration near conjoined neighbors
+    # (reference _build_adaptive_shrink_mask, cleaning.py:159-212)
+    cand_light = mask_shrink(cand_raw, junction_radius)
 
     validity = _erode(mask_b, structuring_ellipse(*_EROSION_KERNEL))
-    # bitpack both masks (8 px/byte): host readback over a remote-TPU tunnel
-    # is the bottleneck (measured 1.5 MB/s down vs 600 MB/s up)
+    # bitpack masks (8 px/byte): host readback over a remote-TPU tunnel is the
+    # bottleneck (measured 1.5 MB/s down vs 600 MB/s up)
     from ..ops.masks import bitpack_mask
 
-    return (bitpack_mask(cand), bitpack_mask(validity), inverts, thr_eff)
+    return (bitpack_mask(cand), bitpack_mask(cand_light),
+            bitpack_mask(validity), inverts, thr_eff)
 
 
 def clean_speech_bubbles(
@@ -226,17 +234,46 @@ def clean_speech_bubbles(
     # Larger ROIs take the XLA conv chain, which tiles itself.
     use_pallas = (jax.devices()[0].platform == "tpu"
                   and bh * bw <= 256 * 512)
-    cand_p, val_p, inverts_d, thr_d = _clean_device_program(
+    junction_px = max(1, int(round(1.0 * processing_scale)))  # JUNCTION_MIN_SHRINK
+    cand_p, light_p, val_p, inverts_d, thr_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
-        shrink_radius=int(shrink_px), use_pallas=use_pallas)
+        shrink_radius=int(shrink_px), use_pallas=use_pallas,
+        junction_radius=junction_px)
     from ..ops.masks import bitunpack_mask_np
 
-    cand_p, val_p, inverts, thr_eff = jax.device_get(
-        (cand_p, val_p, inverts_d, thr_d))  # one batched readback
+    cand_p, light_p, val_p, inverts, thr_eff = jax.device_get(
+        (cand_p, light_p, val_p, inverts_d, thr_d))  # one batched readback
     cand = bitunpack_mask_np(cand_p, bw).astype(np.float32)
+    cand_light = bitunpack_mask_np(light_p, bw).astype(np.float32)
     validity_b = bitunpack_mask_np(val_p, bw).astype(np.float32)
+
+    # junction-zone restoration for conjoined children (reference
+    # _build_adaptive_shrink_mask): within the neighbor-bbox intersection zone
+    # (+margin) the lightly-shrunk candidate replaces the fully-shrunk one so
+    # narrow junction passages don't pinch off
+    margin = max(1, int(round(JUNCTION_ADJACENCY_MARGIN * processing_scale)))
+    for i, (det, (rx1, ry1, rx2, ry2)) in enumerate(zip(detections, bounds)):
+        sibs = det.get("conjoined_siblings") or []
+        if not sibs:
+            continue
+        x1, y1, x2, y2 = det["bbox"]
+        for j in sibs:
+            if j >= len(detections):
+                continue
+            ox1, oy1, ox2, oy2 = detections[j]["bbox"]
+            if (x1 - margin > ox2 or ox1 - margin > x2
+                    or y1 - margin > oy2 or oy1 - margin > y2):
+                continue
+            zx1 = max(rx1, max(x1, ox1) - margin) - rx1 + PAD_MARGIN
+            zy1 = max(ry1, max(y1, oy1) - margin) - ry1 + PAD_MARGIN
+            zx2 = min(rx2, min(x2, ox2) + margin) - rx1 + PAD_MARGIN
+            zy2 = min(ry2, min(y2, oy2) + margin) - ry1 + PAD_MARGIN
+            if zx2 <= zx1 or zy2 <= zy1:
+                continue
+            zone = (slice(i, i + 1), slice(zy1, zy2), slice(zx1, zx2))
+            cand[zone] = np.maximum(cand[zone], cand_light[zone])
 
     # --- host contour filter + page-res fill masks ------------------------------
     min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)

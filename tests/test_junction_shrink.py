@@ -1,0 +1,48 @@
+"""Adaptive junction-zone shrink for conjoined children."""
+
+import cv2
+import numpy as np
+
+from mangatranslator_tpu.cleaning.cleaner import clean_speech_bubbles
+from mangatranslator_tpu.config import CleaningConfig
+
+
+def test_junction_zone_keeps_narrow_passage():
+    """Two conjoined bubbles joined by a thin neck: full shrink pinches the
+    neck off; the junction restoration keeps it (reference
+    _build_adaptive_shrink_mask rationale)."""
+    img = np.full((200, 340, 3), 150, np.uint8)
+    # two white circles joined by a 14px-tall neck
+    cv2.circle(img, (90, 100), 70, (250, 250, 250), -1)
+    cv2.circle(img, (250, 100), 70, (250, 250, 250), -1)
+    cv2.rectangle(img, (90, 93), (250, 107), (250, 250, 250), -1)
+
+    def mask_for(cx):
+        m = np.zeros((200, 340), np.uint8)
+        cv2.circle(m, (cx, 100), 70, 1, -1)
+        cv2.rectangle(m, (min(cx, 170), 93), (max(cx, 170), 107), 1, -1)
+        return m
+
+    dets = [
+        {"bbox": [20, 30, 178, 170], "mask": mask_for(90),
+         "conjoined_siblings": [1]},
+        {"bbox": [162, 30, 320, 170], "mask": mask_for(250),
+         "conjoined_siblings": [0]},
+    ]
+    cfg = CleaningConfig(roi_shrink_px=10)
+    cleaned, results = clean_speech_bubbles(img, dets, cfg, processing_scale=1.0)
+    assert all(r.success for r in results)
+    # the fill masks must reach into the junction zone (x≈170) — with plain
+    # 10px shrink the 14px neck (7px half-height < 10) would be empty there
+    union = np.maximum(results[0].fill_mask, results[1].fill_mask)
+    assert union[100, 168:172].any()
+
+
+def test_no_siblings_unaffected():
+    img = np.full((120, 120, 3), 150, np.uint8)
+    cv2.circle(img, (60, 60), 45, (250,) * 3, -1)
+    m = np.zeros((120, 120), np.uint8)
+    cv2.circle(m, (60, 60), 45, 1, -1)
+    det = {"bbox": [15, 15, 105, 105], "mask": m}
+    _, results = clean_speech_bubbles(img, [det], CleaningConfig(roi_shrink_px=5))
+    assert results[0].success
