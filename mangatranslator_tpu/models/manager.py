@@ -273,13 +273,21 @@ class ModelManager:
         with self._lock:
             if key in self._runners:
                 return self._runners[key]
-            from .flux.pipeline import DEFAULT_PROMPT, build_random_inpainter
+            from .flux.pipeline import (
+                DEFAULT_PROMPT,
+                KLEIN_PROMPT,
+                build_random_inpainter,
+            )
 
             preset = os.environ.get("MTX_FLUX_PRESET", "test")
             vae_preset = os.environ.get("MTX_FLUX_VAE_PRESET", "test")
             log_message(
                 f"No converted checkpoint for {mtype.value}; using random init "
                 f"(preset {preset})", always_print=True)
+            # Klein models default to the long preservation prompt
+            # (reference inpainting.py:991); Kontext keeps "Remove all text."
+            if prompt in (None, DEFAULT_PROMPT) and method.startswith("flux_klein"):
+                prompt = KLEIN_PROMPT
             inpainter = build_random_inpainter(
                 preset=preset, vae_preset=vae_preset,
                 prompt=prompt or DEFAULT_PROMPT)
