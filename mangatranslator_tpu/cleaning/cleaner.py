@@ -156,10 +156,10 @@ def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
     binf = jnp.where(inverts[:, None, None] > 0, 1.0 - binf, binf)
     cand_raw = binf * dil
     if use_pallas:
-        from ..ops.pallas_clean import fused_bubble_clean
+        from ..ops.pallas_clean import fused_bubble_clean_auto
 
         radii = jnp.full((n,), shrink_radius, jnp.int32)
-        cand = fused_bubble_clean(gray_b, mask_b, thr_eff, inverts, radii)
+        cand = fused_bubble_clean_auto(gray_b, mask_b, thr_eff, inverts, radii)
     else:
         cand = mask_shrink(cand_raw, shrink_radius)
     # light shrink for junction-zone restoration near conjoined neighbors
@@ -228,12 +228,9 @@ def clean_speech_bubbles(
         mask_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
             det["mask"][y1:y2, x1:x2]
 
-    # Pallas path only for VMEM-safe ROI blocks: the fused kernel processes a
-    # whole ROI per grid step and its unrolled temporaries OOM scoped VMEM
-    # beyond ~256×512 f32 (measured: 512×1024 needs 47.7MB vs the 16MB limit).
-    # Larger ROIs take the XLA conv chain, which tiles itself.
-    use_pallas = (jax.devices()[0].platform == "tpu"
-                  and bh * bw <= 256 * 512)
+    # Pallas everywhere on TPU: small ROIs use the single-block kernel,
+    # larger ones the row-tiled halo-DMA variant (pallas_clean.py)
+    use_pallas = jax.devices()[0].platform == "tpu"
     junction_px = max(1, int(round(1.0 * processing_scale)))  # JUNCTION_MIN_SHRINK
     cand_p, light_p, val_p, inverts_d, thr_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),

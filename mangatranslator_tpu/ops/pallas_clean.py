@@ -147,6 +147,111 @@ def fused_bubble_clean(
       radii.astype(jnp.int32), gray.astype(jnp.float32), masks.astype(jnp.float32))
 
 
+TILE_H = 128
+_HALO = PAD_MARGIN  # 20 ≥ dilate(3) + MAX_SHRINK_RADIUS(16) context
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def fused_bubble_clean_tiled(
+    gray: jnp.ndarray,
+    masks: jnp.ndarray,
+    thresholds: jnp.ndarray,
+    inverts: jnp.ndarray,
+    radii: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Row-tiled variant of fused_bubble_clean for large ROIs.
+
+    The single-block kernel holds a full ROI plus temporaries in VMEM and OOMs
+    beyond ~256×512 f32. Here the grid tiles rows: inputs stay in HBM and each
+    step DMAs a (TILE_H + 2·HALO)-row window into VMEM scratch (window start
+    clamped at the buffer edges — the discarded halo absorbs both the clamp
+    shift and circular-roll wrap). Requires H % TILE_H == 0 and the usual
+    ≥PAD_MARGIN background border. Bit-identical to the untiled kernel on the
+    content region (tested).
+    """
+    n, h, w = gray.shape
+    assert h % TILE_H == 0 and h >= TILE_H, (h, TILE_H)
+    win = TILE_H + 2 * _HALO
+    offsets = _dilate_offsets(7, 7)
+    n_tiles = h // TILE_H
+
+    def kernel(thresh_ref, invert_ref, radius_ref, gray_hbm, mask_hbm, out_ref,
+               gray_s, mask_s, sems):
+        i = pl.program_id(0)
+        t = pl.program_id(1)
+        start = jnp.clip(t * TILE_H - _HALO, 0, h - win)
+
+        cp_g = pltpu.make_async_copy(
+            gray_hbm.at[i, pl.ds(start, win), :], gray_s, sems.at[0])
+        cp_m = pltpu.make_async_copy(
+            mask_hbm.at[i, pl.ds(start, win), :], mask_s, sems.at[1])
+        cp_g.start()
+        cp_m.start()
+        cp_g.wait()
+        cp_m.wait()
+
+        tval = thresh_ref[i]
+        inv = invert_ref[i]
+        rf = radius_ref[i].astype(jnp.float32)
+
+        mask = mask_s[:]
+        dilated = mask
+        for dy, dx in offsets:
+            if dy == 0 and dx == 0:
+                continue
+            dilated = jnp.maximum(dilated, _roll2(mask, dy, dx))
+        binf = jnp.where(gray_s[:] > tval, 1.0, 0.0)
+        binf = jnp.where(inv > 0, 1.0 - binf, binf)
+        cand = binf * dilated
+
+        hdist = _row_bg_distance(cand, w)
+        keep = cand > 0.5
+        for dy in range(-MAX_SHRINK_RADIUS, MAX_SHRINK_RADIUS + 1):
+            need = jnp.floor(jnp.sqrt(jnp.maximum(rf * rf - float(dy * dy), 0.0)))
+            need = jnp.where(float(abs(dy)) > rf, -1.0, need)
+            keep = keep & (_roll2(hdist, dy, 0) > need)
+        result = jnp.where(rf < 0, cand, jnp.where(keep, 1.0, 0.0))
+
+        o_t = t * TILE_H - start  # tile's offset inside the clamped window
+        out_ref[0] = jax.lax.dynamic_slice_in_dim(result, o_t, TILE_H, axis=0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(n, n_tiles),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_H, w), lambda i, t, *_: (i, t, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((win, w), jnp.float32),
+            pltpu.VMEM((win, w), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((n, h, w), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+    )(thresholds.astype(jnp.float32), inverts.astype(jnp.int32),
+      radii.astype(jnp.int32), gray.astype(jnp.float32),
+      masks.astype(jnp.float32))
+
+
+def fused_bubble_clean_auto(gray, masks, thresholds, inverts, radii,
+                            interpret: bool = False):
+    """Dispatch: single-block kernel for VMEM-safe ROIs, row-tiled otherwise."""
+    n, h, w = gray.shape
+    if h * w <= 256 * 512 or h % TILE_H != 0:
+        return fused_bubble_clean(gray, masks, thresholds, inverts, radii,
+                                  interpret=interpret)
+    return fused_bubble_clean_tiled(gray, masks, thresholds, inverts, radii,
+                                    interpret=interpret)
+
+
 def reference_bubble_clean(
     gray: jnp.ndarray,
     masks: jnp.ndarray,

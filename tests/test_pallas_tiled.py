@@ -1,0 +1,52 @@
+"""Row-tiled Pallas clean kernel vs the untiled kernel (interpret mode)."""
+
+import cv2
+import numpy as np
+import jax.numpy as jnp
+
+from mangatranslator_tpu.ops.pallas_clean import (
+    PAD_MARGIN,
+    TILE_H,
+    fused_bubble_clean,
+    fused_bubble_clean_tiled,
+)
+
+
+def make_case(rng, n=2, h=256, w=256):
+    gray = np.full((n, h, w), 230.0, np.float32)
+    masks = np.zeros((n, h, w), np.float32)
+    for i in range(n):
+        cx, cy = w // 2, h // 2
+        ax = (w - 2 * PAD_MARGIN) // 2 - 4
+        ay = (h - 2 * PAD_MARGIN) // 2 - 4
+        cv2.ellipse(masks[i], (cx, cy), (ax, ay), 0, 0, 360, 1.0, -1)
+        for _ in range(8):
+            x0 = int(rng.integers(cx - ax // 2, cx + ax // 2))
+            y0 = int(rng.integers(cy - ay // 2, cy + ay // 2))
+            cv2.line(gray[i], (x0, y0), (x0 + 10, y0 + 12), 40.0, 2)
+    return gray, masks
+
+
+def test_tiled_matches_untiled(rng):
+    gray, masks = make_case(rng, n=2, h=2 * TILE_H, w=256)
+    th = np.array([200.0, 150.0], np.float32)
+    inv = np.array([0, 0], np.int32)
+    rad = np.array([5, 12], np.int32)
+    args = [jnp.asarray(x) for x in (gray, masks, th, inv, rad)]
+    ref = np.asarray(fused_bubble_clean(*args, interpret=True))
+    tiled = np.asarray(fused_bubble_clean_tiled(*args, interpret=True))
+    # content region (inside the PAD_MARGIN border) must match exactly
+    m = PAD_MARGIN
+    np.testing.assert_array_equal(tiled[:, m:-m, m:-m], ref[:, m:-m, m:-m])
+
+
+def test_tiled_many_tiles(rng):
+    gray, masks = make_case(rng, n=1, h=4 * TILE_H, w=128)
+    th = np.array([200.0], np.float32)
+    inv = np.array([0], np.int32)
+    rad = np.array([7], np.int32)
+    args = [jnp.asarray(x) for x in (gray, masks, th, inv, rad)]
+    ref = np.asarray(fused_bubble_clean(*args, interpret=True))
+    tiled = np.asarray(fused_bubble_clean_tiled(*args, interpret=True))
+    m = PAD_MARGIN
+    np.testing.assert_array_equal(tiled[:, m:-m, m:-m], ref[:, m:-m, m:-m])
