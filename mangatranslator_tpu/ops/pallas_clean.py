@@ -176,11 +176,16 @@ def fused_bubble_clean_tiled(
     offsets = _dilate_offsets(7, 7)
     n_tiles = h // TILE_H
 
+    # pre-pad rows by HALO so every tile's window start is simply t*TILE_H
+    # (Mosaic cannot lower dynamic slices of kernel-computed values)
+    gray = jnp.pad(gray.astype(jnp.float32), ((0, 0), (_HALO, _HALO), (0, 0)))
+    masks = jnp.pad(masks.astype(jnp.float32), ((0, 0), (_HALO, _HALO), (0, 0)))
+
     def kernel(thresh_ref, invert_ref, radius_ref, gray_hbm, mask_hbm, out_ref,
                gray_s, mask_s, sems):
         i = pl.program_id(0)
         t = pl.program_id(1)
-        start = jnp.clip(t * TILE_H - _HALO, 0, h - win)
+        start = t * TILE_H  # in padded-row coordinates == t*TILE_H - HALO + HALO
 
         cp_g = pltpu.make_async_copy(
             gray_hbm.at[i, pl.ds(start, win), :], gray_s, sems.at[0])
@@ -213,8 +218,7 @@ def fused_bubble_clean_tiled(
             keep = keep & (_roll2(hdist, dy, 0) > need)
         result = jnp.where(rf < 0, cand, jnp.where(keep, 1.0, 0.0))
 
-        o_t = t * TILE_H - start  # tile's offset inside the clamped window
-        out_ref[0] = jax.lax.dynamic_slice_in_dim(result, o_t, TILE_H, axis=0)
+        out_ref[0] = result[_HALO: _HALO + TILE_H, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
