@@ -42,6 +42,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--cpu", action="store_true",
                    help="Force the CPU backend (no TPU)")
     p.add_argument("--version", action="version", version=__version__)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="Write a jax.profiler trace of the run to this dir")
 
     d = p.add_argument_group("detection")
     d.add_argument("--confidence", type=float, default=0.6)
@@ -385,12 +387,14 @@ def main(argv: Optional[List[str]] = None) -> int:
             return 1
         return 0
 
+    from .logging import jax_profile_trace
     from .pipeline.io import resolve_output_path
     from .pipeline.page import translate_and_render
 
     out_path = (Path(args.output) if args.output
                 else resolve_output_path(input_path, None, cfg.output.output_format))
-    _, info = translate_and_render(input_path, cfg, out_path)
+    with jax_profile_trace(args.profile_dir):
+        _, info = translate_and_render(input_path, cfg, out_path)
     print(f"Saved {out_path} ({info['rendered']}/{info['bubbles']} bubbles, "
           f"{info.get('elapsed_s', 0):.2f}s)")
     return 0

@@ -147,7 +147,7 @@ def fused_bubble_clean(
       radii.astype(jnp.int32), gray.astype(jnp.float32), masks.astype(jnp.float32))
 
 
-TILE_H = 128
+TILE_H = 64
 _HALO = PAD_MARGIN  # 20 ≥ dilate(3) + MAX_SHRINK_RADIUS(16) context
 
 

@@ -1,0 +1,53 @@
+"""Training/state checkpointing via orbax.
+
+The reference has no mid-run checkpointing (SURVEY.md §5 — resume granularity
+is per-image via failed_paths.txt, which pipeline/batch.py keeps). This module
+adds real checkpoint/resume for the training-capable parts (FLUX fine-tuning
+via parallel/sharding.make_flux_train_step) and for converted model trees.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Optional
+
+from ..logging import log_message
+
+
+def save_checkpoint(path: Path, state: Any, step: int = 0) -> None:
+    """Save a pytree (params / opt_state / anything) with orbax."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    path.mkdir(parents=True, exist_ok=True)
+    with ocp.CheckpointManager(str(path)) as mgr:
+        mgr.save(step, args=ocp.args.StandardSave(state))
+        mgr.wait_until_finished()
+    log_message(f"Saved checkpoint step {step} → {path}", always_print=True)
+
+
+def restore_checkpoint(path: Path, template: Optional[Any] = None,
+                       step: Optional[int] = None) -> Any:
+    """Restore the latest (or given) step; ``template`` supplies the pytree
+    structure/shardings for sharded restore."""
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    with ocp.CheckpointManager(str(path)) as mgr:
+        target = step if step is not None else mgr.latest_step()
+        if target is None:
+            raise FileNotFoundError(f"No checkpoint steps under {path}")
+        if template is not None:
+            return mgr.restore(target,
+                               args=ocp.args.StandardRestore(template))
+        return mgr.restore(target)
+
+
+def latest_step(path: Path) -> Optional[int]:
+    import orbax.checkpoint as ocp
+
+    path = Path(path).resolve()
+    if not path.exists():
+        return None
+    with ocp.CheckpointManager(str(path)) as mgr:
+        return mgr.latest_step()

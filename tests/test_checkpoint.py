@@ -1,0 +1,27 @@
+"""Orbax checkpoint save/restore round-trip."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mangatranslator_tpu.parallel.checkpoint import (
+    latest_step,
+    restore_checkpoint,
+    save_checkpoint,
+)
+
+
+def test_roundtrip(tmp_path):
+    state = {"params": {"w": jnp.asarray(np.arange(12.0).reshape(3, 4))},
+             "step": jnp.asarray(7)}
+    ckpt = tmp_path / "ckpt"
+    save_checkpoint(ckpt, state, step=3)
+    assert latest_step(ckpt) == 3
+    back = restore_checkpoint(ckpt, template=state)
+    np.testing.assert_array_equal(np.asarray(back["params"]["w"]),
+                                  np.arange(12.0).reshape(3, 4))
+
+
+def test_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        restore_checkpoint(tmp_path / "none")
