@@ -1,0 +1,66 @@
+"""Pipeline warm-up: pre-compile the common device programs.
+
+First use of each (program, shape-bucket) pair compiles an XLA program —
+seconds locally, minutes on remote-attached TPUs. This drives a tiny synthetic
+page through the full test-mode pipeline (plus optional extra clean buckets)
+so interactive runs and benchmarks start warm. The web app and CLI can call it
+at startup; compiled programs persist in the configured compilation cache.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterable, Optional, Tuple
+
+import numpy as np
+
+from ..logging import log_message
+
+
+def warm_pipeline(
+    config=None,
+    page_size: Tuple[int, int] = (2000, 1414),
+    clean_buckets: Iterable[Tuple[int, int, int]] = ((4, 512, 1024),),
+) -> float:
+    """Compile detect/clean/render programs. Returns warm-up seconds."""
+    import cv2
+    from PIL import Image
+
+    from ..config import MangaTranslatorConfig
+    from ..pipeline.page import translate_and_render
+
+    t0 = time.perf_counter()
+    cfg = config or MangaTranslatorConfig(yolo_model_path="warmup")
+    cfg.test_mode = True
+    cfg.cleaning_only = False
+    cfg.upscaling_only = False
+
+    h, w = page_size
+    img = np.full((h, w, 3), 235, np.uint8)
+    cx, cy = w // 2, h // 3
+    cv2.ellipse(img, (cx, cy), (min(220, w // 4), 170), 0, 0, 360,
+                (252, 252, 252), -1)
+    cv2.line(img, (cx - 80, cy), (cx + 80, cy), (30, 30, 30), 6)
+    try:
+        translate_and_render(Image.fromarray(img), cfg)
+    except Exception as e:
+        log_message(f"Pipeline warm-up failed: {e}", always_print=True)
+
+    # extra clean-bucket shapes
+    import jax.numpy as jnp
+
+    from ..cleaning.cleaner import _clean_device_program
+
+    for (n, bh, bw) in clean_buckets:
+        try:
+            _clean_device_program(
+                jnp.zeros((n, bh, bw), jnp.float32),
+                jnp.zeros((n, bh, bw), jnp.float32),
+                use_otsu=False, fixed_thresh=200.0, shrink_radius=5,
+                use_pallas=True, junction_radius=1)
+        except Exception as e:
+            log_message(f"Clean-bucket warm-up {(n, bh, bw)} failed: {e}",
+                        always_print=True)
+    dt = time.perf_counter() - t0
+    log_message(f"Pipeline warm-up done in {dt:.1f}s", always_print=True)
+    return dt

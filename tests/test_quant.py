@@ -31,27 +31,13 @@ def test_q8_matmul_xla_accuracy(rng):
     assert np.abs(out - ref).mean() / denom < 0.03
 
 
-def test_q8_matmul_pallas_matches_xla(rng):
+def test_q8_matmul_xla_large(rng):
     x = jnp.asarray(rng.standard_normal((128, 256)).astype(np.float32))
     w = jnp.asarray(rng.standard_normal((256, 128)).astype(np.float32))
     q, s = quantize_weights_int8(w)
-    # interpret-mode Pallas on CPU
-    import jax
-    from jax.experimental import pallas as pl
-
-    from mangatranslator_tpu.ops import quant as Q
-
     out_x = np.asarray(q8_matmul_xla(x, q, s))
-
-    import functools
-    orig = pl.pallas_call
-    with jax.disable_jit():  # run kernel through interpreter path
-        pass
-    # direct call with interpret via monkeypatched pallas_call is brittle;
-    # instead compare against float reference with quantization tolerance
     ref = np.asarray(x @ w)
-    denom = np.abs(ref).mean()
-    assert np.abs(out_x - ref).mean() / denom < 0.03
+    assert np.abs(out_x - ref).mean() / np.abs(ref).mean() < 0.03
 
 
 def test_q8_matmul_pallas_interpret(rng, monkeypatch):
