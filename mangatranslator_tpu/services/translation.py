@@ -26,6 +26,54 @@ from .parsing import (
     parse_one_step_response,
     parse_rosetta_json,
 )
+
+
+def build_hy_mt2_prompt(output_language, extracted_texts, special_instructions=None):
+    """User-only Hy-MT2 prompt (no system prompt per its model card): JSON
+    source with terminology lines from special instructions (reference
+    _build_hy_mt2_prompt, translation.py:1185-1228)."""
+    import json as _json
+
+    source = _json.dumps({str(i + 1): t for i, t in enumerate(extracted_texts)},
+                         ensure_ascii=False)
+    prompt = ""
+    if special_instructions and special_instructions.strip():
+        lines = []
+        for line in special_instructions.strip().splitlines():
+            line = line.strip().removeprefix("- ").strip()
+            if not line:
+                continue
+            for sep in ("->", "=>"):
+                if sep in line:
+                    src, _, tgt = line.partition(sep)
+                    lines.append(f"{src.strip()} translates to {tgt.strip()}")
+                    break
+            else:
+                lines.append(line)
+        if lines:
+            prompt += ("Reference the following translations:\n"
+                       + "\n".join(lines) + "\n\n")
+    prompt += (
+        f"Translate the following text into {output_language}. "
+        f"Keep the JSON structure and keys. "
+        f"Note that you should **only output the translated result without any "
+        f"additional explanation**:\n\n{source}"
+    )
+    return prompt
+
+
+def parse_hy_mt2_response(response_text, total, provider):
+    """Hy-MT2 returns the same JSON structure with translated values."""
+    import json as _json
+
+    try:
+        text = (response_text or "").strip()
+        start, end = text.find("{"), text.rfind("}")
+        obj = _json.loads(text[start: end + 1])
+        return [str(obj.get(str(i + 1), f"[{provider}: Missing item {i + 1}]"))
+                for i in range(total)]
+    except Exception:
+        return [f"[{provider}: Parse error]"] * total
 from .prompts import (
     build_system_prompt_ocr,
     build_system_prompt_translation,
@@ -243,6 +291,12 @@ def call_translation_api_batch(
             parts = [{"text": user_text}]
             resp = _call_llm_endpoint(config, parts, sys_prompt, debug)
             translations = parse_rosetta_json(resp or "", n, config.provider)
+        elif MD.is_hy_mt2_model(config.model_name):
+            # text-only translation model, user prompt only, JSON in/out
+            user_text = build_hy_mt2_prompt(config.output_language, ocr_texts,
+                                            config.special_instructions)
+            resp = _call_llm_endpoint(config, [{"text": user_text}], None, debug)
+            translations = parse_hy_mt2_response(resp, n, config.provider)
         else:
             user_text = (f"Translate these {n} lines.{prev_note}"
                          f"{prev_texts_block}{special}\n\n{numbered}")

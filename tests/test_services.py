@@ -247,3 +247,19 @@ class TestBubblePrep:
         assert min(crop1.size) >= 128  # upscaled to min side
         crop2 = Image.open(BytesIO(base64.b64decode(out[1])))
         assert crop2.size == (180, 140)  # already large enough
+
+
+class TestSpecialFormats:
+    def test_hy_mt2_prompt_and_parse(self):
+        from mangatranslator_tpu.services.translation import (
+            build_hy_mt2_prompt,
+            parse_hy_mt2_response,
+        )
+
+        p = build_hy_mt2_prompt("English", ["こん", "にち"],
+                                "- 猫 -> cat\nkeep honorifics")
+        assert '"1": "こん"' in p and "猫 translates to cat" in p
+        assert "keep honorifics" in p
+        out = parse_hy_mt2_response('{"1": "Hi", "2": "There"}', 3, "X")
+        assert out == ["Hi", "There", "[X: Missing item 3]"]
+        assert parse_hy_mt2_response("garbage", 2, "X") == ["[X: Parse error]"] * 2
