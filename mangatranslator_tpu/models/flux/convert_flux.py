@@ -1,0 +1,131 @@
+"""FLUX checkpoint → our Flax DiT tree.
+
+Maps the black-forest-labs reference naming (what the safetensors on HF use;
+the reference consumes them via diffusers/sd.cpp):
+
+  img_in / txt_in / vector_in / guidance_in / time_in        (in/out MLPs)
+  double_blocks.N.{img,txt}_mod.lin                          → double_N/{img,txt}_mod/lin
+  double_blocks.N.{img,txt}_attn.qkv                         → double_N/{img,txt}_qkv
+  double_blocks.N.{img,txt}_attn.norm.{query,key}_norm.scale → double_N/{img,txt}_qknorm/{q,k}_norm/scale
+  double_blocks.N.{img,txt}_attn.proj                        → double_N/{img,txt}_proj
+  double_blocks.N.{img,txt}_mlp.{0,2}                        → double_N/{img,txt}_mlp_{in,out}
+  single_blocks.N.linear{1,2}                                → single_N/lin{1,2}
+  single_blocks.N.norm.{query,key}_norm.scale                → single_N/qknorm/{q,k}_norm/scale
+  single_blocks.N.modulation.lin                             → single_N/mod/lin
+  final_layer.linear / final_layer.adaLN_modulation.1        → final/{proj,mod}
+
+Linear weights transpose [out,in] → [in,out].
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, Mapping, Tuple
+
+import numpy as np
+
+from ..convert import linear_kernel, set_path
+
+
+def _linear(sd: Mapping[str, np.ndarray], torch_key: str,
+            params: Dict, path: Tuple[str, ...]) -> bool:
+    wkey = f"{torch_key}.weight"
+    if wkey not in sd:
+        return False
+    set_path(params, path + ("kernel",), linear_kernel(np.asarray(sd[wkey])))
+    if f"{torch_key}.bias" in sd:
+        set_path(params, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+    return True
+
+
+def _qknorm(sd: Mapping[str, np.ndarray], torch_prefix: str,
+            params: Dict, path: Tuple[str, ...]) -> None:
+    for t_name, f_name in (("query_norm", "q_norm"), ("key_norm", "k_norm")):
+        key = f"{torch_prefix}.{t_name}.scale"
+        if key in sd:
+            set_path(params, path + (f_name, "scale"), np.asarray(sd[key]))
+
+
+def convert_flux_dit(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """Convert a FLUX transformer state dict (numpy) to our Flax variables."""
+    p: Dict[str, Any] = {}
+
+    _linear(sd, "img_in", p, ("img_in",))
+    _linear(sd, "txt_in", p, ("txt_in",))
+    for name in ("time_in", "vector_in", "guidance_in"):
+        _linear(sd, f"{name}.in_layer", p, (name, "in"))
+        _linear(sd, f"{name}.out_layer", p, (name, "out"))
+
+    n_double = 1 + max((int(m.group(1)) for k in sd
+                        if (m := re.match(r"double_blocks\.(\d+)\.", k))),
+                       default=-1)
+    for i in range(n_double):
+        base = f"double_blocks.{i}"
+        our = f"double_{i}"
+        for stream in ("img", "txt"):
+            _linear(sd, f"{base}.{stream}_mod.lin", p, (our, f"{stream}_mod", "lin"))
+            _linear(sd, f"{base}.{stream}_attn.qkv", p, (our, f"{stream}_qkv"))
+            _qknorm(sd, f"{base}.{stream}_attn.norm", p, (our, f"{stream}_qknorm"))
+            _linear(sd, f"{base}.{stream}_attn.proj", p, (our, f"{stream}_proj"))
+            _linear(sd, f"{base}.{stream}_mlp.0", p, (our, f"{stream}_mlp_in"))
+            _linear(sd, f"{base}.{stream}_mlp.2", p, (our, f"{stream}_mlp_out"))
+
+    n_single = 1 + max((int(m.group(1)) for k in sd
+                        if (m := re.match(r"single_blocks\.(\d+)\.", k))),
+                       default=-1)
+    for i in range(n_single):
+        base = f"single_blocks.{i}"
+        our = f"single_{i}"
+        _linear(sd, f"{base}.linear1", p, (our, "lin1"))
+        _linear(sd, f"{base}.linear2", p, (our, "lin2"))
+        _qknorm(sd, f"{base}.norm", p, (our, "qknorm"))
+        _linear(sd, f"{base}.modulation.lin", p, (our, "mod", "lin"))
+
+    _linear(sd, "final_layer.linear", p, ("final", "proj"))
+    _linear(sd, "final_layer.adaLN_modulation.1", p, ("final", "mod"))
+    return {"params": p}
+
+
+def export_flux_style(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse mapping for round-trip tests."""
+    sd: Dict[str, np.ndarray] = {}
+    params = variables["params"]
+
+    def put(torch_key: str, node: Mapping[str, np.ndarray]) -> None:
+        sd[f"{torch_key}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    def put_qknorm(torch_prefix: str, node: Mapping[str, Any]) -> None:
+        sd[f"{torch_prefix}.query_norm.scale"] = np.asarray(
+            node["q_norm"]["scale"])
+        sd[f"{torch_prefix}.key_norm.scale"] = np.asarray(node["k_norm"]["scale"])
+
+    for name, node in params.items():
+        if name in ("img_in", "txt_in"):
+            put(name, node)
+        elif name in ("time_in", "vector_in", "guidance_in"):
+            put(f"{name}.in_layer", node["in"])
+            put(f"{name}.out_layer", node["out"])
+        elif name.startswith("double_"):
+            i = name.split("_")[1]
+            base = f"double_blocks.{i}"
+            for stream in ("img", "txt"):
+                put(f"{base}.{stream}_mod.lin", node[f"{stream}_mod"]["lin"])
+                put(f"{base}.{stream}_attn.qkv", node[f"{stream}_qkv"])
+                put_qknorm(f"{base}.{stream}_attn.norm",
+                           node[f"{stream}_qknorm"])
+                put(f"{base}.{stream}_attn.proj", node[f"{stream}_proj"])
+                put(f"{base}.{stream}_mlp.0", node[f"{stream}_mlp_in"])
+                put(f"{base}.{stream}_mlp.2", node[f"{stream}_mlp_out"])
+        elif name.startswith("single_"):
+            i = name.split("_")[1]
+            base = f"single_blocks.{i}"
+            put(f"{base}.linear1", node["lin1"])
+            put(f"{base}.linear2", node["lin2"])
+            put_qknorm(f"{base}.norm", node["qknorm"])
+            put(f"{base}.modulation.lin", node["mod"]["lin"])
+        elif name == "final":
+            put("final_layer.linear", node["proj"])
+            put("final_layer.adaLN_modulation.1", node["mod"])
+    return sd

@@ -1,0 +1,58 @@
+"""FLUX conversion: round-trip through the BFL checkpoint naming."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.flux.convert_flux import (
+    convert_flux_dit,
+    export_flux_style,
+)
+from mangatranslator_tpu.models.flux.dit import (
+    FLUX_PRESETS,
+    FluxDiT,
+    init_flux,
+    make_img_ids,
+    make_txt_ids,
+)
+
+CFG = FLUX_PRESETS["test"]
+
+
+def test_roundtrip_identical_forward():
+    variables = jax.tree.map(np.asarray, init_flux(CFG, h_tok=4, w_tok=4,
+                                                   txt_len=4, seed=5))
+    sd = export_flux_style(variables)
+    # reference naming spot checks
+    assert "double_blocks.0.img_attn.qkv.weight" in sd
+    assert "double_blocks.1.txt_mlp.2.bias" in sd
+    assert "single_blocks.0.modulation.lin.weight" in sd
+    assert "double_blocks.0.img_attn.norm.query_norm.scale" in sd
+    assert "final_layer.adaLN_modulation.1.weight" in sd
+    assert "time_in.in_layer.weight" in sd
+
+    back = convert_flux_dit(sd)
+    model = FluxDiT(CFG)
+    rs = np.random.RandomState(0)
+    args = (
+        jnp.asarray(rs.randn(1, 16, CFG.in_channels), jnp.float32),
+        jnp.asarray(make_img_ids(4, 4)),
+        jnp.asarray(rs.randn(1, 4, CFG.ctx_dim), jnp.float32),
+        jnp.asarray(make_txt_ids(4)),
+        jnp.asarray([0.4]), jnp.zeros((1, CFG.vec_dim)), jnp.ones((1,)),
+    )
+    out_a = np.asarray(model.apply(variables, *args))
+    out_b = np.asarray(model.apply(jax.tree.map(jnp.asarray, back), *args))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-6)
+
+
+def test_param_coverage():
+    variables = jax.tree.map(np.asarray, init_flux(CFG, h_tok=4, w_tok=4,
+                                                   txt_len=4))
+    sd = export_flux_style(variables)
+    back = convert_flux_dit(sd)
+
+    def count(t):
+        return sum(x.size for x in jax.tree.leaves(t))
+
+    assert count(back) == count(variables)
