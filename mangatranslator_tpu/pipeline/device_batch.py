@@ -51,8 +51,14 @@ def detect_pages_batched(
 
     import jax
 
-    det = runner(jnp.asarray(canvases, jnp.float32) / 255.0,
-                 conf=config.detection.confidence)
+    batch = jnp.asarray(canvases, jnp.float32) / 255.0
+    if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
+        # shard the stacked page batch over the data mesh axis: a v5e-4 slice
+        # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
+        from ..runtime import device_put_sharded_pages, make_mesh
+
+        batch = device_put_sharded_pages(np.asarray(batch), make_mesh())
+    det = runner(batch, conf=config.detection.confidence)
     nums, boxes_all, scores_all, masks_all = jax.device_get(
         (det.num, det.boxes, det.scores, det.masks))
     if masks_all is not None:

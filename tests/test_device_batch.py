@@ -79,3 +79,15 @@ def test_batched_with_provided_texts(batch_manager):
                                     translate_texts=[["Hello!", "World!"]])
     arr, info = results[0]
     assert info["rendered"] == 2
+
+
+def test_batched_detect_sharded_over_mesh(batch_manager):
+    """8 pages on the virtual 8-device mesh: the stacked batch shards over
+    the data axis and detection still unpacks per page."""
+    mgr, img = batch_manager
+    from tests.test_pipeline_e2e import make_config
+
+    cfg = make_config(test_mode=True)
+    dets = detect_pages_batched([img] * 8, cfg)
+    assert len(dets) == 8
+    assert all(len(d) == 2 for d in dets)
