@@ -1,0 +1,316 @@
+"""HF-architecture-exact manga-ocr model (ViT encoder + BERT decoder).
+
+kha-white/manga-ocr is a HF VisionEncoderDecoder: ViTModel encoder (CLS token,
+pre-LN) + a BERT decoder with cross-attention (post-LN) and a tied LM head
+(reference loads it at core/ml/model_manager.py:856-926). This module mirrors
+that structure exactly so published weights convert 1:1
+(convert_manga_ocr below); models/ocr.py keeps the lean generic variant used
+when no weights are present.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..logging import log_message
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class HFOcrConfig:
+    image_size: int = 224
+    patch_size: int = 16
+    encoder_dim: int = 768
+    encoder_depth: int = 12
+    encoder_heads: int = 12
+    decoder_dim: int = 768
+    decoder_depth: int = 2
+    decoder_heads: int = 12
+    vocab_size: int = 6144
+    max_length: int = 300
+    type_vocab: int = 2
+    bos_id: int = 2
+    eos_id: int = 3
+    pad_id: int = 0
+
+
+HF_OCR_PRESETS = {
+    "manga_ocr": HFOcrConfig(),
+    "test": HFOcrConfig(image_size=32, patch_size=16, encoder_dim=32,
+                        encoder_depth=1, encoder_heads=2, decoder_dim=32,
+                        decoder_depth=1, decoder_heads=2, vocab_size=40,
+                        max_length=8),
+}
+
+
+class MHA(nn.Module):
+    """Separate q/k/v projections (HF naming), optional causal mask."""
+
+    dim: int
+    heads: int
+    causal: bool = False
+
+    @nn.compact
+    def __call__(self, q_in, kv_in):
+        d = self.dim // self.heads
+        q = nn.Dense(self.dim, name="query")(q_in)
+        k = nn.Dense(self.dim, name="key")(kv_in)
+        v = nn.Dense(self.dim, name="value")(kv_in)
+        q = q.reshape(q_in.shape[0], q_in.shape[1], self.heads, d)
+        k = k.reshape(kv_in.shape[0], kv_in.shape[1], self.heads, d)
+        v = v.reshape(kv_in.shape[0], kv_in.shape[1], self.heads, d)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32) / np.sqrt(d)
+        if self.causal:
+            s = q_in.shape[1]
+            logits = jnp.where(jnp.tril(jnp.ones((s, s), bool))[None, None],
+                               logits, -1e9)
+        attn = jax.nn.softmax(logits, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
+        return out.reshape(q_in.shape[0], q_in.shape[1], self.dim)
+
+
+class ViTBlock(nn.Module):
+    """HF ViTLayer: pre-LN attention and MLP."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.LayerNorm(name="layernorm_before")(x)
+        a = MHA(self.dim, self.heads, name="attention")(h, h)
+        a = nn.Dense(self.dim, name="attention_output")(a)
+        x = x + a
+        h = nn.LayerNorm(name="layernorm_after")(x)
+        h = nn.Dense(self.dim * 4, name="intermediate")(h)
+        h = nn.Dense(self.dim, name="output")(nn.gelu(h))
+        return x + h
+
+
+class HFViTEncoder(nn.Module):
+    """HF ViTModel: patch conv + CLS token + learned positions, final LN."""
+
+    cfg: HFOcrConfig
+
+    @nn.compact
+    def __call__(self, images):
+        cfg = self.cfg
+        p = cfg.patch_size
+        b = images.shape[0]
+        x = nn.Conv(cfg.encoder_dim, (p, p), strides=(p, p),
+                    name="patch_proj")(images)
+        x = x.reshape(b, -1, cfg.encoder_dim)
+        cls = self.param("cls_token", nn.initializers.zeros,
+                         (1, 1, cfg.encoder_dim))
+        x = jnp.concatenate([jnp.broadcast_to(cls, (b, 1, cfg.encoder_dim)), x],
+                            axis=1)
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, (cfg.image_size // p) ** 2 + 1, cfg.encoder_dim))
+        x = x + pos
+        for i in range(cfg.encoder_depth):
+            x = ViTBlock(cfg.encoder_dim, cfg.encoder_heads, name=f"layer{i}")(x)
+        return nn.LayerNorm(name="layernorm")(x)
+
+
+class BertLayer(nn.Module):
+    """HF BertLayer with cross-attention: post-LN everywhere."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, enc):
+        a = MHA(self.dim, self.heads, causal=True, name="self")(x, x)
+        a = nn.Dense(self.dim, name="self_output")(a)
+        x = nn.LayerNorm(name="self_ln")(x + a)
+        c = MHA(self.dim, self.heads, name="cross")(x, enc)
+        c = nn.Dense(self.dim, name="cross_output")(c)
+        x = nn.LayerNorm(name="cross_ln")(x + c)
+        h = nn.Dense(self.dim * 4, name="intermediate")(x)
+        h = nn.Dense(self.dim, name="output")(nn.gelu(h))
+        return nn.LayerNorm(name="output_ln")(x + h)
+
+
+class HFMangaOcrModel(nn.Module):
+    cfg: HFOcrConfig
+
+    def setup(self):
+        c = self.cfg
+        self.encoder = HFViTEncoder(c)
+        self.word_embed = nn.Embed(c.vocab_size, c.decoder_dim,
+                                   name="word_embeddings")
+        self.pos_embed = self.param("position_embeddings",
+                                    nn.initializers.normal(0.02),
+                                    (1, c.max_length, c.decoder_dim))
+        self.type_embed = self.param("token_type_embeddings",
+                                     nn.initializers.normal(0.02),
+                                     (1, 1, c.decoder_dim))
+        self.embed_ln = nn.LayerNorm(name="embed_ln")
+        self.layers = [BertLayer(c.decoder_dim, c.decoder_heads,
+                                 name=f"layer{i}")
+                       for i in range(c.decoder_depth)]
+        # BertLMPredictionHead: transform dense + LN, decoder linear
+        self.head_transform = nn.Dense(c.decoder_dim, name="head_transform")
+        self.head_ln = nn.LayerNorm(name="head_ln")
+        self.lm_decoder = nn.Dense(c.vocab_size, name="lm_decoder")
+
+    def encode(self, images):
+        return self.encoder(images)
+
+    def decode_step(self, tokens, enc):
+        x = self.word_embed(tokens)
+        x = x + self.pos_embed[:, : tokens.shape[1]] + self.type_embed
+        x = self.embed_ln(x)
+        for layer in self.layers:
+            x = layer(x, enc)
+        x = self.head_ln(nn.gelu(self.head_transform(x)))
+        return self.lm_decoder(x)
+
+    def __call__(self, images, tokens):
+        return self.decode_step(tokens, self.encode(images))
+
+
+# ---- weight conversion ----------------------------------------------------------
+
+
+def convert_manga_ocr(sd: Mapping[str, np.ndarray]) -> Dict[str, Any]:
+    """HF VisionEncoderDecoder state dict → HFMangaOcrModel variables."""
+    p: Dict[str, Any] = {}
+
+    def lin(torch_key, path):
+        set_path(p, path + ("kernel",),
+                 linear_kernel(np.asarray(sd[f"{torch_key}.weight"])))
+        if f"{torch_key}.bias" in sd:
+            set_path(p, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+
+    def ln(torch_key, path):
+        set_path(p, path + ("scale",), np.asarray(sd[f"{torch_key}.weight"]))
+        set_path(p, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+
+    # --- encoder (ViTModel under "encoder.") ---
+    enc = "encoder"
+    set_path(p, ("encoder", "patch_proj", "kernel"), np.transpose(
+        np.asarray(sd[f"{enc}.embeddings.patch_embeddings.projection.weight"]),
+        (2, 3, 1, 0)))
+    set_path(p, ("encoder", "patch_proj", "bias"), np.asarray(
+        sd[f"{enc}.embeddings.patch_embeddings.projection.bias"]))
+    set_path(p, ("encoder", "cls_token"),
+             np.asarray(sd[f"{enc}.embeddings.cls_token"]))
+    set_path(p, ("encoder", "pos_embed"),
+             np.asarray(sd[f"{enc}.embeddings.position_embeddings"]))
+    i = 0
+    while f"{enc}.encoder.layer.{i}.attention.attention.query.weight" in sd:
+        base = f"{enc}.encoder.layer.{i}"
+        our = ("encoder", f"layer{i}")
+        for name in ("query", "key", "value"):
+            lin(f"{base}.attention.attention.{name}",
+                our + ("attention", name))
+        lin(f"{base}.attention.output.dense", our + ("attention_output",))
+        ln(f"{base}.layernorm_before", our + ("layernorm_before",))
+        ln(f"{base}.layernorm_after", our + ("layernorm_after",))
+        lin(f"{base}.intermediate.dense", our + ("intermediate",))
+        lin(f"{base}.output.dense", our + ("output",))
+        i += 1
+    ln(f"{enc}.layernorm", ("encoder", "layernorm"))
+
+    # --- decoder (BERT under "decoder.bert." + "decoder.cls.") ---
+    dec = "decoder.bert"
+    set_path(p, ("word_embeddings", "embedding"),
+             np.asarray(sd[f"{dec}.embeddings.word_embeddings.weight"]))
+    set_path(p, ("position_embeddings",),
+             np.asarray(sd[f"{dec}.embeddings.position_embeddings.weight"])[None])
+    set_path(p, ("token_type_embeddings",), np.asarray(
+        sd[f"{dec}.embeddings.token_type_embeddings.weight"])[None, :1])
+    ln(f"{dec}.embeddings.LayerNorm", ("embed_ln",))
+    i = 0
+    while f"{dec}.encoder.layer.{i}.attention.self.query.weight" in sd:
+        base = f"{dec}.encoder.layer.{i}"
+        our = (f"layer{i}",)
+        for name in ("query", "key", "value"):
+            lin(f"{base}.attention.self.{name}", our + ("self", name))
+        lin(f"{base}.attention.output.dense", our + ("self_output",))
+        ln(f"{base}.attention.output.LayerNorm", our + ("self_ln",))
+        for name in ("query", "key", "value"):
+            lin(f"{base}.crossattention.self.{name}", our + ("cross", name))
+        lin(f"{base}.crossattention.output.dense", our + ("cross_output",))
+        ln(f"{base}.crossattention.output.LayerNorm", our + ("cross_ln",))
+        lin(f"{base}.intermediate.dense", our + ("intermediate",))
+        lin(f"{base}.output.dense", our + ("output",))
+        ln(f"{base}.output.LayerNorm", our + ("output_ln",))
+        i += 1
+    lin("decoder.cls.predictions.transform.dense", ("head_transform",))
+    ln("decoder.cls.predictions.transform.LayerNorm", ("head_ln",))
+    lin("decoder.cls.predictions.decoder", ("lm_decoder",))
+    return {"params": p}
+
+
+def export_manga_ocr_style(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
+    """Inverse mapping for round-trip tests."""
+    sd: Dict[str, np.ndarray] = {}
+    p = variables["params"]
+
+    def put_lin(torch_key, node):
+        sd[f"{torch_key}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    def put_ln(torch_key, node):
+        sd[f"{torch_key}.weight"] = np.asarray(node["scale"])
+        sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    enc = p["encoder"]
+    sd["encoder.embeddings.patch_embeddings.projection.weight"] = \
+        np.asarray(enc["patch_proj"]["kernel"]).transpose(3, 2, 0, 1)
+    sd["encoder.embeddings.patch_embeddings.projection.bias"] = \
+        np.asarray(enc["patch_proj"]["bias"])
+    sd["encoder.embeddings.cls_token"] = np.asarray(enc["cls_token"])
+    sd["encoder.embeddings.position_embeddings"] = np.asarray(enc["pos_embed"])
+    i = 0
+    while f"layer{i}" in enc:
+        lay = enc[f"layer{i}"]
+        base = f"encoder.encoder.layer.{i}"
+        for name in ("query", "key", "value"):
+            put_lin(f"{base}.attention.attention.{name}",
+                    lay["attention"][name])
+        put_lin(f"{base}.attention.output.dense", lay["attention_output"])
+        put_ln(f"{base}.layernorm_before", lay["layernorm_before"])
+        put_ln(f"{base}.layernorm_after", lay["layernorm_after"])
+        put_lin(f"{base}.intermediate.dense", lay["intermediate"])
+        put_lin(f"{base}.output.dense", lay["output"])
+        i += 1
+    put_ln("encoder.layernorm", enc["layernorm"])
+
+    sd["decoder.bert.embeddings.word_embeddings.weight"] = \
+        np.asarray(p["word_embeddings"]["embedding"])
+    sd["decoder.bert.embeddings.position_embeddings.weight"] = \
+        np.asarray(p["position_embeddings"])[0]
+    sd["decoder.bert.embeddings.token_type_embeddings.weight"] = \
+        np.asarray(p["token_type_embeddings"])[0]
+    put_ln("decoder.bert.embeddings.LayerNorm", p["embed_ln"])
+    i = 0
+    while f"layer{i}" in p:
+        lay = p[f"layer{i}"]
+        base = f"decoder.bert.encoder.layer.{i}"
+        for name in ("query", "key", "value"):
+            put_lin(f"{base}.attention.self.{name}", lay["self"][name])
+        put_lin(f"{base}.attention.output.dense", lay["self_output"])
+        put_ln(f"{base}.attention.output.LayerNorm", lay["self_ln"])
+        for name in ("query", "key", "value"):
+            put_lin(f"{base}.crossattention.self.{name}", lay["cross"][name])
+        put_lin(f"{base}.crossattention.output.dense", lay["cross_output"])
+        put_ln(f"{base}.crossattention.output.LayerNorm", lay["cross_ln"])
+        put_lin(f"{base}.intermediate.dense", lay["intermediate"])
+        put_lin(f"{base}.output.dense", lay["output"])
+        put_ln(f"{base}.output.LayerNorm", lay["output_ln"])
+        i += 1
+    put_lin("decoder.cls.predictions.transform.dense", p["head_transform"])
+    put_ln("decoder.cls.predictions.transform.LayerNorm", p["head_ln"])
+    put_lin("decoder.cls.predictions.decoder", p["lm_decoder"])
+    return sd

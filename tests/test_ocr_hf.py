@@ -1,0 +1,57 @@
+"""HF-exact manga-ocr model + conversion round-trip."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mangatranslator_tpu.models.ocr_hf import (
+    HF_OCR_PRESETS,
+    HFMangaOcrModel,
+    convert_manga_ocr,
+    export_manga_ocr_style,
+)
+
+CFG = HF_OCR_PRESETS["test"]
+
+
+@pytest.fixture(scope="module")
+def hf_params():
+    model = HFMangaOcrModel(CFG)
+    return jax.tree.map(np.asarray, model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, CFG.image_size, CFG.image_size, 3)),
+        jnp.zeros((1, CFG.max_length), jnp.int32)))
+
+
+def test_forward_shape(hf_params):
+    model = HFMangaOcrModel(CFG)
+    out = model.apply(hf_params,
+                      jnp.zeros((2, CFG.image_size, CFG.image_size, 3)),
+                      jnp.zeros((2, CFG.max_length), jnp.int32))
+    assert out.shape == (2, CFG.max_length, CFG.vocab_size)
+
+
+def test_roundtrip_identical_forward(hf_params):
+    sd = export_manga_ocr_style(hf_params)
+    # HF naming spot checks
+    assert "encoder.embeddings.cls_token" in sd
+    assert "encoder.encoder.layer.0.attention.attention.query.weight" in sd
+    assert "decoder.bert.encoder.layer.0.crossattention.self.key.weight" in sd
+    assert "decoder.cls.predictions.decoder.weight" in sd
+
+    back = convert_manga_ocr(sd)
+    model = HFMangaOcrModel(CFG)
+    imgs = jnp.asarray(np.random.RandomState(0).rand(
+        1, CFG.image_size, CFG.image_size, 3), jnp.float32)
+    toks = jnp.asarray(np.random.RandomState(1).randint(
+        0, CFG.vocab_size, (1, CFG.max_length)), jnp.int32)
+    out_a = np.asarray(model.apply(hf_params, imgs, toks))
+    out_b = np.asarray(model.apply(jax.tree.map(jnp.asarray, back), imgs, toks))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-5)
+
+
+def test_param_coverage(hf_params):
+    back = convert_manga_ocr(export_manga_ocr_style(hf_params))
+    count = lambda t: sum(x.size for x in jax.tree.leaves(t))
+    assert count(back) == count(hf_params)
