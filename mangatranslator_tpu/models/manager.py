@@ -136,6 +136,19 @@ class ModelManager:
                 from .convert_yolo import convert_ultralytics_yolo
 
                 variables = convert_ultralytics_yolo(sd)
+            elif mtype == ModelType.MANGA_OCR:
+                from .ocr_hf import convert_manga_ocr
+
+                variables = convert_manga_ocr(sd)
+            elif mtype in (ModelType.UPSCALE_MODEL, ModelType.UPSCALE_MODEL_LITE):
+                from .convert_rcan import convert_rcan
+
+                variables, _ = convert_rcan(sd)
+            elif mtype in (ModelType.FLUX_KONTEXT, ModelType.FLUX_KLEIN_4B,
+                           ModelType.FLUX_KLEIN_9B):
+                from .flux.convert_flux import convert_flux_dit
+
+                variables = convert_flux_dit(sd)
             else:
                 log_message(f"No converter wired yet for {mtype.value}",
                             always_print=True)
@@ -325,3 +338,6 @@ def reset_model_manager() -> None:
     global _manager
     with _manager_lock:
         _manager = None
+    from .ocr import reset_manga_ocr_runner
+
+    reset_manga_ocr_runner()

@@ -144,14 +144,14 @@ def greedy_generate(model: MangaOcrModel, params, images: jnp.ndarray,
                     cfg: OcrConfig) -> jnp.ndarray:
     """Greedy decode as one compiled fori_loop. Returns [B, max_length] ids."""
     b = images.shape[0]
-    enc = model.apply(params, images, method=MangaOcrModel.encode)
+    enc = model.apply(params, images, method=type(model).encode)
     tokens0 = jnp.full((b, cfg.max_length), cfg.pad_id, jnp.int32)
     tokens0 = tokens0.at[:, 0].set(cfg.bos_id)
 
     def body(i, state):
         tokens, done = state
         logits = model.apply(params, tokens, enc,
-                             method=MangaOcrModel.decode_step)
+                             method=type(model).decode_step)
         nxt = jnp.argmax(logits[:, i], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_id, nxt)
         tokens = tokens.at[:, i + 1].set(nxt)
@@ -177,10 +177,11 @@ class MangaOcrRunner:
     """Per-crop OCR callable (reference extract_text_with_manga_ocr
     ocr_detection.py:773)."""
 
-    def __init__(self, cfg: OcrConfig, params,
-                 detokenize: Optional[Callable[[np.ndarray], str]] = None):
+    def __init__(self, cfg, params,
+                 detokenize: Optional[Callable[[np.ndarray], str]] = None,
+                 model=None):
         self.cfg = cfg
-        self.model = MangaOcrModel(cfg)
+        self.model = model if model is not None else MangaOcrModel(cfg)
         self._params = params
         self._detok = detokenize
 
@@ -206,16 +207,41 @@ _runner: Optional[MangaOcrRunner] = None
 _lock = threading.Lock()
 
 
-def get_manga_ocr_runner(preset: str = "manga_ocr") -> MangaOcrRunner:
-    """Lazy singleton (reference get_manga_ocr model_manager.py:856)."""
+def reset_manga_ocr_runner() -> None:
+    """Drop the singleton (tests / checkpoint swap)."""
     global _runner
     with _lock:
-        if _runner is None:
-            cfg = OCR_PRESETS[preset]
-            model = MangaOcrModel(cfg)
-            params = model.init(
-                jax.random.PRNGKey(0),
-                jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
-                jnp.zeros((1, cfg.max_length), jnp.int32))
-            _runner = MangaOcrRunner(cfg, params)
+        _runner = None
+
+
+def get_manga_ocr_runner(preset: str = "manga_ocr") -> "MangaOcrRunner":
+    """Lazy singleton (reference get_manga_ocr model_manager.py:856).
+
+    Prefers the HF-exact model when a converted checkpoint exists
+    (models/ocr_hf.py); falls back to the lean generic model random-init.
+    """
+    import os
+
+    global _runner
+    with _lock:
+        if _runner is not None:
+            return _runner
+        from .manager import ModelType, get_model_manager
+
+        mgr = get_model_manager()
+        converted = mgr._load_converted(ModelType.MANGA_OCR)
+        if converted is not None:
+            from .ocr_hf import HFMangaOcrModel, infer_hf_ocr_config
+
+            hf_cfg = infer_hf_ocr_config(converted)
+            _runner = MangaOcrRunner(hf_cfg, converted,
+                                     model=HFMangaOcrModel(hf_cfg))
+            return _runner
+        cfg = OCR_PRESETS[os.environ.get("MTX_OCR_PRESET", preset)]
+        model = MangaOcrModel(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+            jnp.zeros((1, cfg.max_length), jnp.int32))
+        _runner = MangaOcrRunner(cfg, params)
         return _runner

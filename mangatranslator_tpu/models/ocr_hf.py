@@ -177,6 +177,32 @@ class HFMangaOcrModel(nn.Module):
         return self.decode_step(tokens, self.encode(images))
 
 
+def infer_hf_ocr_config(variables: Dict[str, Any]) -> HFOcrConfig:
+    """Derive the structural config from a converted parameter tree.
+
+    Head counts are not recoverable from shapes; HF ViT/BERT use 64-dim heads,
+    so heads = dim // 64 when that divides evenly (true for the published
+    kha-white/manga-ocr checkpoint: 768 → 12), else the test default of 2.
+    """
+    p = variables["params"]
+    patch = np.asarray(p["encoder"]["patch_proj"]["kernel"])
+    patch_size, _, _, enc_dim = patch.shape
+    n_pos = np.asarray(p["encoder"]["pos_embed"]).shape[1] - 1
+    image_size = int(round(n_pos ** 0.5)) * patch_size
+    enc_depth = sum(1 for k in p["encoder"] if k.startswith("layer") and
+                    k != "layernorm")
+    dec_depth = sum(1 for k in p if k.startswith("layer"))
+    dec_dim = np.asarray(p["word_embeddings"]["embedding"]).shape[1]
+    vocab = np.asarray(p["word_embeddings"]["embedding"]).shape[0]
+    max_len = np.asarray(p["position_embeddings"]).shape[1]
+    heads = lambda d: d // 64 if d % 64 == 0 and d >= 64 else 2
+    return HFOcrConfig(image_size=image_size, patch_size=patch_size,
+                       encoder_dim=enc_dim, encoder_depth=enc_depth,
+                       encoder_heads=heads(enc_dim), decoder_dim=dec_dim,
+                       decoder_depth=dec_depth, decoder_heads=heads(dec_dim),
+                       vocab_size=vocab, max_length=max_len)
+
+
 # ---- weight conversion ----------------------------------------------------------
 
 

@@ -55,3 +55,36 @@ def test_param_coverage(hf_params):
     back = convert_manga_ocr(export_manga_ocr_style(hf_params))
     count = lambda t: sum(x.size for x in jax.tree.leaves(t))
     assert count(back) == count(hf_params)
+
+def test_runner_uses_converted_checkpoint(hf_params, tmp_path, monkeypatch):
+    """End-to-end local OCR surface: a converted checkpoint on disk makes
+    get_manga_ocr_runner build the HF-exact model with inferred config."""
+    from PIL import Image
+
+    from mangatranslator_tpu.models import ocr
+    from mangatranslator_tpu.models.convert import save_flax_safetensors
+    from mangatranslator_tpu.models.manager import (
+        ModelType, get_model_manager, reset_model_manager)
+    from mangatranslator_tpu.models.ocr_hf import infer_hf_ocr_config
+    from mangatranslator_tpu.services.local_ocr import run_local_ocr
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        out = mgr.checkpoint_path(ModelType.MANGA_OCR)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors(hf_params, str(out))
+
+        inferred = infer_hf_ocr_config(mgr._load_converted(ModelType.MANGA_OCR))
+        assert inferred.image_size == CFG.image_size
+        assert inferred.encoder_depth == CFG.encoder_depth
+        assert inferred.vocab_size == CFG.vocab_size
+
+        img = Image.new("RGB", (80, 40), (255, 255, 255))
+        texts = run_local_ocr(img, [{"bbox": [0, 0, 80, 40]}], "manga-ocr")
+        assert len(texts) == 1 and isinstance(texts[0], str)
+        assert isinstance(ocr._runner.model, __import__(
+            "mangatranslator_tpu.models.ocr_hf", fromlist=["x"]).HFMangaOcrModel)
+    finally:
+        reset_model_manager()
