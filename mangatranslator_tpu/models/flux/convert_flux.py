@@ -129,3 +129,167 @@ def export_flux_style(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
             put("final_layer.linear", node["proj"])
             put("final_layer.adaLN_modulation.1", node["mod"])
     return sd
+
+
+# ---- VAE (diffusers AutoencoderKL naming; reference model_manager.py:1084) ------
+
+
+def infer_vae_config(sd: Mapping[str, np.ndarray]):
+    """Structural VAEConfig from a diffusers AutoencoderKL state dict."""
+    from .vae import VAEConfig
+
+    base = sd["encoder.conv_in.weight"].shape[0]
+    latent = sd["encoder.conv_out.weight"].shape[0] // 2
+    mults = []
+    level = 0
+    while f"encoder.down_blocks.{level}.resnets.0.conv1.weight" in sd:
+        mults.append(
+            sd[f"encoder.down_blocks.{level}.resnets.0.conv1.weight"].shape[0]
+            // base)
+        level += 1
+    blocks = 0
+    while f"encoder.down_blocks.0.resnets.{blocks}.conv1.weight" in sd:
+        blocks += 1
+    return VAEConfig(latent_channels=latent, base_channels=base,
+                     channel_mults=tuple(mults), blocks_per_level=blocks)
+
+
+def _vae_resnet(sd, base: str, p: Dict[str, Any], path: Tuple[str, ...]):
+    from ..convert import conv_kernel
+
+    for norm in ("norm1", "norm2"):
+        set_path(p, path + (norm, "scale"), np.asarray(sd[f"{base}.{norm}.weight"]))
+        set_path(p, path + (norm, "bias"), np.asarray(sd[f"{base}.{norm}.bias"]))
+    for conv in ("conv1", "conv2"):
+        set_path(p, path + (conv, "kernel"),
+                 conv_kernel(np.asarray(sd[f"{base}.{conv}.weight"])))
+        set_path(p, path + (conv, "bias"), np.asarray(sd[f"{base}.{conv}.bias"]))
+    if f"{base}.conv_shortcut.weight" in sd:
+        set_path(p, path + ("skip", "kernel"),
+                 conv_kernel(np.asarray(sd[f"{base}.conv_shortcut.weight"])))
+        set_path(p, path + ("skip", "bias"),
+                 np.asarray(sd[f"{base}.conv_shortcut.bias"]))
+
+
+def _vae_attn(sd, base: str, p: Dict[str, Any], path: Tuple[str, ...]):
+    set_path(p, path + ("norm", "scale"),
+             np.asarray(sd[f"{base}.group_norm.weight"]))
+    set_path(p, path + ("norm", "bias"), np.asarray(sd[f"{base}.group_norm.bias"]))
+    for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"),
+                         ("proj", "to_out.0")):
+        set_path(p, path + (ours, "kernel"),
+                 linear_kernel(np.asarray(sd[f"{base}.{theirs}.weight"])))
+        set_path(p, path + (ours, "bias"), np.asarray(sd[f"{base}.{theirs}.bias"]))
+
+
+def convert_flux_vae(sd: Mapping[str, np.ndarray]):
+    """diffusers AutoencoderKL state dict → (FluxVAE variables, VAEConfig).
+
+    FLUX's AutoencoderKL has no quant/post_quant convs; encoder down path,
+    mid resnet-attn-resnet, decoder up path with layers_per_block+1 resnets.
+    """
+    from ..convert import conv_kernel
+
+    cfg = infer_vae_config(sd)
+    p: Dict[str, Any] = {"encoder": {}, "decoder": {}}
+
+    def conv(torch_key, side, name):
+        set_path(p, (side, name, "kernel"),
+                 conv_kernel(np.asarray(sd[f"{torch_key}.weight"])))
+        set_path(p, (side, name, "bias"), np.asarray(sd[f"{torch_key}.bias"]))
+
+    def norm(torch_key, side, name):
+        set_path(p, (side, name, "scale"), np.asarray(sd[f"{torch_key}.weight"]))
+        set_path(p, (side, name, "bias"), np.asarray(sd[f"{torch_key}.bias"]))
+
+    # encoder
+    conv("encoder.conv_in", "encoder", "conv_in")
+    for level in range(len(cfg.channel_mults)):
+        for b in range(cfg.blocks_per_level):
+            _vae_resnet(sd, f"encoder.down_blocks.{level}.resnets.{b}",
+                        p, ("encoder", f"down{level}_block{b}"))
+        if level < len(cfg.channel_mults) - 1:
+            conv(f"encoder.down_blocks.{level}.downsamplers.0.conv",
+                 "encoder", f"down{level}_ds")
+    _vae_resnet(sd, "encoder.mid_block.resnets.0", p, ("encoder", "mid_block1"))
+    _vae_attn(sd, "encoder.mid_block.attentions.0", p, ("encoder", "mid_attn"))
+    _vae_resnet(sd, "encoder.mid_block.resnets.1", p, ("encoder", "mid_block2"))
+    norm("encoder.conv_norm_out", "encoder", "norm_out")
+    conv("encoder.conv_out", "encoder", "conv_out")
+
+    # decoder
+    conv("decoder.conv_in", "decoder", "conv_in")
+    _vae_resnet(sd, "decoder.mid_block.resnets.0", p, ("decoder", "mid_block1"))
+    _vae_attn(sd, "decoder.mid_block.attentions.0", p, ("decoder", "mid_attn"))
+    _vae_resnet(sd, "decoder.mid_block.resnets.1", p, ("decoder", "mid_block2"))
+    for level in range(len(cfg.channel_mults)):
+        for b in range(cfg.blocks_per_level + 1):
+            _vae_resnet(sd, f"decoder.up_blocks.{level}.resnets.{b}",
+                        p, ("decoder", f"up{level}_block{b}"))
+        if level < len(cfg.channel_mults) - 1:
+            conv(f"decoder.up_blocks.{level}.upsamplers.0.conv",
+                 "decoder", f"up{level}_us")
+    norm("decoder.conv_norm_out", "decoder", "norm_out")
+    conv("decoder.conv_out", "decoder", "conv_out")
+    return {"params": p}, cfg
+
+
+def export_flux_vae_style(variables: Dict[str, Any],
+                          cfg) -> Dict[str, np.ndarray]:
+    """Inverse of convert_flux_vae for round-trip tests."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_conv(torch_key, node):
+        sd[f"{torch_key}.weight"] = np.asarray(node["kernel"]).transpose(3, 2, 0, 1)
+        sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    def put_norm(torch_key, node):
+        sd[f"{torch_key}.weight"] = np.asarray(node["scale"])
+        sd[f"{torch_key}.bias"] = np.asarray(node["bias"])
+
+    def put_resnet(torch_base, node):
+        put_norm(f"{torch_base}.norm1", node["norm1"])
+        put_norm(f"{torch_base}.norm2", node["norm2"])
+        put_conv(f"{torch_base}.conv1", node["conv1"])
+        put_conv(f"{torch_base}.conv2", node["conv2"])
+        if "skip" in node:
+            put_conv(f"{torch_base}.conv_shortcut", node["skip"])
+
+    def put_attn(torch_base, node):
+        put_norm(f"{torch_base}.group_norm", node["norm"])
+        for ours, theirs in (("q", "to_q"), ("k", "to_k"), ("v", "to_v"),
+                             ("proj", "to_out.0")):
+            sd[f"{torch_base}.{theirs}.weight"] = np.asarray(
+                node[ours]["kernel"]).T
+            sd[f"{torch_base}.{theirs}.bias"] = np.asarray(node[ours]["bias"])
+
+    enc, dec = p["encoder"], p["decoder"]
+    put_conv("encoder.conv_in", enc["conv_in"])
+    for level in range(len(cfg.channel_mults)):
+        for b in range(cfg.blocks_per_level):
+            put_resnet(f"encoder.down_blocks.{level}.resnets.{b}",
+                       enc[f"down{level}_block{b}"])
+        if level < len(cfg.channel_mults) - 1:
+            put_conv(f"encoder.down_blocks.{level}.downsamplers.0.conv",
+                     enc[f"down{level}_ds"])
+    put_resnet("encoder.mid_block.resnets.0", enc["mid_block1"])
+    put_attn("encoder.mid_block.attentions.0", enc["mid_attn"])
+    put_resnet("encoder.mid_block.resnets.1", enc["mid_block2"])
+    put_norm("encoder.conv_norm_out", enc["norm_out"])
+    put_conv("encoder.conv_out", enc["conv_out"])
+
+    put_conv("decoder.conv_in", dec["conv_in"])
+    put_resnet("decoder.mid_block.resnets.0", dec["mid_block1"])
+    put_attn("decoder.mid_block.attentions.0", dec["mid_attn"])
+    put_resnet("decoder.mid_block.resnets.1", dec["mid_block2"])
+    for level in range(len(cfg.channel_mults)):
+        for b in range(cfg.blocks_per_level + 1):
+            put_resnet(f"decoder.up_blocks.{level}.resnets.{b}",
+                       dec[f"up{level}_block{b}"])
+        if level < len(cfg.channel_mults) - 1:
+            put_conv(f"decoder.up_blocks.{level}.upsamplers.0.conv",
+                     dec[f"up{level}_us"])
+    put_norm("decoder.conv_norm_out", dec["norm_out"])
+    put_conv("decoder.conv_out", dec["conv_out"])
+    return sd

@@ -56,3 +56,43 @@ def test_param_coverage():
         return sum(x.size for x in jax.tree.leaves(t))
 
     assert count(back) == count(variables)
+
+
+def test_vae_roundtrip_identical_forward():
+    from mangatranslator_tpu.models.flux.convert_flux import (
+        convert_flux_vae, export_flux_vae_style, infer_vae_config)
+    from mangatranslator_tpu.models.flux.vae import (
+        VAE_PRESETS, FluxVAE, init_vae)
+
+    cfg = VAE_PRESETS["test"]
+    variables = jax.tree.map(np.asarray, init_vae(cfg, size=16, seed=3))
+    sd = export_flux_vae_style(variables, cfg)
+    assert "encoder.down_blocks.0.resnets.0.norm1.weight" in sd
+    assert "encoder.mid_block.attentions.0.to_q.weight" in sd
+    assert "decoder.up_blocks.0.upsamplers.0.conv.weight" in sd
+    assert "decoder.conv_norm_out.weight" in sd
+
+    inferred = infer_vae_config(sd)
+    assert inferred.channel_mults == cfg.channel_mults
+    assert inferred.blocks_per_level == cfg.blocks_per_level
+    assert inferred.latent_channels == cfg.latent_channels
+
+    back, back_cfg = convert_flux_vae(sd)
+    model = FluxVAE(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 16, 16, 3) * 2 - 1,
+                    jnp.float32)
+    out_a = np.asarray(model.apply(variables, x))
+    out_b = np.asarray(model.apply(jax.tree.map(jnp.asarray, back), x))
+    np.testing.assert_allclose(out_a, out_b, atol=1e-6)
+
+
+def test_vae_param_coverage():
+    from mangatranslator_tpu.models.flux.convert_flux import (
+        convert_flux_vae, export_flux_vae_style)
+    from mangatranslator_tpu.models.flux.vae import VAE_PRESETS, init_vae
+
+    cfg = VAE_PRESETS["test"]
+    variables = jax.tree.map(np.asarray, init_vae(cfg, size=16))
+    back, _ = convert_flux_vae(export_flux_vae_style(variables, cfg))
+    count = lambda t: sum(x.size for x in jax.tree.leaves(t))
+    assert count(back) == count(variables)
