@@ -215,6 +215,84 @@ class C2PSA(nn.Module):
         return ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate([a, b], axis=-1))
 
 
+class AAttn(nn.Module):
+    """Area attention (YOLOv12): self-attention within `area` contiguous
+    row-major bands of the flattened feature map, plus a depthwise-7×7
+    positional encoding on V. area=1 degenerates to full global attention."""
+
+    dim: int
+    num_heads: int
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        hd = self.dim // self.num_heads
+        qkv = ConvBnAct(self.dim * 3, 1, act=False, name="qkv")(x)
+        n = h * w
+        # channel layout is per-head [q|k|v] (matches the published checkpoints)
+        qkv = qkv.reshape(b * self.area, n // self.area, self.num_heads, 3 * hd)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        attn = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                          preferred_element_type=jnp.float32) / math.sqrt(hd)
+        attn = jax.nn.softmax(attn, axis=-1).astype(v.dtype)
+        out = jnp.einsum("bhnm,bmhd->bnhd", attn, v).reshape(b, h, w, c)
+        v_sp = v.reshape(b, h, w, c)
+        pe = ConvBnAct(self.dim, 7, groups=self.dim, act=False, name="pe")(v_sp)
+        return ConvBnAct(self.dim, 1, act=False, name="proj")(out + pe)
+
+
+class ABlock(nn.Module):
+    """Area-attention + conv-MLP residual block (YOLOv12)."""
+
+    dim: int
+    num_heads: int
+    mlp_ratio: float = 1.2
+    area: int = 1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + AAttn(self.dim, self.num_heads, self.area, name="attn")(x)
+        y = ConvBnAct(int(self.dim * self.mlp_ratio), 1, name="mlp0")(x)
+        return x + ConvBnAct(self.dim, 1, act=False, name="mlp1")(y)
+
+
+class A2C2f(nn.Module):
+    """YOLOv12 R-ELAN stage: cv1 → n sequential units (each a PAIR of ABlocks
+    when a2, else one C3k) with dense concat → cv2; optional learned-gamma
+    residual (l/x scales)."""
+
+    out_ch: int
+    n: int = 1
+    a2: bool = True
+    area: int = 1
+    residual: bool = False
+    mlp_ratio: float = 2.0
+    expansion: float = 0.5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = int(self.out_ch * self.expansion)
+        y = [ConvBnAct(c, 1, name="cv1")(x)]
+        heads = max(1, c // 32)
+        for k in range(self.n):
+            t = y[-1]
+            if self.a2:
+                t = ABlock(c, heads, self.mlp_ratio, self.area,
+                           name=f"m{k}_0")(t)
+                t = ABlock(c, heads, self.mlp_ratio, self.area,
+                           name=f"m{k}_1")(t)
+            else:
+                t = C3k(c, 2, True, name=f"m{k}")(t)
+            y.append(t)
+        out = ConvBnAct(self.out_ch, 1, name="cv2")(jnp.concatenate(y, axis=-1))
+        if self.a2 and self.residual:
+            gamma = self.param("gamma", nn.initializers.constant(0.01),
+                               (self.out_ch,))
+            return x + gamma * out
+        return out
+
+
 def upsample2x(x: jnp.ndarray) -> jnp.ndarray:
     """Nearest-neighbor 2× upsample (YOLO head upsampling)."""
     b, h, w, c = x.shape

@@ -47,13 +47,24 @@ def _convert_conv_block(sd: Mapping[str, np.ndarray], torch_prefix: str,
 
 
 def convert_ultralytics_yolo(sd: Mapping[str, np.ndarray],
-                             head_index: int = 22) -> Dict[str, Any]:
-    """Convert an ultralytics state dict (already numpy) to Flax variables."""
+                             head_index: int = None) -> Dict[str, Any]:
+    """Convert an ultralytics state dict (already numpy) to Flax variables.
+
+    head_index defaults to the highest layer index present (22 for v8,
+    23 for v11, 21 for v12)."""
     params: Dict[str, Any] = {}
     stats: Dict[str, Any] = {}
+    if head_index is None:
+        head_index = max(int(m.group(1)) for m in
+                         (re.match(r"model\.(\d+)\.", k) for k in sd) if m)
     head = f"model.{head_index}"
 
     for key in sd:
+        gm = re.match(r"model\.(\d+)\.gamma$", key)
+        if gm:  # A2C2f residual scale (v12 l/x)
+            set_path(params, (f"model_{gm.group(1)}", "gamma"),
+                     np.asarray(sd[key]))
+            continue
         if not key.endswith(".weight") or ".bn." in key:
             continue
         m = re.match(r"model\.(\d+)\.(.*)\.weight$", key)
@@ -63,6 +74,13 @@ def convert_ultralytics_yolo(sd: Mapping[str, np.ndarray],
         layer = f"model_{idx}"
 
         if idx == head_index:
+            # non-legacy (v11/v12) depthwise cls branch: cv3.I.{0,1}.{0,1}.conv
+            nm = re.match(r"cv3\.(\d+)\.([01])\.([01])\.conv$", rest)
+            if nm:
+                i, j, k = nm.groups()
+                _convert_conv_block(sd, f"{head}.cv3.{i}.{j}.{k}", params,
+                                    stats, (layer, f"cls{i}_{j}_{k}"))
+                continue
             hm = re.match(r"(cv[234])\.(\d+)\.(\d+)(?:\.conv)?$", rest)
             if hm:
                 branch = _HEAD_BRANCHES[hm.group(1)]
@@ -112,6 +130,16 @@ def convert_ultralytics_yolo(sd: Mapping[str, np.ndarray],
                 _convert_conv_block(
                     sd, f"model.{idx}.m.{k}.m.{j}.{sub}", params, stats,
                     (layer, f"m{k}", f"m{j}", sub))
+        # A2C2f ABlock pairs (v12): m.K.J.attn.{qkv,pe,proj} / m.K.J.mlp.{0,1}
+        elif re.match(r"m\.\d+\.[01]\.attn\.(qkv|pe|proj)\.conv$", rest):
+            _, k, j, _, sub, _ = rest.split(".")
+            _convert_conv_block(sd, f"model.{idx}.m.{k}.{j}.attn.{sub}",
+                                params, stats,
+                                (layer, f"m{k}_{j}", "attn", sub))
+        elif re.match(r"m\.\d+\.[01]\.mlp\.[01]\.conv$", rest):
+            _, k, j, _, n_, _ = rest.split(".")
+            _convert_conv_block(sd, f"model.{idx}.m.{k}.{j}.mlp.{n_}",
+                                params, stats, (layer, f"m{k}_{j}", f"mlp{n_}"))
     return to_flax_variables(params, stats)
 
 
@@ -154,17 +182,27 @@ def export_to_ultralytics_style(variables: Dict[str, Any]) -> Dict[str, np.ndarr
         prefix = f"model.{m.group(1)}" + (".proto" if m.group(2) else "")
         comps, leaf = list(path[1:-1]), path[-1]
 
+        if not comps and leaf == "gamma":  # A2C2f residual scale
+            sd[f"{prefix}.gamma"] = arr
+            return
         module = "plain"
         if comps and comps[-1] in ("conv", "bn", "up"):
             module = comps.pop()
         for c in comps:
-            mk = re.match(r"m(\d+)$", c)
-            hk = re.match(r"(box|cls|mc)(\d+)_(\d+)$", c)
+            mk = re.match(r"m(\d+)(?:_(\d+))?$", c)
+            hk = re.match(r"(box|cls|mc)(\d+)_(\d+)(?:_(\d+))?$", c)
+            lk = re.match(r"mlp([01])$", c)
             if mk:
                 prefix += f".m.{mk.group(1)}"
+                if mk.group(2) is not None:  # ABlock j inside the pair
+                    prefix += f".{mk.group(2)}"
             elif hk:
                 prefix += (f".{_INV_BRANCHES[hk.group(1)]}"
                            f".{hk.group(2)}.{hk.group(3)}")
+                if hk.group(4) is not None:  # non-legacy cls sub-seq
+                    prefix += f".{hk.group(4)}"
+            elif lk:
+                prefix += f".mlp.{lk.group(1)}"
             else:
                 prefix += f".{c}"
         emit(prefix, module, leaf, arr)

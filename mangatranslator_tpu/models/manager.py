@@ -62,7 +62,7 @@ HF_SOURCES: Dict[ModelType, Tuple[str, str]] = {
 _DETECTOR_SPECS: Dict[ModelType, Tuple[str, str, int, bool, int]] = {
     ModelType.YOLO_SPEECH_BUBBLE_1: ("v8", "m", 1, True, 640),
     ModelType.YOLO_SPEECH_BUBBLE_2: ("v8", "m", 1, True, 1600),
-    ModelType.YOLO_OSB_TEXT: ("v11", "x", 1, False, 640),
+    ModelType.YOLO_OSB_TEXT: ("v12", "x", 1, False, 640),
     ModelType.YOLO_PANEL: ("v11", "l", 4, False, 640),
 }
 

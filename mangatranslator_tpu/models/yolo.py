@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .common import (
+    A2C2f,
     C2PSA,
     C2f,
     C3k2,
@@ -50,7 +51,10 @@ class YoloConfig:
     seg: bool = True
     num_masks: int = 32
     num_protos: int = 256
-    arch: str = "v8"  # "v8" | "v11"
+    arch: str = "v8"  # "v8" | "v11" | "v12"
+    c3k_force: bool = False      # ultralytics forces c3k=True on m/l/x scales
+    a2_residual: bool = False    # v12 l/x: gamma-residual A2C2f
+    a2_mlp_ratio: float = 2.0    # v12 l/x: 1.2
 
     def ch(self, c: int) -> int:
         return make_divisible(min(c, self.max_channels) * self.width)
@@ -74,11 +78,25 @@ V11_SCALES = {
     "l": dict(depth=1.00, width=1.00, max_channels=512),
     "x": dict(depth=1.00, width=1.50, max_channels=512),
 }
+V12_SCALES = {
+    "n": dict(depth=0.50, width=0.25, max_channels=1024),
+    "s": dict(depth=0.50, width=0.50, max_channels=1024),
+    "m": dict(depth=0.50, width=1.00, max_channels=512),
+    "l": dict(depth=1.00, width=1.00, max_channels=512),
+    "x": dict(depth=1.00, width=1.50, max_channels=512),
+}
 
 
 def yolo_config(arch: str, scale: str, num_classes: int, seg: bool) -> YoloConfig:
-    table = V8_SCALES if arch == "v8" else V11_SCALES
-    return YoloConfig(num_classes=num_classes, seg=seg, arch=arch, **table[scale])
+    table = {"v8": V8_SCALES, "v11": V11_SCALES, "v12": V12_SCALES}[arch]
+    extra = {}
+    if arch in ("v11", "v12"):
+        extra["c3k_force"] = scale in "mlx"
+    if arch == "v12" and scale in "lx":
+        extra["a2_residual"] = True
+        extra["a2_mlp_ratio"] = 1.2
+    return YoloConfig(num_classes=num_classes, seg=seg, arch=arch,
+                      **table[scale], **extra)
 
 
 class DetectHead(nn.Module):
@@ -92,13 +110,21 @@ class DetectHead(nn.Module):
         cfg = self.cfg
         c2 = max(16, self.in_chs[0] // 4, 4 * REG_MAX)
         c3 = max(self.in_chs[0], min(cfg.num_classes, 100))
+        legacy = cfg.arch == "v8"  # v11/v12 use the depthwise cls branch
         out: Dict[str, List[jnp.ndarray]] = {"box": [], "cls": [], "mcoef": []}
         for i, x in enumerate(feats):
             b = ConvBnAct(c2, 3, name=f"box{i}_0")(x)
             b = ConvBnAct(c2, 3, name=f"box{i}_1")(b)
             b = nn.Conv(4 * REG_MAX, (1, 1), name=f"box{i}_2")(b)
-            c = ConvBnAct(c3, 3, name=f"cls{i}_0")(x)
-            c = ConvBnAct(c3, 3, name=f"cls{i}_1")(c)
+            if legacy:
+                c = ConvBnAct(c3, 3, name=f"cls{i}_0")(x)
+                c = ConvBnAct(c3, 3, name=f"cls{i}_1")(c)
+            else:
+                cx = x.shape[-1]
+                c = ConvBnAct(cx, 3, groups=cx, name=f"cls{i}_0_0")(x)
+                c = ConvBnAct(c3, 1, name=f"cls{i}_0_1")(c)
+                c = ConvBnAct(c3, 3, groups=c3, name=f"cls{i}_1_0")(c)
+                c = ConvBnAct(c3, 1, name=f"cls{i}_1_1")(c)
             c = nn.Conv(cfg.num_classes, (1, 1), name=f"cls{i}_2")(c)
             out["box"].append(b)
             out["cls"].append(c)
@@ -135,12 +161,14 @@ class YoloModel(nn.Module):
     def __call__(self, x: jnp.ndarray) -> Dict[str, object]:
         cfg = self.cfg
         v11 = cfg.arch == "v11"
+        if cfg.arch == "v12":
+            return self._v12(x)
 
         def csp(c_out: int, n: int, shortcut: bool, name: str, e: float = 0.5,
                 c3k: bool = False):
             if v11:
-                return C3k2(c_out, cfg.d(n), c3k=c3k, shortcut=shortcut,
-                            expansion=e, name=name)
+                return C3k2(c_out, cfg.d(n), c3k=c3k or cfg.c3k_force,
+                            shortcut=shortcut, expansion=e, name=name)
             return C2f(c_out, cfg.d(n), shortcut=shortcut, name=name)
 
         # Backbone ------------------------------------------------------------
@@ -185,6 +213,54 @@ class YoloModel(nn.Module):
         if cfg.seg:
             out["mcoef"] = head["mcoef"]
             out["proto"] = Proto(cfg, name=f"model_{22+off}_proto")(n3)
+        return out
+
+    def _v12(self, x: jnp.ndarray) -> Dict[str, object]:
+        """YOLOv12 graph (area-attention backbone/neck, head at index 21).
+
+        Layer indices follow the ultralytics yolo12 yaml so published
+        checkpoints (e.g. the reference's animetext_yolov12x OSB detector,
+        core/ml/model_manager.py:194-197) convert 1:1.
+        """
+        cfg = self.cfg
+
+        def a2(c_out: int, n: int, a2_flag: bool, area: int, name: str):
+            return A2C2f(c_out, cfg.d(n), a2=a2_flag, area=area,
+                         residual=cfg.a2_residual,
+                         mlp_ratio=cfg.a2_mlp_ratio, name=name)
+
+        x = ConvBnAct(cfg.ch(64), 3, 2, name="model_0")(x)           # P1/2
+        x = ConvBnAct(cfg.ch(128), 3, 2, name="model_1")(x)          # P2/4
+        x = C3k2(cfg.ch(256), cfg.d(2), c3k=cfg.c3k_force, expansion=0.25,
+                 name="model_2")(x)
+        x = ConvBnAct(cfg.ch(256), 3, 2, name="model_3")(x)          # P3/8
+        x = C3k2(cfg.ch(512), cfg.d(2), c3k=cfg.c3k_force, expansion=0.25,
+                 name="model_4")(x)
+        p3 = x
+        x = ConvBnAct(cfg.ch(512), 3, 2, name="model_5")(x)          # P4/16
+        x = a2(cfg.ch(512), 4, True, 4, "model_6")(x)
+        p4 = x
+        x = ConvBnAct(cfg.ch(1024), 3, 2, name="model_7")(x)         # P5/32
+        p5 = a2(cfg.ch(1024), 4, True, 1, "model_8")(x)
+
+        u = jnp.concatenate([upsample2x(p5), p4], axis=-1)
+        n4 = a2(cfg.ch(512), 2, False, 1, "model_11")(u)
+        u = jnp.concatenate([upsample2x(n4), p3], axis=-1)
+        n3 = a2(cfg.ch(256), 2, False, 1, "model_14")(u)
+        d = ConvBnAct(cfg.ch(256), 3, 2, name="model_15")(n3)
+        n4b = a2(cfg.ch(512), 2, False, 1, "model_17")(
+            jnp.concatenate([d, n4], axis=-1))
+        d = ConvBnAct(cfg.ch(512), 3, 2, name="model_18")(n4b)
+        n5 = C3k2(cfg.ch(1024), cfg.d(2), c3k=True, name="model_20")(
+            jnp.concatenate([d, p5], axis=-1))
+
+        feats = (n3, n4b, n5)
+        head = DetectHead(cfg, tuple(f.shape[-1] for f in feats),
+                          name="model_21")(feats)
+        out: Dict[str, object] = {"box": head["box"], "cls": head["cls"]}
+        if cfg.seg:
+            out["mcoef"] = head["mcoef"]
+            out["proto"] = Proto(cfg, name="model_21_proto")(n3)
         return out
 
 

@@ -224,8 +224,8 @@ def fused_bubble_clean_tiled(
         num_scalar_prefetch=3,
         grid=(n, n_tiles),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec((1, TILE_H, w), lambda i, t, *_: (i, t, 0),
                                memory_space=pltpu.VMEM),

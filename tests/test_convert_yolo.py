@@ -60,3 +60,42 @@ def test_converted_params_produce_identical_outputs():
             np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
     np.testing.assert_allclose(np.asarray(out_a["proto"]),
                                np.asarray(out_b["proto"]), atol=1e-6)
+
+
+def test_v12_roundtrip_identical_forward():
+    """v12 area-attention arch: gamma-residual A2C2f + non-legacy cls head
+    round-trip through the ultralytics naming bit-identically."""
+    from mangatranslator_tpu.models.yolo import YoloConfig, YoloModel, init_yolo
+
+    cfg = YoloConfig(num_classes=2, depth=0.5, width=0.25, max_channels=1024,
+                     seg=False, arch="v12", c3k_force=True, a2_residual=True,
+                     a2_mlp_ratio=1.2)
+    variables = jax.tree.map(np.asarray, init_yolo(cfg, 64, seed=7))
+    sd = export_to_ultralytics_style(variables)
+    # v12 naming spot checks
+    assert "model.6.m.0.0.attn.qkv.conv.weight" in sd
+    assert "model.6.m.0.1.mlp.1.conv.weight" in sd
+    assert "model.6.gamma" in sd
+    assert "model.11.m.0.cv1.conv.weight" in sd          # a2=False → C3k
+    assert "model.21.cv3.0.0.0.conv.weight" in sd        # non-legacy cls
+    assert "model.21.cv3.0.2.weight" in sd
+
+    back = convert_ultralytics_yolo(sd)
+    model = YoloModel(cfg)
+    x = jnp.asarray(np.random.RandomState(0).rand(1, 64, 64, 3), jnp.float32)
+    out_a = model.apply(variables, x)
+    out_b = model.apply(jax.tree.map(jnp.asarray, back), x)
+    for key in ("box", "cls"):
+        for a, b in zip(out_a[key], out_b[key]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_v12_param_coverage():
+    from mangatranslator_tpu.models.yolo import YoloConfig, init_yolo
+
+    cfg = YoloConfig(num_classes=1, depth=0.5, width=0.25, max_channels=1024,
+                     seg=False, arch="v12", a2_residual=True)
+    variables = jax.tree.map(np.asarray, init_yolo(cfg, 64))
+    back = convert_ultralytics_yolo(export_to_ultralytics_style(variables))
+    count = lambda t: sum(x.size for x in jax.tree.leaves(t))
+    assert count(back) == count(variables)
