@@ -136,6 +136,10 @@ class ModelManager:
                 from .convert_yolo import convert_ultralytics_yolo
 
                 variables = convert_ultralytics_yolo(sd)
+            elif mtype == ModelType.RTDETR_CONJOINED:
+                from .rtdetr_hf import convert_rtdetr_v2
+
+                variables = convert_rtdetr_v2(sd)
             elif mtype == ModelType.MANGA_OCR:
                 from .ocr_hf import convert_manga_ocr
 
@@ -201,15 +205,25 @@ class ModelManager:
                 return self._runners[key]
             from .rtdetr import RTDETR_PRESETS, RTDetrRunner, init_rtdetr
 
+            params = self._load_converted(ModelType.RTDETR_CONJOINED)
+            if params is not None:
+                # HF-exact RT-DETRv2 with config inferred from the tree shapes
+                from .rtdetr_hf import (RTDetrV2HFModel,
+                                        infer_config_from_variables)
+
+                hf_cfg = infer_config_from_variables(params)
+                runner = RTDetrRunner(hf_cfg, params, imgsz=imgsz,
+                                      max_det=max_det,
+                                      model=RTDetrV2HFModel(hf_cfg))
+                self._runners[key] = runner
+                return runner
             preset = os.environ.get("MTX_RTDETR_PRESET", "test")
             cfg = RTDETR_PRESETS[preset]
-            params = self._load_converted(ModelType.RTDETR_CONJOINED)
-            if params is None:
-                self._try_download(ModelType.RTDETR_CONJOINED)
-                log_message(
-                    "No converted checkpoint for rtdetr_conjoined; using "
-                    "random init", always_print=True)
-                params = init_rtdetr(cfg, imgsz)
+            self._try_download(ModelType.RTDETR_CONJOINED)
+            log_message(
+                "No converted checkpoint for rtdetr_conjoined; using "
+                "random init", always_print=True)
+            params = init_rtdetr(cfg, imgsz)
             runner = RTDetrRunner(cfg, params, imgsz=imgsz, max_det=max_det)
             self._runners[key] = runner
             return runner

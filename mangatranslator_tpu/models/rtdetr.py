@@ -255,12 +255,12 @@ class RTDetrRunner:
 
     CLASS_NAMES = ("bubble", "text_bubble", "text_free")
 
-    def __init__(self, cfg: RTDetrConfig, params, imgsz: int = 640,
-                 max_det: int = 64):
+    def __init__(self, cfg, params, imgsz: int = 640,
+                 max_det: int = 64, model=None):
         self.cfg = cfg
         self.imgsz = imgsz
         self.max_det = max_det
-        self.model = RTDetrModel(cfg)
+        self.model = model if model is not None else RTDetrModel(cfg)
         self._params = params
 
         @jax.jit
@@ -269,7 +269,8 @@ class RTDetrRunner:
             probs = jax.nn.sigmoid(out["logits"])
             scores = jnp.max(probs, axis=-1)
             classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)
-            cxcywh = out["boxes"] * imgsz
+            boxes01 = out["boxes"] if "boxes" in out else out["pred_boxes"]
+            cxcywh = boxes01 * imgsz
             xyxy = jnp.concatenate(
                 [cxcywh[..., :2] - cxcywh[..., 2:] / 2,
                  cxcywh[..., :2] + cxcywh[..., 2:] / 2], axis=-1)

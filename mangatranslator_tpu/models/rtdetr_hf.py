@@ -1,0 +1,762 @@
+"""HF-architecture-exact RT-DETRv2 in Flax (NHWC, TPU-first).
+
+The reference's conjoined text/bubble detector is ogkalu/comic-text-and-
+bubble-detector, an RT-DETRv2 loaded through transformers
+(reference core/ml/model_manager.py:203-254). This module mirrors the
+transformers RTDetrV2ForObjectDetection graph exactly — ResNet-D backbone,
+hybrid encoder (AIFI + CSP-RepVGG FPN/PAN), anchor-based query selection and
+a deformable-attention decoder — so published checkpoints convert 1:1
+(convert_rtdetr_v2 below). Golden-tested against the live torch model in
+tests/test_rtdetr_hf.py.
+
+models/rtdetr.py keeps the lean TPU-native variant used when no weights are
+present; the runner protocol is shared.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class RTDetrV2HFConfig:
+    num_labels: int = 3
+    # backbone (ResNet-D)
+    embedding_size: int = 64
+    hidden_sizes: Tuple[int, ...] = (256, 512, 1024, 2048)
+    depths: Tuple[int, ...] = (3, 4, 6, 3)
+    layer_type: str = "bottleneck"  # "bottleneck" | "basic"
+    downsample_in_first_stage: bool = False
+    downsample_in_bottleneck: bool = False
+    out_stages: Tuple[int, ...] = (1, 2, 3)  # indices into the 4 stages
+    # hybrid encoder
+    encoder_hidden_dim: int = 256
+    encoder_ffn_dim: int = 1024
+    encoder_layers: int = 1
+    encoder_attention_heads: int = 8
+    pe_temperature: float = 10000.0
+    # decoder
+    d_model: int = 256
+    num_queries: int = 300
+    decoder_layers: int = 6
+    decoder_attention_heads: int = 8
+    decoder_ffn_dim: int = 1024
+    decoder_n_points: int = 4
+    decoder_n_levels: int = 3
+    decoder_offset_scale: float = 0.5
+    anchor_grid_size: float = 0.05
+    layer_norm_eps: float = 1e-5
+    batch_norm_eps: float = 1e-5
+
+
+RTDETR_V2_PRESETS = {
+    # PekingU/rtdetr_v2_r50vd-style default (ogkalu's detector base)
+    "r50vd": RTDetrV2HFConfig(),
+    "test": RTDetrV2HFConfig(
+        num_labels=3, embedding_size=16, hidden_sizes=(16, 32, 64, 128),
+        depths=(1, 1, 1, 1), layer_type="basic", encoder_hidden_dim=32,
+        encoder_ffn_dim=64, encoder_attention_heads=4, d_model=32,
+        num_queries=12, decoder_layers=2, decoder_attention_heads=4,
+        decoder_ffn_dim=64),
+    "test_bottleneck": RTDetrV2HFConfig(
+        num_labels=2, embedding_size=16, hidden_sizes=(32, 64, 128, 256),
+        depths=(1, 1, 2, 1), layer_type="bottleneck", encoder_hidden_dim=32,
+        encoder_ffn_dim=64, encoder_attention_heads=4, d_model=32,
+        num_queries=8, decoder_layers=2, decoder_attention_heads=4,
+        decoder_ffn_dim=64),
+}
+
+
+# ---- backbone ---------------------------------------------------------------------
+
+
+class ConvNorm(nn.Module):
+    """conv (no bias) + BN(inference) + optional activation."""
+
+    out_ch: int
+    kernel: int = 3
+    stride: int = 1
+    act: Optional[str] = "relu"
+    eps: float = 1e-5
+    padding: Optional[int] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = (self.kernel - 1) // 2 if self.padding is None else self.padding
+        x = nn.Conv(self.out_ch, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride),
+                    padding=((p, p), (p, p)), use_bias=False, name="conv")(x)
+        x = nn.BatchNorm(use_running_average=True, epsilon=self.eps,
+                         name="bn")(x)
+        if self.act == "relu":
+            x = nn.relu(x)
+        elif self.act == "silu":
+            x = nn.silu(x)
+        elif self.act == "gelu":
+            x = nn.gelu(x)
+        return x
+
+
+def _avgpool2_ceil(x: jnp.ndarray) -> jnp.ndarray:
+    """AvgPool2d(2, 2, ceil_mode=True) — pads the tail with the edge-count
+    denominator semantics torch uses (count only valid elements)."""
+    b, h, w, c = x.shape
+    ph, pw = h % 2, w % 2
+    ones = jnp.ones((1, h, w, 1), x.dtype)
+    pad = ((0, 0), (0, ph), (0, pw), (0, 0))
+    x = jnp.pad(x, pad)
+    ones = jnp.pad(ones, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    s = nn.avg_pool(x, (2, 2), strides=(2, 2)) * 4.0
+    n = nn.avg_pool(ones, (2, 2), strides=(2, 2)) * 4.0
+    return s / n
+
+
+class ResLayer(nn.Module):
+    """RTDetrResNetBasicLayer / BottleNeckLayer (ResNet-D shortcuts)."""
+
+    cfg: RTDetrV2HFConfig
+    out_ch: int
+    stride: int = 1
+    first: bool = False  # first layer in the stage
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        in_ch = x.shape[-1]
+        bottleneck = cfg.layer_type == "bottleneck"
+        eps = cfg.batch_norm_eps
+        residual = x
+        if bottleneck:
+            red = self.out_ch // 4
+            s1 = self.stride if cfg.downsample_in_bottleneck else 1
+            s2 = self.stride if not cfg.downsample_in_bottleneck else 1
+            h = ConvNorm(red, 1, s1, "relu", eps, name="conv0")(x)
+            h = ConvNorm(red, 3, s2, "relu", eps, name="conv1")(h)
+            h = ConvNorm(self.out_ch, 1, 1, None, eps, name="conv2")(h)
+            needs = in_ch != self.out_ch or self.stride != 1
+            if self.stride == 2:
+                residual = _avgpool2_ceil(residual)
+                if needs:
+                    residual = ConvNorm(self.out_ch, 1, 1, None, eps,
+                                        name="shortcut")(residual)
+            elif needs:
+                residual = ConvNorm(self.out_ch, 1, self.stride, None, eps,
+                                    name="shortcut")(residual)
+        else:
+            h = ConvNorm(self.out_ch, 3, self.stride, "relu", eps,
+                         name="conv0")(x)
+            h = ConvNorm(self.out_ch, 3, 1, None, eps, name="conv1")(h)
+            if self.first:
+                if in_ch != self.out_ch:
+                    residual = _avgpool2_ceil(residual)
+                    residual = ConvNorm(self.out_ch, 1, 1, None, eps,
+                                        name="shortcut")(residual)
+                else:
+                    residual = ConvNorm(self.out_ch, 1, self.stride, None, eps,
+                                        name="shortcut")(residual)
+        return nn.relu(h + residual)
+
+
+class ResNetBackbone(nn.Module):
+    """RTDetrResNet: deep 3-conv stem + maxpool, 4 stages, multi-scale out."""
+
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        e = cfg.embedding_size
+        eps = cfg.batch_norm_eps
+        x = ConvNorm(e // 2, 3, 2, "relu", eps, name="stem0")(x)
+        x = ConvNorm(e // 2, 3, 1, "relu", eps, name="stem1")(x)
+        x = ConvNorm(e, 3, 1, "relu", eps, name="stem2")(x)
+        x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)),
+                    constant_values=-jnp.inf)
+        x = nn.max_pool(x, (3, 3), strides=(2, 2))
+        outs = []
+        for si, (ch, depth) in enumerate(zip(cfg.hidden_sizes, cfg.depths)):
+            stride = 2 if (si > 0 or cfg.downsample_in_first_stage) else 1
+            for li in range(depth):
+                x = ResLayer(cfg, ch, stride if li == 0 else 1, first=li == 0,
+                             name=f"s{si}_l{li}")(x)
+            if si in cfg.out_stages:
+                outs.append(x)
+        return outs
+
+
+# ---- hybrid encoder ---------------------------------------------------------------
+
+
+def sincos_pos_embed_2d(w: int, h: int, dim: int, temp: float) -> np.ndarray:
+    """transformers' build_2d_sincos_position_embedding — including its
+    x-major flatten order (modeling_rt_detr_v2.py:1105)."""
+    grid_w, grid_h = np.meshgrid(np.arange(w, dtype=np.float32),
+                                 np.arange(h, dtype=np.float32), indexing="ij")
+    pos_dim = dim // 4
+    omega = 1.0 / (temp ** (np.arange(pos_dim, dtype=np.float32) / pos_dim))
+    out_w = grid_w.reshape(-1)[:, None] * omega[None]
+    out_h = grid_h.reshape(-1)[:, None] * omega[None]
+    return np.concatenate([np.sin(out_w), np.cos(out_w),
+                           np.sin(out_h), np.cos(out_h)], axis=1)[None]
+
+
+class MultiheadAttention(nn.Module):
+    """Post-LN DETR attention: position embeddings added to q/k inputs."""
+
+    dim: int
+    heads: int
+
+    @nn.compact
+    def __call__(self, x, pos=None):
+        hd = self.dim // self.heads
+        qk_in = x if pos is None else x + pos
+        q = nn.Dense(self.dim, name="q_proj")(qk_in) * (hd ** -0.5)
+        k = nn.Dense(self.dim, name="k_proj")(qk_in)
+        v = nn.Dense(self.dim, name="v_proj")(x)
+        b, n, _ = x.shape
+        q = q.reshape(b, n, self.heads, hd)
+        k = k.reshape(b, n, self.heads, hd)
+        v = v.reshape(b, n, self.heads, hd)
+        a = jax.nn.softmax(jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                      preferred_element_type=jnp.float32), -1)
+        out = jnp.einsum("bhqk,bkhd->bqhd", a.astype(v.dtype), v)
+        return nn.Dense(self.dim, name="out_proj")(out.reshape(b, n, self.dim))
+
+
+class AIFILayer(nn.Module):
+    """Post-LN transformer encoder layer (gelu FFN)."""
+
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, x, pos):
+        cfg = self.cfg
+        x = x + MultiheadAttention(cfg.encoder_hidden_dim,
+                                   cfg.encoder_attention_heads,
+                                   name="self_attn")(x, pos)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(x)
+        y = nn.Dense(cfg.encoder_ffn_dim, name="fc1")(x)
+        y = nn.Dense(cfg.encoder_hidden_dim, name="fc2")(nn.gelu(y))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x + y)
+
+
+class RepVggBlock(nn.Module):
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.encoder_hidden_dim
+        eps = self.cfg.batch_norm_eps
+        y = ConvNorm(d, 3, 1, None, eps, name="conv1")(x) + \
+            ConvNorm(d, 1, 1, None, eps, padding=0, name="conv2")(x)
+        return nn.silu(y)
+
+
+class CSPRepLayer(nn.Module):
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, x):
+        d = self.cfg.encoder_hidden_dim
+        eps = self.cfg.batch_norm_eps
+        a = ConvNorm(d, 1, 1, "silu", eps, name="conv1")(x)
+        for j in range(3):
+            a = RepVggBlock(self.cfg, name=f"b{j}")(a)
+        b = ConvNorm(d, 1, 1, "silu", eps, name="conv2")(x)
+        return a + b  # hidden_expansion == 1.0 → conv3 is identity
+
+
+class HybridEncoder(nn.Module):
+    """AIFI on the last level + top-down FPN + bottom-up PAN
+    (modeling_rt_detr_v2.py:1045)."""
+
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        d = cfg.encoder_hidden_dim
+        eps = cfg.batch_norm_eps
+        feats = list(feats)
+
+        # AIFI on the last (stride-32) level
+        b, h, w, _ = feats[-1].shape
+        seq = feats[-1].reshape(b, h * w, d)
+        pos = jnp.asarray(sincos_pos_embed_2d(w, h, d, cfg.pe_temperature),
+                          seq.dtype)
+        for li in range(cfg.encoder_layers):
+            seq = AIFILayer(cfg, name=f"aifi{li}")(seq, pos)
+        feats[-1] = seq.reshape(b, h, w, d)
+
+        nstage = len(feats) - 1
+        # top-down FPN
+        fpn = [feats[-1]]
+        for i in range(nstage):
+            lower = feats[nstage - i - 1]
+            top = ConvNorm(d, 1, 1, "silu", eps, name=f"lateral{i}")(fpn[-1])
+            fpn[-1] = top
+            bb, hh, ww, cc = top.shape
+            up = jax.image.resize(top, (bb, hh * 2, ww * 2, cc), "nearest")
+            fpn.append(CSPRepLayer(cfg, name=f"fpn{i}")(
+                jnp.concatenate([up, lower], axis=-1)))
+        fpn = fpn[::-1]
+
+        # bottom-up PAN
+        pan = [fpn[0]]
+        for i in range(nstage):
+            down = ConvNorm(d, 3, 2, "silu", eps, name=f"downsample{i}")(
+                pan[-1])
+            pan.append(CSPRepLayer(cfg, name=f"pan{i}")(
+                jnp.concatenate([down, fpn[i + 1]], axis=-1)))
+        return pan
+
+
+# ---- decoder ----------------------------------------------------------------------
+
+
+def _grid_sample_bilinear(feat: jnp.ndarray, grid: jnp.ndarray) -> jnp.ndarray:
+    """torch grid_sample(mode=bilinear, padding=zeros, align_corners=False).
+
+    feat [B, H, W, C], grid [B, N, P, 2] in [-1, 1] → [B, N, P, C].
+    """
+    b, h, w, c = feat.shape
+    gx = (grid[..., 0] + 1.0) * w / 2.0 - 0.5
+    gy = (grid[..., 1] + 1.0) * h / 2.0 - 0.5
+    x0 = jnp.floor(gx)
+    y0 = jnp.floor(gy)
+    wx = gx - x0
+    wy = gy - y0
+
+    def gather(yi, xi):
+        valid = ((xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1))
+        xi_c = jnp.clip(xi, 0, w - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, h - 1).astype(jnp.int32)
+        flat = feat.reshape(b, h * w, c)
+        idx = yi_c * w + xi_c  # [B, N, P]
+        vals = jnp.take_along_axis(
+            flat[:, :, None, :],
+            idx.reshape(b, -1, 1, 1).astype(jnp.int32), axis=1).reshape(
+                b, *idx.shape[1:], c)
+        return vals * valid[..., None]
+
+    v00 = gather(y0, x0)
+    v01 = gather(y0, x0 + 1)
+    v10 = gather(y0 + 1, x0)
+    v11 = gather(y0 + 1, x0 + 1)
+    wx = wx[..., None]
+    wy = wy[..., None]
+    return (v00 * (1 - wx) * (1 - wy) + v01 * wx * (1 - wy) +
+            v10 * (1 - wx) * wy + v11 * wx * wy)
+
+
+class DeformableAttentionV2(nn.Module):
+    """RTDetrV2MultiscaleDeformableAttention (4-dim reference path)."""
+
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, queries, ref_points, value_feats, pos=None):
+        cfg = self.cfg
+        d = cfg.d_model
+        nh = cfg.decoder_attention_heads
+        hd = d // nh
+        L = cfg.decoder_n_levels
+        P = cfg.decoder_n_points
+        if pos is not None:
+            queries = queries + pos
+        b, nq, _ = queries.shape
+
+        offsets = nn.Dense(nh * L * P * 2, name="sampling_offsets")(queries)
+        offsets = offsets.reshape(b, nq, nh, L * P, 2)
+        weights = nn.Dense(nh * L * P, name="attention_weights")(queries)
+        weights = jax.nn.softmax(weights.reshape(b, nq, nh, L * P), -1)
+
+        scale = jnp.full((L * P, 1), 1.0 / P, queries.dtype)
+        wh = ref_points[:, :, None, None, 2:]  # [b, nq, 1, 1, 2]
+        locs = (ref_points[:, :, None, None, :2] +
+                offsets * scale * wh * cfg.decoder_offset_scale)
+        grids = 2.0 * locs - 1.0  # [b, nq, nh, L*P, 2]
+
+        # value projection is shared across levels: apply once on the
+        # flattened sequence, then split per level
+        flat = jnp.concatenate(
+            [f.reshape(b, -1, d) for f in value_feats], axis=1)
+        value = nn.Dense(d, name="value_proj")(flat)
+        sizes = [f.shape[1] * f.shape[2] for f in value_feats]
+        pieces = []
+        off = 0
+        for li, f in enumerate(value_feats):
+            fh, fw = f.shape[1], f.shape[2]
+            vlvl = value[:, off:off + sizes[li]].reshape(b, fh, fw, nh, hd)
+            off += sizes[li]
+            # [b, fh, fw, nh, hd] → [b*nh, fh, fw, hd]
+            vlvl = vlvl.transpose(0, 3, 1, 2, 4).reshape(b * nh, fh, fw, hd)
+            g = grids[:, :, :, li * P:(li + 1) * P]  # [b, nq, nh, P, 2]
+            g = g.transpose(0, 2, 1, 3, 4).reshape(b * nh, nq, P, 2)
+            sampled = _grid_sample_bilinear(vlvl, g)  # [b*nh, nq, P, hd]
+            pieces.append(sampled)
+        sampled = jnp.concatenate(pieces, axis=2)  # [b*nh, nq, L*P, hd]
+        wts = weights.transpose(0, 2, 1, 3).reshape(b * nh, nq, L * P, 1)
+        agg = (sampled * wts).sum(axis=2).reshape(b, nh, nq, hd)
+        agg = agg.transpose(0, 2, 1, 3).reshape(b, nq, d)
+        return nn.Dense(d, name="output_proj")(agg)
+
+
+class MLPHead(nn.Module):
+    """DETR MLP prediction head: relu between layers."""
+
+    dims: Tuple[int, ...]  # hidden..., out
+
+    @nn.compact
+    def __call__(self, x):
+        for i, d in enumerate(self.dims):
+            x = nn.Dense(d, name=f"l{i}")(x)
+            if i < len(self.dims) - 1:
+                x = nn.relu(x)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, q, ref_points, value_feats, pos):
+        cfg = self.cfg
+        d = cfg.d_model
+        q = q + MultiheadAttention(d, cfg.decoder_attention_heads,
+                                   name="self_attn")(q, pos)
+        q = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(q)
+        q = q + DeformableAttentionV2(cfg, name="cross")(
+            q, ref_points, value_feats, pos)
+        q = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln2")(q)
+        y = nn.Dense(cfg.decoder_ffn_dim, name="fc1")(q)
+        y = nn.Dense(d, name="fc2")(nn.relu(y))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln3")(q + y)
+
+
+def _inverse_sigmoid(x, eps=1e-5):
+    x = jnp.clip(x, 0.0, 1.0)
+    return jnp.log(jnp.clip(x, eps, None) / jnp.clip(1.0 - x, eps, None))
+
+
+def generate_anchors(shapes: Sequence[Tuple[int, int]], grid_size: float,
+                     dtype=np.float32) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-level center grids + exp wh, inverse-sigmoid'd; invalid → fmax
+    (modeling_rt_detr_v2.py:1452)."""
+    anchors = []
+    for level, (h, w) in enumerate(shapes):
+        gy, gx = np.meshgrid(np.arange(h, dtype=dtype),
+                             np.arange(w, dtype=dtype), indexing="ij")
+        xy = np.stack([gx, gy], -1)[None] + 0.5
+        xy[..., 0] /= w
+        xy[..., 1] /= h
+        wh = np.ones_like(xy) * grid_size * (2.0 ** level)
+        anchors.append(np.concatenate([xy, wh], -1).reshape(1, h * w, 4))
+    anchors = np.concatenate(anchors, 1)
+    eps = 1e-2
+    valid = ((anchors > eps) & (anchors < 1 - eps)).all(-1, keepdims=True)
+    anchors = np.log(anchors / (1 - anchors))
+    anchors = np.where(valid, anchors, np.finfo(dtype).max)
+    return anchors.astype(dtype), valid
+
+
+class RTDetrV2HFModel(nn.Module):
+    """Full detection graph. Returns final-layer logits + cxcywh boxes in
+    [0,1] (equivalent to transformers' outputs.logits / pred_boxes)."""
+
+    cfg: RTDetrV2HFConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray):
+        cfg = self.cfg
+        d = cfg.d_model
+        feats = ResNetBackbone(cfg, name="backbone")(images)
+        proj = []
+        for i, f in enumerate(feats):
+            f = nn.Conv(cfg.encoder_hidden_dim, (1, 1), use_bias=False,
+                        name=f"enc_proj{i}_conv")(f)
+            f = nn.BatchNorm(use_running_average=True, epsilon=1e-5,
+                             name=f"enc_proj{i}_bn")(f)
+            proj.append(f)
+        pan = HybridEncoder(cfg, name="encoder")(proj)
+
+        sources = []
+        for i, f in enumerate(pan):
+            f = nn.Conv(d, (1, 1), use_bias=False,
+                        name=f"dec_proj{i}_conv")(f)
+            f = nn.BatchNorm(use_running_average=True,
+                             epsilon=cfg.batch_norm_eps,
+                             name=f"dec_proj{i}_bn")(f)
+            sources.append(f)
+
+        b = images.shape[0]
+        shapes = [(f.shape[1], f.shape[2]) for f in sources]
+        flat = jnp.concatenate([f.reshape(b, -1, d) for f in sources], axis=1)
+        anchors, valid = generate_anchors(shapes, cfg.anchor_grid_size)
+        anchors = jnp.asarray(anchors, flat.dtype)
+        memory = jnp.asarray(valid, flat.dtype) * flat
+
+        out_mem = nn.Dense(d, name="enc_output_dense")(memory)
+        out_mem = nn.LayerNorm(epsilon=cfg.layer_norm_eps,
+                               name="enc_output_ln")(out_mem)
+        enc_logits = nn.Dense(cfg.num_labels, name="enc_score_head")(out_mem)
+        enc_coord = MLPHead((d, d, 4), name="enc_bbox_head")(out_mem) + anchors
+
+        k = min(cfg.num_queries, flat.shape[1])  # tiny inputs: fewer anchors
+        _, topk = jax.lax.top_k(enc_logits.max(-1), k)
+        take = lambda t: jnp.take_along_axis(t, topk[..., None], axis=1)
+        ref_unact = take(enc_coord)
+        target = jax.lax.stop_gradient(take(out_mem))
+        ref = jax.nn.sigmoid(jax.lax.stop_gradient(ref_unact))
+
+        logits = None
+        query_pos_head = MLPHead((2 * d, d), name="query_pos_head")
+        for li in range(cfg.decoder_layers):
+            pos = query_pos_head(ref)
+            target = DecoderLayer(cfg, name=f"dec{li}")(
+                target, ref, sources, pos)
+            corners = MLPHead((d, d, 4), name=f"bbox_embed{li}")(target)
+            ref = jax.nn.sigmoid(corners + _inverse_sigmoid(ref))
+            logits = nn.Dense(cfg.num_labels, name=f"class_embed{li}")(target)
+        return {"logits": logits, "pred_boxes": ref,
+                "enc_topk_logits": take(enc_logits),
+                "enc_topk_boxes": jax.nn.sigmoid(ref_unact)}
+
+
+def init_rtdetr_v2(cfg: RTDetrV2HFConfig, imgsz: int = 64, seed: int = 0):
+    model = RTDetrV2HFModel(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, imgsz, imgsz, 3)))
+
+
+# ---- weight conversion ------------------------------------------------------------
+
+
+def _cn(sd, torch_prefix, p, s, path, conv="conv", norm="norm"):
+    """ConvNorm from torch `{prefix}.{conv}.weight` + `{prefix}.{norm}.*`."""
+    set_path(p, path + ("conv", "kernel"), np.transpose(
+        np.asarray(sd[f"{torch_prefix}.{conv}.weight"]), (2, 3, 1, 0)))
+    set_path(s, path + ("bn",), {
+        "mean": np.asarray(sd[f"{torch_prefix}.{norm}.running_mean"]),
+        "var": np.asarray(sd[f"{torch_prefix}.{norm}.running_var"])})
+    set_path(p, path + ("bn",), {
+        "scale": np.asarray(sd[f"{torch_prefix}.{norm}.weight"]),
+        "bias": np.asarray(sd[f"{torch_prefix}.{norm}.bias"])})
+
+
+def _lin(sd, torch_key, p, path):
+    set_path(p, path + ("kernel",),
+             linear_kernel(np.asarray(sd[f"{torch_key}.weight"])))
+    if f"{torch_key}.bias" in sd:
+        set_path(p, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+
+
+def _ln(sd, torch_key, p, path):
+    set_path(p, path + ("scale",), np.asarray(sd[f"{torch_key}.weight"]))
+    set_path(p, path + ("bias",), np.asarray(sd[f"{torch_key}.bias"]))
+
+
+def infer_rtdetr_v2_config(sd: Mapping[str, np.ndarray],
+                           num_queries: int = 300) -> RTDetrV2HFConfig:
+    """Structural config from a transformers RTDetrV2 state dict. Head counts
+    keep the published defaults (8/8) — they are not in the weights."""
+    pre = "model.backbone.model"
+    emb = sd[f"{pre}.embedder.embedder.2.convolution.weight"].shape[0]
+    hidden, depths = [], []
+    si = 0
+    while f"{pre}.encoder.stages.{si}.layers.0.layer.0.convolution.weight" in sd:
+        li = 0
+        while (f"{pre}.encoder.stages.{si}.layers.{li}.layer.0."
+               "convolution.weight") in sd:
+            li += 1
+        depths.append(li)
+        last = sd[f"{pre}.encoder.stages.{si}.layers.0.layer.0."
+                  "convolution.weight"]
+        bott = (f"{pre}.encoder.stages.{si}.layers.0.layer.2."
+                "convolution.weight") in sd
+        out_key = (f"{pre}.encoder.stages.{si}.layers.0.layer."
+                   f"{2 if bott else 1}.convolution.weight")
+        hidden.append(sd[out_key].shape[0])
+        si += 1
+    layer_type = ("bottleneck" if
+                  f"{pre}.encoder.stages.0.layers.0.layer.2.convolution.weight"
+                  in sd else "basic")
+    enc_dim = sd["model.encoder_input_proj.0.0.weight"].shape[0]
+    d_model = sd["model.enc_output.0.weight"].shape[0]
+    num_labels = sd["model.enc_score_head.weight"].shape[0]
+    enc_ffn = sd["model.encoder.encoder.0.layers.0.fc1.weight"].shape[0]
+    dec_ffn = sd["model.decoder.layers.0.fc1.weight"].shape[0]
+    nlayers = 0
+    while f"model.decoder.layers.{nlayers}.fc1.weight" in sd:
+        nlayers += 1
+    n_enc = 0
+    while f"model.encoder.encoder.0.layers.{n_enc}.fc1.weight" in sd:
+        n_enc += 1
+    heads = 8
+    n_levels = 3
+    n_points = (sd["model.decoder.layers.0.encoder_attn.sampling_offsets"
+                   ".weight"].shape[0] // (heads * n_levels * 2))
+    return RTDetrV2HFConfig(
+        num_labels=num_labels, embedding_size=emb,
+        hidden_sizes=tuple(hidden), depths=tuple(depths),
+        layer_type=layer_type, encoder_hidden_dim=enc_dim,
+        encoder_ffn_dim=enc_ffn, encoder_layers=n_enc, d_model=d_model,
+        num_queries=num_queries, decoder_layers=nlayers,
+        decoder_ffn_dim=dec_ffn, decoder_n_points=n_points)
+
+
+def infer_config_from_variables(variables: Dict[str, Any],
+                                num_queries: int = 300) -> RTDetrV2HFConfig:
+    """Structural config from a converted Flax tree (checkpoint reload path)."""
+    p = variables["params"]
+    bb = p["backbone"]
+    emb = bb["stem2"]["conv"]["kernel"].shape[-1]
+    hidden, depths = [], []
+    si = 0
+    while f"s{si}_l0" in bb:
+        li = 0
+        while f"s{si}_l{li}" in bb:
+            li += 1
+        depths.append(li)
+        layer = bb[f"s{si}_l0"]
+        bott = "conv2" in layer
+        hidden.append(layer["conv2" if bott else "conv1"]["conv"][
+            "kernel"].shape[-1])
+        si += 1
+    layer_type = "bottleneck" if "conv2" in bb["s0_l0"] else "basic"
+    enc_dim = p["enc_proj0_conv"]["kernel"].shape[-1]
+    d_model = p["enc_output_dense"]["kernel"].shape[-1]
+    num_labels = p["enc_score_head"]["kernel"].shape[-1]
+    enc_ffn = p["encoder"]["aifi0"]["fc1"]["kernel"].shape[-1]
+    dec_ffn = p["dec0"]["fc1"]["kernel"].shape[-1]
+    nlayers = 0
+    while f"dec{nlayers}" in p:
+        nlayers += 1
+    n_enc = 0
+    while f"aifi{n_enc}" in p["encoder"]:
+        n_enc += 1
+    n_points = (p["dec0"]["cross"]["sampling_offsets"]["kernel"].shape[-1]
+                // (8 * 3 * 2))
+    return RTDetrV2HFConfig(
+        num_labels=num_labels, embedding_size=emb, hidden_sizes=tuple(hidden),
+        depths=tuple(depths), layer_type=layer_type,
+        encoder_hidden_dim=enc_dim, encoder_ffn_dim=enc_ffn,
+        encoder_layers=n_enc, d_model=d_model, num_queries=num_queries,
+        decoder_layers=nlayers, decoder_ffn_dim=dec_ffn,
+        decoder_n_points=n_points)
+
+
+def convert_rtdetr_v2(sd: Mapping[str, np.ndarray],
+                      cfg: Optional[RTDetrV2HFConfig] = None) -> Dict[str, Any]:
+    """transformers RTDetrV2ForObjectDetection state dict → Flax variables."""
+    if cfg is None:
+        cfg = infer_rtdetr_v2_config(sd)
+    p: Dict[str, Any] = {}
+    s: Dict[str, Any] = {}
+    bb = "model.backbone.model"
+
+    for i in range(3):
+        _cn(sd, f"{bb}.embedder.embedder.{i}", p, s, ("backbone", f"stem{i}"),
+            conv="convolution", norm="normalization")
+    for si, depth in enumerate(cfg.depths):
+        for li in range(depth):
+            base = f"{bb}.encoder.stages.{si}.layers.{li}"
+            path = ("backbone", f"s{si}_l{li}")
+            ncv = 3 if cfg.layer_type == "bottleneck" else 2
+            for ci in range(ncv):
+                _cn(sd, f"{base}.layer.{ci}", p, s, path + (f"conv{ci}",),
+                    conv="convolution", norm="normalization")
+            for sc in (f"{base}.shortcut.1", f"{base}.shortcut"):
+                if f"{sc}.convolution.weight" in sd:
+                    _cn(sd, sc, p, s, path + ("shortcut",),
+                        conv="convolution", norm="normalization")
+                    break
+
+    for i in range(len(cfg.out_stages)):
+        key = f"model.encoder_input_proj.{i}"
+        set_path(p, (f"enc_proj{i}_conv", "kernel"), np.transpose(
+            np.asarray(sd[f"{key}.0.weight"]), (2, 3, 1, 0)))
+        set_path(p, (f"enc_proj{i}_bn",), {
+            "scale": np.asarray(sd[f"{key}.1.weight"]),
+            "bias": np.asarray(sd[f"{key}.1.bias"])})
+        set_path(s, (f"enc_proj{i}_bn",), {
+            "mean": np.asarray(sd[f"{key}.1.running_mean"]),
+            "var": np.asarray(sd[f"{key}.1.running_var"])})
+        key = f"model.decoder_input_proj.{i}"
+        set_path(p, (f"dec_proj{i}_conv", "kernel"), np.transpose(
+            np.asarray(sd[f"{key}.0.weight"]), (2, 3, 1, 0)))
+        set_path(p, (f"dec_proj{i}_bn",), {
+            "scale": np.asarray(sd[f"{key}.1.weight"]),
+            "bias": np.asarray(sd[f"{key}.1.bias"])})
+        set_path(s, (f"dec_proj{i}_bn",), {
+            "mean": np.asarray(sd[f"{key}.1.running_mean"]),
+            "var": np.asarray(sd[f"{key}.1.running_var"])})
+
+    # hybrid encoder
+    for li in range(cfg.encoder_layers):
+        base = f"model.encoder.encoder.0.layers.{li}"
+        path = ("encoder", f"aifi{li}")
+        for n_ in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _lin(sd, f"{base}.self_attn.{n_}", p, path + ("self_attn", n_))
+        _ln(sd, f"{base}.self_attn_layer_norm", p, path + ("ln1",))
+        _lin(sd, f"{base}.fc1", p, path + ("fc1",))
+        _lin(sd, f"{base}.fc2", p, path + ("fc2",))
+        _ln(sd, f"{base}.final_layer_norm", p, path + ("final_ln",))
+    nstage = len(cfg.out_stages) - 1
+    for i in range(nstage):
+        _cn(sd, f"model.encoder.lateral_convs.{i}", p, s,
+            ("encoder", f"lateral{i}"))
+        _cn(sd, f"model.encoder.downsample_convs.{i}", p, s,
+            ("encoder", f"downsample{i}"))
+        for kind, ours in (("fpn_blocks", "fpn"), ("pan_blocks", "pan")):
+            base = f"model.encoder.{kind}.{i}"
+            path = ("encoder", f"{ours}{i}")
+            _cn(sd, f"{base}.conv1", p, s, path + ("conv1",))
+            _cn(sd, f"{base}.conv2", p, s, path + ("conv2",))
+            for j in range(3):
+                _cn(sd, f"{base}.bottlenecks.{j}.conv1", p, s,
+                    path + (f"b{j}", "conv1"))
+                _cn(sd, f"{base}.bottlenecks.{j}.conv2", p, s,
+                    path + (f"b{j}", "conv2"))
+
+    # encoder head + decoder
+    _lin(sd, "model.enc_output.0", p, ("enc_output_dense",))
+    _ln(sd, "model.enc_output.1", p, ("enc_output_ln",))
+    _lin(sd, "model.enc_score_head", p, ("enc_score_head",))
+    for i in range(3):
+        _lin(sd, f"model.enc_bbox_head.layers.{i}", p,
+             ("enc_bbox_head", f"l{i}"))
+    for i in range(2):
+        _lin(sd, f"model.decoder.query_pos_head.layers.{i}", p,
+             ("query_pos_head", f"l{i}"))
+    for li in range(cfg.decoder_layers):
+        base = f"model.decoder.layers.{li}"
+        path = (f"dec{li}",)
+        for n_ in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _lin(sd, f"{base}.self_attn.{n_}", p, path + ("self_attn", n_))
+        _ln(sd, f"{base}.self_attn_layer_norm", p, path + ("ln1",))
+        for n_ in ("sampling_offsets", "attention_weights", "value_proj",
+                   "output_proj"):
+            _lin(sd, f"{base}.encoder_attn.{n_}", p, path + ("cross", n_))
+        _ln(sd, f"{base}.encoder_attn_layer_norm", p, path + ("ln2",))
+        _lin(sd, f"{base}.fc1", p, path + ("fc1",))
+        _lin(sd, f"{base}.fc2", p, path + ("fc2",))
+        _ln(sd, f"{base}.final_layer_norm", p, path + ("ln3",))
+        ce = ("model.decoder.class_embed" if
+              f"model.decoder.class_embed.{li}.weight" in sd else "class_embed")
+        be = ("model.decoder.bbox_embed" if
+              f"model.decoder.bbox_embed.{li}.layers.0.weight" in sd
+              else "bbox_embed")
+        _lin(sd, f"{ce}.{li}", p, (f"class_embed{li}",))
+        for i in range(3):
+            _lin(sd, f"{be}.{li}.layers.{i}", p, (f"bbox_embed{li}", f"l{i}"))
+    return {"params": p, "batch_stats": s}

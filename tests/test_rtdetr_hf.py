@@ -1,0 +1,99 @@
+"""HF-exact RT-DETRv2: golden test against the live torch model.
+
+A tiny transformers RTDetrV2ForObjectDetection (random init, eval mode) is
+converted via convert_rtdetr_v2 and must produce the same logits/pred_boxes.
+"""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mangatranslator_tpu.models.rtdetr_hf import (
+    RTDETR_V2_PRESETS,
+    RTDetrV2HFModel,
+    convert_rtdetr_v2,
+    infer_rtdetr_v2_config,
+)
+
+
+def _torch_model(preset: str, seed: int = 0):
+    from transformers import RTDetrV2Config, RTDetrV2ForObjectDetection
+
+    cfg = RTDETR_V2_PRESETS[preset]
+    bb = dict(model_type="rt_detr_resnet",
+              embedding_size=cfg.embedding_size,
+              hidden_sizes=list(cfg.hidden_sizes),
+              depths=list(cfg.depths), layer_type=cfg.layer_type,
+              out_features=["stage2", "stage3", "stage4"])
+    tcfg = RTDetrV2Config(
+        encoder_hidden_dim=cfg.encoder_hidden_dim,
+        encoder_in_channels=list(cfg.hidden_sizes[1:]),
+        encoder_ffn_dim=cfg.encoder_ffn_dim,
+        encoder_attention_heads=cfg.encoder_attention_heads,
+        num_queries=cfg.num_queries, decoder_ffn_dim=cfg.decoder_ffn_dim,
+        decoder_layers=cfg.decoder_layers,
+        decoder_attention_heads=cfg.decoder_attention_heads,
+        decoder_in_channels=[cfg.d_model] * 3,
+        d_model=cfg.d_model, num_denoising=0, num_labels=cfg.num_labels,
+        backbone_config=bb)
+    torch.manual_seed(seed)
+    model = RTDetrV2ForObjectDetection(tcfg).eval()
+    # HF's init (tiny std + zeroed heads) collapses activations to ~1e-8 and
+    # ties every query-selection score, so a random-init golden comparison
+    # would only exercise tie-breaking. Re-randomize with fan-in scaling to
+    # keep signals alive through the whole graph.
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if p.dim() == 1:
+                if name.endswith(".bias"):
+                    p.normal_(0, 0.02)
+                else:  # BN/LN gammas
+                    p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(p[0].numel()))
+    return model, cfg
+
+
+@pytest.mark.parametrize("preset", ["test", "test_bottleneck"])
+def test_golden_vs_torch(preset):
+    tm, cfg = _torch_model(preset)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    inferred = infer_rtdetr_v2_config(sd, num_queries=cfg.num_queries)
+    assert inferred.layer_type == cfg.layer_type
+    assert inferred.hidden_sizes == cfg.hidden_sizes
+    assert inferred.decoder_layers == cfg.decoder_layers
+    assert inferred.num_labels == cfg.num_labels
+
+    variables = convert_rtdetr_v2(sd, cfg)
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 3, 64, 64).astype(np.float32)
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(img))
+    out = RTDetrV2HFModel(cfg).apply(
+        jax.tree.map(jnp.asarray, variables),
+        jnp.asarray(img.transpose(0, 2, 3, 1)))
+
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               ref.logits.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["pred_boxes"]),
+                               ref.pred_boxes.numpy(), atol=2e-4)
+
+
+def test_param_coverage():
+    tm, cfg = _torch_model("test")
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_rtdetr_v2(sd, cfg)
+    ours = sum(x.size for x in jax.tree.leaves(variables))
+    # class_embed/bbox_embed appear twice in the torch state dict (tied at
+    # top level and inside model.decoder) — count the decoder copy only
+    theirs = sum(v.size for k, v in sd.items()
+                 if "num_batches_tracked" not in k and "anchors" not in k
+                 and "valid_mask" not in k and "n_points_scale" not in k
+                 and not k.startswith(("class_embed.", "bbox_embed.")))
+    assert ours == theirs
