@@ -136,6 +136,10 @@ class ModelManager:
                 from .convert_yolo import convert_ultralytics_yolo
 
                 variables = convert_ultralytics_yolo(sd)
+            elif mtype in (ModelType.SAM2, ModelType.SAM3):
+                from .sam_hf import convert_sam2
+
+                variables = convert_sam2(sd)
             elif mtype == ModelType.RTDETR_CONJOINED:
                 from .rtdetr_hf import convert_rtdetr_v2
 
@@ -276,9 +280,20 @@ class ModelManager:
                 return self._runners[key]
             from .sam import SAM_PRESETS, SamRefiner, init_sam
 
+            params = self._load_converted(mtype)
+            if params is not None and "hiera" in params.get("params", {}):
+                # HF-exact SAM2 checkpoint
+                from .sam_hf import (Sam2HFRefiner,
+                                     infer_sam2_config_from_variables)
+
+                hf_cfg = infer_sam2_config_from_variables(
+                    params, prompt_image_size=int(os.environ.get(
+                        "MTX_SAM_IMGSZ", "1024")))
+                runner = Sam2HFRefiner(hf_cfg, params)
+                self._runners[key] = runner
+                return runner
             preset = os.environ.get("MTX_SAM_PRESET", "test")
             cfg = SAM_PRESETS[preset]
-            params = self._load_converted(mtype)
             if params is None:
                 self._try_download(mtype)
                 log_message(

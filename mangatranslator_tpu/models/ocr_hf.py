@@ -90,7 +90,7 @@ class ViTBlock(nn.Module):
         x = x + a
         h = nn.LayerNorm(name="layernorm_after")(x)
         h = nn.Dense(self.dim * 4, name="intermediate")(h)
-        h = nn.Dense(self.dim, name="output")(nn.gelu(h))
+        h = nn.Dense(self.dim, name="output")(jax.nn.gelu(h, approximate=False))
         return x + h
 
 
@@ -134,7 +134,7 @@ class BertLayer(nn.Module):
         c = nn.Dense(self.dim, name="cross_output")(c)
         x = nn.LayerNorm(name="cross_ln")(x + c)
         h = nn.Dense(self.dim * 4, name="intermediate")(x)
-        h = nn.Dense(self.dim, name="output")(nn.gelu(h))
+        h = nn.Dense(self.dim, name="output")(jax.nn.gelu(h, approximate=False))
         return nn.LayerNorm(name="output_ln")(x + h)
 
 
@@ -170,7 +170,7 @@ class HFMangaOcrModel(nn.Module):
         x = self.embed_ln(x)
         for layer in self.layers:
             x = layer(x, enc)
-        x = self.head_ln(nn.gelu(self.head_transform(x)))
+        x = self.head_ln(jax.nn.gelu(self.head_transform(x), approximate=False))
         return self.lm_decoder(x)
 
     def __call__(self, images, tokens):

@@ -102,7 +102,7 @@ class ConvNorm(nn.Module):
         elif self.act == "silu":
             x = nn.silu(x)
         elif self.act == "gelu":
-            x = nn.gelu(x)
+            x = jax.nn.gelu(x, approximate=False)
         return x
 
 
@@ -245,7 +245,8 @@ class AIFILayer(nn.Module):
                                    name="self_attn")(x, pos)
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(x)
         y = nn.Dense(cfg.encoder_ffn_dim, name="fc1")(x)
-        y = nn.Dense(cfg.encoder_hidden_dim, name="fc2")(nn.gelu(y))
+        y = nn.Dense(cfg.encoder_hidden_dim, name="fc2")(
+            jax.nn.gelu(y, approximate=False))
         return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x + y)
 
 

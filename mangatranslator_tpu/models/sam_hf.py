@@ -1,0 +1,818 @@
+"""HF-architecture-exact SAM2 (Hiera-Det) in Flax — NHWC, TPU-first.
+
+The reference refines bubble masks with SAM 2.1 box prompts
+(core/ml/model_manager.py:419-520, detection SAM hook). This module mirrors
+the transformers Sam2Model graph exactly — HieraDet backbone with windowed
+attention + q-pooling, FPN neck, prompt encoder, two-way mask decoder with
+dynamic stability selection — so published checkpoints convert 1:1
+(convert_sam2 below). Golden-tested against the live torch model in
+tests/test_sam_hf.py.
+
+models/sam.py keeps the lean TPU-native variant used when no weights exist.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, List, Mapping, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import conv_transpose_kernel, linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class Sam2HFConfig:
+    # HieraDet backbone
+    hidden_size: int = 96
+    blocks_per_stage: Tuple[int, ...] = (1, 2, 7, 2)
+    embed_dim_per_stage: Tuple[int, ...] = (96, 192, 384, 768)
+    num_heads_per_stage: Tuple[int, ...] = (1, 2, 4, 8)
+    window_size_per_stage: Tuple[int, ...] = (8, 4, 14, 7)
+    global_attention_blocks: Tuple[int, ...] = (5, 7, 9)
+    query_stride: int = 2
+    num_query_pool_stages: int = 3
+    window_pe_bg_size: Tuple[int, int] = (7, 7)
+    mlp_ratio: float = 4.0
+    patch_kernel: int = 7
+    patch_stride: int = 4
+    patch_padding: int = 3
+    # neck
+    backbone_channel_list: Tuple[int, ...] = (768, 384, 192, 96)
+    fpn_hidden_size: int = 256
+    fpn_top_down_levels: Tuple[int, ...] = (2, 3)
+    num_feature_levels: int = 3
+    # prompt encoder
+    prompt_image_size: int = 1024
+    prompt_patch_size: int = 16
+    mask_input_channels: int = 16
+    num_point_embeddings: int = 4
+    # mask decoder
+    dec_hidden: int = 256
+    dec_layers: int = 2
+    dec_heads: int = 8
+    dec_mlp_dim: int = 2048
+    num_multimask_outputs: int = 3
+    iou_head_depth: int = 3
+    iou_head_hidden: int = 256
+    attention_downsample_rate: int = 2
+    stability_delta: float = 0.05
+    stability_thresh: float = 0.98
+    layer_norm_eps: float = 1e-6
+
+
+SAM2_HF_PRESETS = {
+    "hiera_tiny": Sam2HFConfig(),
+    "test": Sam2HFConfig(
+        hidden_size=16, blocks_per_stage=(1, 1, 2, 1),
+        embed_dim_per_stage=(16, 32, 64, 128),
+        num_heads_per_stage=(1, 1, 2, 2),
+        window_size_per_stage=(4, 2, 4, 2), global_attention_blocks=(3,),
+        backbone_channel_list=(128, 64, 32, 16), fpn_hidden_size=32,
+        prompt_image_size=128, prompt_patch_size=16,
+        dec_hidden=32, dec_heads=4, dec_mlp_dim=64, iou_head_hidden=32),
+}
+
+
+def _gelu(x):
+    """erf-exact GELU (torch nn.GELU / HF ACT2FN['gelu']); flax nn.gelu
+    defaults to the tanh approximation, which diverges at ~1e-3."""
+    return jax.nn.gelu(x, approximate=False)
+
+
+def bicubic_resize(x: jnp.ndarray, out_h: int, out_w: int) -> jnp.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False) on NCHW-style
+    last-two-axes, here applied to [1, C, H, W]: cubic convolution a=-0.75,
+    half-pixel centers, edge-clamped taps."""
+    a = -0.75
+
+    def weights(t):
+        t = jnp.abs(t)
+        w1 = ((a + 2) * t - (a + 3)) * t * t + 1          # |t| <= 1
+        w2 = ((a * t - 5 * a) * t + 8 * a) * t - 4 * a    # 1 < |t| < 2
+        return jnp.where(t <= 1, w1, jnp.where(t < 2, w2, 0.0))
+
+    def axis_resize(arr, out_n, axis):
+        in_n = arr.shape[axis]
+        dst = jnp.arange(out_n, dtype=jnp.float32)
+        src = (dst + 0.5) * (in_n / out_n) - 0.5
+        i0 = jnp.floor(src).astype(jnp.int32)
+        pieces = []
+        wsum = 0.0
+        for k in (-1, 0, 1, 2):
+            idx = jnp.clip(i0 + k, 0, in_n - 1)
+            w = weights(src - (i0 + k).astype(jnp.float32))
+            pieces.append((idx, w))
+            wsum = wsum + w
+        out = 0.0
+        for idx, w in pieces:
+            taken = jnp.take(arr, idx, axis=axis)
+            shape = [1] * arr.ndim
+            shape[axis] = out_n
+            out = out + taken * w.reshape(shape)
+        return out
+
+    x = axis_resize(x, out_h, 2)
+    return axis_resize(x, out_w, 3)
+
+
+# ---- HieraDet backbone ------------------------------------------------------------
+
+
+def _window_partition(x: jnp.ndarray, ws: int):
+    b, h, w, c = x.shape
+    ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
+    x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    hh, ww = h + ph, w + pw
+    x = x.reshape(b, hh // ws, ws, ww // ws, ws, c)
+    return (x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c), (hh, ww))
+
+
+def _window_unpartition(wins: jnp.ndarray, ws: int, pad_hw, hw):
+    hh, ww = pad_hw
+    h, w = hw
+    b = wins.shape[0] // ((hh // ws) * (ww // ws))
+    x = wins.reshape(b, hh // ws, ww // ws, ws, ws, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, -1)
+    return x[:, :h, :w]
+
+
+def _pool2(x: jnp.ndarray, stride: int) -> jnp.ndarray:
+    return nn.max_pool(x, (stride, stride), strides=(stride, stride))
+
+
+class MultiScaleAttention(nn.Module):
+    dim_out: int
+    heads: int
+    q_stride: int = 0
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, _ = x.shape
+        hd = self.dim_out // self.heads
+        qkv = nn.Dense(self.dim_out * 3, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.heads, hd)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        if self.q_stride:
+            q = _pool2(q.reshape(b, h, w, self.dim_out), self.q_stride)
+            h, w = q.shape[1:3]
+            q = q.reshape(b, h * w, self.heads, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        att = jax.nn.softmax(att, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        out = out.reshape(b, h, w, self.dim_out)
+        return nn.Dense(self.dim_out, name="proj")(out)
+
+
+class FeedForward(nn.Module):
+    """transformers Sam2FeedForward: proj_in → (mid layers) → proj_out."""
+
+    hidden: int
+    out: int
+    num_layers: int
+    act: str = "relu"
+    sigmoid_output: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        fn = {"relu": nn.relu, "gelu": _gelu}[self.act]
+        x = fn(nn.Dense(self.hidden, name="proj_in")(x))
+        for i in range(self.num_layers - 2):
+            x = fn(nn.Dense(self.hidden, name=f"layer{i}")(x))
+        x = nn.Dense(self.out, name="proj_out")(x)
+        return jax.nn.sigmoid(x) if self.sigmoid_output else x
+
+
+class MultiScaleBlock(nn.Module):
+    cfg: Sam2HFConfig
+    stage_idx: int
+    block_idx: int
+    total_idx: int
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        first = self.stage_idx > 0 and self.block_idx == 0
+        dim = cfg.embed_dim_per_stage[self.stage_idx - 1] if first \
+            else cfg.embed_dim_per_stage[self.stage_idx]
+        dim_out = cfg.embed_dim_per_stage[self.stage_idx]
+        ws = cfg.window_size_per_stage[self.stage_idx - 1] if first \
+            else cfg.window_size_per_stage[self.stage_idx]
+        if self.total_idx in cfg.global_attention_blocks:
+            ws = 0
+        q_stride = (cfg.query_stride
+                    if (0 < self.stage_idx <= cfg.num_query_pool_stages
+                        and self.block_idx == 0) else 0)
+
+        residual = x
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(x)
+        if dim != dim_out:
+            residual = nn.Dense(dim_out, name="proj")(h)
+            if q_stride:
+                residual = _pool2(residual, q_stride)
+        hw = (h.shape[1], h.shape[2])
+        pad_hw = hw
+        if ws > 0:
+            h, pad_hw = _window_partition(h, ws)
+        h = MultiScaleAttention(dim_out, cfg.num_heads_per_stage[
+            self.stage_idx], q_stride, name="attn")(h)
+        if q_stride:
+            ws_new = ws // q_stride if ws > 0 else 0
+            hh, ww = residual.shape[1:3]
+            if ws_new:
+                pad_hw = (hh + (ws_new - hh % ws_new) % ws_new,
+                          ww + (ws_new - ww % ws_new) % ws_new)
+            hw = (hh, ww)
+            ws = ws_new
+        if ws > 0:
+            h = _window_unpartition(h, ws, pad_hw, hw)
+        x = residual + h
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln2")(x)
+        y = FeedForward(int(dim_out * cfg.mlp_ratio), dim_out, 2, "gelu",
+                        name="mlp")(y)
+        return x + y
+
+
+class HieraDet(nn.Module):
+    cfg: Sam2HFConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        p = cfg.patch_padding
+        x = nn.Conv(cfg.hidden_size, (cfg.patch_kernel, cfg.patch_kernel),
+                    strides=(cfg.patch_stride, cfg.patch_stride),
+                    padding=((p, p), (p, p)), name="patch_embed")(images)
+        h, w = x.shape[1:3]
+        pos_bg = self.param("pos_embed", nn.initializers.zeros,
+                            (1, cfg.hidden_size, *cfg.window_pe_bg_size))
+        pos_win = self.param("pos_embed_window", nn.initializers.zeros,
+                             (1, cfg.hidden_size, cfg.window_size_per_stage[0],
+                              cfg.window_size_per_stage[0]))
+        pos = bicubic_resize(pos_bg, h, w)
+        ws0 = cfg.window_size_per_stage[0]
+        pos = pos + jnp.tile(pos_win, (1, 1, h // ws0, w // ws0))
+        x = x + pos.transpose(0, 2, 3, 1)
+
+        outs = []
+        stage_ends = np.cumsum(cfg.blocks_per_stage) - 1
+        total = 0
+        for si, nblocks in enumerate(cfg.blocks_per_stage):
+            for bi in range(nblocks):
+                x = MultiScaleBlock(cfg, si, bi, total,
+                                    name=f"block{total}")(x)
+                if total in stage_ends:
+                    outs.append(x)
+                total += 1
+        return outs
+
+
+def sine_pos_embed(h: int, w: int, dim: int) -> np.ndarray:
+    """Sam2SinePositionEmbedding(normalize=True) on an all-valid mask →
+    [1, dim, h, w] (modeling_sam2.py:149)."""
+    half = dim // 2
+    y = np.cumsum(np.ones((1, h, w), np.float32), 1)
+    x = np.cumsum(np.ones((1, h, w), np.float32), 2)
+    scale = 2 * np.pi
+    eps = 1e-6
+    y = y / (y[:, -1:, :] + eps) * scale
+    x = x / (x[:, :, -1:] + eps) * scale
+    dim_t = np.arange(half, dtype=np.float32)
+    dim_t = 10000.0 ** (2 * np.floor(dim_t / 2) / half)
+    px = x[..., None] / dim_t
+    py = y[..., None] / dim_t
+    px = np.stack([np.sin(px[..., 0::2]), np.cos(px[..., 1::2])],
+                  -1).reshape(1, h, w, -1)
+    py = np.stack([np.sin(py[..., 0::2]), np.cos(py[..., 1::2])],
+                  -1).reshape(1, h, w, -1)
+    return np.concatenate([py, px], -1).transpose(0, 3, 1, 2)
+
+
+class VisionNeck(nn.Module):
+    cfg: Sam2HFConfig
+
+    @nn.compact
+    def __call__(self, feats: Sequence[jnp.ndarray]) -> List[jnp.ndarray]:
+        cfg = self.cfg
+        n = len(cfg.backbone_channel_list) - 1
+        outs = []
+        prev = None
+        for i in range(n, -1, -1):
+            lat = nn.Conv(cfg.fpn_hidden_size, (1, 1),
+                          name=f"conv{n - i}")(feats[i])
+            if i in cfg.fpn_top_down_levels and i != n:
+                b, hh, ww, c = lat.shape
+                up = jax.image.resize(prev, (b, hh, ww, c), "nearest")
+                prev = lat + up
+            else:
+                prev = lat
+            outs.append(prev)
+        return outs  # low→high resolution (i = n..0)
+
+
+# ---- prompt encoder ---------------------------------------------------------------
+
+
+class PositionalEmbedding(nn.Module):
+    """Random-gaussian coordinate embedding (checkpoint buffer)."""
+
+    dim: int
+
+    @nn.compact
+    def __call__(self, coords01: jnp.ndarray) -> jnp.ndarray:
+        mat = self.param("positional_embedding", nn.initializers.normal(1.0),
+                         (2, self.dim // 2))
+        c = 2.0 * coords01 - 1.0
+        c = 2.0 * np.pi * (c @ mat)
+        return jnp.concatenate([jnp.sin(c), jnp.cos(c)], -1)
+
+
+class PromptEncoder(nn.Module):
+    cfg: Sam2HFConfig
+
+    def setup(self):
+        cfg = self.cfg
+        d = cfg.dec_hidden
+        self.shared = PositionalEmbedding(d, name="shared")
+        self.point_embed = self.param("point_embed",
+                                      nn.initializers.normal(1.0),
+                                      (cfg.num_point_embeddings, d))
+        self.not_a_point = self.param("not_a_point",
+                                      nn.initializers.normal(1.0), (1, d))
+        self.no_mask = self.param("no_mask", nn.initializers.normal(1.0),
+                                  (1, d))
+
+    def embed_boxes(self, boxes: jnp.ndarray) -> jnp.ndarray:
+        """boxes [B, nb, 4] xyxy pixels → sparse embeddings [B, nb, 3, d]."""
+        cfg = self.cfg
+        size = cfg.prompt_image_size
+        b, nb, _ = boxes.shape
+        coords = (boxes + 0.5).reshape(b, nb, 2, 2) / size
+        coords = jnp.concatenate(
+            [coords, jnp.zeros((b, nb, 1, 2), boxes.dtype)], axis=2)
+        emb = self.shared(coords)
+        emb = emb.at[:, :, 0].add(self.point_embed[2])
+        emb = emb.at[:, :, 1].add(self.point_embed[3])
+        emb = emb.at[:, :, 2].set(self.not_a_point[0])
+        return emb
+
+    def dense_no_mask(self, batch: int) -> jnp.ndarray:
+        cfg = self.cfg
+        s = cfg.prompt_image_size // cfg.prompt_patch_size
+        return jnp.broadcast_to(self.no_mask.reshape(1, 1, 1, -1),
+                                (batch, s, s, cfg.dec_hidden))
+
+    def __call__(self, boxes):
+        return self.embed_boxes(boxes), self.dense_no_mask(boxes.shape[0])
+
+
+# ---- mask decoder -----------------------------------------------------------------
+
+
+class DecAttention(nn.Module):
+    cfg: Sam2HFConfig
+    downsample: int = 1
+
+    @nn.compact
+    def __call__(self, q, k, v):
+        cfg = self.cfg
+        inner = cfg.dec_hidden // self.downsample
+        hd = inner // cfg.dec_heads
+        bp = q.shape[:2]
+        qp = nn.Dense(inner, name="q_proj")(q).reshape(-1, q.shape[2],
+                                                       cfg.dec_heads, hd)
+        kp = nn.Dense(inner, name="k_proj")(k).reshape(-1, k.shape[2],
+                                                       cfg.dec_heads, hd)
+        vp = nn.Dense(inner, name="v_proj")(v).reshape(-1, v.shape[2],
+                                                       cfg.dec_heads, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", qp, kp,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        att = jax.nn.softmax(att, -1).astype(vp.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, vp)
+        out = out.reshape(*bp, q.shape[2], inner)
+        return nn.Dense(cfg.dec_hidden, name="o_proj")(out)
+
+
+class TwoWayBlock(nn.Module):
+    cfg: Sam2HFConfig
+    skip_first_pe: bool = False
+
+    @nn.compact
+    def __call__(self, queries, keys, qpe, kpe):
+        cfg = self.cfg
+        eps = 1e-5  # torch nn.LayerNorm default in the decoder
+        if self.skip_first_pe:
+            queries = DecAttention(cfg, 1, name="self_attn")(
+                queries, queries, queries)
+        else:
+            q = queries + qpe
+            queries = queries + DecAttention(cfg, 1, name="self_attn")(
+                q, q, queries)
+        queries = nn.LayerNorm(epsilon=eps, name="ln1")(queries)
+        q = queries + qpe
+        k = keys + kpe
+        queries = queries + DecAttention(
+            cfg, cfg.attention_downsample_rate,
+            name="cross_attn_token_to_image")(q, k, keys)
+        queries = nn.LayerNorm(epsilon=eps, name="ln2")(queries)
+        queries = queries + FeedForward(cfg.dec_mlp_dim, cfg.dec_hidden,
+                                        cfg.dec_layers, "relu",
+                                        name="mlp")(queries)
+        queries = nn.LayerNorm(epsilon=eps, name="ln3")(queries)
+        q = queries + qpe
+        k = keys + kpe
+        keys = keys + DecAttention(
+            cfg, cfg.attention_downsample_rate,
+            name="cross_attn_image_to_token")(k, q, queries)
+        keys = nn.LayerNorm(epsilon=eps, name="ln4")(keys)
+        return queries, keys
+
+
+class ChannelsLayerNorm(nn.Module):
+    """Sam2LayerNorm(channels_first) on NHWC input (normalize last axis)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.LayerNorm(epsilon=self.eps, name="ln")(x)
+
+
+class MaskDecoder(nn.Module):
+    cfg: Sam2HFConfig
+
+    @nn.compact
+    def __call__(self, image_emb, image_pe, sparse, s0, s1,
+                 multimask_output: bool = False):
+        """image_emb [B, h, w, d]; sparse [B, P, n, d]; s0/s1 high-res feats
+        (already conv_s0/s1-projected, NHWC). Returns (masks, iou, obj)."""
+        cfg = self.cfg
+        d = cfg.dec_hidden
+        nm = cfg.num_multimask_outputs + 1
+        b, h, w, _ = image_emb.shape
+        pbs = sparse.shape[1]
+
+        obj_token = self.param("obj_score_token",
+                               nn.initializers.normal(1.0), (1, d))
+        iou_token = self.param("iou_token", nn.initializers.normal(1.0),
+                               (1, d))
+        mask_tokens = self.param("mask_tokens", nn.initializers.normal(1.0),
+                                 (nm, d))
+        out_tokens = jnp.concatenate([obj_token, iou_token, mask_tokens], 0)
+        tokens = jnp.broadcast_to(out_tokens[None, None],
+                                  (b, pbs, 2 + nm, d))
+        tokens = jnp.concatenate([tokens, sparse], axis=2)
+
+        # image embedding (+dense prompt added by caller) per point batch
+        img = jnp.repeat(image_emb.reshape(b, 1, h * w, d), pbs, axis=1)
+        pe = jnp.repeat(image_pe.reshape(1, 1, h * w, d), b, axis=0)
+        pe = jnp.repeat(pe, pbs, axis=1)
+
+        queries, keys = tokens, img
+        for i in range(cfg.dec_layers):
+            queries, keys = TwoWayBlock(cfg, skip_first_pe=(i == 0),
+                                        name=f"twoway{i}")(queries, keys,
+                                                           tokens, pe)
+        q = queries + tokens
+        k = keys + pe
+        queries = queries + DecAttention(
+            cfg, cfg.attention_downsample_rate,
+            name="final_attn")(q, k, keys)
+        queries = nn.LayerNorm(epsilon=1e-5, name="ln_final")(queries)
+
+        iou_out = queries[:, :, 1]
+        mask_out = queries[:, :, 2:2 + nm]
+
+        img_sp = keys.reshape(b * pbs, h, w, d)
+        up = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2),
+                              name="upscale_conv1")(img_sp)
+        up = up + jnp.repeat(s1, pbs, axis=0)
+        up = _gelu(ChannelsLayerNorm(name="upscale_ln")(up))
+        up = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2),
+                              name="upscale_conv2")(up)
+        up = _gelu(up + jnp.repeat(s0, pbs, axis=0))
+
+        hyper = jnp.stack(
+            [FeedForward(d, d // 8, 3, "relu", name=f"hyper{i}")(
+                mask_out[:, :, i]) for i in range(nm)], axis=2)
+        hh, ww = up.shape[1:3]
+        upf = up.reshape(b, pbs, hh * ww, d // 8)
+        masks = jnp.einsum("bpnc,bpxc->bpnx", hyper, upf)
+        masks = masks.reshape(b, pbs, nm, hh, ww)
+
+        iou = FeedForward(cfg.iou_head_hidden, nm, cfg.iou_head_depth,
+                          "relu", sigmoid_output=True,
+                          name="iou_head")(iou_out)
+        obj = FeedForward(d, 1, 3, "relu",
+                          name="obj_score_head")(queries[:, :, 0])
+
+        if multimask_output:
+            return masks[:, :, 1:], iou[:, :, 1:], obj
+        # dynamic single-mask selection via stability
+        single = masks[:, :, 0:1]
+        single_iou = iou[:, :, 0:1]
+        flat = single.reshape(b, pbs, -1)
+        area_i = (flat > cfg.stability_delta).sum(-1).astype(jnp.float32)
+        area_u = (flat > -cfg.stability_delta).sum(-1).astype(jnp.float32)
+        stability = jnp.where(area_u > 0, area_i / area_u, 1.0)
+        stable = stability >= cfg.stability_thresh
+
+        multi = masks[:, :, 1:]
+        multi_iou = iou[:, :, 1:]
+        best = jnp.argmax(multi_iou, axis=-1)
+        best_mask = jnp.take_along_axis(
+            multi, best[..., None, None, None], axis=2)
+        best_iou = jnp.take_along_axis(multi_iou, best[..., None], axis=-1)
+        masks_out = jnp.where(stable[..., None, None, None], single,
+                              best_mask)
+        iou_sel = jnp.where(stable[..., None], single_iou, best_iou)
+        return masks_out, iou_sel, obj
+
+
+class Sam2HFModel(nn.Module):
+    """Box-prompted segmentation (the reference's SAM usage). Returns low-res
+    mask logits [B, num_boxes, 1, H/4, W/4], iou scores, object scores."""
+
+    cfg: Sam2HFConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.backbone = HieraDet(cfg, name="hiera")
+        self.neck = VisionNeck(cfg, name="neck")
+        self.prompt = PromptEncoder(cfg, name="prompt_encoder")
+        self.decoder = MaskDecoder(cfg, name="mask_decoder")
+        self.conv_s0 = nn.Conv(cfg.dec_hidden // 8, (1, 1), name="conv_s0")
+        self.conv_s1 = nn.Conv(cfg.dec_hidden // 4, (1, 1), name="conv_s1")
+        self.no_memory_embedding = self.param(
+            "no_memory_embedding", nn.initializers.zeros,
+            (1, 1, cfg.fpn_hidden_size))
+
+    def __call__(self, images: jnp.ndarray, boxes: jnp.ndarray,
+                 multimask_output: bool = False):
+        cfg = self.cfg
+        feats = self.backbone(images)
+        fpn = self.neck(feats)  # low→high res
+        levels = fpn[-cfg.num_feature_levels:][::-1]  # high→low
+        s0 = self.conv_s0(levels[0])
+        s1 = self.conv_s1(levels[1])
+        img_emb = levels[2] + self.no_memory_embedding.reshape(1, 1, 1, -1)
+
+        sparse, dense = self.prompt(boxes)
+        img_emb = img_emb + dense
+
+        s = cfg.prompt_image_size // cfg.prompt_patch_size
+        grid = np.ones((s, s), np.float32)
+        ye = (np.cumsum(grid, 0) - 0.5) / s
+        xe = (np.cumsum(grid, 1) - 0.5) / s
+        coords = jnp.asarray(np.stack([xe, ye], -1))
+        pe = self.prompt.shared(coords)  # [s, s, d]
+        return self.decoder(img_emb, pe[None], sparse, s0, s1,
+                            multimask_output)
+
+
+def init_sam2(cfg: Sam2HFConfig, seed: int = 0):
+    model = Sam2HFModel(cfg)
+    size = cfg.prompt_image_size
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, size, size, 3)),
+                      jnp.zeros((1, 1, 4)))
+
+
+# ---- weight conversion ------------------------------------------------------------
+
+
+def _lin(sd, key, p, path):
+    set_path(p, path + ("kernel",),
+             linear_kernel(np.asarray(sd[f"{key}.weight"])))
+    if f"{key}.bias" in sd:
+        set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+
+def _ln(sd, key, p, path):
+    set_path(p, path + ("scale",), np.asarray(sd[f"{key}.weight"]))
+    set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+
+def _conv(sd, key, p, path):
+    set_path(p, path + ("kernel",), np.transpose(
+        np.asarray(sd[f"{key}.weight"]), (2, 3, 1, 0)))
+    if f"{key}.bias" in sd:
+        set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+
+def _ff(sd, key, p, path, num_layers):
+    _lin(sd, f"{key}.proj_in", p, path + ("proj_in",))
+    for i in range(num_layers - 2):
+        _lin(sd, f"{key}.layers.{i}", p, path + (f"layer{i}",))
+    _lin(sd, f"{key}.proj_out", p, path + ("proj_out",))
+
+
+def infer_sam2_config(sd: Mapping[str, np.ndarray]) -> Sam2HFConfig:
+    """Structural Sam2HFConfig from a transformers Sam2Model state dict."""
+    hs = sd["vision_encoder.backbone.patch_embed.projection.weight"].shape[0]
+    dims, blocks, heads = [], [], []
+    total = 0
+    # walk blocks; stage boundaries where qkv input dim changes
+    dim_in = []
+    while f"vision_encoder.backbone.blocks.{total}.layer_norm1.weight" in sd:
+        dim_in.append(sd[f"vision_encoder.backbone.blocks.{total}"
+                         ".layer_norm1.weight"].shape[0])
+        total += 1
+    out_dims = [sd[f"vision_encoder.backbone.blocks.{i}.layer_norm2"
+                   ".weight"].shape[0] for i in range(total)]
+    stage_dims, stage_blocks = [], []
+    for i in range(total):
+        if not stage_dims or out_dims[i] != stage_dims[-1]:
+            stage_dims.append(out_dims[i])
+            stage_blocks.append(1)
+        else:
+            stage_blocks[-1] += 1
+    defaults = Sam2HFConfig()
+    fpn = sd["vision_encoder.neck.convs.0.weight"].shape[0]
+    dec = sd["mask_decoder.iou_token.weight"].shape[1]
+    ratio = len(stage_dims) and stage_dims[0]
+    heads_per_stage = tuple(
+        defaults.num_heads_per_stage[i] if i < 4 else 1
+        for i in range(len(stage_dims)))
+    return Sam2HFConfig(
+        hidden_size=hs, blocks_per_stage=tuple(stage_blocks),
+        embed_dim_per_stage=tuple(stage_dims),
+        num_heads_per_stage=heads_per_stage,
+        backbone_channel_list=tuple(reversed(stage_dims)),
+        fpn_hidden_size=fpn, dec_hidden=dec,
+        dec_mlp_dim=sd["mask_decoder.transformer.layers.0.mlp.proj_in"
+                       ".weight"].shape[0],
+        iou_head_hidden=sd["mask_decoder.iou_prediction_head.proj_in"
+                           ".weight"].shape[0])
+
+
+def convert_sam2(sd: Mapping[str, np.ndarray],
+                 cfg: Optional[Sam2HFConfig] = None) -> Dict[str, Any]:
+    """transformers Sam2Model state dict → Sam2HFModel variables."""
+    if cfg is None:
+        cfg = infer_sam2_config(sd)
+    p: Dict[str, Any] = {}
+
+    bb = "vision_encoder.backbone"
+    _conv(sd, f"{bb}.patch_embed.projection", p, ("hiera", "patch_embed"))
+    set_path(p, ("hiera", "pos_embed"), np.asarray(sd[f"{bb}.pos_embed"]))
+    set_path(p, ("hiera", "pos_embed_window"),
+             np.asarray(sd[f"{bb}.pos_embed_window"]))
+    total = sum(cfg.blocks_per_stage)
+    for i in range(total):
+        base = f"{bb}.blocks.{i}"
+        path = ("hiera", f"block{i}")
+        _ln(sd, f"{base}.layer_norm1", p, path + ("ln1",))
+        _ln(sd, f"{base}.layer_norm2", p, path + ("ln2",))
+        _lin(sd, f"{base}.attn.qkv", p, path + ("attn", "qkv"))
+        _lin(sd, f"{base}.attn.proj", p, path + ("attn", "proj"))
+        _ff(sd, f"{base}.mlp", p, path + ("mlp",), 2)
+        if f"{base}.proj.weight" in sd:
+            _lin(sd, f"{base}.proj", p, path + ("proj",))
+    for i in range(len(cfg.backbone_channel_list)):
+        _conv(sd, f"vision_encoder.neck.convs.{i}", p,
+              ("neck", f"conv{i}"))
+
+    set_path(p, ("prompt_encoder", "shared", "positional_embedding"),
+             np.asarray(sd["shared_image_embedding.positional_embedding"]))
+    set_path(p, ("prompt_encoder", "point_embed"),
+             np.asarray(sd["prompt_encoder.point_embed.weight"]))
+    set_path(p, ("prompt_encoder", "not_a_point"),
+             np.asarray(sd["prompt_encoder.not_a_point_embed.weight"]))
+    set_path(p, ("prompt_encoder", "no_mask"),
+             np.asarray(sd["prompt_encoder.no_mask_embed.weight"]))
+    set_path(p, ("no_memory_embedding",),
+             np.asarray(sd["no_memory_embedding"]))
+
+    md = "mask_decoder"
+    set_path(p, ("mask_decoder", "obj_score_token"),
+             np.asarray(sd[f"{md}.obj_score_token.weight"]))
+    set_path(p, ("mask_decoder", "iou_token"),
+             np.asarray(sd[f"{md}.iou_token.weight"]))
+    set_path(p, ("mask_decoder", "mask_tokens"),
+             np.asarray(sd[f"{md}.mask_tokens.weight"]))
+    for li in range(cfg.dec_layers):
+        base = f"{md}.transformer.layers.{li}"
+        path = ("mask_decoder", f"twoway{li}")
+        for name, ours in (("self_attn", "self_attn"),
+                           ("cross_attn_token_to_image",
+                            "cross_attn_token_to_image"),
+                           ("cross_attn_image_to_token",
+                            "cross_attn_image_to_token")):
+            for pr in ("q_proj", "k_proj", "v_proj", "o_proj"):
+                _lin(sd, f"{base}.{name}.{pr}", p, path + (ours, pr))
+        for i, ln in enumerate(("layer_norm1", "layer_norm2", "layer_norm3",
+                                "layer_norm4")):
+            _ln(sd, f"{base}.{ln}", p, path + (f"ln{i + 1}",))
+        _ff(sd, f"{base}.mlp", p, path + ("mlp",), cfg.dec_layers)
+    for pr in ("q_proj", "k_proj", "v_proj", "o_proj"):
+        _lin(sd, f"{md}.transformer.final_attn_token_to_image.{pr}", p,
+             ("mask_decoder", "final_attn", pr))
+    _ln(sd, f"{md}.transformer.layer_norm_final_attn", p,
+        ("mask_decoder", "ln_final"))
+    for name, key in (("upscale_conv1", f"{md}.upscale_conv1"),
+                      ("upscale_conv2", f"{md}.upscale_conv2")):
+        set_path(p, ("mask_decoder", name, "kernel"),
+                 conv_transpose_kernel(np.asarray(sd[f"{key}.weight"])))
+        set_path(p, ("mask_decoder", name, "bias"),
+                 np.asarray(sd[f"{key}.bias"]))
+    _ln(sd, f"{md}.upscale_layer_norm", p,
+        ("mask_decoder", "upscale_ln", "ln"))
+    nm = cfg.num_multimask_outputs + 1
+    for i in range(nm):
+        _ff(sd, f"{md}.output_hypernetworks_mlps.{i}", p,
+            ("mask_decoder", f"hyper{i}"), 3)
+    _ff(sd, f"{md}.iou_prediction_head", p, ("mask_decoder", "iou_head"),
+        cfg.iou_head_depth)
+    _ff(sd, f"{md}.pred_obj_score_head", p,
+        ("mask_decoder", "obj_score_head"), 3)
+    _conv(sd, f"{md}.conv_s0", p, ("conv_s0",))
+    _conv(sd, f"{md}.conv_s1", p, ("conv_s1",))
+    return {"params": p}
+
+
+class Sam2HFRefiner:
+    """SamRefiner-protocol wrapper over the HF-exact model: page image +
+    xyxy boxes → per-box page-resolution binary masks (one batched forward,
+    reference detection.py:475-511)."""
+
+    MAX_PROMPTS = 16
+
+    def __init__(self, cfg: Sam2HFConfig, params):
+        self.cfg = cfg
+        self.model = Sam2HFModel(cfg)
+        self._params = params
+
+        @jax.jit
+        def _run(params, image, boxes):
+            masks, iou, obj = self.model.apply(params, image, boxes)
+            return masks[:, :, 0]  # [1, P, h/4, w/4] logits
+
+        self._run = _run
+
+    def __call__(self, image: np.ndarray, boxes: np.ndarray):
+        import cv2
+
+        h, w = image.shape[:2]
+        size = self.cfg.prompt_image_size
+        n = len(boxes)
+        if n == 0:
+            return []
+        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+        scale = np.array([size / w, size / h, size / w, size / h], np.float32)
+        padded = np.zeros((1, self.MAX_PROMPTS, 4), np.float32)
+        padded[0, :n] = np.asarray(boxes, np.float32)[: self.MAX_PROMPTS] * scale
+        logits = np.asarray(self._run(self._params, jnp.asarray(resized[None]),
+                                      jnp.asarray(padded)))[0]
+        out = []
+        for i in range(n):
+            m = cv2.resize(logits[i], (w, h), interpolation=cv2.INTER_LINEAR)
+            out.append((m > 0.0).astype(np.uint8))
+        return out
+
+
+def infer_sam2_config_from_variables(variables: Dict[str, Any],
+                                     prompt_image_size: int = 1024
+                                     ) -> Sam2HFConfig:
+    """Structural config from a converted Flax tree (checkpoint reload path).
+    Input resolution is not in the weights; defaults to SAM2's 1024."""
+    p = variables["params"]
+    hiera = p["hiera"]
+    hs = hiera["patch_embed"]["kernel"].shape[-1]
+    total = 0
+    while f"block{total}" in hiera:
+        total += 1
+    out_dims = [np.asarray(hiera[f"block{i}"]["ln2"]["scale"]).shape[0]
+                for i in range(total)]
+    stage_dims, stage_blocks = [], []
+    for d in out_dims:
+        if not stage_dims or d != stage_dims[-1]:
+            stage_dims.append(d)
+            stage_blocks.append(1)
+        else:
+            stage_blocks[-1] += 1
+    defaults = Sam2HFConfig()
+    heads = tuple(defaults.num_heads_per_stage[i] if i < 4 else 1
+                  for i in range(len(stage_dims)))
+    ws0 = np.asarray(hiera["pos_embed_window"]).shape[-1]
+    windows = (ws0,) + tuple(
+        defaults.window_size_per_stage[i] if i < 4 else ws0
+        for i in range(1, len(stage_dims)))
+    pe_bg = tuple(np.asarray(hiera["pos_embed"]).shape[-2:])
+    return Sam2HFConfig(
+        hidden_size=hs, blocks_per_stage=tuple(stage_blocks),
+        embed_dim_per_stage=tuple(stage_dims), num_heads_per_stage=heads,
+        window_size_per_stage=windows, window_pe_bg_size=pe_bg,
+        backbone_channel_list=tuple(reversed(stage_dims)),
+        fpn_hidden_size=p["neck"]["conv0"]["kernel"].shape[-1],
+        prompt_image_size=prompt_image_size,
+        dec_hidden=p["mask_decoder"]["iou_token"].shape[-1],
+        dec_mlp_dim=p["mask_decoder"]["twoway0"]["mlp"]["proj_in"][
+            "kernel"].shape[-1],
+        iou_head_hidden=p["mask_decoder"]["iou_head"]["proj_in"][
+            "kernel"].shape[-1])

@@ -1,0 +1,119 @@
+"""HF-exact SAM2: golden test against the live torch Sam2Model."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mangatranslator_tpu.models.sam_hf import (
+    SAM2_HF_PRESETS,
+    Sam2HFModel,
+    convert_sam2,
+    infer_sam2_config,
+)
+
+CFG = SAM2_HF_PRESETS["test"]
+
+
+def _torch_model(seed: int = 0):
+    from transformers import Sam2Config, Sam2Model
+    from transformers.models.sam2.configuration_sam2 import (
+        Sam2HieraDetConfig,
+        Sam2MaskDecoderConfig,
+        Sam2PromptEncoderConfig,
+        Sam2VisionConfig,
+    )
+
+    cfg = CFG
+    hiera = Sam2HieraDetConfig(
+        hidden_size=cfg.hidden_size,
+        blocks_per_stage=list(cfg.blocks_per_stage),
+        embed_dim_per_stage=list(cfg.embed_dim_per_stage),
+        num_attention_heads_per_stage=list(cfg.num_heads_per_stage),
+        window_size_per_stage=list(cfg.window_size_per_stage),
+        global_attention_blocks=list(cfg.global_attention_blocks),
+        image_size=[cfg.prompt_image_size, cfg.prompt_image_size])
+    vision = Sam2VisionConfig(
+        backbone_config=hiera,
+        backbone_channel_list=list(cfg.backbone_channel_list),
+        fpn_hidden_size=cfg.fpn_hidden_size,
+        backbone_feature_sizes=[[32, 32], [16, 16], [8, 8]])
+    prompt = Sam2PromptEncoderConfig(hidden_size=cfg.dec_hidden,
+                                     image_size=cfg.prompt_image_size,
+                                     patch_size=cfg.prompt_patch_size)
+    maskdec = Sam2MaskDecoderConfig(hidden_size=cfg.dec_hidden,
+                                    num_attention_heads=cfg.dec_heads,
+                                    mlp_dim=cfg.dec_mlp_dim,
+                                    iou_head_hidden_dim=cfg.iou_head_hidden)
+    tcfg = Sam2Config(vision_config=vision, prompt_encoder_config=prompt,
+                      mask_decoder_config=maskdec)
+    torch.manual_seed(seed)
+    model = Sam2Model(tcfg).eval()
+    # keep signals alive (HF init uses tiny std; see test_rtdetr_hf.py)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if "pos_embed" in name or "positional" in name:
+                p.normal_(0, 0.2)
+            elif p.dim() == 1:
+                if name.endswith(".bias"):
+                    p.normal_(0, 0.02)
+                else:
+                    p.uniform_(0.8, 1.2)
+            elif p.dim() == 2 and ("token" in name or "embed.weight" in name):
+                p.normal_(0, 0.5)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+        model._tie_weights()
+    return model
+
+
+def test_golden_vs_torch():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    inferred = infer_sam2_config(sd)
+    assert inferred.embed_dim_per_stage == CFG.embed_dim_per_stage
+    assert inferred.blocks_per_stage == CFG.blocks_per_stage
+    assert inferred.fpn_hidden_size == CFG.fpn_hidden_size
+
+    variables = jax.tree.map(jnp.asarray, convert_sam2(sd, CFG))
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 3, 128, 128).astype(np.float32)
+    boxes = np.array([[[12.0, 20.0, 90.0, 100.0], [4.0, 4.0, 60.0, 48.0]]],
+                     np.float32)
+    with torch.no_grad():
+        # .copy(): the torch prompt encoder shifts input_boxes in place
+        ref = tm(pixel_values=torch.from_numpy(img),
+                 input_boxes=torch.from_numpy(boxes.copy()),
+                 multimask_output=False)
+    masks, iou, obj = Sam2HFModel(CFG).apply(
+        variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(boxes))
+
+    np.testing.assert_allclose(np.asarray(obj),
+                               ref.object_score_logits.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(iou), ref.iou_scores.numpy(),
+                               atol=3e-4)
+    np.testing.assert_allclose(np.asarray(masks), ref.pred_masks.numpy(),
+                               atol=5e-3)
+
+
+def test_param_coverage():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_sam2(sd, CFG)
+    # the shared coordinate-embedding buffer is tied: torch drops the prompt-
+    # encoder copy from the state dict, our tree holds it once
+    shared = variables["params"]["prompt_encoder"]["shared"][
+        "positional_embedding"].size
+    ours = sum(x.size for x in jax.tree.leaves(variables)) - shared
+    theirs = sum(
+        v.size for k, v in sd.items()
+        if "shared_image_embedding" not in k  # tied with prompt encoder copy
+        and "mask_embed" not in k  # mask-prompt path (boxes-only port)
+    )
+    assert ours == theirs
