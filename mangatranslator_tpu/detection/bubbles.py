@@ -217,11 +217,12 @@ def detect_speech_bubbles(
 
     # bubble-box expansion to cover OSB text detections that overflow the
     # bubble (reference _expand_boxes_with_osb_text :120-218)
+    osb_text_boxes: List[List[float]] = []
     if cfg.use_osb_text_verification and osb_text_runner is not None and dets:
         try:
             text_dets = _run_detector(image, osb_text_runner, 0.25)
-            expand_boxes_with_osb_text(dets, [t["bbox"] for t in text_dets],
-                                       page_h, page_w)
+            osb_text_boxes = [t["bbox"] for t in text_dets]
+            expand_boxes_with_osb_text(dets, osb_text_boxes, page_h, page_w)
         except Exception as e:
             log_message(f"OSB-text box expansion failed: {e}",
                         always_print=True)
@@ -276,7 +277,8 @@ def detect_speech_bubbles(
     for group in groups:
         parent = np.clip(sum(dets[i]["mask"] for i in group), 0, 1)
         children = geometry.split_conjoined_mask(
-            parent, [dets[i]["bbox"] for i in group]
+            parent, [dets[i]["bbox"] for i in group],
+            osb_text_boxes=osb_text_boxes,
         )
         children = geometry.expand_masks_within_parent(children, parent)
         for i, child_mask in zip(group, children):

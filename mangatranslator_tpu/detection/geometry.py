@@ -5,10 +5,9 @@ categorization (IoA ≥ 0.5), union-find synthetic groups, and splitting a paren
 mask among child boxes. The reference splits along text-safe axis/diagonal cut
 lines with per-child distance-transform region growing
 (_split_conjoined_mask :971, _split_overlap_zone_with_line :668); this
-implementation reproduces the same contract — children partition the parent
-mask, each child's region contains its box core, overlap zones divide along the
-inter-box axis — via seeded nearest-child assignment with a box-distance
-metric. Line-cut parity refinement is tracked for a later round.
+implementation reproduces those exact semantics: seeded box cores, pairwise
+overlap zones re-divided along arrangement-aware text-safe cut lines, then
+distance-transform region growing over the parent remainder.
 """
 
 from __future__ import annotations
@@ -69,62 +68,251 @@ def synthetic_conjoined_groups(primary_boxes: np.ndarray) -> List[List[int]]:
     return [g for g in groups if len(g) >= 2]
 
 
-def _box_distance_field(shape: Tuple[int, int], box: Sequence[float]) -> np.ndarray:
-    """Per-pixel clipped distance to an xyxy box (0 inside)."""
+def detect_group_arrangement(group_boxes: Sequence[Sequence[float]]):
+    """"horizontal"/"vertical" when EVERY pair of box centers has that
+    dominant offset (ratio ≥ AXIS_DOMINANCE_RATIO), else None
+    (reference _detect_group_arrangement :795-828)."""
+    if len(group_boxes) < 2:
+        return None
+    centers = [((b[0] + b[2]) / 2.0, (b[1] + b[3]) / 2.0) for b in group_boxes]
+    arrangement = None
+    for i in range(len(centers)):
+        for j in range(i + 1, len(centers)):
+            dx = abs(centers[j][0] - centers[i][0])
+            dy = abs(centers[j][1] - centers[i][1])
+            if dx > AXIS_DOMINANCE_RATIO * max(dy, 1e-6):
+                pair = "horizontal"
+            elif dy > AXIS_DOMINANCE_RATIO * max(dx, 1e-6):
+                pair = "vertical"
+            else:
+                return None
+            if arrangement is None:
+                arrangement = pair
+            elif arrangement != pair:
+                return None
+    return arrangement
+
+
+def match_text_boxes_to_bubbles(osb_text_boxes, bubble_boxes) -> Dict[int, list]:
+    """Assign each OSB text box to the bubble it overlaps most; drop
+    ambiguous assignments where the runner-up overlap is ≥85% of the best
+    (reference _match_text_boxes_to_bubbles :317-342)."""
+    from .osb import text_box_meaningfully_matches_bubble
+
+    ambiguous_ratio = 0.85  # reference AMBIGUOUS_TEXT_MATCH_RATIO :23
+
+    def inter(a, b):
+        w = min(a[2], b[2]) - max(a[0], b[0])
+        h = min(a[3], b[3]) - max(a[1], b[1])
+        return max(0.0, w) * max(0.0, h)
+
+    matched: Dict[int, list] = {i: [] for i in range(len(bubble_boxes))}
+    for t in osb_text_boxes:
+        candidates = []
+        for i, b in enumerate(bubble_boxes):
+            area = inter(t[:4], b)
+            if area > 0 and text_box_meaningfully_matches_bubble(t[:4], b):
+                candidates.append((i, area))
+        candidates.sort(key=lambda c: c[1], reverse=True)
+        if not candidates:
+            continue
+        if (len(candidates) > 1
+                and candidates[1][1] / candidates[0][1] >= ambiguous_ratio):
+            continue
+        matched[candidates[0][0]].append(list(map(float, t[:4])))
+    return matched
+
+
+def _split_overlap_with_line(overlap, center_a, center_b, start, end,
+                             texts_a=None, texts_b=None,
+                             text_safe: bool = False):
+    """Divide the overlap-zone pixels along a line; with text_safe, shift the
+    cut into the gap between the two children's text boxes
+    (reference _split_overlap_zone_with_line :668-795). None = infeasible."""
+    vx, vy = end[0] - start[0], end[1] - start[1]
+    length = float(np.hypot(vx, vy))
+    if length < 1e-6:
+        return None
+    nx, ny = vy / length, -vx / length
+
+    def sdist(px, py):
+        return (px - start[0]) * nx + (py - start[1]) * ny
+
+    ys, xs = np.nonzero(overlap)
+    if xs.size == 0:
+        return None
+    pdist = sdist(xs.astype(np.float64), ys.astype(np.float64))
+    texts_a = texts_a or []
+    texts_b = texts_b or []
+    text_safe = text_safe and bool(texts_a) and bool(texts_b)
+
+    offset = 0.0
+    if text_safe:
+        lo_raw, hi_raw = float(pdist.min()), float(pdist.max())
+        inset = max(1.0, (hi_raw - lo_raw) * OVERLAP_NUDGE_INSET_RATIO)
+        lo, hi = lo_raw + inset, hi_raw - inset
+        if lo > hi:
+            lo, hi = lo_raw, hi_raw
+
+        def corners(box):
+            x0, y0, x1, y1 = box[:4]
+            return [(x0, y0), (x1, y0), (x0, y1), (x1, y1)]
+
+        def tighten(texts, center_dist, lo, hi):
+            # keep every corner of this child's text boxes on its side
+            if abs(center_dist) < 1e-6 or not texts:
+                return lo, hi
+            ds = [sdist(cx, cy) for t in texts for cx, cy in corners(t)]
+            if center_dist > 0:
+                return lo, min(hi, min(ds))
+            return max(lo, max(ds)), hi
+
+        da = sdist(*center_a)
+        db = sdist(*center_b)
+        lo, hi = tighten(texts_a, da, lo, hi)
+        lo, hi = tighten(texts_b, db, lo, hi)
+        if lo > hi:
+            return None
+        offset = (lo + hi) / 2.0  # middle of the inter-text gap
+
+    side_a = sdist(*center_a) - offset
+    side_b = sdist(*center_b) - offset
+    if side_a * side_b > 0 or abs(side_a - side_b) < 1e-6:
+        # centers on the same side: fall back to projection onto the
+        # center-to-center axis through their midpoint
+        dx, dy = center_b[0] - center_a[0], center_b[1] - center_a[1]
+        mx, my = (center_a[0] + center_b[0]) / 2.0, \
+            (center_a[1] + center_b[1]) / 2.0
+        proj = (xs - mx) * dx + (ys - my) * dy
+        take_a = proj <= 0
+    elif side_a < side_b:
+        take_a = pdist - offset <= 0
+    else:
+        take_a = pdist - offset >= 0
+    take_b = ~take_a
+
+    if text_safe and offset != 0.0:
+        min_px = max(1, int(np.ceil(xs.size * MIN_OVERLAP_SPLIT_SHARE)))
+        if take_a.sum() < min_px or take_b.sum() < min_px:
+            return None
+
+    mask_a = np.zeros(overlap.shape, bool)
+    mask_b = np.zeros(overlap.shape, bool)
+    mask_a[ys[take_a], xs[take_a]] = True
+    mask_b[ys[take_b], xs[take_b]] = True
+    return mask_a, mask_b
+
+
+def split_overlap_zone(overlap, box_a, box_b, texts_a=None, texts_b=None,
+                       arrangement=None):
+    """Pick the cut line for one pair's overlap zone: axis-aligned when the
+    group is axis-arranged, else the overlap-box diagonal matching the pair's
+    relative placement; text-safe candidates first, then unconstrained
+    (reference _split_overlap_zone_with_box_diagonal :830-930)."""
+    zero = (np.zeros(overlap.shape, bool), np.zeros(overlap.shape, bool))
+    ox0, oy0 = max(box_a[0], box_b[0]), max(box_a[1], box_b[1])
+    ox1, oy1 = min(box_a[2], box_b[2]), min(box_a[3], box_b[3])
+    if ox1 <= ox0 or oy1 <= oy0 or not overlap.any():
+        return zero
+    ca = ((box_a[0] + box_a[2]) / 2.0, (box_a[1] + box_a[3]) / 2.0)
+    cb = ((box_b[0] + box_b[2]) / 2.0, (box_b[1] + box_b[3]) / 2.0)
+    dx, dy = cb[0] - ca[0], cb[1] - ca[1]
+    # NW/SE placement → anti-diagonal cut; NE/SW → main diagonal
+    diag = (((ox1, oy0), (ox0, oy1)) if dx * dy >= 0
+            else ((ox0, oy0), (ox1, oy1)))
+    mx = float(np.clip((ca[0] + cb[0]) / 2.0, ox0, ox1))
+    my = float(np.clip((ca[1] + cb[1]) / 2.0, oy0, oy1))
+    h_line = ((ox0, my), (ox1, my))
+    v_line = ((mx, oy0), (mx, oy1))
+    if arrangement == "horizontal":
+        candidates = [v_line, diag, h_line]
+    elif arrangement == "vertical":
+        candidates = [h_line, diag, v_line]
+    else:
+        candidates = [diag, h_line, v_line]
+
+    if texts_a and texts_b:
+        for s, e in candidates:
+            res = _split_overlap_with_line(overlap, ca, cb, s, e, texts_a,
+                                           texts_b, text_safe=True)
+            if res is not None:
+                return res
+    fallback = [candidates[0]]
+    if candidates[0] != diag:
+        fallback.append(diag)
+    for s, e in fallback:
+        res = _split_overlap_with_line(overlap, ca, cb, s, e, texts_a,
+                                       texts_b, text_safe=False)
+        if res is not None:
+            return res
+    return zero
+
+
+def _rect_mask(box, shape) -> np.ndarray:
     h, w = shape
-    ys = np.arange(h, dtype=np.float32)[:, None]
-    xs = np.arange(w, dtype=np.float32)[None, :]
-    dx = np.maximum(np.maximum(box[0] - xs, 0.0), xs - box[2])
-    dy = np.maximum(np.maximum(box[1] - ys, 0.0), ys - box[3])
-    return np.sqrt(dx * dx + dy * dy)
-
-
-def _inset_box(box: Sequence[float], ratio: float) -> np.ndarray:
-    x1, y1, x2, y2 = map(float, box)
-    dw, dh = (x2 - x1) * ratio, (y2 - y1) * ratio
-    return np.array([x1 + dw, y1 + dh, x2 - dw, y2 - dh])
+    m = np.zeros(shape, bool)
+    y0 = max(0, int(np.floor(box[1])))
+    y1 = min(h, int(np.ceil(box[3])))
+    x0 = max(0, int(np.floor(box[0])))
+    x1 = min(w, int(np.ceil(box[2])))
+    if y1 > y0 and x1 > x0:
+        m[y0:y1, x0:x1] = True
+    return m
 
 
 def split_conjoined_mask(
     parent_mask: np.ndarray,
     child_boxes: Sequence[Sequence[float]],
+    osb_text_boxes=None,
 ) -> List[np.ndarray]:
-    """Partition a parent mask among child bubble boxes.
-
-    Contract (reference _split_conjoined_mask :971-1035): every parent pixel
-    goes to exactly one child; each child's region covers its inset box core;
-    the overlap zone divides along the inter-child boundary; children whose
-    share collapses below MIN_OVERLAP_SPLIT_SHARE of the overlap keep their box
-    core. Assignment metric: distance to the child's inset box.
-    """
+    """Partition a parent mask among child bubble boxes with text-safe cut
+    lines (reference _split_conjoined_mask :971-1035): each child seeds from
+    parent∧box (nearest parent pixel to the box center when empty); every
+    pairwise overlap zone is re-divided along an arrangement-aware cut line
+    that keeps each child's matched OSB text boxes whole on its side.
+    Remaining parent pixels are claimed afterwards by
+    expand_masks_within_parent."""
     parent = np.asarray(parent_mask) > 0
-    if not parent.any() or not len(child_boxes):
-        return [np.zeros_like(parent, np.uint8) for _ in child_boxes]
+    if not len(child_boxes):
+        return []
+    if not parent.any():
+        return [np.zeros(parent.shape, np.uint8) for _ in child_boxes]
+    if len(child_boxes) == 1:
+        return [parent.astype(np.uint8)]
 
-    shape = parent.shape
-    fields = np.stack([
-        _box_distance_field(shape, _inset_box(b, OVERLAP_NUDGE_INSET_RATIO))
-        for b in child_boxes
-    ])
-    owner = np.argmin(fields, axis=0)
-    out: List[np.ndarray] = []
-    for k in range(len(child_boxes)):
-        region = parent & (owner == k)
-        out.append(region.astype(np.uint8))
+    boxes = [list(map(float, b)) for b in child_boxes]
+    box_masks = [_rect_mask(b, parent.shape) for b in boxes]
+    resolved = [parent & bm for bm in box_masks]
+    for k, r in enumerate(resolved):
+        if not r.any():
+            # seed from the parent pixel nearest the child's box center
+            cy, cx = np.nonzero(parent)
+            bx = (boxes[k][0] + boxes[k][2]) / 2.0
+            by = (boxes[k][1] + boxes[k][3]) / 2.0
+            i = int(np.argmin((cx - bx) ** 2 + (cy - by) ** 2))
+            seed = np.zeros(parent.shape, bool)
+            seed[cy[i], cx[i]] = True
+            resolved[k] = seed
 
-    # guarantee: each child keeps the parent pixels inside its own inset core
-    for k, b in enumerate(child_boxes):
-        core = _inset_box(b, OVERLAP_NUDGE_INSET_RATIO)
-        ys = slice(max(0, int(core[1])), min(shape[0], int(np.ceil(core[3]))))
-        xs = slice(max(0, int(core[0])), min(shape[1], int(np.ceil(core[2]))))
-        core_px = np.zeros(shape, bool)
-        core_px[ys, xs] = True
-        core_px &= parent
-        for other in range(len(out)):
-            if other != k:
-                out[other][core_px] = 0
-        out[k][core_px] = 1
-    return out
+    texts_for = None
+    if osb_text_boxes is not None and len(osb_text_boxes):
+        texts_for = match_text_boxes_to_bubbles(osb_text_boxes, boxes)
+    arrangement = detect_group_arrangement(boxes)
+
+    for i in range(len(boxes)):
+        for j in range(i + 1, len(boxes)):
+            zone = parent & box_masks[i] & box_masks[j]
+            if not zone.any():
+                continue
+            ta = texts_for.get(i) if texts_for else None
+            tb = texts_for.get(j) if texts_for else None
+            half_i, half_j = split_overlap_zone(zone, boxes[i], boxes[j],
+                                                ta, tb, arrangement)
+            resolved[i] &= ~zone
+            resolved[j] &= ~zone
+            resolved[i] |= half_i
+            resolved[j] |= half_j
+    return [r.astype(np.uint8) for r in resolved]
 
 
 def expand_masks_within_parent(

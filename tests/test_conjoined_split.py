@@ -1,0 +1,85 @@
+"""Exact conjoined cut-line splitting (reference detection.py:668-1035)."""
+
+import numpy as np
+
+from mangatranslator_tpu.detection.geometry import (
+    detect_group_arrangement,
+    expand_masks_within_parent,
+    match_text_boxes_to_bubbles,
+    split_conjoined_mask,
+)
+
+
+def test_arrangement_detection():
+    assert detect_group_arrangement([[0, 0, 10, 10], [40, 1, 50, 11]]) == \
+        "horizontal"
+    assert detect_group_arrangement([[0, 0, 10, 10], [1, 40, 11, 50]]) == \
+        "vertical"
+    assert detect_group_arrangement([[0, 0, 10, 10], [30, 30, 40, 40]]) is None
+
+
+def test_horizontal_pair_vertical_cut():
+    """Side-by-side boxes split along the vertical through the center mid."""
+    parent = np.zeros((40, 100), np.uint8)
+    parent[5:35, 5:95] = 1
+    a, b = split_conjoined_mask(parent, [[0, 0, 60, 40], [40, 0, 100, 40]])
+    a, b = expand_masks_within_parent([a, b], parent)
+    mid = 50  # centers at 30 and 70 → cut at x=50
+    assert a[20, 40] and not b[20, 40]
+    assert b[20, 60] and not a[20, 60]
+    # partition: disjoint and covering
+    assert not (a.astype(bool) & b.astype(bool)).any()
+    assert ((a | b) > 0).sum() == parent.sum()
+
+
+def test_text_safe_cut_shifts_off_text():
+    """A text box crossing the midpoint forces the cut into the inter-text
+    gap, keeping each text whole on its own side."""
+    parent = np.zeros((40, 100), np.uint8)
+    parent[0:40, 0:100] = 1
+    boxes = [[0, 0, 60, 40], [40, 0, 100, 40]]
+    # text A extends past the geometric cut (x=50) to x=55
+    texts = [[10, 10, 55, 30], [70, 10, 90, 30]]
+    a, b = split_conjoined_mask(parent, boxes, osb_text_boxes=texts)
+    a, b = expand_masks_within_parent([a, b], parent)
+    # all of text A's pixels must be on A's side
+    assert a[20, 10:55].all()
+    assert b[20, 70:90].all()
+    # the cut landed between 55 and 70
+    assert a[20, 54] and b[20, 71]
+
+    # without text safety the naive mid cut would hand 50..55 to B
+    a2, b2 = split_conjoined_mask(parent, boxes)
+    a2, b2 = expand_masks_within_parent([a2, b2], parent)
+    assert b2[20, 52]
+
+
+def test_text_match_ambiguity_skipped():
+    boxes = [[0, 0, 60, 40], [40, 0, 100, 40]]
+    # text straddling both bubbles nearly equally → unassigned
+    m = match_text_boxes_to_bubbles([[45, 10, 55, 30]], boxes)
+    assert m[0] == [] and m[1] == []
+    m = match_text_boxes_to_bubbles([[5, 10, 30, 30]], boxes)
+    assert len(m[0]) == 1 and m[1] == []
+
+
+def test_diagonal_pair_diagonal_cut():
+    """NW/SE boxes cut along the overlap anti-diagonal."""
+    parent = np.ones((80, 80), np.uint8)
+    boxes = [[0, 0, 50, 50], [30, 30, 80, 80]]
+    a, b = split_conjoined_mask(parent, boxes)
+    a, b = expand_masks_within_parent([a, b], parent)
+    assert a[10, 10] and b[70, 70]
+    # inside the overlap zone (30..50)^2 the anti-diagonal separates corners
+    assert a[32, 32] and b[48, 48]
+    assert not (a.astype(bool) & b.astype(bool)).any()
+
+
+def test_empty_child_seeds_nearest_pixel():
+    parent = np.zeros((40, 40), np.uint8)
+    parent[0:40, 0:20] = 1  # mask only on the left
+    masks = split_conjoined_mask(parent, [[0, 0, 20, 40], [25, 0, 40, 40]])
+    assert masks[0].any()
+    assert masks[1].sum() == 1  # single seeded pixel
+    ys, xs = np.nonzero(masks[1])
+    assert xs[0] == 19  # nearest parent pixel to the right box center
