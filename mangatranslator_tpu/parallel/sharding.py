@@ -122,6 +122,34 @@ def make_sp_train_step(model, optimizer: optax.GradientTransformation):
     return train_step
 
 
+def make_sp_sampler(model, num_steps: int = 8):
+    """Jitted sequence-parallel Euler sampling program (FLUX inference over a
+    data×model×seq mesh): image tokens shard over 'seq' between denoise steps,
+    the DiT's tp param specs shard the matmuls over 'model', and XLA inserts
+    the ICI collectives the joint attention needs. This is the full-page
+    inference path for latents too large for one chip's HBM
+    (SURVEY.md §5 long-context note)."""
+    from ..models.flux.sampler import euler_denoise, make_schedule
+
+    def velocity(params, z, img_ids, txt, txt_ids, t, pooled, guidance):
+        z = jax.lax.with_sharding_constraint(z, P("data", "seq", None))
+        v = model.apply(params, z, img_ids, txt, txt_ids, t, pooled, guidance)
+        return jax.lax.with_sharding_constraint(v, P("data", "seq", None))
+
+    @jax.jit
+    def sample(params, noise, img_ids, txt, txt_ids, pooled, guidance):
+        noise = jax.lax.with_sharding_constraint(noise, P("data", "seq", None))
+        schedule = make_schedule(num_steps, noise.shape[1])
+
+        def vfn(z, t):
+            return velocity(params, z, img_ids, txt, txt_ids, t, pooled,
+                            guidance)
+
+        return euler_denoise(vfn, noise, schedule)
+
+    return sample
+
+
 def dryrun_multichip(n_devices: int) -> None:
     """Compile + execute ONE sharded training step on an n-device mesh.
 
@@ -180,6 +208,19 @@ def dryrun_multichip(n_devices: int) -> None:
         params, opt_state, loss = train_step(params, opt_state, batch,
                                              jax.random.PRNGKey(0))
         loss_val = float(loss)
+
+        # sequence-parallel INFERENCE path: sharded Euler sampling
+        z_ok = True
+        if use_sp:
+            sample = make_sp_sampler(model, num_steps=2)
+            z = sample(params,
+                       jax.device_put(np.random.RandomState(2).randn(
+                           b, 16, cfg.in_channels).astype(np.float32), ds),
+                       batch["img_ids"], batch["txt"], batch["txt_ids"],
+                       batch["pooled"], jnp.ones((b,), jnp.float32))
+            z_ok = bool(np.isfinite(np.asarray(z)).all())
     assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
+    assert z_ok, "non-finite sp-sampled latents"
     print(f"dryrun_multichip OK: mesh data={data_par} model={model_par}, "
-          f"one train step, loss={loss_val:.4f}")
+          f"one train step (loss={loss_val:.4f})"
+          + (" + sp-sampled latents" if use_sp else ""))
