@@ -163,6 +163,31 @@ def greedy_generate(model: MangaOcrModel, params, images: jnp.ndarray,
     return tokens
 
 
+def make_vocab_detokenizer(vocab_path: str) -> Callable[[np.ndarray], str]:
+    """WordPiece decode from a manga-ocr vocab.txt (reference consumes it via
+    the manga_ocr package's HF tokenizer; post-processing strips spaces).
+
+    One token per line; ids index lines. Special tokens are skipped, "##"
+    continuation prefixes removed, pieces concatenated (Japanese text has no
+    inter-token spaces)."""
+    with open(vocab_path, encoding="utf-8") as f:
+        vocab = [line.rstrip("\n") for line in f]
+    special = {"[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"}
+
+    def detok(ids: np.ndarray) -> str:
+        pieces = []
+        for t in ids:
+            tok = vocab[int(t)] if 0 <= int(t) < len(vocab) else "[UNK]"
+            if tok == "[SEP]":
+                break
+            if tok in special:
+                continue
+            pieces.append(tok[2:] if tok.startswith("##") else tok)
+        return "".join(pieces)
+
+    return detok
+
+
 def _stub_detokenize(ids: np.ndarray, cfg: OcrConfig) -> str:
     """Deterministic id→char mapping used until the real vocab is converted."""
     chars = []
@@ -234,7 +259,14 @@ def get_manga_ocr_runner(preset: str = "manga_ocr") -> "MangaOcrRunner":
             from .ocr_hf import HFMangaOcrModel, infer_hf_ocr_config
 
             hf_cfg = infer_hf_ocr_config(converted)
-            _runner = MangaOcrRunner(hf_cfg, converted,
+            detok = None
+            for vocab in (mgr.checkpoint_path(ModelType.MANGA_OCR).parent
+                          / "manga_ocr.vocab.txt",
+                          mgr.models_dir / "hf" / "manga_ocr" / "vocab.txt"):
+                if vocab.exists():
+                    detok = make_vocab_detokenizer(str(vocab))
+                    break
+            _runner = MangaOcrRunner(hf_cfg, converted, detokenize=detok,
                                      model=HFMangaOcrModel(hf_cfg))
             return _runner
         cfg = OCR_PRESETS[os.environ.get("MTX_OCR_PRESET", preset)]

@@ -88,3 +88,14 @@ def test_runner_uses_converted_checkpoint(hf_params, tmp_path, monkeypatch):
             "mangatranslator_tpu.models.ocr_hf", fromlist=["x"]).HFMangaOcrModel)
     finally:
         reset_model_manager()
+
+
+def test_vocab_detokenizer(tmp_path):
+    from mangatranslator_tpu.models.ocr import make_vocab_detokenizer
+
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("[PAD]\n[UNK]\n[CLS]\n[SEP]\n[MASK]\n漫\n画\n##家\nで\nす\n",
+                     encoding="utf-8")
+    detok = make_vocab_detokenizer(str(vocab))
+    assert detok(np.array([2, 5, 6, 7, 8, 9, 3, 0, 0])) == "漫画家です"
+    assert detok(np.array([2, 1, 5, 3])) == "漫"  # [UNK] skipped
