@@ -28,7 +28,7 @@ from pathlib import Path
 REPO = Path(__file__).resolve().parent
 BASELINE_FILE = REPO / "bench_baseline.json"
 PAGE_W, PAGE_H = 1414, 2000  # ~2.8 MP portrait page
-N_PAGES = 4
+N_PAGES = 9  # median of 8 warm pages — the remote tunnel is noisy
 DETECTOR_IMGSZ = 640
 
 

@@ -121,14 +121,22 @@ def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, i
 @functools.partial(jax.jit, static_argnames=("use_otsu", "fixed_thresh",
                                               "shrink_radius", "use_pallas",
                                               "junction_radius"))
-def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
+def _clean_device_program(gray_u8, mask_u8, use_otsu: bool, fixed_thresh: float,
                           shrink_radius: int, use_pallas: bool,
                           junction_radius: int = 1):
     """The whole per-page clean chain as ONE compiled program: black/white
     classification, fixed/Otsu thresholds, dilate→threshold→AND→disk-shrink,
     and the centroid-validity erosion. One dispatch per page instead of a
-    chain of eager ops (each eager op costs a host↔device round trip)."""
+    chain of eager ops (each eager op costs a host↔device round trip).
+
+    Inputs arrive uint8 (4× cheaper host→device upload) and the three output
+    masks leave as ONE stacked bitpacked array + one scalar pair — every
+    separate device_get leaf pays a full tunnel round trip on remote-attached
+    TPUs, so transfer count matters as much as bytes."""
     import jax.numpy as jnp
+
+    gray_b = gray_u8.astype(jnp.float32)
+    mask_b = mask_u8.astype(jnp.float32)
 
     from ..ops.masks import (
         binary_dilate,
@@ -171,8 +179,10 @@ def _clean_device_program(gray_b, mask_b, use_otsu: bool, fixed_thresh: float,
     # bottleneck (measured 1.5 MB/s down vs 600 MB/s up)
     from ..ops.masks import bitpack_mask
 
-    return (bitpack_mask(cand), bitpack_mask(cand_light),
-            bitpack_mask(validity), inverts, thr_eff)
+    packed = jnp.stack([bitpack_mask(cand), bitpack_mask(cand_light),
+                        bitpack_mask(validity)])
+    scalars = jnp.stack([inverts.astype(jnp.float32), thr_eff])
+    return packed, scalars
 
 
 def clean_speech_bubbles(
@@ -199,7 +209,7 @@ def clean_speech_bubbles(
     if not detections:
         return image, []
     h, w = image.shape[:2]
-    gray_page = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY).astype(np.float32)
+    gray_page = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)  # uint8
 
     shrink_px = min(MAX_SHRINK_RADIUS,
                     scale_length(cfg.roi_shrink_px, processing_scale, minimum=0.0))
@@ -219,8 +229,8 @@ def clean_speech_bubbles(
 
     n = len(detections)
     n_pad = _count_bucket(n)
-    gray_b = np.zeros((n_pad, bh, bw), np.float32)
-    mask_b = np.zeros((n_pad, bh, bw), np.float32)
+    gray_b = np.zeros((n_pad, bh, bw), np.uint8)
+    mask_b = np.zeros((n_pad, bh, bw), np.uint8)
     for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
         gh, gw = y2 - y1, x2 - x1
         gray_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
@@ -232,7 +242,7 @@ def clean_speech_bubbles(
     # larger ones the row-tiled halo-DMA variant (pallas_clean.py)
     use_pallas = jax.devices()[0].platform == "tpu"
     junction_px = max(1, int(round(1.0 * processing_scale)))  # JUNCTION_MIN_SHRINK
-    cand_p, light_p, val_p, inverts_d, thr_d = _clean_device_program(
+    packed_d, scalars_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
@@ -240,11 +250,13 @@ def clean_speech_bubbles(
         junction_radius=junction_px)
     from ..ops.masks import bitunpack_mask_np
 
-    cand_p, light_p, val_p, inverts, thr_eff = jax.device_get(
-        (cand_p, light_p, val_p, inverts_d, thr_d))  # one batched readback
-    cand = bitunpack_mask_np(cand_p, bw).astype(np.float32)
-    cand_light = bitunpack_mask_np(light_p, bw).astype(np.float32)
-    validity_b = bitunpack_mask_np(val_p, bw).astype(np.float32)
+    # TWO transfers total: each device_get leaf is a full tunnel round trip
+    packed, scalars = jax.device_get((packed_d, scalars_d))
+    inverts = scalars[0].astype(np.int32)
+    thr_eff = scalars[1]
+    cand = bitunpack_mask_np(packed[0], bw).astype(np.float32)
+    cand_light = bitunpack_mask_np(packed[1], bw).astype(np.float32)
+    validity_b = bitunpack_mask_np(packed[2], bw).astype(np.float32)
 
     # junction-zone restoration for conjoined children (reference
     # _build_adaptive_shrink_mask): within the neighbor-bbox intersection zone

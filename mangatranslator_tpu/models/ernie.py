@@ -1,0 +1,239 @@
+"""HF-architecture-exact ERNIE-4.5 decoder in Flax (TPU-first).
+
+PaddleOCR-VL's language side is an ERNIE-4.5-0.3B decoder (the reference
+loads the VLM through transformers at core/ml/model_manager.py:948-1040).
+This module mirrors transformers' Ernie4_5ForCausalLM exactly — pre-RMSNorm
+GQA attention with GLM-style interleaved RoPE, SwiGLU MLP, tied lm_head — so
+published text-side weights convert 1:1 (convert_ernie45 below).
+Golden-tested against the live torch model in tests/test_ernie.py.
+
+Decode is full-sequence causal (no KV cache): OCR outputs are short, and one
+fixed-shape program beats cache plumbing on TPU (same design as models/ocr.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class ErnieConfig:
+    vocab_size: int = 103424
+    hidden_size: int = 1024
+    intermediate_size: int = 3072
+    num_layers: int = 18
+    num_heads: int = 16
+    num_kv_heads: int = 2
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-5
+    rope_theta: float = 500000.0
+    tie_embeddings: bool = True
+
+
+ERNIE_PRESETS = {
+    "ernie45_03b": ErnieConfig(),
+    "test": ErnieConfig(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=2,
+                        head_dim=8, rope_theta=10000.0),
+}
+
+
+def _rope_tables(positions: jnp.ndarray, head_dim: int,
+                 theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """GLM-style interleaved tables: first-half freqs repeated pairwise."""
+    half = head_dim // 2
+    inv = 1.0 / (theta ** (np.arange(0, half, dtype=np.float32) * 2 / head_dim))
+    freqs = positions[:, None].astype(jnp.float32) * inv[None]
+    cos = jnp.repeat(jnp.cos(freqs), 2, axis=-1)
+    sin = jnp.repeat(jnp.sin(freqs), 2, axis=-1)
+    return cos, sin
+
+
+def _rotate_half_interleaved(x: jnp.ndarray) -> jnp.ndarray:
+    x1 = x[..., 0::2]
+    x2 = x[..., 1::2]
+    return jnp.stack([-x2, x1], axis=-1).reshape(x.shape)
+
+
+def _apply_rope(x: jnp.ndarray, cos, sin) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    out = xf * cos[None, :, None, :] + \
+        _rotate_half_interleaved(xf) * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+        return (scale * (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype))
+
+
+class ErnieAttention(nn.Module):
+    cfg: ErnieConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        q = nn.Dense(cfg.num_heads * hd, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, name="v_proj")(x)
+        q = _apply_rope(q.reshape(b, s, cfg.num_heads, hd), cos, sin)
+        k = _apply_rope(k.reshape(b, s, cfg.num_kv_heads, hd), cos, sin)
+        v = v.reshape(b, s, cfg.num_kv_heads, hd)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / np.sqrt(hd)
+        att = jnp.where(mask[None, None], att, -jnp.inf)
+        att = jax.nn.softmax(att, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        return nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(
+            out.reshape(b, s, cfg.num_heads * hd))
+
+
+class ErnieLayer(nn.Module):
+    cfg: ErnieConfig
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
+        x = x + ErnieAttention(cfg, name="self_attn")(h, cos, sin, mask)
+        h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(h)
+        return x + nn.Dense(cfg.hidden_size, use_bias=False,
+                            name="down_proj")(nn.silu(gate) * up)
+
+
+class ErnieModel(nn.Module):
+    """Causal LM over token ids (optionally with a prepended soft prefix —
+    the VLM's projected image tokens)."""
+
+    cfg: ErnieConfig
+
+    def setup(self):
+        cfg = self.cfg
+        self.embed = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="embed")
+        self.layers = [ErnieLayer(cfg, name=f"layer{i}")
+                       for i in range(cfg.num_layers)]
+        self.norm = RMSNorm(cfg.rms_norm_eps, name="norm")
+        if not cfg.tie_embeddings:
+            self.lm_head = nn.Dense(cfg.vocab_size, use_bias=False,
+                                    name="lm_head")
+
+    def __call__(self, tokens: jnp.ndarray,
+                 prefix_embeds: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        x = self.embed(tokens)
+        if prefix_embeds is not None:
+            x = jnp.concatenate(
+                [prefix_embeds.astype(x.dtype), x], axis=1)
+        s = x.shape[1]
+        cos, sin = _rope_tables(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        for layer in self.layers:
+            x = layer(x, cos, sin, mask)
+        x = self.norm(x)
+        if cfg.tie_embeddings:
+            logits = x @ self.embed.embedding.T
+        else:
+            logits = self.lm_head(x)
+        if prefix_embeds is not None:
+            logits = logits[:, prefix_embeds.shape[1]:]
+        return logits
+
+
+def init_ernie(cfg: ErnieConfig, seq: int = 8, seed: int = 0):
+    model = ErnieModel(cfg)
+    return model.init(jax.random.PRNGKey(seed),
+                      jnp.zeros((1, seq), jnp.int32))
+
+
+# ---- weight conversion ------------------------------------------------------------
+
+
+def infer_ernie_config(sd: Mapping[str, np.ndarray]) -> ErnieConfig:
+    """Structural ErnieConfig from a transformers Ernie4_5 state dict."""
+    emb = sd["model.embed_tokens.weight"]
+    hidden = emb.shape[1]
+    n = 0
+    while f"model.layers.{n}.input_layernorm.weight" in sd:
+        n += 1
+    q_out = sd["model.layers.0.self_attn.q_proj.weight"].shape[0]
+    k_out = sd["model.layers.0.self_attn.k_proj.weight"].shape[0]
+    inter = sd["model.layers.0.mlp.gate_proj.weight"].shape[0]
+    # head_dim is not in the weights when q_out == hidden; ERNIE-4.5 uses 128
+    head_dim = 128 if q_out % 128 == 0 else q_out // max(1, q_out // 64)
+    heads = q_out // head_dim
+    kv_heads = k_out // head_dim
+    return ErnieConfig(vocab_size=emb.shape[0], hidden_size=hidden,
+                       intermediate_size=inter, num_layers=n,
+                       num_heads=heads, num_kv_heads=kv_heads,
+                       head_dim=head_dim,
+                       tie_embeddings="lm_head.weight" not in sd)
+
+
+def convert_ernie45(sd: Mapping[str, np.ndarray],
+                    cfg: Optional[ErnieConfig] = None) -> Dict[str, Any]:
+    """transformers Ernie4_5ForCausalLM state dict → ErnieModel variables."""
+    if cfg is None:
+        cfg = infer_ernie_config(sd)
+    p: Dict[str, Any] = {}
+    set_path(p, ("embed", "embedding"),
+             np.asarray(sd["model.embed_tokens.weight"]))
+    for i in range(cfg.num_layers):
+        base = f"model.layers.{i}"
+        path = (f"layer{i}",)
+        set_path(p, path + ("input_ln", "weight"),
+                 np.asarray(sd[f"{base}.input_layernorm.weight"]))
+        set_path(p, path + ("post_ln", "weight"),
+                 np.asarray(sd[f"{base}.post_attention_layernorm.weight"]))
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            set_path(p, path + ("self_attn", name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.self_attn.{name}.weight"])))
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            set_path(p, path + (name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.mlp.{name}.weight"])))
+    set_path(p, ("norm", "weight"), np.asarray(sd["model.norm.weight"]))
+    if not cfg.tie_embeddings and "lm_head.weight" in sd:
+        set_path(p, ("lm_head", "kernel"),
+                 linear_kernel(np.asarray(sd["lm_head.weight"])))
+    return {"params": p}
+
+
+def infer_ernie_config_from_variables(variables: Dict[str, Any]) -> ErnieConfig:
+    """Structural config from a converted Flax tree (checkpoint reload path).
+    head_dim defaults to ERNIE-4.5's 128 when the q kernel divides evenly."""
+    p = variables["params"]
+    emb = np.asarray(p["embed"]["embedding"])
+    n = 0
+    while f"layer{n}" in p:
+        n += 1
+    q_out = np.asarray(p["layer0"]["self_attn"]["q_proj"]["kernel"]).shape[1]
+    k_out = np.asarray(p["layer0"]["self_attn"]["k_proj"]["kernel"]).shape[1]
+    inter = np.asarray(p["layer0"]["gate_proj"]["kernel"]).shape[1]
+    head_dim = 128 if q_out % 128 == 0 else (
+        8 if q_out % 8 == 0 and q_out <= 64 else 64)
+    return ErnieConfig(vocab_size=emb.shape[0], hidden_size=emb.shape[1],
+                       intermediate_size=inter, num_layers=n,
+                       num_heads=q_out // head_dim,
+                       num_kv_heads=k_out // head_dim, head_dim=head_dim,
+                       tie_embeddings="lm_head" not in p)

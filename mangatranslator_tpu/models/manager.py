@@ -136,6 +136,19 @@ class ModelManager:
                 from .convert_yolo import convert_ultralytics_yolo
 
                 variables = convert_ultralytics_yolo(sd)
+            elif mtype == ModelType.PADDLE_OCR_VL:
+                # text side only: the ERNIE-4.5 decoder converts 1:1; the
+                # NaViT vision encoder is trust_remote_code-only upstream
+                from .ernie import convert_ernie45
+
+                text_sd = {
+                    (k[len("language_model."):]
+                     if k.startswith("language_model.") else k): v
+                    for k, v in sd.items()}
+                text_sd = {k: v for k, v in text_sd.items()
+                           if k.startswith(("model.", "lm_head."))}
+                variables = {"params": {
+                    "ernie": convert_ernie45(text_sd)["params"]}}
             elif mtype in (ModelType.SAM2, ModelType.SAM3):
                 from .sam_hf import convert_sam2
 

@@ -101,10 +101,48 @@ class PaddleVLModel(nn.Module):
         return self.decode(self.encode_image(images), text_ids)
 
 
-def greedy_generate_vl(model: PaddleVLModel, params, images: jnp.ndarray,
+class ErnieVLModel(nn.Module):
+    """PaddleOCR-VL with the HF-exact ERNIE-4.5 decoder (models/ernie.py):
+    vision tokens project into the ERNIE embedding space and ride as a soft
+    prefix. Used when a converted text-side checkpoint exists; the NaViT
+    vision encoder remains our Flax design (its modeling code is
+    trust_remote_code-only upstream)."""
+
+    cfg: PaddleVLConfig
+    ernie_cfg: Optional[object] = None  # ErnieConfig; derived when omitted
+
+    def setup(self):
+        from .ernie import ErnieConfig, ErnieModel
+
+        c = self.cfg
+        ecfg = self.ernie_cfg or ErnieConfig(
+            vocab_size=c.vocab_size, hidden_size=c.decoder_dim,
+            intermediate_size=c.decoder_dim * 3,
+            num_layers=c.decoder_depth, num_heads=c.decoder_heads,
+            num_kv_heads=max(1, c.decoder_heads // 8),
+            head_dim=c.decoder_dim // c.decoder_heads)
+        self.vision = VitEncoder(_EncCfg(c.image_size, c.patch_size,
+                                         c.encoder_dim, c.encoder_depth,
+                                         c.encoder_heads))
+        self.projector = nn.Dense(ecfg.hidden_size)
+        self.decoder = ErnieModel(ecfg, name="ernie")
+
+    def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        return self.projector(self.vision(images))
+
+    def decode(self, img_tokens: jnp.ndarray,
+               text_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder(text_ids, prefix_embeds=img_tokens)
+
+    def __call__(self, images: jnp.ndarray,
+                 text_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode_image(images), text_ids)
+
+
+def greedy_generate_vl(model, params, images: jnp.ndarray,
                        prompt_ids: jnp.ndarray, cfg: PaddleVLConfig) -> jnp.ndarray:
     b = images.shape[0]
-    img_tokens = model.apply(params, images, method=PaddleVLModel.encode_image)
+    img_tokens = model.apply(params, images, method=type(model).encode_image)
     total = cfg.prompt_len + cfg.max_new_tokens + 1
     tokens0 = jnp.full((b, total), cfg.pad_id, jnp.int32)
     tokens0 = tokens0.at[:, : cfg.prompt_len].set(prompt_ids[None])
@@ -114,7 +152,7 @@ def greedy_generate_vl(model: PaddleVLModel, params, images: jnp.ndarray,
         tokens, done = state
         pos = cfg.prompt_len + i
         logits = model.apply(params, img_tokens, tokens,
-                             method=PaddleVLModel.decode)
+                             method=type(model).decode)
         nxt = jnp.argmax(logits[:, pos], axis=-1).astype(jnp.int32)
         nxt = jnp.where(done, cfg.pad_id, nxt)
         tokens = tokens.at[:, pos + 1].set(nxt)
@@ -138,9 +176,10 @@ class PaddleVLRunner:
     """Per-crop OCR callable for ocr_method='paddleocr-vl-1.6'."""
 
     def __init__(self, cfg: PaddleVLConfig, params,
-                 detokenize: Optional[Callable[[np.ndarray], str]] = None):
+                 detokenize: Optional[Callable[[np.ndarray], str]] = None,
+                 model=None):
         self.cfg = cfg
-        self.model = PaddleVLModel(cfg)
+        self.model = model if model is not None else PaddleVLModel(cfg)
         self._params = params
         self._detok = detokenize
         self._prompt = jnp.arange(3, 3 + cfg.prompt_len, dtype=jnp.int32)
@@ -172,13 +211,47 @@ def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunne
 
     global _runner
     with _lock:
-        if _runner is None:
-            cfg = PADDLE_VL_PRESETS[os.environ.get("MTX_PADDLE_PRESET", preset)]
-            model = PaddleVLModel(cfg)
+        if _runner is not None:
+            return _runner
+        cfg = PADDLE_VL_PRESETS[os.environ.get("MTX_PADDLE_PRESET", preset)]
+        from .manager import ModelType, get_model_manager
+
+        converted = get_model_manager()._load_converted(
+            ModelType.PADDLE_OCR_VL)
+        if converted is not None and "ernie" in converted.get("params", {}):
+            # HF-exact ERNIE text side; vision/projector init randomly until
+            # a NaViT conversion lands (upstream is trust_remote_code-only)
+            from .ernie import infer_ernie_config_from_variables
+
+            ecfg = infer_ernie_config_from_variables(
+                {"params": converted["params"]["ernie"]})
+            cfg = PaddleVLConfig(
+                image_size=cfg.image_size, patch_size=cfg.patch_size,
+                encoder_dim=cfg.encoder_dim, encoder_depth=cfg.encoder_depth,
+                encoder_heads=cfg.encoder_heads,
+                decoder_dim=ecfg.hidden_size, decoder_depth=ecfg.num_layers,
+                decoder_heads=ecfg.num_heads, vocab_size=ecfg.vocab_size,
+                max_new_tokens=cfg.max_new_tokens, prompt_len=cfg.prompt_len)
+            model = ErnieVLModel(cfg, ernie_cfg=ecfg)
             params = model.init(
                 jax.random.PRNGKey(0),
                 jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
                 jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
                           jnp.int32))
-            _runner = PaddleVLRunner(cfg, params)
+            params["params"]["ernie"] = converted["params"]["ernie"]
+            _runner = PaddleVLRunner(cfg, params, model=model)
+            return _runner
+        model = PaddleVLModel(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+            jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
+                      jnp.int32))
+        _runner = PaddleVLRunner(cfg, params)
         return _runner
+
+
+def reset_paddle_ocr_vl_runner() -> None:
+    global _runner
+    with _lock:
+        _runner = None

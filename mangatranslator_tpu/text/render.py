@@ -47,16 +47,20 @@ def calculate_centroid_expansion_box(
     if cleaned_mask is None or not np.any(cleaned_mask):
         raise ImageProcessingError("Invalid or empty mask provided")
 
-    mask_full = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+    mask_full = (np.asarray(cleaned_mask) > 0)
     # The EDT is local to the mask's neighborhood: everything outside the
     # nonzero bbox is already background, so crop before transforming instead
     # of paying a full-page EDT per bubble (the reference pays full-page cv2
-    # distanceTransform; this is the hot render-path cost).
-    fy, fx = np.nonzero(mask_full)
+    # distanceTransform; this is the hot render-path cost). Row/col any()
+    # beats np.nonzero for the bbox (no full coordinate materialization).
+    rows = np.flatnonzero(mask_full.any(axis=1))
+    cols = np.flatnonzero(mask_full.any(axis=0))
+    if rows.size == 0:
+        raise ImageProcessingError("Invalid or empty mask provided")
     m = 2
-    cy0, cy1 = max(0, fy.min() - m), min(mask_full.shape[0], fy.max() + 1 + m)
-    cx0, cx1 = max(0, fx.min() - m), min(mask_full.shape[1], fx.max() + 1 + m)
-    mask = mask_full[cy0:cy1, cx0:cx1]
+    cy0, cy1 = max(0, rows[0] - m), min(mask_full.shape[0], rows[-1] + 1 + m)
+    cx0, cx1 = max(0, cols[0] - m), min(mask_full.shape[1], cols[-1] + 1 + m)
+    mask = mask_full[cy0:cy1, cx0:cx1].astype(np.uint8)
 
     padded = np.pad(mask, 1)  # image edges are hard boundaries
     dist = ndi.distance_transform_edt(padded)[1:-1, 1:-1]
@@ -193,6 +197,36 @@ def draw_layout_rgba(
     return patch, (px1, py1)
 
 
+_SAFE_BOX_CACHE: "OrderedDict[tuple, tuple]" = None  # lazy OrderedDict
+
+
+def _cached_expansion_box(cleaned_mask: np.ndarray, padding_pixels: float,
+                          verbose: bool = False):
+    """Memoized calculate_centroid_expansion_box.
+
+    The test-mode placeholder probes the layout three times and the renderer
+    once more with the SAME mask object — identity + cheap content checksum
+    keys 4 identical EDTs down to one."""
+    global _SAFE_BOX_CACHE
+    from collections import OrderedDict
+
+    arr = np.asarray(cleaned_mask)
+    key = (id(cleaned_mask), arr.shape, float(padding_pixels),
+           int(arr[:: max(1, arr.shape[0] // 32)].sum()))
+    if _SAFE_BOX_CACHE is None:
+        _SAFE_BOX_CACHE = OrderedDict()
+    hit = _SAFE_BOX_CACHE.get(key)
+    if hit is not None:
+        _SAFE_BOX_CACHE.move_to_end(key)
+        return hit
+    out = calculate_centroid_expansion_box(cleaned_mask, padding_pixels,
+                                           verbose=verbose)
+    _SAFE_BOX_CACHE[key] = out
+    while len(_SAFE_BOX_CACHE) > 128:
+        _SAFE_BOX_CACHE.popitem(last=False)
+    return out
+
+
 def render_text(
     image: Image.Image,
     text: str,
@@ -229,7 +263,7 @@ def render_text(
     safe_mask = None
     if cleaned_mask is not None and np.any(cleaned_mask):
         try:
-            (bx, by, bw, bh), _ = calculate_centroid_expansion_box(
+            (bx, by, bw, bh), _ = _cached_expansion_box(
                 cleaned_mask, padding_pixels, verbose=verbose
             )
             box = (float(bx), float(by), float(bx + bw), float(by + bh))

@@ -1,0 +1,84 @@
+"""HF-exact ERNIE-4.5 decoder: golden test against the live torch model."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mangatranslator_tpu.models.ernie import (
+    ERNIE_PRESETS,
+    ErnieModel,
+    convert_ernie45,
+    infer_ernie_config,
+)
+
+CFG = ERNIE_PRESETS["test"]
+
+
+def _torch_model(seed: int = 0):
+    from transformers import Ernie4_5Config, Ernie4_5ForCausalLM
+
+    tcfg = Ernie4_5Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads, head_dim=CFG.head_dim,
+        rope_theta=CFG.rope_theta, tie_word_embeddings=True)
+    torch.manual_seed(seed)
+    model = Ernie4_5ForCausalLM(tcfg).eval()
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if p.dim() == 1:
+                p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+        model.tie_weights()
+    return model
+
+
+def test_golden_vs_torch():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    inferred = infer_ernie_config(sd)
+    assert inferred.num_layers == CFG.num_layers
+    assert inferred.num_kv_heads == CFG.num_kv_heads or \
+        inferred.head_dim != CFG.head_dim  # head_dim guess may differ on tiny
+    variables = jax.tree.map(jnp.asarray, convert_ernie45(sd, CFG))
+    ids = np.random.RandomState(0).randint(0, CFG.vocab_size, (2, 7))
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids)).logits.numpy()
+    out = np.asarray(ErnieModel(CFG).apply(variables,
+                                           jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_prefix_embeds_shift_logits():
+    """Soft-prefix path (VLM image tokens): logits cover only the text part
+    and differ from the no-prefix forward."""
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_ernie45(sd, CFG))
+    ids = jnp.asarray(np.random.RandomState(1).randint(
+        0, CFG.vocab_size, (1, 5)), jnp.int32)
+    prefix = jnp.asarray(np.random.RandomState(2).randn(
+        1, 3, CFG.hidden_size), jnp.float32)
+    base = ErnieModel(CFG).apply(variables, ids)
+    with_prefix = ErnieModel(CFG).apply(variables, ids, prefix)
+    assert with_prefix.shape == base.shape
+    assert np.abs(np.asarray(with_prefix) - np.asarray(base)).max() > 1e-3
+
+
+def test_param_coverage():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_ernie45(sd, CFG)
+    ours = sum(x.size for x in jax.tree.leaves(variables))
+    theirs = sum(v.size for k, v in sd.items()
+                 if not k.startswith("lm_head."))  # tied to embeddings
+    assert ours == theirs

@@ -49,3 +49,40 @@ def test_greedy_decode(vl_params):
 def test_runner(vl_params):
     runner = PaddleVLRunner(CFG, vl_params)
     assert isinstance(runner(Image.new("RGB", (50, 30), "white")), str)
+
+
+def test_ernie_vl_with_converted_decoder(tmp_path, monkeypatch):
+    """Converted ERNIE text-side checkpoint → runner builds ErnieVLModel with
+    the HF-exact decoder (config inferred from the tree)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mangatranslator_tpu.models import paddle_ocr_vl as pvl
+    from mangatranslator_tpu.models.convert import save_flax_safetensors
+    from mangatranslator_tpu.models.ernie import ERNIE_PRESETS, init_ernie
+    from mangatranslator_tpu.models.manager import (
+        ModelType, get_model_manager, reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_PADDLE_PRESET", "test")
+    reset_model_manager()
+    pvl.reset_paddle_ocr_vl_runner()
+    try:
+        ecfg = ERNIE_PRESETS["test"]
+        ernie_vars = jax.tree.map(np.asarray, init_ernie(ecfg, seq=4))
+        mgr = get_model_manager()
+        out = mgr.checkpoint_path(ModelType.PADDLE_OCR_VL)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors({"params": {"ernie": ernie_vars["params"]}},
+                              str(out))
+        runner = pvl.get_paddle_ocr_vl_runner()
+        assert isinstance(runner.model, pvl.ErnieVLModel)
+        assert runner.cfg.vocab_size == ecfg.vocab_size
+        from PIL import Image
+
+        text = runner(Image.new("RGB", (50, 30), (255, 255, 255)))
+        assert isinstance(text, str)
+    finally:
+        pvl.reset_paddle_ocr_vl_runner()
+        reset_model_manager()
