@@ -199,49 +199,71 @@ def clean_speech_bubbles(
     bubbles degrade to untouched pixels (reference failure fallback,
     core/pipeline.py:125-130).
     """
+    cleaned_pages, per_page = clean_pages_bubbles(
+        [image], [detections], config, processing_scale, verbose=verbose)
+    return cleaned_pages[0], per_page[0]
+
+
+def clean_pages_bubbles(
+    images: List[np.ndarray],
+    per_page_detections: List[List[Dict[str, Any]]],
+    config: Optional[CleaningConfig] = None,
+    processing_scale: float = 1.0,
+    verbose: bool = False,
+) -> Tuple[List[np.ndarray], List[List[CleanedBubble]]]:
+    """Clean EVERY page's bubbles in ONE device program.
+
+    The clean chain operates on crops, so bubbles from different pages batch
+    together — the TPU-native replacement for the reference's per-page thread
+    pool: one dispatch + one readback amortizes the device round trip across
+    the whole page batch (pipeline/device_batch.py)."""
     import cv2
     import jax
     import jax.numpy as jnp
 
-    from ..ops.compose import fill_masks_with_colors
-
     cfg = config or CleaningConfig()
-    if not detections:
-        return image, []
-    h, w = image.shape[:2]
-    gray_page = cv2.cvtColor(image, cv2.COLOR_RGB2GRAY)  # uint8
+    n_pages = len(images)
+    gray_pages = [cv2.cvtColor(img, cv2.COLOR_RGB2GRAY) for img in images]
+    results: List[List[CleanedBubble]] = [[] for _ in range(n_pages)]
+
+    # flatten (page, det) with per-item ROI bounds
+    items = []  # (page_idx, det_idx, det, bounds)
+    row_of = {}
+    for pi, dets in enumerate(per_page_detections):
+        h, w = images[pi].shape[:2]
+        for di, det in enumerate(dets):
+            bounds = _roi_bounds(det["bbox"], h, w, PAD_MARGIN)
+            row_of[(pi, di)] = len(items)
+            items.append((pi, di, det, bounds))
+    if not items:
+        return [img for img in images], results
 
     shrink_px = min(MAX_SHRINK_RADIUS,
-                    scale_length(cfg.roi_shrink_px, processing_scale, minimum=0.0))
+                    scale_length(cfg.roi_shrink_px, processing_scale,
+                                 minimum=0.0))
 
-    # --- extract bucketed ROIs -------------------------------------------------
     # COARSE buckets: every distinct (count, bh, bw, radius) is a fresh XLA
-    # compile — minutes on remote-attached TPUs — so ROI dims snap to a 4-value
-    # ladder and the bubble count pads to powers of two. Wasted FLOPs on padded
-    # pixels are ~free next to a recompile.
-    rois, bounds = [], []
-    for det in detections:
-        x1, y1, x2, y2 = _roi_bounds(det["bbox"], h, w, PAD_MARGIN)
-        bounds.append((x1, y1, x2, y2))
-        rois.append((y2 - y1, x2 - x1))
-    bh = pick_bucket(max(r[0] for r in rois) + 2 * PAD_MARGIN, CLEAN_BUCKETS)
-    bw = pick_bucket(max(r[1] for r in rois) + 2 * PAD_MARGIN, CLEAN_BUCKETS)
-
-    n = len(detections)
+    # compile — minutes on remote-attached TPUs — so ROI dims snap to a
+    # 4-value ladder and the item count pads to powers of two.
+    bh = pick_bucket(max(b[3] - b[1] for *_, b in items) + 2 * PAD_MARGIN,
+                     CLEAN_BUCKETS)
+    bw = pick_bucket(max(b[2] - b[0] for *_, b in items) + 2 * PAD_MARGIN,
+                     CLEAN_BUCKETS)
+    n = len(items)
     n_pad = _count_bucket(n)
     gray_b = np.zeros((n_pad, bh, bw), np.uint8)
     mask_b = np.zeros((n_pad, bh, bw), np.uint8)
-    for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
+    for i, (pi, _, det, (x1, y1, x2, y2)) in enumerate(items):
         gh, gw = y2 - y1, x2 - x1
         gray_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
-            gray_page[y1:y2, x1:x2]
+            gray_pages[pi][y1:y2, x1:x2]
         mask_b[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw] = \
             det["mask"][y1:y2, x1:x2]
 
     # Pallas everywhere on TPU: small ROIs use the single-block kernel,
     # larger ones the row-tiled halo-DMA variant (pallas_clean.py)
     use_pallas = jax.devices()[0].platform == "tpu"
-    junction_px = max(1, int(round(1.0 * processing_scale)))  # JUNCTION_MIN_SHRINK
+    junction_px = max(1, int(round(1.0 * processing_scale)))
     packed_d, scalars_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
@@ -263,15 +285,16 @@ def clean_speech_bubbles(
     # (+margin) the lightly-shrunk candidate replaces the fully-shrunk one so
     # narrow junction passages don't pinch off
     margin = max(1, int(round(JUNCTION_ADJACENCY_MARGIN * processing_scale)))
-    for i, (det, (rx1, ry1, rx2, ry2)) in enumerate(zip(detections, bounds)):
+    for i, (pi, _, det, (rx1, ry1, rx2, ry2)) in enumerate(items):
         sibs = det.get("conjoined_siblings") or []
         if not sibs:
             continue
+        dets = per_page_detections[pi]
         x1, y1, x2, y2 = det["bbox"]
         for j in sibs:
-            if j >= len(detections):
+            if j >= len(dets):
                 continue
-            ox1, oy1, ox2, oy2 = detections[j]["bbox"]
+            ox1, oy1, ox2, oy2 = dets[j]["bbox"]
             if (x1 - margin > ox2 or ox1 - margin > x2
                     or y1 - margin > oy2 or oy1 - margin > y2):
                 continue
@@ -284,22 +307,26 @@ def clean_speech_bubbles(
             zone = (slice(i, i + 1), slice(zy1, zy2), slice(zx1, zx2))
             cand[zone] = np.maximum(cand[zone], cand_light[zone])
 
-    # --- host contour filter + page-res fill masks ------------------------------
+    # --- host contour filter + page-res fill masks + fills ----------------------
     min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)
-
-    results: List[CleanedBubble] = []
-    fill_masks, fill_colors = [], []
-    for i, (det, (x1, y1, x2, y2)) in enumerate(zip(detections, bounds)):
+    cleaned_pages = [img.copy() for img in images]
+    n_ok = 0
+    for i, (pi, _, det, (x1, y1, x2, y2)) in enumerate(items):
+        image = images[pi]
+        gray_page = gray_pages[pi]
+        h, w = image.shape[:2]
         gh, gw = y2 - y1, x2 - x1
         crop = cand[i, PAD_MARGIN: PAD_MARGIN + gh, PAD_MARGIN: PAD_MARGIN + gw]
         validity = validity_b[i, PAD_MARGIN: PAD_MARGIN + gh,
                               PAD_MARGIN: PAD_MARGIN + gw]
-        comp, area = largest_component_np(crop, min_area=min_area, validity=validity)
+        comp, area = largest_component_np(crop, min_area=min_area,
+                                          validity=validity)
         is_black = bool(inverts[i])
         if area == 0:
-            results.append(CleanedBubble(det["bbox"], np.zeros((h, w), np.uint8),
-                                         (255, 255, 255), None, (0, 0, 0),
-                                         is_black, False))
+            results[pi].append(CleanedBubble(det["bbox"],
+                                             np.zeros((h, w), np.uint8),
+                                             (255, 255, 255), None, (0, 0, 0),
+                                             is_black, False))
             continue
         page_mask = np.zeros((h, w), np.uint8)
         page_mask[y1:y2, x1:x2] = comp
@@ -321,29 +348,21 @@ def clean_speech_bubbles(
             fill_color = (0, 0, 0) if is_black else (255, 255, 255)
         # text pixels = inside fill region but darker/lighter than threshold
         roi_gray = gray_page[y1:y2, x1:x2]
-        text_px = (roi_gray < thr_eff[i]) if not is_black else (roi_gray > thr_eff[i])
+        text_px = (roi_gray < thr_eff[i]) if not is_black \
+            else (roi_gray > thr_eff[i])
         text_mask = (text_px & (comp > 0)).astype(np.uint8)
         text_color = _sample_text_color(image[y1:y2, x1:x2], text_mask)
-        results.append(CleanedBubble(det["bbox"], page_mask, fill_color,
-                                     text_bbox, text_color, is_black, True))
-        fill_masks.append(page_mask)
-        fill_colors.append(fill_color)
+        results[pi].append(CleanedBubble(det["bbox"], page_mask, fill_color,
+                                         text_bbox, text_color, is_black,
+                                         True))
+        cleaned_pages[pi][page_mask > 0] = fill_color
+        n_ok += 1
 
-    if not fill_masks:
-        return image, results
-
-    # --- fills on host: masked assignment is ~ms, and a device composite would
-    # ship the full page back through the slow readback path. The device
-    # variant (ops.compose.fill_masks_with_colors) remains for HBM-resident
-    # page batches.
-    cleaned = image.copy()
-    for m_, c_ in zip(fill_masks, fill_colors):
-        cleaned[m_ > 0] = c_
     log_message(
-        f"Cleaned {sum(r.success for r in results)}/{len(results)} bubbles",
+        f"Cleaned {n_ok}/{len(items)} bubbles across {n_pages} page(s)",
         verbose=verbose,
     )
-    return cleaned, results
+    return cleaned_pages, results
 
 
 def retry_cleaning_with_otsu(

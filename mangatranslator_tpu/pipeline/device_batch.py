@@ -141,21 +141,17 @@ def process_pages_batched(
 
     if merged:
         with timers.span("batched_clean"):
-            # bucket ROIs page-agnostically: the clean program operates on
-            # crops, so bubbles from different pages batch together
-            scale0 = processing_scale_for(images[0].shape[1], images[0].shape[0])
-            # group by page for the fill composite (page images differ)
-            for pi in range(len(images)):
-                page_dets = [d for d in merged if d["_page"] == pi]
-                if not page_dets:
-                    continue
-                cleaned, infos = clean_speech_bubbles(
-                    images[pi], page_dets, config.cleaning,
-                    processing_scale_for(images[pi].shape[1],
-                                         images[pi].shape[0]),
-                    verbose=config.verbose)
-                cleaned_pages[pi] = cleaned
-                cleaned_infos[pi] = infos
+            # ONE clean program over every page's bubbles: the chain operates
+            # on crops, so bubbles from different pages batch together and a
+            # single dispatch+readback covers the whole page batch
+            from ..cleaning.cleaner import clean_pages_bubbles
+
+            scale0 = processing_scale_for(images[0].shape[1],
+                                          images[0].shape[0])
+            cleaned_pages, infos_pp = clean_pages_bubbles(
+                list(images), per_page_dets, config.cleaning, scale0,
+                verbose=config.verbose)
+            cleaned_infos = {pi: infos_pp[pi] for pi in range(len(images))}
 
     def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
         img = Image.fromarray(cleaned_pages[pi])
