@@ -3,8 +3,14 @@
 
 Usage:
   python scripts/convert_models.py --models-dir ./models [--download]
+  python scripts/convert_models.py --checkpoint path/to/ckpt --type <model_type>
   python scripts/convert_models.py --yolo path/to/model.pt --type yolo_speech_bubble_2
   python scripts/convert_models.py --rcan path/to/2x-AnimeSharpV4_RCAN.safetensors --type upscale_model
+
+--checkpoint routes through the per-family converters registered in
+ModelManager.convert_and_store: YOLO (v8/v11/v12), RCAN, RT-DETRv2, SAM2,
+manga-ocr (HF VisionEncoderDecoder), PaddleOCR-VL (ERNIE text side), and
+FLUX DiT. FLUX VAE: use models/flux/convert_flux.py:convert_flux_vae.
 
 With --download (network required) every known checkpoint is fetched from HF
 and converted (sources: mangatranslator_tpu/models/manager.py HF_SOURCES).
@@ -30,13 +36,22 @@ def main() -> int:
     ap.add_argument("--models-dir", default="./models")
     ap.add_argument("--download", action="store_true",
                     help="Fetch all known checkpoints from HF and convert")
+    ap.add_argument("--checkpoint",
+                    help="Path to any supported torch checkpoint")
     ap.add_argument("--yolo", help="Path to an ultralytics .pt/.safetensors")
     ap.add_argument("--rcan", help="Path to an RCAN safetensors")
-    ap.add_argument("--type", help="ModelType value for --yolo/--rcan input")
+    ap.add_argument("--type", help="ModelType value for the input checkpoint")
     args = ap.parse_args()
 
     mgr = ModelManager(Path(args.models_dir))
     converted = 0
+
+    if args.checkpoint:
+        mtype = ModelType(args.type)
+        if mgr.convert_and_store(mtype, Path(args.checkpoint)):
+            print(f"converted {args.checkpoint} -> {mgr.checkpoint_path(mtype)}")
+            return 0
+        return 1
 
     if args.yolo or args.rcan:
         mtype = ModelType(args.type)
