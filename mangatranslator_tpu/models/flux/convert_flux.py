@@ -293,3 +293,59 @@ def export_flux_vae_style(variables: Dict[str, Any],
     put_norm("decoder.conv_norm_out", dec["norm_out"])
     put_conv("decoder.conv_out", dec["conv_out"])
     return sd
+
+
+def infer_flux_config(variables: Dict[str, Any]):
+    """Structural FluxConfig from a converted DiT tree. Head count is not in
+    the weights: qk-norm scales have head_dim length, so heads = hidden/len."""
+    import jax
+
+    from .dit import FluxConfig
+
+    p = variables["params"]
+    in_ch = np.asarray(p["img_in"]["kernel"]).shape[0]
+    hidden = np.asarray(p["img_in"]["kernel"]).shape[1]
+    ctx = np.asarray(p["txt_in"]["kernel"]).shape[0]
+    vec = np.asarray(p["vector_in"]["in"]["kernel"]).shape[0] \
+        if isinstance(p["vector_in"], dict) and "in" in p["vector_in"] \
+        else np.asarray(jax.tree.leaves(p["vector_in"])[0]).shape[0]
+    nd = 0
+    while f"double_{nd}" in p:
+        nd += 1
+    ns = 0
+    while f"single_{ns}" in p:
+        ns += 1
+    head_dim = np.asarray(jax.tree.leaves(p["double_0"]["img_qknorm"])[0]
+                          ).shape[-1]
+    mlp_hidden = np.asarray(p["double_0"]["img_mlp_in"]["kernel"]).shape[1]
+    # the RoPE axes split is a design constant, not in the weights: every
+    # published FLUX uses (16, 56, 56) at head_dim 128; scaled-down configs
+    # use the same 1:1.5:1.5 proportions
+    axes = ((16, 56, 56) if head_dim == 128
+            else (head_dim // 4, 3 * head_dim // 8, 3 * head_dim // 8))
+    return FluxConfig(in_channels=in_ch, hidden_size=hidden,
+                      num_heads=hidden // head_dim, depth_double=nd,
+                      depth_single=ns, mlp_ratio=mlp_hidden / hidden,
+                      ctx_dim=ctx, vec_dim=vec, axes_dim=axes,
+                      guidance_embed="guidance_in" in p)
+
+
+def infer_vae_config_from_variables(variables: Dict[str, Any]):
+    """Structural VAEConfig from a converted FluxVAE tree (keeps the FLUX
+    production scale/shift factors)."""
+    from .vae import VAEConfig
+
+    enc = variables["params"]["encoder"]
+    base = np.asarray(enc["conv_in"]["kernel"]).shape[-1]
+    latent = np.asarray(enc["conv_out"]["kernel"]).shape[-1] // 2
+    mults = []
+    level = 0
+    while f"down{level}_block0" in enc:
+        mults.append(np.asarray(
+            enc[f"down{level}_block0"]["conv1"]["kernel"]).shape[-1] // base)
+        level += 1
+    blocks = 0
+    while f"down0_block{blocks}" in enc:
+        blocks += 1
+    return VAEConfig(latent_channels=latent, base_channels=base,
+                     channel_mults=tuple(mults), blocks_per_level=blocks)

@@ -241,6 +241,28 @@ class FluxInpainter:
         return out
 
 
+def build_converted_inpainter(dit_vars, vae_vars=None,
+                              prompt: str = DEFAULT_PROMPT,
+                              vae_preset: str = "flux",
+                              buckets=None) -> "FluxInpainter":
+    """Pipeline from converted checkpoints: DiT config inferred from the
+    tree; VAE from its converted tree when present, else random-init at the
+    production config."""
+    from .convert_flux import infer_flux_config, infer_vae_config_from_variables
+    from .vae import VAE_PRESETS, init_vae
+
+    dit_cfg = infer_flux_config(dit_vars)
+    if vae_vars is not None:
+        vae_cfg = infer_vae_config_from_variables(vae_vars)
+    else:
+        vae_cfg = VAE_PRESETS[vae_preset]
+        vae_vars = init_vae(vae_cfg)
+    bundle = FluxPipelineBundle(dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+                                dit_params=dit_vars, vae_params=vae_vars,
+                                prompt=prompt)
+    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS)
+
+
 def build_random_inpainter(preset: str = "test", vae_preset: str = "test",
                            prompt: str = DEFAULT_PROMPT,
                            buckets=None) -> FluxInpainter:

@@ -331,18 +331,32 @@ class ModelManager:
             from .flux.pipeline import (
                 DEFAULT_PROMPT,
                 KLEIN_PROMPT,
+                build_converted_inpainter,
                 build_random_inpainter,
             )
 
+            # Klein models default to the long preservation prompt
+            # (reference inpainting.py:991); Kontext keeps "Remove all text."
+            if prompt in (None, DEFAULT_PROMPT) and method.startswith("flux_klein"):
+                prompt = KLEIN_PROMPT
+            dit_vars = self._load_converted(mtype)
+            if dit_vars is not None:
+                vae_path = (self.models_dir / "converted"
+                            / "flux_vae.flax.safetensors")
+                vae_vars = None
+                if vae_path.exists():
+                    from .convert import load_flax_safetensors
+
+                    vae_vars = load_flax_safetensors(str(vae_path))
+                inpainter = build_converted_inpainter(
+                    dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT)
+                self._runners[key] = inpainter
+                return inpainter
             preset = os.environ.get("MTX_FLUX_PRESET", "test")
             vae_preset = os.environ.get("MTX_FLUX_VAE_PRESET", "test")
             log_message(
                 f"No converted checkpoint for {mtype.value}; using random init "
                 f"(preset {preset})", always_print=True)
-            # Klein models default to the long preservation prompt
-            # (reference inpainting.py:991); Kontext keeps "Remove all text."
-            if prompt in (None, DEFAULT_PROMPT) and method.startswith("flux_klein"):
-                prompt = KLEIN_PROMPT
             inpainter = build_random_inpainter(
                 preset=preset, vae_preset=vae_preset,
                 prompt=prompt or DEFAULT_PROMPT)

@@ -96,3 +96,43 @@ def test_vae_param_coverage():
     back, _ = convert_flux_vae(export_flux_vae_style(variables, cfg))
     count = lambda t: sum(x.size for x in jax.tree.leaves(t))
     assert count(back) == count(variables)
+
+
+def test_converted_inpainter_built_from_checkpoints(tmp_path, monkeypatch):
+    """Manager builds the FLUX inpainter from converted DiT+VAE trees with
+    configs inferred from the checkpoint shapes."""
+    from mangatranslator_tpu.models.convert import save_flax_safetensors
+    from mangatranslator_tpu.models.flux.vae import VAE_PRESETS, init_vae
+    from mangatranslator_tpu.models.manager import (
+        ModelType, get_model_manager, reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        dit = jax.tree.map(np.asarray, init_flux(CFG, h_tok=4, w_tok=4,
+                                                 txt_len=4))
+        vae = jax.tree.map(np.asarray, init_vae(VAE_PRESETS["test"], 16))
+        out = mgr.checkpoint_path(ModelType.FLUX_KLEIN_4B)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors(dit, str(out))
+        save_flax_safetensors(vae, str(out.parent /
+                                       "flux_vae.flax.safetensors"))
+        inp = mgr.get_flux_inpainter("flux_klein_4b")
+        assert inp.bundle.dit_cfg.hidden_size == CFG.hidden_size
+        assert inp.bundle.dit_cfg.num_heads == CFG.num_heads
+        assert inp.bundle.dit_cfg.axes_dim == CFG.axes_dim
+        assert inp.bundle.vae_cfg.channel_mults == (1, 2, 2)
+    finally:
+        reset_model_manager()
+
+
+def test_infer_flux_config_roundtrip():
+    from mangatranslator_tpu.models.flux.convert_flux import infer_flux_config
+
+    v = init_flux(CFG, h_tok=4, w_tok=4, txt_len=4)
+    ic = infer_flux_config(v)
+    assert (ic.in_channels, ic.hidden_size, ic.num_heads, ic.depth_double,
+            ic.depth_single, ic.ctx_dim, ic.vec_dim, ic.axes_dim) == (
+        CFG.in_channels, CFG.hidden_size, CFG.num_heads, CFG.depth_double,
+        CFG.depth_single, CFG.ctx_dim, CFG.vec_dim, CFG.axes_dim)
