@@ -373,6 +373,9 @@ def main(argv: Optional[List[str]] = None) -> int:
     validate_config(cfg)
 
     input_path = Path(args.input)
+    if not input_path.exists():
+        print(f"Error: input '{input_path}' does not exist", file=sys.stderr)
+        return 1
     if args.batch:
         from .pipeline.batch import batch_translate_images
 
@@ -391,8 +394,19 @@ def main(argv: Optional[List[str]] = None) -> int:
     from .pipeline.io import resolve_output_path
     from .pipeline.page import translate_and_render
 
-    out_path = (Path(args.output) if args.output
-                else resolve_output_path(input_path, None, cfg.output.output_format))
+    if args.output:
+        out = Path(args.output)
+        # a directory (existing, or extension-less) receives the derived
+        # name_translated.ext inside it (reference main.py output-dir semantics)
+        if out.is_dir() or not out.suffix:
+            out.mkdir(parents=True, exist_ok=True)
+            out_path = resolve_output_path(input_path, out,
+                                           cfg.output.output_format)
+        else:
+            out_path = out
+    else:
+        out_path = resolve_output_path(input_path, None,
+                                       cfg.output.output_format)
     with jax_profile_trace(args.profile_dir):
         _, info = translate_and_render(input_path, cfg, out_path)
     print(f"Saved {out_path} ({info['rendered']}/{info['bubbles']} bubbles, "
