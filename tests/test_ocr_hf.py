@@ -99,3 +99,61 @@ def test_vocab_detokenizer(tmp_path):
     detok = make_vocab_detokenizer(str(vocab))
     assert detok(np.array([2, 5, 6, 7, 8, 9, 3, 0, 0])) == "漫画家です"
     assert detok(np.array([2, 1, 5, 3])) == "漫"  # [UNK] skipped
+
+
+def test_golden_vs_torch_vision_encoder_decoder():
+    """True golden: tiny LIVE torch VisionEncoderDecoder (ViT + BERT LM head,
+    the kha-white/manga-ocr architecture) matches the converted Flax model."""
+    import math
+
+    torch = pytest.importorskip("torch")
+    from transformers import (BertConfig, VisionEncoderDecoderConfig,
+                              VisionEncoderDecoderModel, ViTConfig)
+
+    vc = ViTConfig(hidden_size=CFG.encoder_dim,
+                   num_hidden_layers=CFG.encoder_depth,
+                   num_attention_heads=CFG.encoder_heads,
+                   intermediate_size=CFG.encoder_dim * 4,
+                   image_size=CFG.image_size, patch_size=CFG.patch_size)
+    bc = BertConfig(hidden_size=CFG.decoder_dim,
+                    num_hidden_layers=CFG.decoder_depth,
+                    num_attention_heads=CFG.decoder_heads,
+                    intermediate_size=CFG.decoder_dim * 4,
+                    vocab_size=CFG.vocab_size, is_decoder=True,
+                    add_cross_attention=True,
+                    max_position_embeddings=CFG.max_length)
+    tcfg = VisionEncoderDecoderConfig.from_encoder_decoder_configs(vc, bc)
+    torch.manual_seed(0)
+    tm = VisionEncoderDecoderModel(tcfg).eval()
+    with torch.no_grad():
+        for name, p in tm.named_parameters():
+            if p.dim() == 1:
+                if "LayerNorm" in name or name.endswith("layernorm.weight") \
+                        or "layernorm_" in name:
+                    if name.endswith(".weight"):
+                        p.uniform_(0.8, 1.2)
+                    else:
+                        p.normal_(0, 0.02)
+                else:
+                    p.normal_(0, 0.02)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+        tm.tie_weights()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    # the tied LM-head matrix may be deduplicated from the state dict
+    sd.setdefault("decoder.cls.predictions.decoder.weight",
+                  sd["decoder.bert.embeddings.word_embeddings.weight"])
+    sd.setdefault("decoder.cls.predictions.decoder.bias",
+                  sd["decoder.cls.predictions.bias"])
+
+    variables = jax.tree.map(jnp.asarray, convert_manga_ocr(sd))
+    rs = np.random.RandomState(0)
+    img = rs.rand(1, 3, CFG.image_size, CFG.image_size).astype(np.float32)
+    ids = rs.randint(0, CFG.vocab_size, (1, CFG.max_length))
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.from_numpy(img),
+                 decoder_input_ids=torch.from_numpy(ids)).logits.numpy()
+    out = np.asarray(HFMangaOcrModel(CFG).apply(
+        variables, jnp.asarray(img.transpose(0, 2, 3, 1)),
+        jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
