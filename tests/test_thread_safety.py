@@ -1,0 +1,93 @@
+"""Concurrency stress for the shared singletons (SURVEY §5: the reference's
+thread safety is manual locks; these tests hammer the same seams)."""
+
+import threading
+
+import numpy as np
+import pytest
+
+
+def _hammer(fn, n_threads=8, iters=20):
+    errors = []
+
+    def work():
+        try:
+            for _ in range(iters):
+                fn()
+        except Exception as e:  # pragma: no cover - failure reporting
+            errors.append(e)
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert not errors, errors[:3]
+
+
+def test_cache_concurrent_put_get():
+    from mangatranslator_tpu.caching import get_cache, reset_cache
+
+    reset_cache()
+    cache = get_cache()
+    counter = [0]
+    lock = threading.Lock()
+
+    def op():
+        with lock:
+            counter[0] += 1
+            k = counter[0]
+        cache.put("yolo", f"key{k % 7}", [k])
+        cache.get("yolo", f"key{(k + 3) % 7}")
+
+    _hammer(op)
+    reset_cache()
+
+
+def test_model_manager_concurrent_getters():
+    """Concurrent runner construction must produce ONE runner per key."""
+    from mangatranslator_tpu.models.manager import (
+        ModelType, get_model_manager, reset_model_manager)
+
+    reset_model_manager()
+    try:
+        import os
+        os.environ["MTX_DETECTOR_IMGSZ"] = "64"
+        seen = []
+
+        def op():
+            mgr = get_model_manager()
+            seen.append(id(mgr))
+            r = mgr.get_detector(ModelType.YOLO_PANEL, imgsz=64)
+            seen.append(id(r))
+
+        _hammer(op, n_threads=6, iters=2)
+        assert len(set(seen)) == 2  # one manager id + one runner id
+    finally:
+        os.environ.pop("MTX_DETECTOR_IMGSZ", None)
+        reset_model_manager()
+
+
+def test_stage_timers_concurrent_spans():
+    from mangatranslator_tpu.logging import get_stage_timers
+
+    timers = get_stage_timers()
+    timers.reset()
+
+    def op():
+        with timers.span("stress"):
+            pass
+
+    _hammer(op, n_threads=10, iters=50)
+    assert timers.summary()["stress"]["count"] == 500
+    timers.reset()
+
+
+def test_font_measurer_concurrent():
+    from mangatranslator_tpu.text.render import get_measurer
+
+    def op():
+        m = get_measurer("/usr/share/fonts/truetype/dejavu")
+        m.width("Hello world", 16)
+
+    _hammer(op, n_threads=6, iters=10)
