@@ -96,7 +96,19 @@ class FluxInpainter:
 
     def __init__(self, bundle: FluxPipelineBundle,
                  buckets=KONTEXT_AR_BUCKETS,
-                 use_kontext_conditioning: bool = True):
+                 use_kontext_conditioning: bool = True,
+                 int8_weights: bool = False):
+        """int8_weights: store the DiT tree int8-quantized (per-column
+        scales); dequantization is traced into each bucket program so HBM
+        holds the 4x-smaller buffers (reference Nunchaku/SDNQ role)."""
+        self.int8 = int8_weights
+        if int8_weights:
+            from ...ops.quant import quantize_tree
+
+            bundle = FluxPipelineBundle(
+                dit_cfg=bundle.dit_cfg, vae_cfg=bundle.vae_cfg,
+                dit_params=quantize_tree(bundle.dit_params),
+                vae_params=bundle.vae_params, prompt=bundle.prompt)
         self.bundle = bundle
         self.buckets = buckets
         self.use_kontext = use_kontext_conditioning
@@ -124,6 +136,10 @@ class FluxInpainter:
 
         @jax.jit
         def run(dit_params, vae_params, image01, key):
+            if self.int8:
+                from ...ops.quant import dequantize_tree
+
+                dit_params = dequantize_tree(dit_params)
             x = image01 * 2.0 - 1.0
             lat = self._vae.apply(vae_params, x[None], method=FluxVAE.encode)
             cond_tokens = pack_latents(lat)
@@ -257,10 +273,13 @@ def build_converted_inpainter(dit_vars, vae_vars=None,
     else:
         vae_cfg = VAE_PRESETS[vae_preset]
         vae_vars = init_vae(vae_cfg)
+    import os
+
     bundle = FluxPipelineBundle(dit_cfg=dit_cfg, vae_cfg=vae_cfg,
                                 dit_params=dit_vars, vae_params=vae_vars,
                                 prompt=prompt)
-    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS)
+    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS,
+                         int8_weights=os.environ.get("MTX_FLUX_INT8") == "1")
 
 
 def build_random_inpainter(preset: str = "test", vae_preset: str = "test",

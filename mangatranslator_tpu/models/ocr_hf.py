@@ -11,14 +11,13 @@ when no weights are present.
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Any, Dict, Mapping, Optional, Tuple
+from typing import Any, Dict, Mapping
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..logging import log_message
 from .convert import linear_kernel, set_path
 
 

@@ -103,3 +103,44 @@ def q8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray,
         xq, w_q, dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]
+
+
+_Q8_KEY = "__q8__"
+
+
+def quantize_tree(params, min_elems: int = 1 << 14):
+    """Replace every large 2D kernel in a param tree with int8 values +
+    per-column scales (the reference's Nunchaku/SDNQ storage-quantization
+    role, SURVEY §2.2). Small leaves (norms, biases, embeddings' rows below
+    the cutoff) stay full precision. Dequantization happens INSIDE the jitted
+    program (dequantize_tree), so HBM holds int8 and XLA fuses the scale
+    multiply into the consumer matmul."""
+    import numpy as np
+
+    def visit(leaf):
+        arr = leaf
+        if hasattr(arr, "ndim") and arr.ndim == 2 and arr.size >= min_elems:
+            q, scale = quantize_weights_int8(jnp.asarray(arr))
+            return {_Q8_KEY: np.asarray(q), "scale": np.asarray(scale)}
+        return leaf
+
+    def walk(node):
+        if isinstance(node, dict):
+            if _Q8_KEY in node:
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        return visit(node)
+
+    return walk(params)
+
+
+def dequantize_tree(params):
+    """Inverse of quantize_tree — call inside jit so the dequant fuses."""
+    def walk(node):
+        if isinstance(node, dict):
+            if _Q8_KEY in node:
+                return node[_Q8_KEY].astype(jnp.float32) * node["scale"]
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

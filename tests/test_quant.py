@@ -59,3 +59,32 @@ def test_q8_matmul_pallas_interpret(rng, monkeypatch):
     out = np.asarray(Q.q8_matmul(x, q, s, block_m=64, block_n=64))
     ref = np.asarray(x @ w)
     assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.03
+
+
+def test_flux_int8_pipeline_close_to_full_precision():
+    """int8-stored DiT weights (dequant traced into the program) produce
+    near-identical inpaints; the tree's big kernels are 4x smaller."""
+    import numpy as np
+    import jax
+
+    from mangatranslator_tpu.models.flux.pipeline import build_random_inpainter
+    from mangatranslator_tpu.ops.quant import quantize_tree
+
+    inp = build_random_inpainter(preset="test", vae_preset="test")
+    from mangatranslator_tpu.models.flux.pipeline import FluxInpainter
+
+    q = FluxInpainter(inp.bundle, buckets=inp.buckets, int8_weights=True)
+    # quantized leaves exist and are int8
+    leaves = jax.tree.leaves(q.bundle.dit_params)
+    assert any(x.dtype == np.int8 for x in leaves)
+
+    img = (np.random.RandomState(0).rand(96, 128, 3) * 255).astype(np.uint8)
+    mask = np.zeros((96, 128), np.uint8)
+    mask[24:72, 30:100] = 1
+    a = inp.inpaint_mask(img, mask, num_inference_steps=1,
+                         luminance_correction=False)
+    b = q.inpaint_mask(img, mask, num_inference_steps=1,
+                       luminance_correction=False)
+    # int8 weight error is small relative to the 0..255 pixel range
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.mean() < 8.0
