@@ -18,6 +18,7 @@ from __future__ import annotations
 import enum
 import os
 import threading
+from collections import OrderedDict
 from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
@@ -70,12 +71,50 @@ _DETECTOR_SPECS: Dict[ModelType, Tuple[str, str, int, bool, int]] = {
 class ModelManager:
     """Thread-safe lazy registry of jitted runners (reference RLock pattern)."""
 
-    def __init__(self, models_dir: Optional[Path] = None):
+    def __init__(self, models_dir: Optional[Path] = None,
+                 hbm_budget_bytes: Optional[int] = None):
         self.models_dir = Path(models_dir or os.environ.get(
             "MANGATRANSLATOR_MODELS_DIR", "models"))
         self._lock = threading.RLock()
-        self._runners: Dict[Tuple[ModelType, int], Any] = {}
+        self._runners: "OrderedDict[Tuple[ModelType, int], Any]" = \
+            OrderedDict()
         self.flux_inference_lock = threading.Lock()  # reference :96
+        # LRU by HBM budget replaces the reference's unload-to-VRAM churn
+        # (SURVEY §7 mapping): runners evict least-recently-used when their
+        # parameter bytes exceed the budget. 0/unset disables eviction.
+        env = os.environ.get("MTX_HBM_BUDGET_GB")
+        self.hbm_budget_bytes = (hbm_budget_bytes if hbm_budget_bytes
+                                 is not None else
+                                 int(float(env) * 2**30) if env else 0)
+
+    @staticmethod
+    def _runner_bytes(runner) -> int:
+        import jax
+
+        for attr in ("_params", "bundle"):
+            obj = getattr(runner, attr, None)
+            if obj is None:
+                continue
+            tree = getattr(obj, "dit_params", obj)
+            try:
+                return sum(x.size * x.dtype.itemsize
+                           for x in jax.tree.leaves(tree)
+                           if hasattr(x, "dtype"))
+            except Exception:
+                return 0
+        return 0
+
+    def _touch(self, key) -> None:
+        """Mark key most-recently-used and evict over-budget runners."""
+        self._runners.move_to_end(key)
+        if not self.hbm_budget_bytes:
+            return
+        total = sum(self._runner_bytes(r) for r in self._runners.values())
+        while total > self.hbm_budget_bytes and len(self._runners) > 1:
+            old_key, old = self._runners.popitem(last=False)
+            total -= self._runner_bytes(old)
+            log_message(f"HBM budget: evicted runner {old_key[0].value}"
+                        f"@{old_key[1]}")
 
     # -- checkpoint plumbing ---------------------------------------------------
 
@@ -198,6 +237,7 @@ class ModelManager:
         key = (mtype, size)
         with self._lock:
             if key in self._runners:
+                self._touch(key)
                 return self._runners[key]
             cfg = yolo_config(arch, scale, nc, seg)
             params = self._load_converted(mtype)
@@ -213,12 +253,14 @@ class ModelManager:
                 params = init_yolo(cfg, size)
             runner = YoloRunner(cfg, params, imgsz=size, max_det=max_det)
             self._runners[key] = runner
+            self._touch(key)
             return runner
 
     def _get_rtdetr(self, imgsz: int, max_det: int):
         key = (ModelType.RTDETR_CONJOINED, imgsz)
         with self._lock:
             if key in self._runners:
+                self._touch(key)
                 return self._runners[key]
             from .rtdetr import RTDETR_PRESETS, RTDetrRunner, init_rtdetr
 
@@ -233,6 +275,7 @@ class ModelManager:
                                       max_det=max_det,
                                       model=RTDetrV2HFModel(hf_cfg))
                 self._runners[key] = runner
+                self._touch(key)
                 return runner
             preset = os.environ.get("MTX_RTDETR_PRESET", "test")
             cfg = RTDETR_PRESETS[preset]
@@ -243,6 +286,7 @@ class ModelManager:
             params = init_rtdetr(cfg, imgsz)
             runner = RTDetrRunner(cfg, params, imgsz=imgsz, max_det=max_det)
             self._runners[key] = runner
+            self._touch(key)
             return runner
 
     # -- upscalers ----------------------------------------------------------------
@@ -253,6 +297,7 @@ class ModelManager:
         key = (mtype, 0)
         with self._lock:
             if key in self._runners:
+                self._touch(key)
                 return self._runners[key]
             cfg = RCAN_PRESETS["model" if variant == "model" else "model_lite"]
             params = self._load_converted(mtype)
@@ -281,6 +326,7 @@ class ModelManager:
                 params = init_rcan(cfg)
             runner = UpscalerRunner(cfg, params)
             self._runners[key] = runner
+            self._touch(key)
             return runner
 
     # -- SAM / FLUX / OCR ----------------------------------------------------------
@@ -290,6 +336,7 @@ class ModelManager:
         key = (mtype, 0)
         with self._lock:
             if key in self._runners:
+                self._touch(key)
                 return self._runners[key]
             from .sam import SAM_PRESETS, SamRefiner, init_sam
 
@@ -304,6 +351,7 @@ class ModelManager:
                         "MTX_SAM_IMGSZ", "1024")))
                 runner = Sam2HFRefiner(hf_cfg, params)
                 self._runners[key] = runner
+                self._touch(key)
                 return runner
             preset = os.environ.get("MTX_SAM_PRESET", "test")
             cfg = SAM_PRESETS[preset]
@@ -315,6 +363,7 @@ class ModelManager:
                 params = init_sam(cfg)
             runner = SamRefiner(cfg, params)
             self._runners[key] = runner
+            self._touch(key)
             return runner
 
     def get_flux_inpainter(self, method: str = "flux_klein_4b",
@@ -327,6 +376,7 @@ class ModelManager:
         key = (mtype, 0)
         with self._lock:
             if key in self._runners:
+                self._touch(key)
                 return self._runners[key]
             from .flux.pipeline import (
                 DEFAULT_PROMPT,
@@ -351,6 +401,7 @@ class ModelManager:
                 inpainter = build_converted_inpainter(
                     dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT)
                 self._runners[key] = inpainter
+                self._touch(key)
                 return inpainter
             preset = os.environ.get("MTX_FLUX_PRESET", "test")
             vae_preset = os.environ.get("MTX_FLUX_VAE_PRESET", "test")
@@ -361,6 +412,7 @@ class ModelManager:
                 preset=preset, vae_preset=vae_preset,
                 prompt=prompt or DEFAULT_PROMPT)
             self._runners[key] = inpainter
+            self._touch(key)
             return inpainter
 
     def get_osb_detector(self, confidence: float = 0.6):

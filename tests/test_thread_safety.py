@@ -91,3 +91,25 @@ def test_font_measurer_concurrent():
         m.width("Hello world", 16)
 
     _hammer(op, n_threads=6, iters=10)
+
+
+def test_hbm_budget_lru_eviction():
+    """Runners evict least-recently-used when parameter bytes exceed the
+    configured HBM budget (SURVEY §7: LRU by HBM budget replaces the
+    reference's unload-all churn)."""
+    from mangatranslator_tpu.models.manager import ModelManager, ModelType
+
+    mgr = ModelManager(hbm_budget_bytes=1)  # evict all but the newest
+    r1 = mgr.get_detector(ModelType.YOLO_PANEL, imgsz=64)
+    assert len(mgr._runners) == 1
+    r2 = mgr.get_detector(ModelType.YOLO_OSB_TEXT, imgsz=64)
+    # panel evicted; OSB retained
+    assert list(mgr._runners) == [(ModelType.YOLO_OSB_TEXT, 64)]
+    # re-request rebuilds the evicted one
+    r1b = mgr.get_detector(ModelType.YOLO_PANEL, imgsz=64)
+    assert r1b is not r1
+
+    big = ModelManager(hbm_budget_bytes=1 << 40)
+    big.get_detector(ModelType.YOLO_PANEL, imgsz=64)
+    big.get_detector(ModelType.YOLO_OSB_TEXT, imgsz=64)
+    assert len(big._runners) == 2  # both fit
