@@ -97,17 +97,20 @@ class FluxInpainter:
     def __init__(self, bundle: FluxPipelineBundle,
                  buckets=KONTEXT_AR_BUCKETS,
                  use_kontext_conditioning: bool = True,
-                 int8_weights: bool = False):
-        """int8_weights: store the DiT tree int8-quantized (per-column
-        scales); dequantization is traced into each bucket program so HBM
-        holds the 4x-smaller buffers (reference Nunchaku/SDNQ role)."""
-        self.int8 = int8_weights
-        if int8_weights:
-            from ...ops.quant import quantize_tree
+                 int8_weights: bool = False,
+                 quant: "Optional[str]" = None):
+        """quant ('int8' | 'int4' | None): store the DiT tree quantized with
+        per-column scales; dequantization is traced into each bucket program
+        so HBM holds the 4x/8x-smaller buffers (reference Nunchaku/SDNQ
+        role). int8_weights=True is shorthand for quant='int8'."""
+        self.quant = quant or ("int8" if int8_weights else None)
+        if self.quant:
+            from ...ops.quant import quantize_tree, quantize_tree_int4
 
+            qfn = quantize_tree_int4 if self.quant == "int4" else quantize_tree
             bundle = FluxPipelineBundle(
                 dit_cfg=bundle.dit_cfg, vae_cfg=bundle.vae_cfg,
-                dit_params=quantize_tree(bundle.dit_params),
+                dit_params=qfn(bundle.dit_params),
                 vae_params=bundle.vae_params, prompt=bundle.prompt)
         self.bundle = bundle
         self.buckets = buckets
@@ -136,10 +139,13 @@ class FluxInpainter:
 
         @jax.jit
         def run(dit_params, vae_params, image01, key):
-            if self.int8:
-                from ...ops.quant import dequantize_tree
+            if self.quant:
+                from ...ops.quant import (dequantize_tree,
+                                          dequantize_tree_int4)
 
-                dit_params = dequantize_tree(dit_params)
+                dq = (dequantize_tree_int4 if self.quant == "int4"
+                      else dequantize_tree)
+                dit_params = dq(dit_params)
             x = image01 * 2.0 - 1.0
             lat = self._vae.apply(vae_params, x[None], method=FluxVAE.encode)
             cond_tokens = pack_latents(lat)
@@ -278,8 +284,10 @@ def build_converted_inpainter(dit_vars, vae_vars=None,
     bundle = FluxPipelineBundle(dit_cfg=dit_cfg, vae_cfg=vae_cfg,
                                 dit_params=dit_vars, vae_params=vae_vars,
                                 prompt=prompt)
+    quant = os.environ.get("MTX_FLUX_QUANT") or (
+        "int8" if os.environ.get("MTX_FLUX_INT8") == "1" else None)
     return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS,
-                         int8_weights=os.environ.get("MTX_FLUX_INT8") == "1")
+                         quant=quant)
 
 
 def build_random_inpainter(preset: str = "test", vae_preset: str = "test",

@@ -144,3 +144,70 @@ def dequantize_tree(params):
         return node
 
     return walk(params)
+
+
+_Q4_KEY = "__q4__"        # packed rows, original K even
+_Q4_ODD_KEY = "__q4_odd__"  # original K odd (last unpacked row is padding)
+
+
+def quantize_tree_int4(params, min_elems: int = 1 << 14):
+    """int4 variant of quantize_tree (the reference's Nunchaku/SVDQuant
+    4-bit option): values in [-7, 7] with per-column scales, packed two per
+    byte along the (even-padded) K axis."""
+    import numpy as np
+
+    def visit(leaf):
+        arr = leaf
+        if hasattr(arr, "ndim") and arr.ndim == 2 and arr.size >= min_elems:
+            w = np.asarray(arr, np.float32)
+            absmax = np.abs(w).max(axis=0)
+            scale = np.maximum(absmax / 7.0, 1e-8).astype(np.float32)
+            q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
+            k = q.shape[0]
+            if k % 2:
+                q = np.concatenate([q, np.zeros((1, q.shape[1]), np.int8)])
+            lo = q[0::2] & 0x0F
+            hi = (q[1::2] & 0x0F) << 4
+            packed = (lo | hi).astype(np.uint8)
+            key = _Q4_KEY if k % 2 == 0 else _Q4_ODD_KEY
+            return {key: packed, "scale": scale}
+        return leaf
+
+    def walk(node):
+        if isinstance(node, dict):
+            if _Q4_KEY in node or _Q4_ODD_KEY in node or _Q8_KEY in node:
+                return node
+            return {k: walk(v) for k, v in node.items()}
+        return visit(node)
+
+    return walk(params)
+
+
+def _unpack_int4(packed: jnp.ndarray, k: int) -> jnp.ndarray:
+    """uint8 [K/2, N] → int8 [k, N] (sign-extended 4-bit pairs)."""
+    lo = (packed & 0x0F).astype(jnp.int8)
+    hi = ((packed >> 4) & 0x0F).astype(jnp.int8)
+    sign = lambda v: jnp.where(v >= 8, v - 16, v)
+    full = jnp.stack([sign(lo), sign(hi)], axis=1).reshape(
+        -1, packed.shape[1])
+    return full[:k]
+
+
+def dequantize_tree_int4(params):
+    """Inverse of quantize_tree_int4 (also passes through int8 leaves) —
+    call inside jit so unpack + scale fuse into the consumer matmul."""
+    def walk(node):
+        if isinstance(node, dict):
+            if _Q4_KEY in node:
+                q = _unpack_int4(node[_Q4_KEY], node[_Q4_KEY].shape[0] * 2)
+                return q.astype(jnp.float32) * node["scale"]
+            if _Q4_ODD_KEY in node:
+                q = _unpack_int4(node[_Q4_ODD_KEY],
+                                 node[_Q4_ODD_KEY].shape[0] * 2 - 1)
+                return q.astype(jnp.float32) * node["scale"]
+            if _Q8_KEY in node:
+                return node[_Q8_KEY].astype(jnp.float32) * node["scale"]
+            return {k: walk(v) for k, v in node.items()}
+        return node
+
+    return walk(params)

@@ -88,3 +88,27 @@ def test_flux_int8_pipeline_close_to_full_precision():
     # int8 weight error is small relative to the 0..255 pixel range
     diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
     assert diff.mean() < 8.0
+
+
+def test_int4_tree_roundtrip():
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from mangatranslator_tpu.ops.quant import (dequantize_tree_int4,
+                                               quantize_tree_int4)
+
+    rs = np.random.RandomState(0)
+    tree = {"a": {"kernel": rs.randn(255, 128).astype(np.float32)},  # odd K
+            "c": {"kernel": rs.randn(256, 64).astype(np.float32)},
+            "b": {"bias": rs.randn(64).astype(np.float32)}}
+    q = quantize_tree_int4(tree, min_elems=1)
+    assert q["a"]["kernel"]["__q4_odd__"].dtype == np.uint8
+    d = jax.jit(dequantize_tree_int4)(jax.tree.map(jnp.asarray, q))
+    for k in ("a", "c"):
+        arr = tree[k]["kernel"]
+        rel = np.abs(np.asarray(d[k]["kernel"]) - arr).max() / \
+            np.abs(arr).max()
+        assert d[k]["kernel"].shape == arr.shape and rel < 0.08
+    np.testing.assert_array_equal(np.asarray(d["b"]["bias"]),
+                                  tree["b"]["bias"])
