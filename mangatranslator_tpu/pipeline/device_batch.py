@@ -146,12 +146,29 @@ def process_pages_batched(
             # single dispatch+readback covers the whole page batch
             from ..cleaning.cleaner import clean_pages_bubbles
 
-            scale0 = processing_scale_for(images[0].shape[1],
-                                          images[0].shape[0])
-            cleaned_pages, infos_pp = clean_pages_bubbles(
-                list(images), per_page_dets, config.cleaning, scale0,
-                verbose=config.verbose)
-            cleaned_infos = {pi: infos_pp[pi] for pi in range(len(images))}
+            # shrink radii are per-program statics: group pages whose
+            # processing scales round to the same radii so mixed-size
+            # batches keep per-page parity
+            from ..scaling import scale_length
+
+            groups: Dict[int, List[int]] = {}
+            scales = {}
+            for pi, img in enumerate(images):
+                sc = processing_scale_for(img.shape[1], img.shape[0])
+                scales[pi] = sc
+                key = int(round(scale_length(
+                    config.cleaning.roi_shrink_px, sc, minimum=0.0)))
+                groups.setdefault(key, []).append(pi)
+            cleaned_infos = {}
+            for key, page_ids in groups.items():
+                outs, infos_pp = clean_pages_bubbles(
+                    [images[pi] for pi in page_ids],
+                    [per_page_dets[pi] for pi in page_ids],
+                    config.cleaning, scales[page_ids[0]],
+                    verbose=config.verbose)
+                for local, pi in enumerate(page_ids):
+                    cleaned_pages[pi] = outs[local]
+                    cleaned_infos[pi] = infos_pp[local]
 
     def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
         img = Image.fromarray(cleaned_pages[pi])
