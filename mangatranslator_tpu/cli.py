@@ -44,6 +44,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--version", action="version", version=__version__)
     p.add_argument("--profile-dir", type=str, default=None,
                    help="Write a jax.profiler trace of the run to this dir")
+    p.add_argument("--pages-per-device-batch", type=int, default=1,
+                   help="Stack N pages into one detection/clean program "
+                        "(batch mode; shards over the mesh's data axis)")
 
     d = p.add_argument_group("detection")
     d.add_argument("--confidence", type=float, default=0.6)
@@ -289,6 +292,7 @@ def args_to_config(args: argparse.Namespace) -> MangaTranslatorConfig:
     t.osb_min_side_pixels = args.osb_min_side_pixels
     t.special_instructions = args.special_instructions
     t.ocr_method = args.ocr_method
+    cfg.parallel.pages_per_device_batch = max(1, args.pages_per_device_batch)
 
     r = cfg.rendering
     r.font_dir = args.font_dir
