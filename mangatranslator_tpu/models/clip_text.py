@@ -1,0 +1,162 @@
+"""HF-architecture-exact CLIP text encoder in Flax (TPU-first).
+
+FLUX.1 Kontext's pooled conditioning vector comes from CLIP-L (the reference
+downloads comfyanonymous clip_l.safetensors, core/ml/model_manager.py:162-166).
+Mirrors transformers' CLIPTextModel: causal pre-LN transformer with
+quick-gelu, learned positions, pooled output = EOS-token hidden state.
+Golden-tested against the live torch model in tests/test_text_encoders.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class ClipTextConfig:
+    vocab_size: int = 49408
+    hidden_size: int = 768
+    num_layers: int = 12
+    num_heads: int = 12
+    intermediate_size: int = 3072
+    max_positions: int = 77
+    eos_token_id: int = 49407
+    layer_norm_eps: float = 1e-5
+
+
+CLIP_TEXT_PRESETS = {
+    "clip_l": ClipTextConfig(),
+    "test": ClipTextConfig(vocab_size=50, hidden_size=32, num_layers=2,
+                           num_heads=4, intermediate_size=64,
+                           max_positions=12, eos_token_id=49),
+}
+
+
+def _quick_gelu(x):
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class ClipLayer(nn.Module):
+    cfg: ClipTextConfig
+
+    @nn.compact
+    def __call__(self, x, mask):
+        cfg = self.cfg
+        b, s, d = x.shape
+        hd = d // cfg.num_heads
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(x)
+        q = nn.Dense(d, name="q_proj")(h) * (hd ** -0.5)
+        k = nn.Dense(d, name="k_proj")(h)
+        v = nn.Dense(d, name="v_proj")(h)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_heads, hd)
+        v = v.reshape(b, s, cfg.num_heads, hd)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32)
+        att = jnp.where(mask[None, None], att, -jnp.inf)
+        att = jax.nn.softmax(att, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, d)
+        x = x + nn.Dense(d, name="out_proj")(out)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln2")(x)
+        h = _quick_gelu(nn.Dense(cfg.intermediate_size, name="fc1")(h))
+        return x + nn.Dense(d, name="fc2")(h)
+
+
+class ClipTextEncoder(nn.Module):
+    """Returns (last hidden states, pooled EOS embedding)."""
+
+    cfg: ClipTextConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        cfg = self.cfg
+        b, s = tokens.shape
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size,
+                     name="token_embedding")(tokens)
+        pos = self.param("position_embedding", nn.initializers.normal(0.02),
+                         (cfg.max_positions, cfg.hidden_size))
+        x = x + pos[:s]
+        mask = jnp.tril(jnp.ones((s, s), bool))
+        for i in range(cfg.num_layers):
+            x = ClipLayer(cfg, name=f"layer{i}")(x, mask)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="final_ln")(x)
+        # pooled output: hidden state at the (first) EOS token
+        eos_pos = jnp.argmax((tokens == cfg.eos_token_id).astype(jnp.int32),
+                             axis=1)
+        pooled = x[jnp.arange(b), eos_pos]
+        return x, pooled
+
+
+def init_clip_text(cfg: ClipTextConfig, seq: int = 8, seed: int = 0):
+    return ClipTextEncoder(cfg).init(jax.random.PRNGKey(seed),
+                                     jnp.zeros((1, seq), jnp.int32))
+
+
+def infer_clip_text_config(sd: Mapping[str, np.ndarray]) -> ClipTextConfig:
+    emb = sd["text_model.embeddings.token_embedding.weight"]
+    pos = sd["text_model.embeddings.position_embedding.weight"]
+    n = 0
+    while f"text_model.encoder.layers.{n}.self_attn.q_proj.weight" in sd:
+        n += 1
+    inter = sd["text_model.encoder.layers.0.mlp.fc1.weight"].shape[0]
+    hidden = emb.shape[1]
+    return ClipTextConfig(vocab_size=emb.shape[0], hidden_size=hidden,
+                          num_layers=n, num_heads=hidden // 64,
+                          intermediate_size=inter,
+                          max_positions=pos.shape[0])
+
+
+def convert_clip_text(sd: Mapping[str, np.ndarray],
+                      cfg: Optional[ClipTextConfig] = None) -> Dict[str, Any]:
+    """transformers CLIPTextModel state dict → ClipTextEncoder variables."""
+    if cfg is None:
+        cfg = infer_clip_text_config(sd)
+    p: Dict[str, Any] = {}
+
+    def lin(key, path):
+        set_path(p, path + ("kernel",),
+                 linear_kernel(np.asarray(sd[f"{key}.weight"])))
+        set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+    def ln(key, path):
+        set_path(p, path + ("scale",), np.asarray(sd[f"{key}.weight"]))
+        set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+    set_path(p, ("token_embedding", "embedding"),
+             np.asarray(sd["text_model.embeddings.token_embedding.weight"]))
+    set_path(p, ("position_embedding",), np.asarray(
+        sd["text_model.embeddings.position_embedding.weight"]))
+    for i in range(cfg.num_layers):
+        base = f"text_model.encoder.layers.{i}"
+        path = (f"layer{i}",)
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            lin(f"{base}.self_attn.{name}", path + (name,))
+        ln(f"{base}.layer_norm1", path + ("ln1",))
+        ln(f"{base}.layer_norm2", path + ("ln2",))
+        lin(f"{base}.mlp.fc1", path + ("fc1",))
+        lin(f"{base}.mlp.fc2", path + ("fc2",))
+    ln("text_model.final_layer_norm", ("final_ln",))
+    return {"params": p}
+
+
+def infer_clip_text_config_from_variables(variables: Dict[str, Any]
+                                          ) -> ClipTextConfig:
+    """Structural config from a converted Flax tree."""
+    p = variables["params"]
+    emb = np.asarray(p["token_embedding"]["embedding"])
+    n = 0
+    while f"layer{n}" in p:
+        n += 1
+    return ClipTextConfig(
+        vocab_size=emb.shape[0], hidden_size=emb.shape[1], num_layers=n,
+        num_heads=max(1, emb.shape[1] // 64),
+        intermediate_size=np.asarray(p["layer0"]["fc1"]["kernel"]).shape[1],
+        max_positions=np.asarray(p["position_embedding"]).shape[0])

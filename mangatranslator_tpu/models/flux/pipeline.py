@@ -67,18 +67,65 @@ def pick_bucket_for(h: int, w: int,
     return min(buckets, key=lambda b: abs((b[1] / b[0]) - ar))
 
 
+def prompt_embed_path(prompt: str):
+    """Location of a precomputed embedding for this prompt (stored beside the
+    converted checkpoints by compute_prompt_embeddings)."""
+    import os
+    from pathlib import Path
+
+    sha = hashlib.sha256(prompt.encode()).hexdigest()[:16]
+    root = Path(os.environ.get("MANGATRANSLATOR_MODELS_DIR", "models"))
+    return root / "converted" / "prompt_embeds" / f"{sha}.npz"
+
+
 def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
                       seq_len: int = 128) -> Tuple[np.ndarray, np.ndarray]:
-    """Deterministic embeddings for a fixed prompt.
+    """Embeddings for a fixed prompt.
 
-    With converted text-encoder weights present this is replaced by the real
-    encoder output (computed once, stored beside the checkpoint); without them,
-    a seeded Gaussian keeps the pipeline exercisable end-to-end.
+    Prefers the REAL encoder output precomputed by
+    compute_prompt_embeddings (T5-XXL context + CLIP-L pooled for Kontext,
+    models/t5.py + models/clip_text.py) stored beside the converted
+    checkpoints; without it, a seeded Gaussian keeps the pipeline
+    exercisable end-to-end.
     """
+    path = prompt_embed_path(prompt)
+    if path.exists():
+        data = np.load(path)
+        txt, vec = data["txt"], data["vec"]
+        if txt.shape[-1] == ctx_dim and vec.shape[-1] == vec_dim:
+            return txt.astype(np.float32), vec.astype(np.float32)
     seed = int.from_bytes(hashlib.sha256(prompt.encode()).digest()[:4], "little")
     rng = np.random.default_rng(seed)
     txt = rng.standard_normal((1, seq_len, ctx_dim)).astype(np.float32) * 0.02
     vec = rng.standard_normal((1, vec_dim)).astype(np.float32) * 0.02
+    return txt, vec
+
+
+def compute_prompt_embeddings(prompt: str, t5_vars, clip_vars,
+                              t5_tokens: np.ndarray,
+                              clip_tokens: np.ndarray) -> Tuple[np.ndarray,
+                                                                np.ndarray]:
+    """Run the converted text encoders once and persist the embedding pair
+    for this prompt (token ids come from the checkpoints' own tokenizers —
+    script-time concern, scripts/convert_models.py --embed-prompt)."""
+    import jax
+
+    from ..clip_text import (ClipTextEncoder,
+                             infer_clip_text_config_from_variables)
+    from ..t5 import T5Encoder, infer_t5_config_from_variables
+
+    t5_cfg = infer_t5_config_from_variables(t5_vars)
+    clip_cfg = infer_clip_text_config_from_variables(clip_vars)
+    txt = np.asarray(T5Encoder(t5_cfg).apply(
+        jax.tree.map(jnp.asarray, t5_vars),
+        jnp.asarray(t5_tokens[None], jnp.int32)))
+    _, pooled = ClipTextEncoder(clip_cfg).apply(
+        jax.tree.map(jnp.asarray, clip_vars),
+        jnp.asarray(clip_tokens[None], jnp.int32))
+    vec = np.asarray(pooled)
+    out = prompt_embed_path(prompt)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, txt=txt, vec=vec)
     return txt, vec
 
 

@@ -43,6 +43,8 @@ class ModelType(enum.Enum):
     MANGA_OCR = "manga_ocr"
     PADDLE_OCR_VL = "paddle_ocr_vl"
     FLUX_KONTEXT = "flux_kontext"
+    FLUX_TEXT_ENCODER = "flux_text_encoder"  # T5-XXL (Kontext context embeds)
+    FLUX_CLIP_L = "flux_clip_l"              # CLIP-L (Kontext pooled vector)
     FLUX_KLEIN_4B = "flux_klein_4b"
     FLUX_KLEIN_9B = "flux_klein_9b"
 
@@ -175,6 +177,14 @@ class ModelManager:
                 from .convert_yolo import convert_ultralytics_yolo
 
                 variables = convert_ultralytics_yolo(sd)
+            elif mtype == ModelType.FLUX_TEXT_ENCODER:
+                from .t5 import convert_t5_encoder
+
+                variables = convert_t5_encoder(sd)
+            elif mtype == ModelType.FLUX_CLIP_L:
+                from .clip_text import convert_clip_text
+
+                variables = convert_clip_text(sd)
             elif mtype == ModelType.PADDLE_OCR_VL:
                 # text side only: the ERNIE-4.5 decoder converts 1:1; the
                 # NaViT vision encoder is trust_remote_code-only upstream

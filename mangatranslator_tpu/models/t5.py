@@ -1,0 +1,208 @@
+"""HF-architecture-exact T5 v1.1 encoder in Flax (TPU-first).
+
+FLUX.1 Kontext conditions on T5-XXL text embeddings (the reference downloads
+nunchaku's t5xxl at core/ml/model_manager.py:219-224 and builds prompt
+embeddings once per pipeline). This module mirrors transformers'
+T5EncoderModel exactly — pre-RMSNorm blocks, UNSCALED attention with bucketed
+relative position bias (first block owns the table), gated-gelu FF — so the
+published text-encoder weights convert 1:1 (convert_t5_encoder below).
+Golden-tested against the live torch model in tests/test_text_encoders.py.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class T5Config:
+    vocab_size: int = 32128
+    d_model: int = 4096
+    d_kv: int = 64
+    num_heads: int = 64
+    d_ff: int = 10240
+    num_layers: int = 24
+    rel_buckets: int = 32
+    rel_max_distance: int = 128
+    layer_norm_eps: float = 1e-6
+
+
+T5_PRESETS = {
+    "t5xxl": T5Config(),
+    "test": T5Config(vocab_size=60, d_model=32, d_kv=8, num_heads=4,
+                     d_ff=64, num_layers=2),
+}
+
+
+class T5LayerNorm(nn.Module):
+    """RMS norm without mean subtraction or bias (T5 style)."""
+
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+        return (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype) * scale
+
+
+def relative_position_buckets(qlen: int, klen: int, num_buckets: int,
+                              max_distance: int) -> np.ndarray:
+    """Bidirectional T5 bucketing of (key_pos - query_pos)."""
+    ctx = np.arange(qlen)[:, None]
+    mem = np.arange(klen)[None, :]
+    rel = mem - ctx
+    nb = num_buckets // 2
+    out = (rel > 0).astype(np.int64) * nb
+    rel = np.abs(rel)
+    max_exact = nb // 2
+    is_small = rel < max_exact
+    large = max_exact + (
+        np.log(np.maximum(rel, 1) / max_exact) / np.log(max_distance / max_exact)
+        * (nb - max_exact)).astype(np.int64)
+    large = np.minimum(large, nb - 1)
+    return out + np.where(is_small, rel, large)
+
+
+class T5Attention(nn.Module):
+    cfg: T5Config
+    has_bias_table: bool = False
+
+    @nn.compact
+    def __call__(self, x, position_bias=None):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        inner = cfg.num_heads * cfg.d_kv
+        q = nn.Dense(inner, use_bias=False, name="q")(x)
+        k = nn.Dense(inner, use_bias=False, name="k")(x)
+        v = nn.Dense(inner, use_bias=False, name="v")(x)
+        q = q.reshape(b, s, cfg.num_heads, cfg.d_kv)
+        k = k.reshape(b, s, cfg.num_heads, cfg.d_kv)
+        v = v.reshape(b, s, cfg.num_heads, cfg.d_kv)
+        # T5 attention is deliberately UNSCALED (folded into init)
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if self.has_bias_table:
+            table = self.param("rel_bias", nn.initializers.normal(1.0),
+                               (cfg.rel_buckets, cfg.num_heads))
+            buckets = jnp.asarray(relative_position_buckets(
+                s, s, cfg.rel_buckets, cfg.rel_max_distance))
+            position_bias = table[buckets].transpose(2, 0, 1)[None]
+        if position_bias is not None:
+            logits = logits + position_bias
+        att = jax.nn.softmax(logits, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s, inner)
+        return nn.Dense(cfg.d_model, use_bias=False, name="o")(out), \
+            position_bias
+
+
+class T5Block(nn.Module):
+    cfg: T5Config
+    first: bool = False
+
+    @nn.compact
+    def __call__(self, x, position_bias=None):
+        cfg = self.cfg
+        h = T5LayerNorm(cfg.layer_norm_eps, name="ln_attn")(x)
+        a, position_bias = T5Attention(cfg, has_bias_table=self.first,
+                                       name="attn")(h, position_bias)
+        x = x + a
+        h = T5LayerNorm(cfg.layer_norm_eps, name="ln_ff")(x)
+        # v1.1 gated-gelu FF; HF gelu_new is the tanh approximation
+        g = nn.Dense(cfg.d_ff, use_bias=False, name="wi_0")(h)
+        u = nn.Dense(cfg.d_ff, use_bias=False, name="wi_1")(h)
+        h = jax.nn.gelu(g, approximate=True) * u
+        return x + nn.Dense(cfg.d_model, use_bias=False, name="wo")(h), \
+            position_bias
+
+
+class T5Encoder(nn.Module):
+    """transformers T5EncoderModel: shared embed → blocks (shared relative
+    bias from block 0) → final RMS norm."""
+
+    cfg: T5Config
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Embed(cfg.vocab_size, cfg.d_model, name="shared")(tokens)
+        position_bias = None
+        for i in range(cfg.num_layers):
+            x, position_bias = T5Block(cfg, first=i == 0,
+                                       name=f"block{i}")(x, position_bias)
+        return T5LayerNorm(cfg.layer_norm_eps, name="final_ln")(x)
+
+
+def init_t5(cfg: T5Config, seq: int = 8, seed: int = 0):
+    return T5Encoder(cfg).init(jax.random.PRNGKey(seed),
+                               jnp.zeros((1, seq), jnp.int32))
+
+
+def infer_t5_config(sd: Mapping[str, np.ndarray]) -> T5Config:
+    emb = sd["shared.weight"]
+    n = 0
+    while f"encoder.block.{n}.layer.0.SelfAttention.q.weight" in sd:
+        n += 1
+    rel = sd["encoder.block.0.layer.0.SelfAttention"
+             ".relative_attention_bias.weight"]
+    inner = sd["encoder.block.0.layer.0.SelfAttention.q.weight"].shape[0]
+    heads = rel.shape[1]
+    return T5Config(vocab_size=emb.shape[0], d_model=emb.shape[1],
+                    d_kv=inner // heads, num_heads=heads,
+                    d_ff=sd["encoder.block.0.layer.1.DenseReluDense"
+                            ".wi_0.weight"].shape[0],
+                    num_layers=n, rel_buckets=rel.shape[0])
+
+
+def convert_t5_encoder(sd: Mapping[str, np.ndarray],
+                       cfg: Optional[T5Config] = None) -> Dict[str, Any]:
+    """transformers T5EncoderModel state dict → T5Encoder variables."""
+    if cfg is None:
+        cfg = infer_t5_config(sd)
+    p: Dict[str, Any] = {}
+    set_path(p, ("shared", "embedding"), np.asarray(sd["shared.weight"]))
+    for i in range(cfg.num_layers):
+        base = f"encoder.block.{i}"
+        path = (f"block{i}",)
+        for name in ("q", "k", "v", "o"):
+            set_path(p, path + ("attn", name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.layer.0.SelfAttention.{name}.weight"])))
+        if i == 0:
+            set_path(p, path + ("attn", "rel_bias"), np.asarray(
+                sd[f"{base}.layer.0.SelfAttention"
+                   ".relative_attention_bias.weight"]))
+        set_path(p, path + ("ln_attn", "weight"),
+                 np.asarray(sd[f"{base}.layer.0.layer_norm.weight"]))
+        for name in ("wi_0", "wi_1", "wo"):
+            set_path(p, path + (name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.layer.1.DenseReluDense"
+                              f".{name}.weight"])))
+        set_path(p, path + ("ln_ff", "weight"),
+                 np.asarray(sd[f"{base}.layer.1.layer_norm.weight"]))
+    set_path(p, ("final_ln", "weight"),
+             np.asarray(sd["encoder.final_layer_norm.weight"]))
+    return {"params": p}
+
+
+def infer_t5_config_from_variables(variables: Dict[str, Any]) -> T5Config:
+    """Structural config from a converted Flax tree."""
+    p = variables["params"]
+    emb = np.asarray(p["shared"]["embedding"])
+    n = 0
+    while f"block{n}" in p:
+        n += 1
+    rel = np.asarray(p["block0"]["attn"]["rel_bias"])
+    inner = np.asarray(p["block0"]["attn"]["q"]["kernel"]).shape[1]
+    return T5Config(vocab_size=emb.shape[0], d_model=emb.shape[1],
+                    d_kv=inner // rel.shape[1], num_heads=rel.shape[1],
+                    d_ff=np.asarray(p["block0"]["wi_0"]["kernel"]).shape[1],
+                    num_layers=n, rel_buckets=rel.shape[0])

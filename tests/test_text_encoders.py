@@ -1,0 +1,125 @@
+"""HF-exact T5 encoder + CLIP text encoder: goldens vs live torch models."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+
+def _rerandomize(model, seed=0):
+    torch.manual_seed(seed)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if p.dim() == 1:
+                if name.endswith(".bias"):
+                    p.normal_(0, 0.02)
+                else:
+                    p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+
+
+def test_t5_golden_vs_torch():
+    from transformers import T5Config as HFT5Config, T5EncoderModel
+
+    from mangatranslator_tpu.models.t5 import (
+        T5_PRESETS, T5Encoder, convert_t5_encoder, infer_t5_config)
+
+    cfg = T5_PRESETS["test"]
+    tcfg = HFT5Config(vocab_size=cfg.vocab_size, d_model=cfg.d_model,
+                      d_kv=cfg.d_kv, num_heads=cfg.num_heads, d_ff=cfg.d_ff,
+                      num_layers=cfg.num_layers,
+                      relative_attention_num_buckets=cfg.rel_buckets,
+                      feed_forward_proj="gated-gelu", dropout_rate=0.0)
+    tm = T5EncoderModel(tcfg).eval()
+    _rerandomize(tm)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()
+          if not k.startswith("encoder.embed_tokens")}  # tied with shared
+    inferred = infer_t5_config(sd)
+    assert inferred.num_layers == cfg.num_layers
+    assert inferred.d_kv == cfg.d_kv and inferred.num_heads == cfg.num_heads
+
+    variables = jax.tree.map(jnp.asarray, convert_t5_encoder(sd, cfg))
+    ids = np.random.RandomState(0).randint(0, cfg.vocab_size, (2, 9))
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    out = np.asarray(T5Encoder(cfg).apply(variables,
+                                          jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_clip_text_golden_vs_torch():
+    from transformers import CLIPTextConfig as HFClipConfig, CLIPTextModel
+
+    from mangatranslator_tpu.models.clip_text import (
+        CLIP_TEXT_PRESETS, ClipTextEncoder, convert_clip_text,
+        infer_clip_text_config)
+
+    cfg = CLIP_TEXT_PRESETS["test"]
+    tcfg = HFClipConfig(vocab_size=cfg.vocab_size,
+                        hidden_size=cfg.hidden_size,
+                        num_hidden_layers=cfg.num_layers,
+                        num_attention_heads=cfg.num_heads,
+                        intermediate_size=cfg.intermediate_size,
+                        max_position_embeddings=cfg.max_positions,
+                        eos_token_id=cfg.eos_token_id,
+                        bos_token_id=cfg.eos_token_id - 1)
+    tm = CLIPTextModel(tcfg).eval()
+    _rerandomize(tm)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    inferred = infer_clip_text_config(sd)
+    assert inferred.num_layers == cfg.num_layers
+    assert inferred.max_positions == cfg.max_positions
+
+    variables = jax.tree.map(jnp.asarray, convert_clip_text(sd, cfg))
+    rs = np.random.RandomState(0)
+    ids = rs.randint(0, cfg.vocab_size - 2, (2, 10))
+    ids[0, 6] = cfg.eos_token_id  # EOS mid-sequence for the pooling path
+    ids[1, 9] = cfg.eos_token_id
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids))
+    hidden, pooled = ClipTextEncoder(cfg).apply(
+        variables, jnp.asarray(ids, jnp.int32))
+    np.testing.assert_allclose(np.asarray(hidden),
+                               ref.last_hidden_state.numpy(), atol=3e-4)
+    np.testing.assert_allclose(np.asarray(pooled),
+                               ref.pooler_output.numpy(), atol=3e-4)
+
+
+def test_prompt_embeddings_prefer_precomputed(tmp_path, monkeypatch):
+    """compute_prompt_embeddings persists (txt, vec); prompt_embeddings then
+    serves the real pair instead of the stub."""
+    from mangatranslator_tpu.models.clip_text import (CLIP_TEXT_PRESETS,
+                                                      init_clip_text)
+    from mangatranslator_tpu.models.flux.pipeline import (
+        compute_prompt_embeddings, prompt_embeddings)
+    from mangatranslator_tpu.models.t5 import T5_PRESETS, init_t5
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    t5_cfg = T5_PRESETS["test"]
+    clip_cfg = CLIP_TEXT_PRESETS["test"]
+    t5_vars = init_t5(t5_cfg, seq=6)
+    clip_vars = init_clip_text(clip_cfg, seq=6)
+    rs = np.random.RandomState(0)
+    t5_tok = rs.randint(0, t5_cfg.vocab_size, 6)
+    clip_tok = rs.randint(0, clip_cfg.vocab_size - 2, 6)
+    clip_tok[-1] = clip_cfg.eos_token_id
+
+    txt, vec = compute_prompt_embeddings("Remove all text.", t5_vars,
+                                         clip_vars, t5_tok, clip_tok)
+    assert txt.shape == (1, 6, t5_cfg.d_model)
+    assert vec.shape == (1, clip_cfg.hidden_size)
+
+    got_txt, got_vec = prompt_embeddings("Remove all text.",
+                                         t5_cfg.d_model,
+                                         clip_cfg.hidden_size)
+    np.testing.assert_array_equal(got_txt, txt)
+    np.testing.assert_array_equal(got_vec, vec)
+    # different dims → falls back to the stub
+    stub_txt, _ = prompt_embeddings("Remove all text.", 16, 8)
+    assert stub_txt.shape == (1, 128, 16)
