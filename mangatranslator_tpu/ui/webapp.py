@@ -253,8 +253,14 @@ class WebApp:
 
             def do_POST(self):
                 length = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(length) or b"{}"
                 try:
-                    body = json.loads(self.rfile.read(length) or b"{}")
+                    body = json.loads(raw)
+                except ValueError as e:
+                    self._send(400, json.dumps(
+                        {"error": f"invalid JSON body: {e}"}).encode())
+                    return
+                try:
                     out = app.handle("POST", self.path, body)
                     self._send(200, json.dumps(out, default=str).encode())
                 except Exception as e:
