@@ -120,10 +120,11 @@ def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, i
 
 @functools.partial(jax.jit, static_argnames=("use_otsu", "fixed_thresh",
                                               "shrink_radius", "use_pallas",
-                                              "junction_radius"))
+                                              "junction_radius",
+                                              "need_light"))
 def _clean_device_program(gray_u8, mask_u8, use_otsu: bool, fixed_thresh: float,
                           shrink_radius: int, use_pallas: bool,
-                          junction_radius: int = 1):
+                          junction_radius: int = 1, need_light: bool = True):
     """The whole per-page clean chain as ONE compiled program: black/white
     classification, fixed/Otsu thresholds, dilate→threshold→AND→disk-shrink,
     and the centroid-validity erosion. One dispatch per page instead of a
@@ -172,15 +173,21 @@ def _clean_device_program(gray_u8, mask_u8, use_otsu: bool, fixed_thresh: float,
         cand = mask_shrink(cand_raw, shrink_radius)
     # light shrink for junction-zone restoration near conjoined neighbors
     # (reference _build_adaptive_shrink_mask, cleaning.py:159-212)
-    cand_light = mask_shrink(cand_raw, junction_radius)
+    # the light-shrink plane only matters for conjoined junction restoration;
+    # pages without conjoined children skip computing AND transferring it
+    cand_light = (mask_shrink(cand_raw, junction_radius) if need_light
+                  else cand)
 
     validity = _erode(mask_b, structuring_ellipse(*_EROSION_KERNEL))
     # bitpack masks (8 px/byte): host readback over a remote-TPU tunnel is the
     # bottleneck (measured 1.5 MB/s down vs 600 MB/s up)
     from ..ops.masks import bitpack_mask
 
-    packed = jnp.stack([bitpack_mask(cand), bitpack_mask(cand_light),
-                        bitpack_mask(validity)])
+    planes = [bitpack_mask(cand)]
+    if need_light:
+        planes.append(bitpack_mask(cand_light))
+    planes.append(bitpack_mask(validity))
+    packed = jnp.stack(planes)
     scalars = jnp.stack([inverts.astype(jnp.float32), thr_eff])
     return packed, scalars
 
@@ -264,12 +271,13 @@ def clean_pages_bubbles(
     # larger ones the row-tiled halo-DMA variant (pallas_clean.py)
     use_pallas = jax.devices()[0].platform == "tpu"
     junction_px = max(1, int(round(1.0 * processing_scale)))
+    need_light = any(it[2].get("conjoined_siblings") for it in items)
     packed_d, scalars_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(mask_b),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
         shrink_radius=int(shrink_px), use_pallas=use_pallas,
-        junction_radius=junction_px)
+        junction_radius=junction_px, need_light=need_light)
     from ..ops.masks import bitunpack_mask_np
 
     # TWO transfers total: each device_get leaf is a full tunnel round trip
@@ -277,8 +285,12 @@ def clean_pages_bubbles(
     inverts = scalars[0].astype(np.int32)
     thr_eff = scalars[1]
     cand = bitunpack_mask_np(packed[0], bw).astype(np.float32)
-    cand_light = bitunpack_mask_np(packed[1], bw).astype(np.float32)
-    validity_b = bitunpack_mask_np(packed[2], bw).astype(np.float32)
+    if need_light:
+        cand_light = bitunpack_mask_np(packed[1], bw).astype(np.float32)
+        validity_b = bitunpack_mask_np(packed[2], bw).astype(np.float32)
+    else:
+        cand_light = cand
+        validity_b = bitunpack_mask_np(packed[1], bw).astype(np.float32)
 
     # junction-zone restoration for conjoined children (reference
     # _build_adaptive_shrink_mask): within the neighbor-bbox intersection zone
