@@ -298,15 +298,19 @@ def clean_pages_bubbles(
     # narrow junction passages don't pinch off
     margin = max(1, int(round(JUNCTION_ADJACENCY_MARGIN * processing_scale)))
     for i, (pi, _, det, (rx1, ry1, rx2, ry2)) in enumerate(items):
-        sibs = det.get("conjoined_siblings") or []
-        if not sibs:
+        # prefer the bbox refs stored at split time: conjoined_siblings are
+        # indices into the FULL detection list and go stale when the caller
+        # passes a subset (Otsu retry, pipeline/page.py)
+        sib_boxes = det.get("_sibling_bboxes")
+        if sib_boxes is None:
+            dets = per_page_detections[pi]
+            sib_boxes = [dets[j]["bbox"]
+                         for j in (det.get("conjoined_siblings") or [])
+                         if j < len(dets)]
+        if not sib_boxes:
             continue
-        dets = per_page_detections[pi]
         x1, y1, x2, y2 = det["bbox"]
-        for j in sibs:
-            if j >= len(dets):
-                continue
-            ox1, oy1, ox2, oy2 = dets[j]["bbox"]
+        for ox1, oy1, ox2, oy2 in sib_boxes:
             if (x1 - margin > ox2 or ox1 - margin > x2
                     or y1 - margin > oy2 or oy1 - margin > y2):
                 continue

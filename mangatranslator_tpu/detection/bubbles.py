@@ -185,8 +185,18 @@ def detect_speech_bubbles(
     cache = get_cache() if use_cache else None
     cache_key = None
     if cache is not None:
-        cache_key = make_key(image, cfg.confidence, cfg.conjoined_confidence,
-                             cfg.conjoined_detection, bubble_runner.imgsz)
+        # key must cover everything that shapes the FINAL cached detections:
+        # SAM refinement, OSB box expansion and conjoined splitting all mutate
+        # them (reference keys raw YOLO + SAM results separately, including
+        # model identity — we cache post-refinement so the key carries it all)
+        cache_key = make_key(
+            image, cfg.confidence, cfg.conjoined_confidence,
+            cfg.conjoined_detection, bubble_runner.imgsz,
+            cfg.seg_model, cfg.use_osb_text_verification,
+            type(bubble_runner).__name__,
+            type(conjoined_runner).__name__ if conjoined_runner else None,
+            type(sam_refiner).__name__ if sam_refiner is not None else None,
+            type(osb_text_runner).__name__ if osb_text_runner else None)
         hit = cache.get("yolo", cache_key)
         if hit is not None:
             return hit
@@ -227,7 +237,11 @@ def detect_speech_bubbles(
             log_message(f"OSB-text box expansion failed: {e}",
                         always_print=True)
 
-    # SAM mask refinement over all boxes in one batched forward
+    # SAM mask refinement over all boxes in one batched forward. Boxes are
+    # rebuilt AFTER the OSB text expansion above so SAM is prompted with the
+    # grown boxes and its masks cover overflowing text (reference expands
+    # primary_boxes first, detection.py:1557 then :1618+)
+    boxes = np.array([d["bbox"] for d in dets], float)
     if sam_refiner is not None and cfg.seg_model in ("sam2", "sam3"):
         try:
             refined = sam_refiner(image, boxes)
@@ -290,6 +304,11 @@ def detect_speech_bubbles(
             # shared mask refs for the crop whiteout (translation.py:1966-1990)
             dets[i]["_sibling_masks"] = [
                 dets[j]["mask"] for j in dets[i]["conjoined_siblings"]]
+            # sibling bboxes by reference, so the cleaner's junction-zone
+            # restoration stays correct when handed a SUBSET of detections
+            # (Otsu retry passes only the failed ones)
+            dets[i]["_sibling_bboxes"] = [
+                dets[j]["bbox"] for j in dets[i]["conjoined_siblings"]]
 
     # text_free regions ride along as routing entries (consumed by the OSB
     # stage, never cleaned/translated as bubbles)

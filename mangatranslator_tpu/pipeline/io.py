@@ -49,9 +49,8 @@ def save_image_with_compression(
     png_compression: int = 2,
     verbose: bool = False,
 ) -> Path:
-    """Format-aware save (reference image_utils.py:59-140): PNG with zlib level
-    (oxipng-optimized in the reference; native encoder planned), JPEG quality,
-    lossless WEBP."""
+    """Format-aware save (reference image_utils.py:59-140): PNG via the native
+    libpng encoder (oxipng role; PIL fallback), JPEG quality, lossless WEBP."""
     out_path = Path(out_path)
     out_path.parent.mkdir(parents=True, exist_ok=True)
     suffix = out_path.suffix.lower()

@@ -185,8 +185,29 @@ def translate_and_render(
     else:
         src_path = Path(image_path)
         image = load_image(src_path)
-    target_mode = "RGB" if config.output.output_format in ("jpeg", "jpg") else "RGB"
-    image = convert_image_to_target_mode(image, target_mode)
+    # Non-JPEG outputs preserve source transparency (reference targets RGBA,
+    # core/pipeline.py:707-712). The processing core is RGB; alpha is split
+    # off here and re-attached at every save/return boundary.
+    wants_alpha = config.output.output_format not in ("jpeg", "jpg")
+    src_alpha: Optional[Image.Image] = None
+    if wants_alpha and (
+            "A" in image.getbands()
+            or (image.mode == "P" and "transparency" in image.info)):
+        rgba = image.convert("RGBA")
+        src_alpha = rgba.getchannel("A")
+        image = rgba.convert("RGB")
+    else:
+        image = convert_image_to_target_mode(image, "RGB")
+
+    def finalize_mode(img: Image.Image) -> Image.Image:
+        if src_alpha is None:
+            return img
+        alpha = src_alpha
+        if img.size != alpha.size:
+            alpha = alpha.resize(img.size, Image.LANCZOS)
+        out = img.convert("RGBA")
+        out.putalpha(alpha)
+        return out
 
     info: Dict[str, Any] = {"source": str(src_path), "bubbles": 0, "rendered": 0,
                             "errors": []}
@@ -202,6 +223,7 @@ def translate_and_render(
         with timers.span("upscale_only"):
             image = _upscale_pil(image, config.output.image_upscale_factor,
                                  config.output.image_upscale_model)
+        image = finalize_mode(image)
         if output_path:
             save_image_with_compression(image, output_path,
                                         config.output.jpeg_quality,
@@ -344,15 +366,8 @@ def translate_and_render(
                 info["errors"].append(f"cleaning: {e}")
 
     image = Image.fromarray(cleaned_img)
-    if config.cleaning_only:
-        if output_path:
-            save_image_with_compression(image, output_path,
-                                        config.output.jpeg_quality,
-                                        config.output.png_compression)
-        info["elapsed_s"] = time.perf_counter() - t_page
-        return image, info
-
-    if not detections:
+    if config.cleaning_only or not detections:
+        image = finalize_mode(image)
         if output_path:
             save_image_with_compression(image, output_path,
                                         config.output.jpeg_quality,
@@ -473,6 +488,7 @@ def translate_and_render(
             image = _upscale_pil(image, config.output.image_upscale_factor,
                                  config.output.image_upscale_model)
 
+    image = finalize_mode(image)
     if output_path:
         with timers.span("save"):
             save_image_with_compression(image, output_path,

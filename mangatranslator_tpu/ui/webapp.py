@@ -194,10 +194,21 @@ class WebApp:
             return self._batch(body or {})
         return {"error": f"unknown endpoint {method} {path}"}
 
+    # Settings keys accepted from request bodies beyond the persisted schema:
+    # runtime-only knobs the config mapping understands but never saves.
+    _EXTRA_SETTING_KEYS = frozenset({
+        "font_dir", "cpu", "batch_previous_context_image_count",
+        "batch_previous_context_text_count",
+    })
+
     def _merged_settings(self, overrides: Optional[Dict]) -> Dict[str, Any]:
+        from .settings_manager import DEFAULT_BATCH_SETTINGS
+
         s = get_saved_settings(self.config_file)
+        allowed = (set(s) | set(DEFAULT_BATCH_SETTINGS)
+                   | self._EXTRA_SETTING_KEYS)
         if overrides:
-            s.update({k: v for k, v in overrides.items() if k in s or True})
+            s.update({k: v for k, v in overrides.items() if k in allowed})
         return s
 
     def _translate(self, body: Dict[str, Any]) -> Dict[str, Any]:
