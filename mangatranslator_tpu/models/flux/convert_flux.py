@@ -131,6 +131,162 @@ def export_flux_style(variables: Dict[str, Any]) -> Dict[str, np.ndarray]:
     return sd
 
 
+# ---- FLUX.2 (Klein) ---------------------------------------------------------
+#
+# The BFL checkpoint format keeps FLUX.1's module naming for FLUX.2's shared
+# blocks (double_blocks/single_blocks/time_in/guidance_in/final_layer), minus
+# vector_in (no pooled text vector). Our Flux2DiT tree uses the same Flax
+# names as FluxDiT, so conversion is the same mapping; only config inference
+# differs (4-axis RoPE, no vec_dim, guidance_embed off unless present).
+# The reference's actual Klein checkpoints (Disty0 SDNQ repos,
+# core/ml/model_manager.py:1254-1345) ship in diffusers naming —
+# flux_diffusers_to_bfl translates those keys first.
+
+
+def convert_flux2_dit(sd: Mapping[str, np.ndarray]) -> "Dict[str, Any]":
+    """Convert a FLUX.2 transformer state dict (BFL or diffusers naming)."""
+    if any(k.startswith("transformer_blocks.") for k in sd):
+        sd = flux_diffusers_to_bfl(sd)
+    return convert_flux_dit(sd)
+
+
+export_flux2_style = export_flux_style  # same tree shape → same inverse
+
+
+def infer_flux2_config(variables: Dict[str, Any]):
+    """Structural Flux2Config from a converted FLUX.2 DiT tree."""
+    import jax  # noqa: F401 (parity with infer_flux_config)
+
+    from .flux2 import Flux2Config
+
+    p = variables["params"]
+    in_ch = np.asarray(p["img_in"]["kernel"]).shape[0]
+    hidden = np.asarray(p["img_in"]["kernel"]).shape[1]
+    ctx = np.asarray(p["txt_in"]["kernel"]).shape[0]
+    nd = 0
+    while f"double_{nd}" in p:
+        nd += 1
+    ns = 0
+    while f"single_{ns}" in p:
+        ns += 1
+    head_dim = np.asarray(
+        jax.tree.leaves(p["double_0"]["img_qknorm"])[0]).shape[-1]
+    mlp_hidden = np.asarray(p["double_0"]["img_mlp_in"]["kernel"]).shape[1]
+    q = head_dim // 4  # even 4-axis split (plane, reserved, y, x)
+    return Flux2Config(in_channels=in_ch, hidden_size=hidden,
+                       num_heads=hidden // head_dim, depth_double=nd,
+                       depth_single=ns, mlp_ratio=mlp_hidden / hidden,
+                       ctx_dim=ctx, axes_dim=(q, q, q, head_dim - 3 * q),
+                       guidance_embed="guidance_in" in p)
+
+
+def flux_diffusers_to_bfl(
+        sd: Mapping[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Translate diffusers FluxTransformer-style keys to BFL naming.
+
+    Handles the renames that matter for the FLUX family: fused qkv
+    (to_q/to_k/to_v → attn.qkv), context-stream 'add'/'added' names, ff nets,
+    AdaLN linears, and the final norm's (scale, shift) order — diffusers'
+    AdaLayerNormContinuous chunks (scale, shift) while BFL's
+    final_layer.adaLN_modulation.1 is (shift, scale), so its rows swap.
+    """
+    out: Dict[str, np.ndarray] = {}
+    top = {
+        "x_embedder": "img_in",
+        "context_embedder": "txt_in",
+        "proj_out": "final_layer.linear",
+    }
+    for prefix in ("time_text_embed", "time_guidance_embed", "time_embed"):
+        top[f"{prefix}.timestep_embedder.linear_1"] = "time_in.in_layer"
+        top[f"{prefix}.timestep_embedder.linear_2"] = "time_in.out_layer"
+        top[f"{prefix}.guidance_embedder.linear_1"] = "guidance_in.in_layer"
+        top[f"{prefix}.guidance_embedder.linear_2"] = "guidance_in.out_layer"
+        top[f"{prefix}.text_embedder.linear_1"] = "vector_in.in_layer"
+        top[f"{prefix}.text_embedder.linear_2"] = "vector_in.out_layer"
+
+    def cat(*keys: str) -> np.ndarray:
+        return np.concatenate([np.asarray(sd[k]) for k in keys], axis=0)
+
+    n_double = 1 + max((int(m.group(1)) for k in sd
+                        if (m := re.match(r"transformer_blocks\.(\d+)\.", k))),
+                       default=-1)
+    for i in range(n_double):
+        d = f"transformer_blocks.{i}"
+        b = f"double_blocks.{i}"
+        for suffix in ("weight", "bias"):
+            if f"{d}.attn.to_q.{suffix}" in sd:
+                out[f"{b}.img_attn.qkv.{suffix}"] = cat(
+                    f"{d}.attn.to_q.{suffix}", f"{d}.attn.to_k.{suffix}",
+                    f"{d}.attn.to_v.{suffix}")
+            if f"{d}.attn.add_q_proj.{suffix}" in sd:
+                out[f"{b}.txt_attn.qkv.{suffix}"] = cat(
+                    f"{d}.attn.add_q_proj.{suffix}",
+                    f"{d}.attn.add_k_proj.{suffix}",
+                    f"{d}.attn.add_v_proj.{suffix}")
+        ren = {
+            f"{d}.attn.norm_q.weight": f"{b}.img_attn.norm.query_norm.scale",
+            f"{d}.attn.norm_k.weight": f"{b}.img_attn.norm.key_norm.scale",
+            f"{d}.attn.norm_added_q.weight":
+                f"{b}.txt_attn.norm.query_norm.scale",
+            f"{d}.attn.norm_added_k.weight":
+                f"{b}.txt_attn.norm.key_norm.scale",
+        }
+        for suffix in ("weight", "bias"):
+            ren.update({
+                f"{d}.attn.to_out.0.{suffix}": f"{b}.img_attn.proj.{suffix}",
+                f"{d}.attn.to_add_out.{suffix}": f"{b}.txt_attn.proj.{suffix}",
+                f"{d}.norm1.linear.{suffix}": f"{b}.img_mod.lin.{suffix}",
+                f"{d}.norm1_context.linear.{suffix}":
+                    f"{b}.txt_mod.lin.{suffix}",
+                f"{d}.ff.net.0.proj.{suffix}": f"{b}.img_mlp.0.{suffix}",
+                f"{d}.ff.net.2.{suffix}": f"{b}.img_mlp.2.{suffix}",
+                f"{d}.ff_context.net.0.proj.{suffix}":
+                    f"{b}.txt_mlp.0.{suffix}",
+                f"{d}.ff_context.net.2.{suffix}": f"{b}.txt_mlp.2.{suffix}",
+            })
+        for src, dst in ren.items():
+            if src in sd:
+                out[dst] = np.asarray(sd[src])
+
+    n_single = 1 + max(
+        (int(m.group(1)) for k in sd
+         if (m := re.match(r"single_transformer_blocks\.(\d+)\.", k))),
+        default=-1)
+    for i in range(n_single):
+        d = f"single_transformer_blocks.{i}"
+        b = f"single_blocks.{i}"
+        for suffix in ("weight", "bias"):
+            if f"{d}.attn.to_q.{suffix}" in sd:
+                out[f"{b}.linear1.{suffix}"] = cat(
+                    f"{d}.attn.to_q.{suffix}", f"{d}.attn.to_k.{suffix}",
+                    f"{d}.attn.to_v.{suffix}", f"{d}.proj_mlp.{suffix}")
+            if f"{d}.proj_out.{suffix}" in sd:
+                out[f"{b}.linear2.{suffix}"] = np.asarray(
+                    sd[f"{d}.proj_out.{suffix}"])
+            if f"{d}.norm.linear.{suffix}" in sd:
+                out[f"{b}.modulation.lin.{suffix}"] = np.asarray(
+                    sd[f"{d}.norm.linear.{suffix}"])
+        for t_name, f_name in (("norm_q", "query_norm"),
+                               ("norm_k", "key_norm")):
+            key = f"{d}.attn.{t_name}.weight"
+            if key in sd:
+                out[f"{b}.norm.{f_name}.scale"] = np.asarray(sd[key])
+
+    for src, dst in top.items():
+        for suffix in ("weight", "bias"):
+            if f"{src}.{suffix}" in sd:
+                out[f"{dst}.{suffix}"] = np.asarray(sd[f"{src}.{suffix}"])
+    for suffix in ("weight", "bias"):
+        key = f"norm_out.linear.{suffix}"
+        if key in sd:
+            v = np.asarray(sd[key])
+            half = v.shape[0] // 2
+            # (scale, shift) → (shift, scale)
+            out[f"final_layer.adaLN_modulation.1.{suffix}"] = np.concatenate(
+                [v[half:], v[:half]], axis=0)
+    return out
+
+
 # ---- VAE (diffusers AutoencoderKL naming; reference model_manager.py:1084) ------
 
 

@@ -1,0 +1,149 @@
+"""FLUX.2 diffusion transformer (Klein family) in Flax.
+
+The reference's default inpainting models are FLUX.2 Klein 4B/9B, consumed
+via diffusers' Flux2KleinPipeline or sd.cpp GGUFs (core/ml/model_manager.py:
+1254-1345, utils/model_metadata.py:4-52). Architectural deltas vs FLUX.1
+implemented here, per the published FLUX.2 release:
+
+* **single text stream from an LLM** — Klein conditions on Qwen3 hidden
+  states (models/qwen3.py); there is **no CLIP pooled vector** (the reference
+  calls its pipeline with ``include_pooled=False``, inpainting.py:1545-1588),
+  so the modulation vector is time (+ optional guidance) only;
+* **4-axis RoPE ids** (reference-image index, reserved, y, x) — FLUX.2's
+  multi-reference conditioning addresses each reference image on the first
+  axis; we use plane 0 for the denoise target and plane 1 for the Kontext-
+  style conditioning tokens (the single-reference case);
+* **no guidance embedding for Klein** — Klein is step-distilled with plain
+  CFG (guidance_scale 1.0 ⇒ single pass, reference inpainting.py:988-990),
+  unlike guidance-distilled FLUX.1 Kontext;
+* double-stream + fused single-stream blocks, per-head RMS QK-norm, AdaLN
+  modulation — shared with FLUX.1 (layers.py).
+
+Exact widths/depths of the published Klein checkpoints are rebound at
+conversion time: ``infer_flux2_config`` derives every structural field from
+the checkpoint shapes (the presets below size random-init development runs).
+Supports a key-validity ``token_mask`` so image token counts can be padded to
+bucket shapes without changing valid tokens' outputs (Klein's 16-px-quantized
+free-form resolutions would otherwise compile one XLA program per size).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import (
+    DoubleStreamBlock,
+    FinalLayer,
+    MLPEmbedder,
+    SingleStreamBlock,
+    rope_freqs,
+    timestep_embedding,
+)
+
+
+@dataclass(frozen=True)
+class Flux2Config:
+    in_channels: int = 128           # packed latent channels (32 × 2×2 patch)
+    hidden_size: int = 3072
+    num_heads: int = 24
+    depth_double: int = 5
+    depth_single: int = 22
+    mlp_ratio: float = 4.0
+    ctx_dim: int = 2560              # Qwen3-4B hidden size
+    axes_dim: Tuple[int, int, int, int] = (32, 32, 32, 32)
+    guidance_embed: bool = False     # Klein: plain CFG, no guidance distill
+    theta: float = 10000.0
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# Development presets. Klein 4B/9B widths here are parameter-count estimates
+# ("4B-class"/"9B-class"); converting a real checkpoint rebinds every field
+# through infer_flux2_config, so only random-init runs see these numbers.
+FLUX2_PRESETS = {
+    "klein_4b": Flux2Config(),
+    "klein_9b": Flux2Config(hidden_size=4096, num_heads=32, depth_double=6,
+                            depth_single=28, ctx_dim=4096),
+    # tiny config for tests / dryruns (in_channels = test VAE latents 4 × 2×2)
+    "test": Flux2Config(in_channels=16, hidden_size=128, num_heads=4,
+                        depth_double=2, depth_single=2, ctx_dim=64,
+                        axes_dim=(8, 8, 8, 8)),
+}
+
+
+def make_img_ids2(h_tok: int, w_tok: int, plane: int = 0) -> np.ndarray:
+    """4-axis position ids for an h×w token grid: (plane, reserved, y, x).
+    ``plane`` indexes reference images (0 = denoise target, 1.. = refs)."""
+    ys, xs = np.meshgrid(np.arange(h_tok), np.arange(w_tok), indexing="ij")
+    ids = np.stack([np.full_like(ys, plane), np.zeros_like(ys), ys, xs],
+                   axis=-1)
+    return ids.reshape(-1, 4).astype(np.int32)
+
+
+def make_txt_ids2(seq_len: int) -> np.ndarray:
+    return np.zeros((seq_len, 4), np.int32)
+
+
+class Flux2DiT(nn.Module):
+    cfg: Flux2Config
+
+    @nn.compact
+    def __call__(
+        self,
+        img: jnp.ndarray,        # [B, S_img, in_channels] packed latent tokens
+        img_ids: jnp.ndarray,    # [S_img, 4]
+        txt: jnp.ndarray,        # [B, S_txt, ctx_dim] LLM hidden states
+        txt_ids: jnp.ndarray,    # [S_txt, 4]
+        t: jnp.ndarray,          # [B] flow time in [0, 1]
+        guidance: Optional[jnp.ndarray] = None,   # [B]
+        token_mask: Optional[jnp.ndarray] = None,  # [S_txt+S_img] key validity
+    ) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Dense(cfg.hidden_size, name="img_in")(img)
+        c = nn.Dense(cfg.hidden_size, name="txt_in")(txt)
+
+        # no pooled text vector in FLUX.2 — modulation from time (+ guidance)
+        vec = MLPEmbedder(cfg.hidden_size, name="time_in")(
+            timestep_embedding(t, 256))
+        if cfg.guidance_embed:
+            g = guidance if guidance is not None else jnp.ones_like(t)
+            vec = vec + MLPEmbedder(cfg.hidden_size, name="guidance_in")(
+                timestep_embedding(g, 256))
+
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        freqs = rope_freqs(ids, cfg.axes_dim, cfg.theta)
+
+        for i in range(cfg.depth_double):
+            x, c = DoubleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                     cfg.mlp_ratio,
+                                     name=f"double_{i}")(x, c, vec, freqs,
+                                                         token_mask)
+        seq = jnp.concatenate([c, x], axis=1)
+        for i in range(cfg.depth_single):
+            seq = SingleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                    cfg.mlp_ratio,
+                                    name=f"single_{i}")(seq, vec, freqs,
+                                                        token_mask)
+        x = seq[:, txt.shape[1]:]
+        return FinalLayer(cfg.in_channels, name="final")(x, vec)
+
+
+def init_flux2(cfg: Flux2Config, h_tok: int = 8, w_tok: int = 8,
+               txt_len: int = 8, seed: int = 0):
+    model = Flux2DiT(cfg)
+    rng = jax.random.PRNGKey(seed)
+    img = jnp.zeros((1, h_tok * w_tok, cfg.in_channels))
+    return model.init(
+        rng, img, jnp.asarray(make_img_ids2(h_tok, w_tok)),
+        jnp.zeros((1, txt_len, cfg.ctx_dim)),
+        jnp.asarray(make_txt_ids2(txt_len)),
+        jnp.zeros((1,)), jnp.ones((1,)),
+    )

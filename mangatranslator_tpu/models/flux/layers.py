@@ -90,11 +90,18 @@ def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
-def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
-    """Plain SDPA [B, S, H, D] — XLA fuses this into a flash-style kernel on TPU."""
+def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+              mask: "jnp.ndarray | None" = None) -> jnp.ndarray:
+    """Plain SDPA [B, S, H, D] — XLA fuses this into a flash-style kernel on TPU.
+
+    ``mask`` is an optional [S] bool key-validity vector: False keys are
+    excluded from every query's softmax (used to pad token counts to bucket
+    shapes without changing valid tokens' outputs)."""
     scale = 1.0 / math.sqrt(q.shape[-1])
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask[None, None, None, :], logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
 
@@ -128,7 +135,9 @@ class DoubleStreamBlock(nn.Module):
 
     @nn.compact
     def __call__(self, img: jnp.ndarray, txt: jnp.ndarray, vec: jnp.ndarray,
-                 freqs: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                 freqs: jnp.ndarray,
+                 token_mask: "jnp.ndarray | None" = None,
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         h = self.num_heads
         d = self.hidden // h
         (im1, is1, ig1), (im2, is2, ig2) = Modulation(self.hidden, True,
@@ -157,7 +166,8 @@ class DoubleStreamBlock(nn.Module):
         v = jnp.concatenate([tv, iv], axis=1)
         q = apply_rope(q, freqs)
         k = apply_rope(k, freqs)
-        attn = attention(q, k, v).reshape(q.shape[0], q.shape[1], self.hidden)
+        attn = attention(q, k, v, token_mask).reshape(
+            q.shape[0], q.shape[1], self.hidden)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
 
         img = img + ig1 * nn.Dense(self.hidden, name="img_proj")(img_attn)
@@ -184,7 +194,8 @@ class SingleStreamBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, vec: jnp.ndarray,
-                 freqs: jnp.ndarray) -> jnp.ndarray:
+                 freqs: jnp.ndarray,
+                 token_mask: "jnp.ndarray | None" = None) -> jnp.ndarray:
         h = self.num_heads
         d = self.hidden // h
         mlp_dim = int(self.hidden * self.mlp_ratio)
@@ -199,7 +210,8 @@ class SingleStreamBlock(nn.Module):
         q, k = QKNorm(name="qknorm")(q, k)
         q = apply_rope(q, freqs)
         k = apply_rope(k, freqs)
-        attn = attention(q, k, v).reshape(x.shape[0], x.shape[1], self.hidden)
+        attn = attention(q, k, v, token_mask).reshape(
+            x.shape[0], x.shape[1], self.hidden)
         out = nn.Dense(self.hidden, name="lin2")(
             jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1))
         return x + g1 * out

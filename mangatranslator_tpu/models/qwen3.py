@@ -1,0 +1,246 @@
+"""HF-architecture-exact Qwen3 text encoder in Flax (TPU-first).
+
+FLUX.2 Klein conditions its DiT on hidden states from a Qwen3 LLM — the
+reference pairs Klein 4B with Qwen3-4B and Klein 9B with Qwen3-8B
+(utils/model_metadata.py:4-52, the sd.cpp "llm" asset; the diffusers path
+loads the same encoder inside Flux2KleinPipeline,
+core/ml/model_manager.py:1254-1345). This module mirrors transformers'
+Qwen3Model exactly — pre-RMSNorm GQA attention with per-head q/k RMSNorm
+(Qwen3's signature), llama-style rotate-half RoPE, SwiGLU MLP — so published
+weights convert 1:1 (convert_qwen3 below). Golden-tested against the live
+torch model in tests/test_qwen3.py.
+
+Used as an ENCODER: one fixed-shape full-sequence forward returning hidden
+states (no KV cache, no generation) — prompt embeddings are computed once per
+fixed prompt and cached (reference _get_prompt_embeddings inpainting.py:1110).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class Qwen3Config:
+    vocab_size: int = 151936
+    hidden_size: int = 2560
+    intermediate_size: int = 9728
+    num_layers: int = 36
+    num_heads: int = 32
+    num_kv_heads: int = 8
+    head_dim: int = 128
+    rms_norm_eps: float = 1e-6
+    rope_theta: float = 1000000.0
+
+
+QWEN3_PRESETS = {
+    # Qwen/Qwen3-4B (Klein 4B text encoder)
+    "qwen3_4b": Qwen3Config(),
+    # Qwen/Qwen3-8B (Klein 9B text encoder)
+    "qwen3_8b": Qwen3Config(hidden_size=4096, intermediate_size=12288),
+    "test": Qwen3Config(vocab_size=64, hidden_size=32, intermediate_size=64,
+                        num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8,
+                        rope_theta=10000.0),
+}
+
+
+def _rope_tables(positions: jnp.ndarray, head_dim: int,
+                 theta: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Llama-style half-split tables: freqs over the first half, duplicated."""
+    half = head_dim // 2
+    inv = 1.0 / (theta ** (np.arange(0, half, dtype=np.float32) * 2 / head_dim))
+    freqs = positions[:, None].astype(jnp.float32) * inv[None]
+    emb = jnp.concatenate([freqs, freqs], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x: jnp.ndarray) -> jnp.ndarray:
+    half = x.shape[-1] // 2
+    return jnp.concatenate([-x[..., half:], x[..., :half]], axis=-1)
+
+
+def _apply_rope(x: jnp.ndarray, cos, sin) -> jnp.ndarray:
+    xf = x.astype(jnp.float32)
+    out = xf * cos[None, :, None, :] + _rotate_half(xf) * sin[None, :, None, :]
+    return out.astype(x.dtype)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("weight", nn.initializers.ones, (x.shape[-1],))
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), -1, keepdims=True)
+        return scale * (xf * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)
+
+
+class Qwen3Attention(nn.Module):
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        q = nn.Dense(cfg.num_heads * hd, use_bias=False, name="q_proj")(x)
+        k = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, name="k_proj")(x)
+        v = nn.Dense(cfg.num_kv_heads * hd, use_bias=False, name="v_proj")(x)
+        # Qwen3's signature: per-head RMSNorm of q and k BEFORE RoPE
+        q = RMSNorm(cfg.rms_norm_eps, name="q_norm")(
+            q.reshape(b, s, cfg.num_heads, hd))
+        k = RMSNorm(cfg.rms_norm_eps, name="k_norm")(
+            k.reshape(b, s, cfg.num_kv_heads, hd))
+        q = _apply_rope(q, cos, sin)
+        k = _apply_rope(k, cos, sin)
+        v = v.reshape(b, s, cfg.num_kv_heads, hd)
+        rep = cfg.num_heads // cfg.num_kv_heads
+        k = jnp.repeat(k, rep, axis=2)
+        v = jnp.repeat(v, rep, axis=2)
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / np.sqrt(hd)
+        att = jnp.where(mask, att, -jnp.inf)  # mask [B|1, 1, S, S]
+        att = jax.nn.softmax(att, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v)
+        return nn.Dense(cfg.hidden_size, use_bias=False, name="o_proj")(
+            out.reshape(b, s, cfg.num_heads * hd))
+
+
+class Qwen3Layer(nn.Module):
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, x, cos, sin, mask):
+        cfg = self.cfg
+        h = RMSNorm(cfg.rms_norm_eps, name="input_ln")(x)
+        x = x + Qwen3Attention(cfg, name="self_attn")(h, cos, sin, mask)
+        h = RMSNorm(cfg.rms_norm_eps, name="post_ln")(x)
+        gate = nn.Dense(cfg.intermediate_size, use_bias=False,
+                        name="gate_proj")(h)
+        up = nn.Dense(cfg.intermediate_size, use_bias=False, name="up_proj")(h)
+        return x + nn.Dense(cfg.hidden_size, use_bias=False,
+                            name="down_proj")(nn.silu(gate) * up)
+
+
+class Qwen3Encoder(nn.Module):
+    """Qwen3Model used as a text encoder.
+
+    Returns the final-norm hidden states [B, S, hidden] (transformers'
+    ``last_hidden_state``); ``layer_index`` selects
+    ``hidden_states[layer_index]`` in HF terms — pre-norm for inner layers,
+    post-final-norm for the last index — for pipelines that condition on an
+    inner layer.
+    """
+
+    cfg: Qwen3Config
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray,
+                 attn_mask: Optional[jnp.ndarray] = None,
+                 layer_index: Optional[int] = None) -> jnp.ndarray:
+        cfg = self.cfg
+        x = nn.Embed(cfg.vocab_size, cfg.hidden_size, name="embed")(tokens)
+        s = x.shape[1]
+        cos, sin = _rope_tables(jnp.arange(s), cfg.head_dim, cfg.rope_theta)
+        mask = jnp.tril(jnp.ones((s, s), bool))[None, None]  # [1, 1, S, S]
+        if attn_mask is not None:  # [B, S] key-validity; broadcast over queries
+            mask = mask & attn_mask[:, None, None, :].astype(bool)
+        hidden = [x]
+        for i in range(cfg.num_layers):
+            x = Qwen3Layer(cfg, name=f"layer{i}")(x, cos, sin, mask)
+            hidden.append(x)
+        x = RMSNorm(cfg.rms_norm_eps, name="norm")(x)
+        hidden[-1] = x  # HF's hidden_states[-1] is post-final-norm
+        if layer_index is not None:
+            return hidden[layer_index]
+        return x
+
+
+def init_qwen3(cfg: Qwen3Config, seq: int = 8, seed: int = 0):
+    model = Qwen3Encoder(cfg)
+    return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, seq), jnp.int32))
+
+
+# ---- weight conversion -------------------------------------------------------
+
+
+def _strip_prefix(sd: Mapping[str, np.ndarray]) -> Mapping[str, np.ndarray]:
+    """Accept both Qwen3Model ('layers...') and Qwen3ForCausalLM
+    ('model.layers...') state dicts."""
+    if any(k.startswith("model.") for k in sd):
+        return {k[len("model."):]: v for k, v in sd.items()
+                if k.startswith("model.")}
+    return sd
+
+
+def infer_qwen3_config(sd: Mapping[str, np.ndarray]) -> Qwen3Config:
+    """Structural Qwen3Config from a transformers state dict. head_dim is in
+    the q_norm weight (per-head norm over head_dim)."""
+    sd = _strip_prefix(sd)
+    emb = sd["embed_tokens.weight"]
+    n = 0
+    while f"layers.{n}.input_layernorm.weight" in sd:
+        n += 1
+    head_dim = sd["layers.0.self_attn.q_norm.weight"].shape[0]
+    q_out = sd["layers.0.self_attn.q_proj.weight"].shape[0]
+    k_out = sd["layers.0.self_attn.k_proj.weight"].shape[0]
+    inter = sd["layers.0.mlp.gate_proj.weight"].shape[0]
+    return Qwen3Config(vocab_size=emb.shape[0], hidden_size=emb.shape[1],
+                       intermediate_size=inter, num_layers=n,
+                       num_heads=q_out // head_dim,
+                       num_kv_heads=k_out // head_dim, head_dim=head_dim)
+
+
+def convert_qwen3(sd: Mapping[str, np.ndarray],
+                  cfg: Optional[Qwen3Config] = None) -> Dict[str, Any]:
+    """transformers Qwen3Model/ForCausalLM state dict → Qwen3Encoder variables."""
+    sd = _strip_prefix(sd)
+    if cfg is None:
+        cfg = infer_qwen3_config(sd)
+    p: Dict[str, Any] = {}
+    set_path(p, ("embed", "embedding"), np.asarray(sd["embed_tokens.weight"]))
+    for i in range(cfg.num_layers):
+        base = f"layers.{i}"
+        path = (f"layer{i}",)
+        set_path(p, path + ("input_ln", "weight"),
+                 np.asarray(sd[f"{base}.input_layernorm.weight"]))
+        set_path(p, path + ("post_ln", "weight"),
+                 np.asarray(sd[f"{base}.post_attention_layernorm.weight"]))
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            set_path(p, path + ("self_attn", name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.self_attn.{name}.weight"])))
+        for name in ("q_norm", "k_norm"):
+            set_path(p, path + ("self_attn", name, "weight"),
+                     np.asarray(sd[f"{base}.self_attn.{name}.weight"]))
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            set_path(p, path + (name, "kernel"), linear_kernel(
+                np.asarray(sd[f"{base}.mlp.{name}.weight"])))
+    set_path(p, ("norm", "weight"), np.asarray(sd["norm.weight"]))
+    return {"params": p}
+
+
+def infer_qwen3_config_from_variables(variables: Dict[str, Any]) -> Qwen3Config:
+    """Structural config from a converted Flax tree (checkpoint reload path)."""
+    p = variables["params"]
+    emb = np.asarray(p["embed"]["embedding"])
+    n = 0
+    while f"layer{n}" in p:
+        n += 1
+    head_dim = np.asarray(
+        p["layer0"]["self_attn"]["q_norm"]["weight"]).shape[0]
+    q_out = np.asarray(p["layer0"]["self_attn"]["q_proj"]["kernel"]).shape[1]
+    k_out = np.asarray(p["layer0"]["self_attn"]["k_proj"]["kernel"]).shape[1]
+    inter = np.asarray(p["layer0"]["gate_proj"]["kernel"]).shape[1]
+    return Qwen3Config(vocab_size=emb.shape[0], hidden_size=emb.shape[1],
+                       intermediate_size=inter, num_layers=n,
+                       num_heads=q_out // head_dim,
+                       num_kv_heads=k_out // head_dim, head_dim=head_dim)

@@ -1,0 +1,436 @@
+"""FLUX.2 (Klein) DiT: torch golden, conversion round-trip, diffusers naming,
+and padded-token-mask equivalence.
+
+The torch model below is an independent reimplementation of the FLUX.2
+topology (double/single stream, QK-RMS-norm, interleaved RoPE, AdaLN, no
+pooled vector) producing a BFL-style state dict — the golden validates the
+JAX numerics AND the converter mapping (transposes, qkv fusion, mod order).
+diffusers itself is not installed in this environment; real checkpoints
+rebind every structural field through infer_flux2_config."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from mangatranslator_tpu.models.flux.convert_flux import (
+    convert_flux2_dit,
+    export_flux2_style,
+    flux_diffusers_to_bfl,
+    infer_flux2_config,
+)
+from mangatranslator_tpu.models.flux.flux2 import (
+    FLUX2_PRESETS,
+    Flux2Config,
+    Flux2DiT,
+    init_flux2,
+    make_img_ids2,
+    make_txt_ids2,
+)
+
+CFG = FLUX2_PRESETS["test"]
+
+
+# ---- torch reference implementation (BFL naming) -----------------------------
+
+
+def t_timestep_embedding(t, dim, max_period=10000.0, factor=1000.0):
+    t = t * factor
+    half = dim // 2
+    freqs = torch.exp(-math.log(max_period)
+                      * torch.arange(half, dtype=torch.float32) / half)
+    args = t[:, None].float() * freqs[None]
+    return torch.cat([torch.cos(args), torch.sin(args)], dim=-1)
+
+
+class TMLPEmbedder(torch.nn.Module):
+    def __init__(self, in_dim, hidden):
+        super().__init__()
+        self.in_layer = torch.nn.Linear(in_dim, hidden)
+        self.out_layer = torch.nn.Linear(hidden, hidden)
+
+    def forward(self, x):
+        return self.out_layer(torch.nn.functional.silu(self.in_layer(x)))
+
+
+class TQKNorm(torch.nn.Module):
+    def __init__(self, dim):
+        super().__init__()
+        self.query_norm = torch.nn.Module()
+        self.query_norm.scale = torch.nn.Parameter(torch.ones(dim))
+        self.key_norm = torch.nn.Module()
+        self.key_norm.scale = torch.nn.Parameter(torch.ones(dim))
+
+    @staticmethod
+    def _rms(x, scale):
+        var = x.float().pow(2).mean(-1, keepdim=True)
+        return (x.float() * torch.rsqrt(var + 1e-6)) * scale
+
+    def forward(self, q, k):
+        return self._rms(q, self.query_norm.scale), \
+            self._rms(k, self.key_norm.scale)
+
+
+def t_rope_freqs(ids, axes_dim, theta=10000.0):
+    out = []
+    for i, d in enumerate(axes_dim):
+        half = d // 2
+        freqs = 1.0 / (theta ** (torch.arange(half, dtype=torch.float32)
+                                 * 2 / d))
+        out.append(ids[..., i: i + 1].float() * freqs)
+    angles = torch.cat(out, dim=-1)
+    return torch.stack([torch.cos(angles), torch.sin(angles)], dim=-1)
+
+
+def t_apply_rope(x, freqs):
+    xf = x.float()
+    x1, x2 = xf[..., 0::2], xf[..., 1::2]
+    cos = freqs[..., 0][None, :, None, :]
+    sin = freqs[..., 1][None, :, None, :]
+    out = torch.stack([x1 * cos - x2 * sin, x1 * sin + x2 * cos], dim=-1)
+    return out.reshape(x.shape)
+
+
+def t_attention(q, k, v):
+    scale = 1.0 / math.sqrt(q.shape[-1])
+    logits = torch.einsum("bqhd,bkhd->bhqk", q.float(), k.float()) * scale
+    probs = torch.softmax(logits, dim=-1)
+    return torch.einsum("bhqk,bkhd->bqhd", probs, v.float())
+
+
+class TDouble(torch.nn.Module):
+    def __init__(self, h, heads, mlp_ratio):
+        super().__init__()
+        m = int(h * mlp_ratio)
+        self.heads = heads
+        for s in ("img", "txt"):
+            mod = torch.nn.Module()
+            mod.lin = torch.nn.Linear(h, 6 * h)
+            setattr(self, f"{s}_mod", mod)
+            attn = torch.nn.Module()
+            attn.qkv = torch.nn.Linear(h, 3 * h)
+            attn.norm = TQKNorm(h // heads)
+            attn.proj = torch.nn.Linear(h, h)
+            setattr(self, f"{s}_attn", attn)
+            setattr(self, f"{s}_mlp", torch.nn.Sequential(
+                torch.nn.Linear(h, m), torch.nn.GELU(approximate="tanh"),
+                torch.nn.Linear(m, h)))
+
+    def forward(self, img, txt, vec, freqs):
+        h = img.shape[-1]
+        d = h // self.heads
+
+        def mods(mod):
+            out = mod.lin(torch.nn.functional.silu(vec))[:, None]
+            return out.chunk(6, dim=-1)
+
+        im1, is1, ig1, im2, is2, ig2 = mods(self.img_mod)
+        tm1, ts1, tg1, tm2, ts2, tg2 = mods(self.txt_mod)
+
+        def norm(x):
+            return torch.nn.functional.layer_norm(x, (h,))
+
+        def qkv(x, attn):
+            out = attn.qkv(x)
+            q, k, v = out.chunk(3, dim=-1)
+            shape = x.shape[:-1] + (self.heads, d)
+            q, k, v = (t.reshape(shape) for t in (q, k, v))
+            q, k = attn.norm(q, k)
+            return q, k, v
+
+        img_n = (1 + is1) * norm(img) + im1
+        txt_n = (1 + ts1) * norm(txt) + tm1
+        iq, ik, iv = qkv(img_n, self.img_attn)
+        tq, tk, tv = qkv(txt_n, self.txt_attn)
+        q = torch.cat([tq, iq], dim=1)
+        k = torch.cat([tk, ik], dim=1)
+        v = torch.cat([tv, iv], dim=1)
+        q, k = t_apply_rope(q, freqs), t_apply_rope(k, freqs)
+        attn = t_attention(q, k, v).reshape(q.shape[0], q.shape[1], h)
+        t_attn, i_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
+        img = img + ig1 * self.img_attn.proj(i_attn)
+        txt = txt + tg1 * self.txt_attn.proj(t_attn)
+        img = img + ig2 * self.img_mlp((1 + is2) * norm(img) + im2)
+        txt = txt + tg2 * self.txt_mlp((1 + ts2) * norm(txt) + tm2)
+        return img, txt
+
+
+class TSingle(torch.nn.Module):
+    def __init__(self, h, heads, mlp_ratio):
+        super().__init__()
+        self.heads = heads
+        self.m = int(h * mlp_ratio)
+        self.linear1 = torch.nn.Linear(h, 3 * h + self.m)
+        self.linear2 = torch.nn.Linear(h + self.m, h)
+        self.norm = TQKNorm(h // heads)
+        self.modulation = torch.nn.Module()
+        self.modulation.lin = torch.nn.Linear(h, 3 * h)
+
+    def forward(self, x, vec, freqs):
+        h = x.shape[-1]
+        d = h // self.heads
+        m1, s1, g1 = self.modulation.lin(
+            torch.nn.functional.silu(vec))[:, None].chunk(3, dim=-1)
+        x_n = (1 + s1) * torch.nn.functional.layer_norm(x, (h,)) + m1
+        qkv, mlp = self.linear1(x_n).split([3 * h, self.m], dim=-1)
+        q, k, v = qkv.chunk(3, dim=-1)
+        shape = x.shape[:-1] + (self.heads, d)
+        q, k, v = (t.reshape(shape) for t in (q, k, v))
+        q, k = self.norm(q, k)
+        q, k = t_apply_rope(q, freqs), t_apply_rope(k, freqs)
+        attn = t_attention(q, k, v).reshape(x.shape[0], x.shape[1], h)
+        gelu = torch.nn.functional.gelu(mlp, approximate="tanh")
+        return x + g1 * self.linear2(torch.cat([attn, gelu], dim=-1))
+
+
+class TFlux2(torch.nn.Module):
+    def __init__(self, cfg: Flux2Config):
+        super().__init__()
+        self.cfg = cfg
+        self.img_in = torch.nn.Linear(cfg.in_channels, cfg.hidden_size)
+        self.txt_in = torch.nn.Linear(cfg.ctx_dim, cfg.hidden_size)
+        self.time_in = TMLPEmbedder(256, cfg.hidden_size)
+        if cfg.guidance_embed:
+            self.guidance_in = TMLPEmbedder(256, cfg.hidden_size)
+        self.double_blocks = torch.nn.ModuleList(
+            [TDouble(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio)
+             for _ in range(cfg.depth_double)])
+        self.single_blocks = torch.nn.ModuleList(
+            [TSingle(cfg.hidden_size, cfg.num_heads, cfg.mlp_ratio)
+             for _ in range(cfg.depth_single)])
+        self.final_layer = torch.nn.Module()
+        self.final_layer.linear = torch.nn.Linear(cfg.hidden_size,
+                                                  cfg.in_channels)
+        self.final_layer.adaLN_modulation = torch.nn.Sequential(
+            torch.nn.SiLU(), torch.nn.Linear(cfg.hidden_size,
+                                             2 * cfg.hidden_size))
+
+    def forward(self, img, img_ids, txt, txt_ids, t, guidance=None):
+        cfg = self.cfg
+        x = self.img_in(img)
+        c = self.txt_in(txt)
+        vec = self.time_in(t_timestep_embedding(t, 256))
+        if cfg.guidance_embed:
+            vec = vec + self.guidance_in(t_timestep_embedding(guidance, 256))
+        ids = torch.cat([txt_ids, img_ids], dim=0)
+        freqs = t_rope_freqs(ids, cfg.axes_dim, cfg.theta)
+        for blk in self.double_blocks:
+            x, c = blk(x, c, vec, freqs)
+        seq = torch.cat([c, x], dim=1)
+        for blk in self.single_blocks:
+            seq = blk(seq, vec, freqs)
+        x = seq[:, txt.shape[1]:]
+        mods = self.final_layer.adaLN_modulation(vec)[:, None]
+        shift, scale = mods.chunk(2, dim=-1)
+        h = x.shape[-1]
+        x = (1 + scale) * torch.nn.functional.layer_norm(x, (h,)) + shift
+        return self.final_layer.linear(x)
+
+
+def _torch_model(cfg=CFG, seed=0):
+    torch.manual_seed(seed)
+    model = TFlux2(cfg).eval()
+    with torch.no_grad():
+        for p in model.parameters():
+            if p.dim() == 1:
+                p.uniform_(-0.2, 0.2)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+    return model
+
+
+def _example_inputs(cfg=CFG, seed=0, h_tok=4, w_tok=4, txt_len=6):
+    rs = np.random.RandomState(seed)
+    return {
+        "img": rs.randn(2, h_tok * w_tok, cfg.in_channels).astype(np.float32),
+        "img_ids": make_img_ids2(h_tok, w_tok),
+        "txt": rs.randn(2, txt_len, cfg.ctx_dim).astype(np.float32),
+        "txt_ids": make_txt_ids2(txt_len),
+        "t": np.asarray([0.3, 0.8], np.float32),
+    }
+
+
+def test_golden_vs_torch():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_flux2_dit(sd))
+    x = _example_inputs()
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x["img"]),
+                 torch.from_numpy(x["img_ids"]).long(),
+                 torch.from_numpy(x["txt"]),
+                 torch.from_numpy(x["txt_ids"]).long(),
+                 torch.from_numpy(x["t"])).numpy()
+    out = np.asarray(Flux2DiT(CFG).apply(
+        variables, jnp.asarray(x["img"]), jnp.asarray(x["img_ids"]),
+        jnp.asarray(x["txt"]), jnp.asarray(x["txt_ids"]),
+        jnp.asarray(x["t"])))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_golden_with_guidance_embed():
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, guidance_embed=True)
+    tm = _torch_model(cfg)
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_flux2_dit(sd))
+    assert infer_flux2_config(jax.tree.map(np.asarray,
+                                           variables)).guidance_embed
+    x = _example_inputs(cfg)
+    g = np.asarray([1.0, 2.5], np.float32)
+    with torch.no_grad():
+        ref = tm(torch.from_numpy(x["img"]),
+                 torch.from_numpy(x["img_ids"]).long(),
+                 torch.from_numpy(x["txt"]),
+                 torch.from_numpy(x["txt_ids"]).long(),
+                 torch.from_numpy(x["t"]), torch.from_numpy(g)).numpy()
+    out = np.asarray(Flux2DiT(cfg).apply(
+        variables, jnp.asarray(x["img"]), jnp.asarray(x["img_ids"]),
+        jnp.asarray(x["txt"]), jnp.asarray(x["txt_ids"]),
+        jnp.asarray(x["t"]), jnp.asarray(g)))
+    np.testing.assert_allclose(out, ref, atol=2e-4)
+
+
+def test_roundtrip_bit_identical():
+    variables = jax.tree.map(np.asarray,
+                             init_flux2(CFG, h_tok=4, w_tok=4, txt_len=4))
+    sd = export_flux2_style(variables)
+    assert "double_blocks.0.img_attn.qkv.weight" in sd
+    assert "vector_in.in_layer.weight" not in sd  # no pooled vector in FLUX.2
+    back = convert_flux2_dit(sd)
+    flat_a = jax.tree_util.tree_leaves_with_path(variables)
+    flat_b = dict(jax.tree_util.tree_leaves_with_path(back))
+    assert len(flat_a) == len(flat_b)
+    for path, leaf in flat_a:
+        np.testing.assert_array_equal(leaf, flat_b[path])
+
+
+def test_infer_config():
+    variables = jax.tree.map(np.asarray,
+                             init_flux2(CFG, h_tok=4, w_tok=4, txt_len=4))
+    assert infer_flux2_config(variables) == CFG
+
+
+def test_diffusers_naming_translation():
+    """Synthesize a diffusers-style sd from the BFL one; conversion must give
+    the identical tree (validates qkv fusion, mod order, final-norm swap)."""
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+
+    dsd = {}
+    for k, v in sd.items():
+        if ".img_attn.qkv." in k or ".txt_attn.qkv." in k:
+            i = k.split(".")[1]
+            stream = "" if ".img_attn." in k else "add_"
+            suffix = k.rsplit(".", 1)[1]
+            q, kk, vv = np.split(v, 3, axis=0)
+            if stream:
+                names = ("add_q_proj", "add_k_proj", "add_v_proj")
+            else:
+                names = ("to_q", "to_k", "to_v")
+            for name, part in zip(names, (q, kk, vv)):
+                dsd[f"transformer_blocks.{i}.attn.{name}.{suffix}"] = part
+        elif ".linear1." in k and k.startswith("single_blocks."):
+            i = k.split(".")[1]
+            suffix = k.rsplit(".", 1)[1]
+            h = CFG.hidden_size
+            m = int(h * CFG.mlp_ratio)
+            q, kk, vv, mlp = np.split(v, [h, 2 * h, 3 * h], axis=0)
+            base = f"single_transformer_blocks.{i}"
+            for name, part in zip(("attn.to_q", "attn.to_k", "attn.to_v",
+                                   "proj_mlp"), (q, kk, vv, mlp)):
+                dsd[f"{base}.{name}.{suffix}"] = part
+        else:
+            ren = (k
+                   .replace("img_attn.norm.query_norm.scale",
+                            "attn.norm_q.weight")
+                   .replace("img_attn.norm.key_norm.scale",
+                            "attn.norm_k.weight")
+                   .replace("txt_attn.norm.query_norm.scale",
+                            "attn.norm_added_q.weight")
+                   .replace("txt_attn.norm.key_norm.scale",
+                            "attn.norm_added_k.weight")
+                   .replace("img_attn.proj", "attn.to_out.0")
+                   .replace("txt_attn.proj", "attn.to_add_out")
+                   .replace("img_mod.lin", "norm1.linear")
+                   .replace("txt_mod.lin", "norm1_context.linear")
+                   .replace("img_mlp.0", "ff.net.0.proj")
+                   .replace("img_mlp.2", "ff.net.2")
+                   .replace("txt_mlp.0", "ff_context.net.0.proj")
+                   .replace("txt_mlp.2", "ff_context.net.2")
+                   .replace("img_in", "x_embedder")
+                   .replace("txt_in", "context_embedder")
+                   .replace("time_in.in_layer",
+                            "time_embed.timestep_embedder.linear_1")
+                   .replace("time_in.out_layer",
+                            "time_embed.timestep_embedder.linear_2")
+                   .replace("final_layer.linear", "proj_out"))
+            if k.startswith("single_blocks."):
+                i = k.split(".")[1]
+                rest = k.split(".", 2)[2]
+                rest = (rest
+                        .replace("linear2", "proj_out")
+                        .replace("norm.query_norm.scale",
+                                 "attn.norm_q.weight")
+                        .replace("norm.key_norm.scale", "attn.norm_k.weight")
+                        .replace("modulation.lin", "norm.linear"))
+                ren = f"single_transformer_blocks.{i}.{rest}"
+            elif k.startswith("double_blocks."):
+                ren = ren.replace("double_blocks.", "transformer_blocks.")
+            elif k.startswith("final_layer.adaLN_modulation.1."):
+                suffix = k.rsplit(".", 1)[1]
+                half = v.shape[0] // 2
+                # BFL (shift, scale) → diffusers (scale, shift)
+                dsd[f"norm_out.linear.{suffix}"] = np.concatenate(
+                    [v[half:], v[:half]], axis=0)
+                continue
+            dsd[ren] = v
+
+    back_bfl = flux_diffusers_to_bfl(dsd)
+    assert set(back_bfl) == set(sd)
+    for k in sd:
+        np.testing.assert_array_equal(back_bfl[k], sd[k])
+    tree_d = convert_flux2_dit(dsd)
+    tree_b = convert_flux2_dit(sd)
+    for (pa, la), (pb, lb) in zip(
+            jax.tree_util.tree_leaves_with_path(tree_d),
+            jax.tree_util.tree_leaves_with_path(tree_b)):
+        assert pa == pb
+        np.testing.assert_array_equal(la, lb)
+
+
+def test_token_mask_padding_equivalence():
+    """Padding image tokens to a bucket with a key-validity mask leaves valid
+    tokens' outputs EXACTLY as the unpadded program (the TPU bucket-compile
+    strategy for Klein's free-form 16-px-quantized resolutions)."""
+    variables = init_flux2(CFG, h_tok=4, w_tok=4, txt_len=4)
+    model = Flux2DiT(CFG)
+    rs = np.random.RandomState(3)
+    txt_len, s_img, pad_to = 4, 16, 24
+    img = rs.randn(1, s_img, CFG.in_channels).astype(np.float32)
+    txt = rs.randn(1, txt_len, CFG.ctx_dim).astype(np.float32)
+    img_ids = make_img_ids2(4, 4)
+    txt_ids = make_txt_ids2(txt_len)
+    t = np.asarray([0.5], np.float32)
+
+    base = np.asarray(model.apply(variables, jnp.asarray(img),
+                                  jnp.asarray(img_ids), jnp.asarray(txt),
+                                  jnp.asarray(txt_ids), jnp.asarray(t)))
+
+    img_pad = np.concatenate(
+        [img, rs.randn(1, pad_to - s_img, CFG.in_channels).astype(np.float32)],
+        axis=1)
+    ids_pad = np.concatenate(
+        [img_ids, np.zeros((pad_to - s_img, 4), np.int32)], axis=0)
+    mask = np.zeros(txt_len + pad_to, bool)
+    mask[: txt_len + s_img] = True
+    out = np.asarray(model.apply(variables, jnp.asarray(img_pad),
+                                 jnp.asarray(ids_pad), jnp.asarray(txt),
+                                 jnp.asarray(txt_ids), jnp.asarray(t),
+                                 None, jnp.asarray(mask)))
+    np.testing.assert_allclose(out[:, :s_img], base, atol=1e-5)

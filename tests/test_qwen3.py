@@ -1,0 +1,109 @@
+"""HF-exact Qwen3 encoder: golden test against the live torch model.
+
+Qwen3 is FLUX.2 Klein's text encoder (reference utils/model_metadata.py:4-52,
+core/ml/model_manager.py:1254-1345)."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from mangatranslator_tpu.models.qwen3 import (
+    QWEN3_PRESETS,
+    Qwen3Encoder,
+    convert_qwen3,
+    infer_qwen3_config,
+    infer_qwen3_config_from_variables,
+)
+
+CFG = QWEN3_PRESETS["test"]
+
+
+def _torch_model(seed: int = 0):
+    from transformers import Qwen3Config, Qwen3Model
+
+    tcfg = Qwen3Config(
+        vocab_size=CFG.vocab_size, hidden_size=CFG.hidden_size,
+        intermediate_size=CFG.intermediate_size,
+        num_hidden_layers=CFG.num_layers,
+        num_attention_heads=CFG.num_heads,
+        num_key_value_heads=CFG.num_kv_heads, head_dim=CFG.head_dim,
+        rope_theta=CFG.rope_theta, rms_norm_eps=CFG.rms_norm_eps,
+        attn_implementation="eager")
+    torch.manual_seed(seed)
+    model = Qwen3Model(tcfg).eval()
+    # HF init std is tiny on small configs → re-randomize with fan-in scaling
+    # so the golden comparison has signal (memory: hf-exact-port-gotchas)
+    with torch.no_grad():
+        for name, p in model.named_parameters():
+            if p.dim() == 1:
+                p.uniform_(0.8, 1.2)
+            else:
+                p.normal_(0, 1.0 / math.sqrt(max(1, p[0].numel())))
+    return model
+
+
+def test_golden_vs_torch():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    inferred = infer_qwen3_config(sd)
+    # rope_theta is not in the weights; everything structural must match
+    import dataclasses
+
+    assert dataclasses.replace(inferred, rope_theta=CFG.rope_theta) == CFG
+    variables = jax.tree.map(jnp.asarray, convert_qwen3(sd, CFG))
+    ids = np.random.RandomState(0).randint(0, CFG.vocab_size, (2, 9))
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids)).last_hidden_state.numpy()
+    out = np.asarray(Qwen3Encoder(CFG).apply(variables,
+                                             jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(out, ref, atol=3e-4)
+
+
+def test_golden_intermediate_layer():
+    """layer_index selects HF's hidden_states[i] (pre final norm)."""
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_qwen3(sd, CFG))
+    ids = np.random.RandomState(1).randint(0, CFG.vocab_size, (1, 6))
+    with torch.no_grad():
+        hs = tm(input_ids=torch.from_numpy(ids),
+                output_hidden_states=True).hidden_states
+    for layer_index in (0, 1, CFG.num_layers):
+        out = np.asarray(Qwen3Encoder(CFG).apply(
+            variables, jnp.asarray(ids, jnp.int32), layer_index=layer_index))
+        np.testing.assert_allclose(out, hs[layer_index].numpy(), atol=3e-4)
+
+
+def test_attn_mask_matches_torch():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = jax.tree.map(jnp.asarray, convert_qwen3(sd, CFG))
+    ids = np.random.RandomState(2).randint(0, CFG.vocab_size, (1, 8))
+    mask = np.ones((1, 8), np.int64)
+    mask[0, 5:] = 0  # right padding
+    with torch.no_grad():
+        ref = tm(input_ids=torch.from_numpy(ids),
+                 attention_mask=torch.from_numpy(mask)).last_hidden_state
+    out = np.asarray(Qwen3Encoder(CFG).apply(
+        variables, jnp.asarray(ids, jnp.int32), jnp.asarray(mask)))
+    # compare only valid positions: padded queries differ by construction
+    np.testing.assert_allclose(out[:, :5], ref.numpy()[:, :5], atol=3e-4)
+
+
+def test_param_coverage_and_config_roundtrip():
+    tm = _torch_model()
+    sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+    variables = convert_qwen3(sd, CFG)
+    n_ours = sum(np.asarray(x).size for x in jax.tree.leaves(variables))
+    n_torch = sum(v.size for v in sd.values())
+    assert n_ours == n_torch
+    import dataclasses
+
+    assert dataclasses.replace(infer_qwen3_config_from_variables(variables),
+                               rope_theta=CFG.rope_theta) == CFG
