@@ -7,5 +7,12 @@ from .pipeline import (  # noqa: F401
     KONTEXT_AR_BUCKETS,
     build_random_inpainter,
 )
+from .flux2 import FLUX2_PRESETS, Flux2Config, Flux2DiT, init_flux2  # noqa: F401
+from .klein import (  # noqa: F401
+    KLEIN_PROMPT,
+    KleinInpainter,
+    build_converted_klein,
+    build_random_klein,
+)
 from .sampler import euler_denoise, make_schedule  # noqa: F401
 from .vae import VAE_PRESETS, FluxVAE, VAEConfig, init_vae  # noqa: F401

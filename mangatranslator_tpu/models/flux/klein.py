@@ -1,0 +1,456 @@
+"""FLUX.2 Klein inpainting pipeline — free-form 16-px-quantized sizes.
+
+Reference semantics (core/image/inpainting.py:980-1620 FluxKleinInpainter):
+
+* sizing — dims quantized to multiples of 16 clamped to [64, 2048], ≤4MP
+  inference cap, optional ~1MP upscale of small crops
+  (_prepare_image_for_inference :1258-1313, _quantize_dimension :1126);
+* crop — context padding doubled vs Kontext (KLEIN_PADDING_MULTIPLIER
+  :1003), bounds expanded to ≥64 px (:1131-1165), then the crop itself is
+  quantized and shifted so the patch maps back 1:1 (:1393-1424);
+* sampler — 4 steps recommended (1-12), CFG fixed at 1.0 ⇒ one forward pass
+  per step, no guidance embedding (:988-990);
+* conditioning — Qwen3 hidden states only, no pooled text vector
+  (include_pooled=False, :1545-1588; utils/model_metadata.py:4-52);
+* composite — alpha 1 inside the mask, linear falloff over a
+  size-proportional blur radius outside (:1404-1405, :1497-1507).
+
+TPU-first mapping: the 16-px free-form sizes would compile one XLA program
+per (h, w). Instead the DiT runs at a padded token count drawn from a
+small ladder (multiples of SEQ_BUCKET); a key-validity token_mask keeps the
+valid tokens' numerics exact (equivalence-tested in tests/test_flux2.py) and
+RoPE ids / schedule / mask are runtime inputs, so one compiled denoise
+program serves every crop whose token count pads to the same bucket. The
+VAE (convs, shape-bound) compiles per exact size but is a tiny fraction of
+the DiT's compile and step cost.
+"""
+
+from __future__ import annotations
+
+import math
+import threading
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...caching import get_cache, hash_params, hash_pixels
+from .dit import pack_latents, unpack_latents
+from .flux2 import Flux2Config, Flux2DiT, make_img_ids2, make_txt_ids2
+from .pipeline import KLEIN_PROMPT, composite_patch, prompt_embed_path
+from .sampler import euler_denoise
+from .vae import FluxVAE, VAEConfig, downsample_factor
+
+# Reference constants (core/image/inpainting.py)
+KLEIN_MAX_STEPS = 12            # :988
+KLEIN_DEFAULT_STEPS = 4         # :989
+KLEIN_GUIDANCE_SCALE = 1.0      # :990 fixed CFG — config guidance is ignored
+MIN_RESOLUTION = 64             # :999
+MAX_RESOLUTION = 2048           # :1000
+RESOLUTION_MULTIPLE = 16        # :1001
+MAX_INFERENCE_PIXELS = 4_000_000  # :1002
+TARGET_PIXELS = 1_048_576       # :1283 (~1MP upscale target)
+KLEIN_PADDING_MULTIPLIER = 2.0  # :1003 (double context vs Kontext)
+CONTEXT_PADDING_RATIO = 0.5     # inpainting.py:30
+MAX_CONTEXT_PADDING = 80        # inpainting.py:31
+BLUR_SCALE_FACTOR = 0.1         # inpainting.py:22
+MIN_BLUR_RADIUS = 1             # inpainting.py:25
+MAX_BLUR_RADIUS = 10            # inpainting.py:26
+
+# Token-count ladder step for the padded DiT programs (TPU design choice,
+# not a reference constant): ~1MP crops are ~4096 tokens, so 512 bounds the
+# pad waste at 12.5% of tokens while keeping the program count small.
+SEQ_BUCKET = 512
+
+
+# -- sizing rules (pure, unit-tested against the reference's outputs) ----------
+
+
+def quantize_dimension(dim: int) -> int:
+    """Multiple of 16 within [64, 2048] (reference _quantize_dimension :1126)."""
+    dim = max(MIN_RESOLUTION, min(MAX_RESOLUTION, dim))
+    return (dim // RESOLUTION_MULTIPLE) * RESOLUTION_MULTIPLE
+
+
+def expand_bounds_to_min_size(x1: int, y1: int, x2: int, y2: int,
+                              img_w: int, img_h: int
+                              ) -> Tuple[int, int, int, int]:
+    """Grow the bbox to at least 64 px per side, clamped to the image
+    (reference _expand_bounds_to_min_size :1131-1165)."""
+    target_w = min(MIN_RESOLUTION, img_w)
+    target_h = min(MIN_RESOLUTION, img_h)
+
+    width = x2 - x1
+    if width < target_w:
+        extra = target_w - width
+        x1 = max(0, x1 - extra // 2)
+        x2 = min(img_w, x2 + extra - extra // 2)
+        if x2 - x1 < target_w:
+            if x1 == 0:
+                x2 = min(img_w, target_w)
+            else:
+                x1 = max(0, img_w - target_w)
+
+    height = y2 - y1
+    if height < target_h:
+        extra = target_h - height
+        y1 = max(0, y1 - extra // 2)
+        y2 = min(img_h, y2 + extra - extra // 2)
+        if y2 - y1 < target_h:
+            if y1 == 0:
+                y2 = min(img_h, target_h)
+            else:
+                y1 = max(0, img_h - target_h)
+
+    return x1, y1, x2, y2
+
+
+def klein_crop_bbox(x_min: int, y_min: int, x_max: int, y_max: int,
+                    img_w: int, img_h: int) -> Tuple[int, int, int, int]:
+    """Mask bbox (inclusive max, reference np.where convention) → the crop
+    rectangle Klein actually processes (reference inpaint_mask :1393-1424):
+    doubled context padding, ≥64 px expansion, 16-px-quantized size shifted
+    back inside the image. Returns (x1, y1, x2, y2) exclusive."""
+    bbox_width = x_max - x_min
+    bbox_height = y_max - y_min
+    padding_pixels = int(max(bbox_width, bbox_height) * CONTEXT_PADDING_RATIO)
+    padding = int(min(padding_pixels, MAX_CONTEXT_PADDING)
+                  * KLEIN_PADDING_MULTIPLIER)
+
+    x1 = max(0, x_min - padding)
+    y1 = max(0, y_min - padding)
+    x2 = min(img_w, x_max + 1 + padding)
+    y2 = min(img_h, y_max + 1 + padding)
+    x1, y1, x2, y2 = expand_bounds_to_min_size(x1, y1, x2, y2, img_w, img_h)
+
+    width = min(quantize_dimension(x2 - x1), img_w)
+    height = min(quantize_dimension(y2 - y1), img_h)
+    if x1 + width > img_w:
+        x1 = max(0, img_w - width)
+    if y1 + height > img_h:
+        y1 = max(0, img_h - height)
+    return x1, y1, x1 + width, y1 + height
+
+
+def prepare_inference_size(w: int, h: int,
+                           upscale_small_crops: bool = True
+                           ) -> Tuple[int, int]:
+    """Inference resolution for a crop of size (w, h): ~1MP rescale when
+    upscale_small_crops, else a 4MP cap; always 16-px quantized with a
+    shrink loop enforcing the pixel budget (reference
+    _prepare_image_for_inference :1276-1304)."""
+    current_pixels = w * h
+    if current_pixels <= 0:
+        scale = 1.0
+    elif upscale_small_crops:
+        scale = math.sqrt(TARGET_PIXELS / current_pixels)
+    elif current_pixels > MAX_INFERENCE_PIXELS:
+        scale = math.sqrt(MAX_INFERENCE_PIXELS / current_pixels)
+    else:
+        scale = 1.0
+
+    new_w = quantize_dimension(int(w * scale))
+    new_h = quantize_dimension(int(h * scale))
+    while new_w * new_h > MAX_INFERENCE_PIXELS:
+        if new_w >= new_h and new_w > MIN_RESOLUTION:
+            new_w -= RESOLUTION_MULTIPLE
+        elif new_h > MIN_RESOLUTION:
+            new_h -= RESOLUTION_MULTIPLE
+        else:
+            break
+    return new_w, new_h
+
+
+def klein_blur_radius(bbox_width: int, bbox_height: int) -> int:
+    """Composite feather radius proportional to the detection size
+    (reference :1404-1405)."""
+    r = int(max(bbox_width, bbox_height) * BLUR_SCALE_FACTOR)
+    return max(MIN_BLUR_RADIUS, min(r, MAX_BLUR_RADIUS))
+
+
+def host_schedule(num_steps: int, seq_len: int,
+                  shift: bool = True) -> np.ndarray:
+    """sampler.make_schedule computed in numpy — the schedule is a runtime
+    input to the shared denoise program, and building it eagerly on device
+    would cost tunnel round-trips."""
+    from .sampler import resolution_mu
+
+    ts = np.linspace(1.0, 0.0, num_steps + 1)
+    if shift:
+        mu = resolution_mu(seq_len)
+        inner = np.clip(ts[1:-1], 1e-5, 1 - 1e-5)
+        shifted = np.exp(mu) / (np.exp(mu) + (1 / inner - 1) ** 1.0)
+        ts = np.concatenate([ts[:1], shifted, ts[-1:]])
+    return ts.astype(np.float32)
+
+
+def klein_prompt_embeddings(prompt: str, ctx_dim: int,
+                            seq_len: int = 128) -> np.ndarray:
+    """Qwen3 hidden states for the fixed Klein prompt. Prefers the real
+    encoder output precomputed by scripts/convert_models.py --embed-prompt
+    (stored beside the converted checkpoints, key "txt"); falls back to a
+    loud seeded Gaussian stub so the pipeline stays exercisable."""
+    import hashlib
+
+    path = prompt_embed_path(prompt)
+    if path.exists():
+        data = np.load(path)
+        txt = data["txt"]
+        if txt.shape[-1] == ctx_dim:
+            return txt.astype(np.float32)
+    from ...logging import log_message
+
+    log_message(
+        "No precomputed Qwen3 embedding for the Klein prompt "
+        f"(expected {path}); using a seeded Gaussian STUB — run "
+        "scripts/convert_models.py --embed-prompt with a converted Qwen3 "
+        "encoder for real conditioning", always_print=True)
+    seed = int.from_bytes(hashlib.sha256(prompt.encode()).digest()[:4],
+                          "little")
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((1, seq_len, ctx_dim)).astype(np.float32) * 0.02
+
+
+class KleinInpainter:
+    """Bucketed-sequence FLUX.2 Klein text-removal inpainter.
+
+    Drop-in for FluxInpainter at the call sites (cleaning/osb_processor.py,
+    pipeline/page.py): same inpaint_mask signature; guidance_scale is
+    accepted but pinned to 1.0 like the reference (:990)."""
+
+    def __init__(self, dit_cfg: Flux2Config, vae_cfg: VAEConfig,
+                 dit_params, vae_params,
+                 prompt: str = KLEIN_PROMPT,
+                 upscale_small_crops: bool = True,
+                 quant: Optional[str] = None,
+                 txt_len: int = 128):
+        import os
+
+        self.seq_bucket = int(os.environ.get("MTX_KLEIN_SEQ_BUCKET",
+                                             SEQ_BUCKET))
+        self.quant = quant
+        if self.quant:
+            from ...ops.quant import quantize_tree, quantize_tree_int4
+
+            qfn = quantize_tree_int4 if self.quant == "int4" else quantize_tree
+            dit_params = qfn(dit_params)
+        self.dit_cfg = dit_cfg
+        self.vae_cfg = vae_cfg
+        self.dit_params = dit_params
+        self.vae_params = vae_params
+        self.prompt = prompt
+        self.upscale_small_crops = upscale_small_crops
+        self._dit = Flux2DiT(dit_cfg)
+        self._vae = FluxVAE(vae_cfg)
+        self._vf = downsample_factor(vae_cfg)
+        self._encode_progs: Dict[Tuple[int, int, int], callable] = {}
+        self._denoise_progs: Dict[Tuple[int, int], callable] = {}
+        self._decode_progs: Dict[Tuple[int, int, int], callable] = {}
+        self._lock = threading.Lock()
+        txt = klein_prompt_embeddings(prompt, dit_cfg.ctx_dim, txt_len)
+        self._txt = jnp.asarray(txt)
+        self._txt_ids = jnp.asarray(make_txt_ids2(txt.shape[1]))
+
+    # -- compiled programs -------------------------------------------------------
+
+    def _tokens_for(self, h: int, w: int) -> int:
+        lh, lw = h // self._vf, w // self._vf
+        return (lh // 2) * (lw // 2)
+
+    def _encode_prog(self, h: int, w: int, seq_pad: int):
+        """VAE encode at the exact crop size, emitting bucket-padded tokens."""
+        key = (h, w, seq_pad)
+        with self._lock:
+            prog = self._encode_progs.get(key)
+            if prog is None:
+                seq = self._tokens_for(h, w)
+
+                @jax.jit
+                def run(vae_params, image01):
+                    x = image01 * 2.0 - 1.0
+                    lat = self._vae.apply(vae_params, x[None],
+                                          method=FluxVAE.encode)
+                    tokens = pack_latents(lat)
+                    return jnp.pad(tokens, ((0, 0), (0, seq_pad - seq), (0, 0)))
+
+                prog = self._encode_progs[key] = run
+            return prog
+
+    def _denoise_prog(self, seq_pad: int, steps: int):
+        """One compiled scan-denoise program per (padded token count, steps);
+        RoPE ids, key-validity mask and sigma schedule are runtime inputs so
+        every 16-px-quantized crop in the bucket shares it."""
+        key = (seq_pad, steps)
+        with self._lock:
+            prog = self._denoise_progs.get(key)
+            if prog is None:
+
+                @jax.jit
+                def run(dit_params, cond_pad, img_ids, token_mask, schedule,
+                        rng):
+                    if self.quant:
+                        from ...ops.quant import (dequantize_tree,
+                                                  dequantize_tree_int4)
+
+                        dq = (dequantize_tree_int4 if self.quant == "int4"
+                              else dequantize_tree)
+                        dit_params = dq(dit_params)
+                    noise = jax.random.normal(rng, cond_pad.shape, jnp.float32)
+
+                    def velocity(z, t):
+                        tokens = jnp.concatenate([z, cond_pad], axis=1)
+                        v = self._dit.apply(
+                            dit_params, tokens, img_ids, self._txt,
+                            self._txt_ids, t, None, token_mask)
+                        return v[:, :seq_pad]
+
+                    return euler_denoise(velocity, noise, schedule)
+
+                prog = self._denoise_progs[key] = run
+            return prog
+
+    def _decode_prog(self, h: int, w: int, seq_pad: int):
+        key = (h, w, seq_pad)
+        with self._lock:
+            prog = self._decode_progs.get(key)
+            if prog is None:
+                lh, lw = h // self._vf, w // self._vf
+                seq = self._tokens_for(h, w)
+
+                @jax.jit
+                def run(vae_params, z_pad):
+                    lat = unpack_latents(z_pad[:, :seq], lh, lw)
+                    out = self._vae.apply(vae_params, lat,
+                                          method=FluxVAE.decode)
+                    return jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+
+                prog = self._decode_progs[key] = run
+            return prog
+
+    def _run_inference(self, crop_rs: np.ndarray, steps: int,
+                       seed_key) -> np.ndarray:
+        ih, iw = crop_rs.shape[:2]
+        seq = self._tokens_for(ih, iw)
+        bucket = self.seq_bucket
+        seq_pad = max(bucket, -(-seq // bucket) * bucket)
+        lh, lw = ih // self._vf, iw // self._vf
+        h_tok, w_tok = lh // 2, lw // 2
+
+        ids_img = make_img_ids2(h_tok, w_tok, plane=0)
+        ids_cond = make_img_ids2(h_tok, w_tok, plane=1)
+        pad = np.zeros((seq_pad - seq, 4), np.int32)
+        img_ids = np.concatenate([ids_img, pad, ids_cond, pad], axis=0)
+        txt_len = self._txt.shape[1]
+        token_mask = np.zeros(txt_len + 2 * seq_pad, bool)
+        token_mask[:txt_len] = True
+        token_mask[txt_len:txt_len + seq] = True
+        token_mask[txt_len + seq_pad:txt_len + seq_pad + seq] = True
+
+        cond_pad = self._encode_prog(ih, iw, seq_pad)(
+            self.vae_params, jnp.asarray(crop_rs, jnp.float32) / 255.0)
+        z = self._denoise_prog(seq_pad, steps)(
+            self.dit_params, cond_pad, jnp.asarray(img_ids),
+            jnp.asarray(token_mask),
+            jnp.asarray(host_schedule(steps, seq)), seed_key)
+        out01 = self._decode_prog(ih, iw, seq_pad)(self.vae_params, z)
+        return np.asarray(out01)
+
+    # -- public API ----------------------------------------------------------------
+
+    def inpaint_mask(
+        self,
+        image: np.ndarray,
+        mask: np.ndarray,
+        seed: int = 1,
+        num_inference_steps: int = KLEIN_DEFAULT_STEPS,
+        guidance_scale: float = KLEIN_GUIDANCE_SCALE,  # accepted, pinned
+        luminance_correction: bool = True,
+        use_cache: bool = True,
+    ) -> np.ndarray:
+        """Remove text inside ``mask`` (uint8 page-res) from ``image`` (RGB
+        uint8) with Klein sizing semantics (reference inpaint_mask :1350)."""
+        import cv2
+
+        del guidance_scale  # Klein CFG is fixed at 1.0 (reference :990)
+        h, w = image.shape[:2]
+        ys, xs = np.nonzero(mask)
+        if ys.size == 0:
+            return image
+        steps = max(1, min(int(num_inference_steps), KLEIN_MAX_STEPS))
+
+        x_min, x_max = int(xs.min()), int(xs.max())
+        y_min, y_max = int(ys.min()), int(ys.max())
+        x1, y1, x2, y2 = klein_crop_bbox(x_min, y_min, x_max, y_max, w, h)
+        if x2 - x1 <= 0 or y2 - y1 <= 0:
+            return image
+        blur = klein_blur_radius(x_max - x_min, y_max - y_min)
+
+        cache = get_cache() if use_cache and seed != -1 else None
+        cache_key = None
+        if cache is not None:
+            sig = cv2.resize(mask[y1:y2, x1:x2].astype(np.float32), (64, 64))
+            cache_key = hash_pixels(image[y1:y2, x1:x2]) + ":" + hash_params(
+                (x1, y1, x2, y2), sig, seed, steps, self.upscale_small_crops,
+                self.prompt, "klein")
+            hit = cache.get("inpaint", cache_key)
+            if hit is not None:
+                return composite_patch(image, hit, mask, (x1, y1, x2, y2),
+                                       luminance_correction,
+                                       feather="outward", blur_radius=blur)
+
+        crop = image[y1:y2, x1:x2]
+        iw, ih = prepare_inference_size(x2 - x1, y2 - y1,
+                                        self.upscale_small_crops)
+        crop_rs = (crop if (iw, ih) == (x2 - x1, y2 - y1)
+                   else cv2.resize(crop, (iw, ih),
+                                   interpolation=cv2.INTER_LANCZOS4))
+
+        rng = jax.random.PRNGKey(seed if seed != -1 else
+                                 np.random.randint(0, 2**31 - 1))
+        patch01 = self._run_inference(crop_rs, steps, rng)
+        patch = (patch01 * 255.0).astype(np.uint8)
+        if (iw, ih) != (x2 - x1, y2 - y1):
+            patch = cv2.resize(patch, (x2 - x1, y2 - y1),
+                               interpolation=cv2.INTER_LANCZOS4)
+        if cache is not None:
+            cache.put("inpaint", cache_key, patch)
+        return composite_patch(image, patch, mask, (x1, y1, x2, y2),
+                               luminance_correction,
+                               feather="outward", blur_radius=blur)
+
+
+def build_converted_klein(dit_vars, vae_vars=None, prompt: str = KLEIN_PROMPT,
+                          vae_preset: str = "flux",
+                          upscale_small_crops: bool = True) -> KleinInpainter:
+    """Klein pipeline from converted FLUX.2 checkpoints (config inferred
+    from the trees, like build_converted_inpainter)."""
+    import os
+
+    from .convert_flux import infer_flux2_config, infer_vae_config_from_variables
+    from .vae import VAE_PRESETS, init_vae
+
+    dit_cfg = infer_flux2_config(dit_vars)
+    if vae_vars is not None:
+        vae_cfg = infer_vae_config_from_variables(vae_vars)
+    else:
+        vae_cfg = VAE_PRESETS[vae_preset]
+        vae_vars = init_vae(vae_cfg)
+    quant = os.environ.get("MTX_FLUX_QUANT") or (
+        "int8" if os.environ.get("MTX_FLUX_INT8") == "1" else None)
+    return KleinInpainter(dit_cfg, vae_cfg, dit_vars, vae_vars, prompt=prompt,
+                          upscale_small_crops=upscale_small_crops, quant=quant)
+
+
+def build_random_klein(preset: str = "test", vae_preset: str = "test",
+                       prompt: str = KLEIN_PROMPT,
+                       upscale_small_crops: bool = True) -> KleinInpainter:
+    """Random-init Klein pipeline (zero-egress environments)."""
+    from .flux2 import FLUX2_PRESETS, init_flux2
+    from .vae import VAE_PRESETS, init_vae
+
+    dit_cfg = FLUX2_PRESETS[preset]
+    vae_cfg = VAE_PRESETS[vae_preset]
+    return KleinInpainter(dit_cfg, vae_cfg, init_flux2(dit_cfg),
+                          init_vae(vae_cfg), prompt=prompt,
+                          upscale_small_crops=upscale_small_crops)

@@ -53,10 +53,12 @@ EDGE_BLUR_SIGMA = 2.0
 BBOX_QUANT = 2            # cache-stability quantization (reference :711-744)
 DEFAULT_PROMPT = "Remove all text."
 KLEIN_PROMPT = (
-    "Remove all text, letters, words, captions, sound effects and typography "
-    "from the image while preserving every other detail of the original "
-    "artwork, lineart, tones and shading exactly as they are."
-)  # Klein preservation prompt role (reference :991)
+    "Remove all text. Preserve all character line art, screentones, panel "
+    "borders, and background details exactly as they appear. Maintain the "
+    "original contrast and shading, ensuring character expressions and "
+    "environmental textures remain unchanged while leaving the text areas "
+    "completely blank."
+)  # Klein preservation prompt (reference :991-996, published tuning constant)
 
 
 def pick_bucket_for(h: int, w: int,
@@ -94,6 +96,13 @@ def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
         txt, vec = data["txt"], data["vec"]
         if txt.shape[-1] == ctx_dim and vec.shape[-1] == vec_dim:
             return txt.astype(np.float32), vec.astype(np.float32)
+    from ...logging import log_message
+
+    log_message(
+        "No precomputed prompt embedding for this prompt "
+        f"(expected {path}); using a seeded Gaussian STUB — run "
+        "scripts/convert_models.py --embed-prompt with converted text "
+        "encoders for real conditioning", always_print=True)
     seed = int.from_bytes(hashlib.sha256(prompt.encode()).digest()[:4], "little")
     rng = np.random.default_rng(seed)
     txt = rng.standard_normal((1, seq_len, ctx_dim)).astype(np.float32) * 0.02
@@ -288,26 +297,42 @@ class FluxInpainter:
     def _composite(self, image: np.ndarray, patch: np.ndarray,
                    mask: np.ndarray, bbox: Tuple[int, int, int, int],
                    luminance_correction: bool) -> np.ndarray:
-        """Edge-feathered masked composite with optional LAB correction, on
-        device (reference composite :543 / _match_luminance :1187)."""
-        x1, y1, x2, y2 = bbox
-        sub_mask = (mask[y1:y2, x1:x2] > 0).astype(np.float32)
+        return composite_patch(image, patch, mask, bbox, luminance_correction)
 
-        patch_j = jnp.asarray(patch, jnp.float32)
-        base_j = jnp.asarray(image[y1:y2, x1:x2], jnp.float32)
-        mask_j = jnp.asarray(sub_mask)
-        if luminance_correction:
-            ctx_mask = 1.0 - mask_j
-            patch_j = match_luminance_lab(patch_j, base_j, mask_j, ctx_mask)
-        # feather: distance into the mask, ramped over the blur sigma
-        alpha = jnp.clip(distance_transform_edt(mask_j) / (EDGE_BLUR_SIGMA * 2),
-                         0.0, 1.0)
+
+def composite_patch(image: np.ndarray, patch: np.ndarray,
+                    mask: np.ndarray, bbox: Tuple[int, int, int, int],
+                    luminance_correction: bool,
+                    feather: str = "inward",
+                    blur_radius: float = EDGE_BLUR_SIGMA * 2) -> np.ndarray:
+    """Edge-feathered masked composite with optional LAB correction, on
+    device (reference composite :543 / _match_luminance :1187).
+
+    feather="inward" ramps alpha from the mask edge into the mask (Kontext
+    composite :543-634); "outward" keeps alpha=1 inside the mask and ramps it
+    over ``blur_radius`` pixels outside (Klein composite :1497-1507)."""
+    x1, y1, x2, y2 = bbox
+    sub_mask = (mask[y1:y2, x1:x2] > 0).astype(np.float32)
+
+    patch_j = jnp.asarray(patch, jnp.float32)
+    base_j = jnp.asarray(image[y1:y2, x1:x2], jnp.float32)
+    mask_j = jnp.asarray(sub_mask)
+    if luminance_correction:
+        ctx_mask = 1.0 - mask_j
+        patch_j = match_luminance_lab(patch_j, base_j, mask_j, ctx_mask)
+    if feather == "outward":
+        # alpha = 1 inside the mask, linear falloff over blur_radius outside
+        d_out = distance_transform_edt(1.0 - mask_j)
+        alpha = jnp.clip(1.0 - d_out / max(blur_radius, 1e-6), 0.0, 1.0)
+    else:
+        # distance into the mask, ramped over the blur sigma
+        alpha = jnp.clip(distance_transform_edt(mask_j) / blur_radius, 0.0, 1.0)
         alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * mask_j
-        blended = base_j * (1 - alpha[..., None]) + patch_j * alpha[..., None]
+    blended = base_j * (1 - alpha[..., None]) + patch_j * alpha[..., None]
 
-        out = image.copy()
-        out[y1:y2, x1:x2] = np.clip(np.asarray(blended), 0, 255).astype(np.uint8)
-        return out
+    out = image.copy()
+    out[y1:y2, x1:x2] = np.clip(np.asarray(blended), 0, 255).astype(np.uint8)
+    return out
 
 
 def build_converted_inpainter(dit_vars, vae_vars=None,

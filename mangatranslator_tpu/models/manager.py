@@ -198,10 +198,15 @@ class ModelManager:
                            if k.startswith(("model.", "lm_head."))}
                 variables = {"params": {
                     "ernie": convert_ernie45(text_sd)["params"]}}
-            elif mtype in (ModelType.SAM2, ModelType.SAM3):
+            elif mtype == ModelType.SAM2:
                 from .sam_hf import convert_sam2
 
                 variables = convert_sam2(sd)
+            elif mtype == ModelType.SAM3:
+                # distinct tracker stack (reference model_manager.py:1012-1046)
+                from .sam3 import convert_sam3
+
+                variables = convert_sam3(sd)
             elif mtype == ModelType.RTDETR_CONJOINED:
                 from .rtdetr_hf import convert_rtdetr_v2
 
@@ -214,11 +219,16 @@ class ModelManager:
                 from .convert_rcan import convert_rcan
 
                 variables, _ = convert_rcan(sd)
-            elif mtype in (ModelType.FLUX_KONTEXT, ModelType.FLUX_KLEIN_4B,
-                           ModelType.FLUX_KLEIN_9B):
+            elif mtype == ModelType.FLUX_KONTEXT:
                 from .flux.convert_flux import convert_flux_dit
 
                 variables = convert_flux_dit(sd)
+            elif mtype in (ModelType.FLUX_KLEIN_4B, ModelType.FLUX_KLEIN_9B):
+                # FLUX.2 topology (BFL or diffusers naming; reference
+                # model_manager.py:1254-1345 loads the Disty0 SDNQ repos)
+                from .flux.convert_flux import convert_flux2_dit
+
+                variables = convert_flux2_dit(sd)
             else:
                 log_message(f"No converter wired yet for {mtype.value}",
                             always_print=True)
@@ -348,6 +358,30 @@ class ModelManager:
             if key in self._runners:
                 self._touch(key)
                 return self._runners[key]
+            if mtype == ModelType.SAM3:
+                # SAM 3 Tracker is a distinct architecture (PE ViT + simple
+                # FPN), not a SAM2 alias (reference model_manager.py:1012)
+                from .sam3 import (SAM3_PRESETS, Sam3TrackerRefiner,
+                                   infer_sam3_config_from_variables,
+                                   init_sam3)
+
+                params = self._load_converted(mtype)
+                if params is not None and "vit" in params.get("params", {}):
+                    cfg = infer_sam3_config_from_variables(
+                        params, prompt_image_size=int(os.environ.get(
+                            "MTX_SAM3_IMGSZ", "1008")))
+                else:
+                    preset = os.environ.get("MTX_SAM3_PRESET", "test")
+                    cfg = SAM3_PRESETS[preset]
+                    self._try_download(mtype)
+                    log_message(
+                        "No converted checkpoint for sam3; using random init",
+                        always_print=True)
+                    params = init_sam3(cfg)
+                runner = Sam3TrackerRefiner(cfg, params)
+                self._runners[key] = runner
+                self._touch(key)
+                return runner
             from .sam import SAM_PRESETS, SamRefiner, init_sam
 
             params = self._load_converted(mtype)
@@ -377,12 +411,18 @@ class ModelManager:
             return runner
 
     def get_flux_inpainter(self, method: str = "flux_klein_4b",
-                           prompt: Optional[str] = None):
+                           prompt: Optional[str] = None,
+                           upscale_small_crops: bool = True):
+        """Klein methods get the FLUX.2 pipeline with Klein sizing semantics
+        (16-px-quantized [64,2048] dims, ≤4MP, ~1MP small-crop upscale,
+        4-step CFG 1.0 — reference inpainting.py:988-1003,1258-1313);
+        Kontext keeps the 17-AR-bucket FLUX.1 pipeline (:139-157)."""
         mtype = {
             "flux_klein_4b": ModelType.FLUX_KLEIN_4B,
             "flux_klein_9b": ModelType.FLUX_KLEIN_9B,
             "flux_kontext": ModelType.FLUX_KONTEXT,
         }.get(method, ModelType.FLUX_KLEIN_4B)
+        is_klein = mtype is not ModelType.FLUX_KONTEXT
         key = (mtype, 0)
         with self._lock:
             if key in self._runners:
@@ -397,7 +437,7 @@ class ModelManager:
 
             # Klein models default to the long preservation prompt
             # (reference inpainting.py:991); Kontext keeps "Remove all text."
-            if prompt in (None, DEFAULT_PROMPT) and method.startswith("flux_klein"):
+            if prompt in (None, DEFAULT_PROMPT) and is_klein:
                 prompt = KLEIN_PROMPT
             dit_vars = self._load_converted(mtype)
             if dit_vars is not None:
@@ -408,8 +448,15 @@ class ModelManager:
                     from .convert import load_flax_safetensors
 
                     vae_vars = load_flax_safetensors(str(vae_path))
-                inpainter = build_converted_inpainter(
-                    dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT)
+                if is_klein:
+                    from .flux.klein import build_converted_klein
+
+                    inpainter = build_converted_klein(
+                        dit_vars, vae_vars, prompt=prompt or KLEIN_PROMPT,
+                        upscale_small_crops=upscale_small_crops)
+                else:
+                    inpainter = build_converted_inpainter(
+                        dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT)
                 self._runners[key] = inpainter
                 self._touch(key)
                 return inpainter
@@ -418,9 +465,19 @@ class ModelManager:
             log_message(
                 f"No converted checkpoint for {mtype.value}; using random init "
                 f"(preset {preset})", always_print=True)
-            inpainter = build_random_inpainter(
-                preset=preset, vae_preset=vae_preset,
-                prompt=prompt or DEFAULT_PROMPT)
+            if is_klein:
+                from .flux.flux2 import FLUX2_PRESETS
+                from .flux.klein import build_random_klein
+
+                klein_preset = preset if preset in FLUX2_PRESETS else "test"
+                inpainter = build_random_klein(
+                    preset=klein_preset, vae_preset=vae_preset,
+                    prompt=prompt or KLEIN_PROMPT,
+                    upscale_small_crops=upscale_small_crops)
+            else:
+                inpainter = build_random_inpainter(
+                    preset=preset, vae_preset=vae_preset,
+                    prompt=prompt or DEFAULT_PROMPT)
             self._runners[key] = inpainter
             self._touch(key)
             return inpainter

@@ -320,7 +320,9 @@ def translate_and_render(
         if method.startswith("flux"):
             try:
                 inpainter = manager.get_flux_inpainter(
-                    method, prompt=config.outside_text.flux_prompt)
+                    method, prompt=config.outside_text.flux_prompt,
+                    upscale_small_crops=(
+                        config.outside_text.flux_upscale_small_crops))
             except Exception as e:
                 log_message(f"Flux unavailable, cv2 fallback: {e}",
                             always_print=True)

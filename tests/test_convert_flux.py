@@ -113,12 +113,12 @@ def test_converted_inpainter_built_from_checkpoints(tmp_path, monkeypatch):
         dit = jax.tree.map(np.asarray, init_flux(CFG, h_tok=4, w_tok=4,
                                                  txt_len=4))
         vae = jax.tree.map(np.asarray, init_vae(VAE_PRESETS["test"], 16))
-        out = mgr.checkpoint_path(ModelType.FLUX_KLEIN_4B)
+        out = mgr.checkpoint_path(ModelType.FLUX_KONTEXT)
         out.parent.mkdir(parents=True, exist_ok=True)
         save_flax_safetensors(dit, str(out))
         save_flax_safetensors(vae, str(out.parent /
                                        "flux_vae.flax.safetensors"))
-        inp = mgr.get_flux_inpainter("flux_klein_4b")
+        inp = mgr.get_flux_inpainter("flux_kontext")
         assert inp.bundle.dit_cfg.hidden_size == CFG.hidden_size
         assert inp.bundle.dit_cfg.num_heads == CFG.num_heads
         assert inp.bundle.dit_cfg.axes_dim == CFG.axes_dim

@@ -1,0 +1,247 @@
+"""FLUX.2 Klein inference semantics: sizing parity + bucketed pipeline.
+
+Sizing expectations are hand-derived from the reference's functions
+(core/image/inpainting.py:1126 _quantize_dimension, :1131
+_expand_bounds_to_min_size, :1258 _prepare_image_for_inference, :1393-1424
+inpaint_mask crop selection) — each table row is the value the reference
+computes for those inputs.
+"""
+
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.models.flux.klein import (
+    KLEIN_DEFAULT_STEPS,
+    KleinInpainter,
+    build_random_klein,
+    expand_bounds_to_min_size,
+    klein_blur_radius,
+    klein_crop_bbox,
+    prepare_inference_size,
+    quantize_dimension,
+)
+
+
+# -- sizing parity --------------------------------------------------------------
+
+
+@pytest.mark.parametrize("dim,expected", [
+    (10, 64),      # clamped up to MIN_RESOLUTION
+    (64, 64),
+    (65, 64),      # floor to multiple of 16
+    (79, 64),
+    (80, 80),
+    (100, 96),
+    (1000, 992),
+    (2047, 2032),
+    (2048, 2048),
+    (3000, 2048),  # clamped to MAX_RESOLUTION
+])
+def test_quantize_dimension(dim, expected):
+    assert quantize_dimension(dim) == expected
+
+
+@pytest.mark.parametrize("w,h,upscale,expected", [
+    # ~1MP upscale: scale = sqrt(2^20 / (w*h)), then quantize
+    (100, 100, True, (1024, 1024)),
+    (1600, 1600, True, (1024, 1024)),
+    (512, 256, True, (1440, 720)),     # scale 2.8284 → 1448→1440, 724→720
+    (2048, 2048, True, (1024, 1024)),
+    # no upscale: ≤4MP stays, quantized
+    (1000, 900, False, (992, 896)),
+    (64, 64, False, (64, 64)),
+    # 4MP cap: scale = sqrt(4e6 / (w*h))
+    (3000, 2000, False, (2048, 1632)),  # 2449→2048 (clamp), 1633→1632
+    (2048, 2000, False, (2048, 2000 * 2048 // 2048 // 16 * 16)),
+])
+def test_prepare_inference_size(w, h, upscale, expected):
+    if (w, h, upscale) == (2048, 2000, False):
+        # compute the reference value explicitly: 4,096,000 px > 4M
+        import math
+        scale = math.sqrt(4_000_000 / (2048 * 2000))
+        ew = quantize_dimension(int(2048 * scale))
+        eh = quantize_dimension(int(2000 * scale))
+        while ew * eh > 4_000_000:
+            if ew >= eh and ew > 64:
+                ew -= 16
+            elif eh > 64:
+                eh -= 16
+            else:
+                break
+        expected = (ew, eh)
+    assert prepare_inference_size(w, h, upscale) == expected
+
+
+def test_prepare_inference_size_budget_always_respected():
+    rng = np.random.default_rng(0)
+    for _ in range(200):
+        w = int(rng.integers(1, 4096))
+        h = int(rng.integers(1, 4096))
+        for upscale in (True, False):
+            nw, nh = prepare_inference_size(w, h, upscale)
+            assert nw * nh <= 4_000_000
+            assert nw % 16 == 0 and nh % 16 == 0
+            assert 64 <= nw <= 2048 and 64 <= nh <= 2048
+
+
+def test_expand_bounds_to_min_size():
+    # small box in the middle grows symmetrically to 64
+    assert expand_bounds_to_min_size(100, 100, 110, 112, 500, 500) == \
+        (73, 74, 137, 138)
+    # box at the left edge grows rightward
+    assert expand_bounds_to_min_size(0, 100, 10, 110, 500, 500) == \
+        (0, 73, 64, 137)
+    # box at the right edge grows leftward
+    assert expand_bounds_to_min_size(495, 100, 500, 110, 500, 500) == \
+        (436, 73, 500, 137)
+    # image smaller than 64: target shrinks to the image
+    assert expand_bounds_to_min_size(10, 10, 20, 20, 48, 40) == (0, 0, 48, 40)
+
+
+def test_klein_crop_bbox_quantized_and_shifted():
+    # mask bbox x 100-150, y 200-240 (inclusive) in a 1000x800 page:
+    # bw=50, bh=40 → padding = int(min(25, 80) * 2.0) = 50
+    # raw crop (50, 150)-(201, 291) → quantize 151→144, 141→128
+    assert klein_crop_bbox(100, 200, 150, 240, 1000, 800) == \
+        (50, 150, 194, 278)
+    # crop near the bottom-right corner shifts back inside
+    x1, y1, x2, y2 = klein_crop_bbox(950, 750, 990, 790, 1000, 800)
+    assert x2 <= 1000 and y2 <= 800
+    assert (x2 - x1) % 16 == 0 and (y2 - y1) % 16 == 0
+    assert x2 - x1 >= 64 and y2 - y1 >= 64
+
+
+def test_klein_crop_bbox_small_image_parity_quirk():
+    # reference takes min(quantize(dim), img_dim) — a 40-px-wide page yields
+    # a 40-px crop that is NOT a multiple of 16 (kept for parity)
+    x1, y1, x2, y2 = klein_crop_bbox(5, 5, 30, 30, 40, 48)
+    assert (x2 - x1, y2 - y1) == (40, 48)
+
+
+@pytest.mark.parametrize("bw,bh,expected", [
+    (5, 5, 1),       # clamped to MIN_BLUR_RADIUS
+    (50, 40, 5),
+    (200, 100, 10),  # clamped to MAX_BLUR_RADIUS
+])
+def test_klein_blur_radius(bw, bh, expected):
+    assert klein_blur_radius(bw, bh) == expected
+
+
+# -- bucketed pipeline ------------------------------------------------------------
+
+
+def _make_page(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 255, (h, w, 3), np.uint8)
+
+
+def test_klein_inpaint_mask_end_to_end(monkeypatch):
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    inp = build_random_klein(upscale_small_crops=False)
+    img = _make_page(96, 96)
+    mask = np.zeros((96, 96), np.uint8)
+    mask[40:60, 30:70] = 1
+    out = inp.inpaint_mask(img, mask, seed=3, num_inference_steps=2,
+                           use_cache=False)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    # masked interior replaced
+    assert np.abs(out[45:55, 40:60].astype(int)
+                  - img[45:55, 40:60].astype(int)).mean() > 1.0
+    # pixels beyond the crop untouched (crop is ≤64+pad region around mask)
+    assert np.array_equal(out[0:2], img[0:2])
+
+
+def test_klein_steps_clamped_to_max(monkeypatch):
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    inp = build_random_klein(upscale_small_crops=False)
+    img = _make_page(80, 80)
+    mask = np.zeros((80, 80), np.uint8)
+    mask[30:50, 30:50] = 1
+    inp.inpaint_mask(img, mask, seed=1, num_inference_steps=99,
+                     use_cache=False)
+    # program compiled with the clamped step count (reference KLEIN_MAX_STEPS)
+    assert all(steps <= 12 for _, steps in inp._denoise_progs)
+
+
+def test_klein_denoise_program_shared_across_crop_sizes(monkeypatch):
+    """Crops of different 16-px-quantized sizes that pad to the same token
+    bucket share ONE compiled denoise program (the TPU design point)."""
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "256")
+    inp = build_random_klein(upscale_small_crops=False)
+    img = _make_page(200, 200)
+    mask_a = np.zeros((200, 200), np.uint8)
+    mask_a[50:70, 50:70] = 1      # → 64-ish crop
+    mask_b = np.zeros((200, 200), np.uint8)
+    mask_b[60:100, 60:100] = 1    # → 112-px crop (196 tok), same 256 bucket
+    inp.inpaint_mask(img, mask_a, seed=1, num_inference_steps=2,
+                     use_cache=False)
+    inp.inpaint_mask(img, mask_b, seed=1, num_inference_steps=2,
+                     use_cache=False)
+    assert len(inp._denoise_progs) == 1
+    assert len(inp._encode_progs) == 2  # VAE still per exact shape (cheap)
+
+
+def test_manager_routes_klein_to_flux2(monkeypatch, tmp_path):
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_FLUX_PRESET", "test")
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    from mangatranslator_tpu.models.flux.pipeline import (DEFAULT_PROMPT,
+                                                          FluxInpainter,
+                                                          KLEIN_PROMPT)
+    from mangatranslator_tpu.models.manager import (get_model_manager,
+                                                    reset_model_manager)
+
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        klein = mgr.get_flux_inpainter("flux_klein_4b")
+        assert isinstance(klein, KleinInpainter)
+        assert klein.prompt == KLEIN_PROMPT
+        assert not klein.dit_cfg.guidance_embed  # plain CFG, no distill embed
+        kontext = mgr.get_flux_inpainter("flux_kontext")
+        assert isinstance(kontext, FluxInpainter)
+        assert kontext.bundle.prompt == DEFAULT_PROMPT
+    finally:
+        reset_model_manager()
+
+
+def test_manager_builds_klein_from_converted_flux2(monkeypatch, tmp_path):
+    import jax
+
+    from mangatranslator_tpu.models.convert import save_flax_safetensors
+    from mangatranslator_tpu.models.flux.flux2 import FLUX2_PRESETS, init_flux2
+    from mangatranslator_tpu.models.flux.vae import VAE_PRESETS, init_vae
+    from mangatranslator_tpu.models.manager import (ModelType,
+                                                    get_model_manager,
+                                                    reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        cfg = FLUX2_PRESETS["test"]
+        dit = jax.tree.map(np.asarray, init_flux2(cfg))
+        vae = jax.tree.map(np.asarray, init_vae(VAE_PRESETS["test"], 16))
+        out = mgr.checkpoint_path(ModelType.FLUX_KLEIN_4B)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors(dit, str(out))
+        save_flax_safetensors(vae, str(out.parent /
+                                       "flux_vae.flax.safetensors"))
+        inp = mgr.get_flux_inpainter("flux_klein_4b")
+        assert isinstance(inp, KleinInpainter)
+        assert inp.dit_cfg.hidden_size == cfg.hidden_size
+        assert inp.dit_cfg.ctx_dim == cfg.ctx_dim
+        assert inp.vae_cfg.channel_mults == (1, 2, 2)
+    finally:
+        reset_model_manager()
+
+
+def test_default_steps_guidance_constants():
+    # reference inpainting.py:988-990
+    from mangatranslator_tpu.models.flux.klein import (KLEIN_GUIDANCE_SCALE,
+                                                       KLEIN_MAX_STEPS)
+
+    assert KLEIN_DEFAULT_STEPS == 4
+    assert KLEIN_MAX_STEPS == 12
+    assert KLEIN_GUIDANCE_SCALE == 1.0

@@ -1,0 +1,344 @@
+"""SAM 3 Tracker port: torch-reimplementation golden for the new PE-ViT
+backbone + simple FPN (the prompt encoder / mask decoder are the same Flax
+classes already golden-tested against live torch in test_sam_hf.py), plus
+conversion round-trips and manager routing.
+
+The installed transformers (4.57.x) predates Sam3Tracker*, so these goldens
+use a faithful torch reimplementation of the backbone graph instead of the
+live model (same approach as tests/test_flux2.py).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+
+from mangatranslator_tpu.models.sam3 import (
+    SAM3_PRESETS,
+    PEViT,
+    Sam3TrackerConfig,
+    Sam3TrackerModel,
+    Sam3TrackerRefiner,
+    SimpleFPN,
+    convert_sam3,
+    export_sam3_style,
+    infer_sam3_config,
+    infer_sam3_config_from_variables,
+    init_sam3,
+    rope_2d_tables,
+)
+
+CFG = Sam3TrackerConfig(
+    embed_dim=32, depth=2, num_heads=2, patch_size=14, window_size=2,
+    global_attention_layers=(1,), fpn_hidden_size=32,
+    prompt_image_size=56, dec_hidden=32, dec_heads=4, dec_mlp_dim=64,
+    iou_head_hidden=32)
+
+
+def _randomize(variables, seed=0):
+    leaves, treedef = jax.tree.flatten(variables)
+    rng = np.random.default_rng(seed)
+    out = [np.asarray(rng.standard_normal(np.shape(x)) * 0.05, np.float32)
+           for x in leaves]
+    return jax.tree.unflatten(treedef, out)
+
+
+# ---- torch reimplementation of the backbone graph --------------------------------
+
+
+class TorchChannelLN(tnn.Module):
+    def __init__(self, dim, eps=1e-6):
+        super().__init__()
+        self.weight = tnn.Parameter(torch.ones(dim))
+        self.bias = tnn.Parameter(torch.zeros(dim))
+        self.eps = eps
+
+    def forward(self, x):  # NCHW
+        x = x.permute(0, 2, 3, 1)
+        x = F.layer_norm(x, x.shape[-1:], self.weight, self.bias, self.eps)
+        return x.permute(0, 3, 1, 2)
+
+
+class TorchMLP(tnn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.proj_in = tnn.Linear(dim, hidden)
+        self.proj_out = tnn.Linear(hidden, dim)
+
+    def forward(self, x):
+        return self.proj_out(F.gelu(self.proj_in(x)))
+
+
+def _torch_rope(x, cos, sin):
+    # x [B, S, heads, hd]
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    c = cos[:, None, :]
+    s = sin[:, None, :]
+    out = torch.stack([x1 * c - x2 * s, x1 * s + x2 * c], dim=-1)
+    return out.reshape(x.shape)
+
+
+class TorchPEAttention(tnn.Module):
+    def __init__(self, dim, heads, theta):
+        super().__init__()
+        self.qkv = tnn.Linear(dim, dim * 3)
+        self.proj = tnn.Linear(dim, dim)
+        self.heads = heads
+        self.theta = theta
+
+    def forward(self, x):  # [B, H, W, C]
+        b, h, w, c = x.shape
+        hd = c // self.heads
+        cos_np, sin_np = rope_2d_tables(h, w, hd, self.theta)
+        cos = torch.from_numpy(cos_np)
+        sin = torch.from_numpy(sin_np)
+        qkv = self.qkv(x).reshape(b, h * w, 3, self.heads, hd)
+        q = _torch_rope(qkv[:, :, 0], cos, sin)
+        k = _torch_rope(qkv[:, :, 1], cos, sin)
+        v = qkv[:, :, 2]
+        att = torch.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        att = att.softmax(-1)
+        out = torch.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, h, w, c)
+        return self.proj(out)
+
+
+def _torch_window_partition(x, ws):
+    b, h, w, c = x.shape
+    ph, pw = (ws - h % ws) % ws, (ws - w % ws) % ws
+    x = F.pad(x, (0, 0, 0, pw, 0, ph))
+    hh, ww = h + ph, w + pw
+    x = x.reshape(b, hh // ws, ws, ww // ws, ws, c)
+    wins = x.permute(0, 1, 3, 2, 4, 5).reshape(-1, ws, ws, c)
+    return wins, (hh, ww)
+
+
+def _torch_window_unpartition(wins, ws, pad_hw, hw):
+    hh, ww = pad_hw
+    h, w = hw
+    b = wins.shape[0] // ((hh // ws) * (ww // ws))
+    x = wins.reshape(b, hh // ws, ww // ws, ws, ws, -1)
+    x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, hh, ww, -1)
+    return x[:, :h, :w]
+
+
+class TorchPEBlock(tnn.Module):
+    def __init__(self, cfg, idx):
+        super().__init__()
+        self.layer_norm1 = tnn.LayerNorm(cfg.embed_dim, eps=cfg.layer_norm_eps)
+        self.layer_norm2 = tnn.LayerNorm(cfg.embed_dim, eps=cfg.layer_norm_eps)
+        self.attn = TorchPEAttention(cfg.embed_dim, cfg.num_heads,
+                                     cfg.rope_theta)
+        self.mlp = TorchMLP(cfg.embed_dim, int(cfg.embed_dim * cfg.mlp_ratio))
+        self.ws = (0 if idx in cfg.global_attention_layers
+                   else cfg.window_size)
+
+    def forward(self, x):  # [B, H, W, C]
+        h = self.layer_norm1(x)
+        hw = (h.shape[1], h.shape[2])
+        pad_hw = hw
+        if self.ws > 0:
+            h, pad_hw = _torch_window_partition(h, self.ws)
+        h = self.attn(h)
+        if self.ws > 0:
+            h = _torch_window_unpartition(h, self.ws, pad_hw, hw)
+        x = x + h
+        return x + self.mlp(self.layer_norm2(x))
+
+
+class TorchPEViT(tnn.Module):
+    """state-dict names match convert_sam3's vision_encoder.* mapping
+    (prefix stripped)."""
+
+    def __init__(self, cfg, grid):
+        super().__init__()
+        self.patch_embed = tnn.Module()
+        self.patch_embed.projection = tnn.Conv2d(
+            3, cfg.embed_dim, cfg.patch_size, stride=cfg.patch_size)
+        self.pos_embed = tnn.Parameter(
+            torch.zeros(1, cfg.embed_dim, grid, grid))
+        self.blocks = tnn.ModuleList(
+            [TorchPEBlock(cfg, i) for i in range(cfg.depth)])
+        self.layer_norm = tnn.LayerNorm(cfg.embed_dim, eps=cfg.layer_norm_eps)
+
+    def forward(self, images):  # NCHW
+        x = self.patch_embed.projection(images)
+        x = x + self.pos_embed
+        x = x.permute(0, 2, 3, 1)  # NHWC token grid
+        for blk in self.blocks:
+            x = blk(x)
+        return self.layer_norm(x)
+
+
+class TorchNeck(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        d = cfg.embed_dim
+        self.up4 = tnn.Sequential(
+            tnn.ConvTranspose2d(d, d // 2, 2, 2), TorchChannelLN(d // 2),
+            tnn.GELU(), tnn.ConvTranspose2d(d // 2, d // 4, 2, 2))
+        self.up2 = tnn.Sequential(tnn.ConvTranspose2d(d, d // 2, 2, 2))
+        ins = (d // 4, d // 2, d)
+        self.lateral_convs = tnn.ModuleList(
+            [tnn.Conv2d(ins[i], cfg.fpn_hidden_size, 1, bias=False)
+             for i in range(3)])
+        self.lateral_norms = tnn.ModuleList(
+            [TorchChannelLN(cfg.fpn_hidden_size) for _ in range(3)])
+        self.output_convs = tnn.ModuleList(
+            [tnn.Conv2d(cfg.fpn_hidden_size, cfg.fpn_hidden_size, 3,
+                        padding=1, bias=False) for _ in range(3)])
+        self.output_norms = tnn.ModuleList(
+            [TorchChannelLN(cfg.fpn_hidden_size) for _ in range(3)])
+
+    def forward(self, x):  # NCHW stride-patch map
+        up4 = self.up4(x)
+        up2 = self.up2(x)
+        outs = []
+        for i, feat in enumerate((up4, up2, x)):
+            y = self.lateral_norms[i](self.lateral_convs[i](feat))
+            y = self.output_norms[i](self.output_convs[i](y))
+            outs.append(y)
+        return outs
+
+
+def test_backbone_fpn_golden_vs_torch():
+    """Flax PEViT + SimpleFPN match the torch graph loaded from the exported
+    (reference-naming) state dict."""
+    variables = _randomize(init_sam3(CFG, seed=1), seed=7)
+    sd = export_sam3_style(variables, CFG)
+    grid = CFG.prompt_image_size // CFG.patch_size
+
+    vit_t = TorchPEViT(CFG, grid)
+    neck_t = TorchNeck(CFG)
+    vit_sd = {k[len("vision_encoder."):]: torch.from_numpy(v.copy())
+              for k, v in sd.items()
+              if k.startswith("vision_encoder.") and ".neck." not in k}
+    neck_sd = {k[len("vision_encoder.neck."):]: torch.from_numpy(v.copy())
+               for k, v in sd.items()
+               if k.startswith("vision_encoder.neck.")}
+    missing, unexpected = vit_t.load_state_dict(vit_sd, strict=True), None
+    neck_t.load_state_dict(neck_sd, strict=True)
+    vit_t.eval()
+    neck_t.eval()
+
+    rng = np.random.default_rng(3)
+    img = rng.standard_normal(
+        (1, CFG.prompt_image_size, CFG.prompt_image_size, 3)).astype(np.float32)
+
+    feats_j = PEViT(CFG).apply({"params": variables["params"]["vit"]},
+                               jnp.asarray(img))
+    s0_j, s1_j, s2_j = SimpleFPN(CFG).apply(
+        {"params": variables["params"]["fpn"]}, feats_j)
+
+    with torch.no_grad():
+        feats_t = vit_t(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+        outs_t = neck_t(feats_t.permute(0, 3, 1, 2))
+
+    np.testing.assert_allclose(np.asarray(feats_j), feats_t.numpy(),
+                               atol=2e-5, rtol=1e-4)
+    for ours, theirs in zip((s0_j, s1_j, s2_j), outs_t):
+        np.testing.assert_allclose(np.asarray(ours),
+                                   theirs.permute(0, 2, 3, 1).numpy(),
+                                   atol=2e-5, rtol=1e-4)
+
+
+def test_convert_roundtrip_bit_identical():
+    variables = _randomize(init_sam3(CFG, seed=2), seed=11)
+    sd = export_sam3_style(variables, CFG)
+    back = convert_sam3(sd, CFG)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+
+def test_infer_config_from_state_dict_and_tree():
+    variables = init_sam3(CFG, seed=0)
+    sd = export_sam3_style(variables, CFG)
+    ic = infer_sam3_config(sd)
+    assert (ic.embed_dim, ic.depth, ic.patch_size) == (32, 2, 14)
+    assert ic.fpn_hidden_size == 32 and ic.dec_hidden == 32
+    it = infer_sam3_config_from_variables(variables, prompt_image_size=56)
+    assert (it.embed_dim, it.depth, it.patch_size) == (32, 2, 14)
+    assert it.dec_mlp_dim == 64
+
+
+def test_refiner_end_to_end():
+    refiner = Sam3TrackerRefiner(CFG, _randomize(init_sam3(CFG), seed=5))
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 255, (64, 80, 3), np.uint8)
+    masks = refiner(img, np.array([[10, 10, 50, 50]], np.float32))
+    assert len(masks) == 1
+    assert masks[0].shape == (64, 80) and masks[0].dtype == np.uint8
+
+
+def test_forward_full_model_shapes():
+    variables = init_sam3(CFG)
+    model = Sam3TrackerModel(CFG)
+    masks, iou, obj = model.apply(variables,
+                                  jnp.zeros((1, 56, 56, 3)),
+                                  jnp.zeros((1, 2, 4)))
+    grid = 56 // 14
+    assert masks.shape == (1, 2, 1, grid * 4, grid * 4)
+    assert iou.shape == (1, 2, 1) and obj.shape == (1, 2, 1)
+
+
+def test_manager_routes_sam3_distinct(monkeypatch, tmp_path):
+    from mangatranslator_tpu.models.manager import (ModelType,
+                                                    get_model_manager,
+                                                    reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_SAM3_PRESET", "test")
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        runner = mgr.get_sam_refiner("sam3")
+        assert isinstance(runner, Sam3TrackerRefiner)
+        # and a converted SAM3 tree reloads with config inferred from shapes
+        from mangatranslator_tpu.models.convert import save_flax_safetensors
+
+        variables = jax.tree.map(np.asarray, init_sam3(CFG))
+        out = mgr.checkpoint_path(ModelType.SAM3)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors(variables, str(out))
+        reset_model_manager()
+        monkeypatch.setenv("MTX_SAM3_IMGSZ", "56")
+        mgr = get_model_manager()
+        runner = mgr.get_sam_refiner("sam3")
+        assert isinstance(runner, Sam3TrackerRefiner)
+        assert runner.cfg.embed_dim == 32
+        assert runner.cfg.prompt_image_size == 56
+    finally:
+        reset_model_manager()
+
+
+def test_manager_convert_and_store_sam3_state_dict(monkeypatch, tmp_path):
+    """convert_and_store handles a SAM3 tracker state dict (VERDICT item 6)."""
+    import torch as _torch
+
+    from mangatranslator_tpu.models.manager import (ModelType,
+                                                    get_model_manager,
+                                                    reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        variables = _randomize(init_sam3(CFG), seed=3)
+        sd = {k: _torch.from_numpy(np.asarray(v).copy())
+              for k, v in export_sam3_style(variables, CFG).items()}
+        ckpt = tmp_path / "sam3.pt"
+        _torch.save(sd, str(ckpt))
+        converted = mgr.convert_and_store(ModelType.SAM3, ckpt)
+        assert converted is not None
+        assert "vit" in converted["params"]
+        assert mgr.checkpoint_path(ModelType.SAM3).exists()
+    finally:
+        reset_model_manager()
