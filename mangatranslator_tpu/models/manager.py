@@ -186,8 +186,8 @@ class ModelManager:
 
                 variables = convert_clip_text(sd)
             elif mtype == ModelType.PADDLE_OCR_VL:
-                # text side only: the ERNIE-4.5 decoder converts 1:1; the
-                # NaViT vision encoder is trust_remote_code-only upstream
+                # ERNIE-4.5 decoder (1:1) + NaViT vision encoder/projector
+                # when the checkpoint carries them (models/navit.py)
                 from .ernie import convert_ernie45
 
                 text_sd = {
@@ -195,9 +195,21 @@ class ModelManager:
                      if k.startswith("language_model.") else k): v
                     for k, v in sd.items()}
                 text_sd = {k: v for k, v in text_sd.items()
-                           if k.startswith(("model.", "lm_head."))}
-                variables = {"params": {
-                    "ernie": convert_ernie45(text_sd)["params"]}}
+                           if k.startswith(("model.", "lm_head."))
+                           and not k.startswith(("model.vision_model.",
+                                                 "model.projector."))}
+                params = {"ernie": convert_ernie45(text_sd)["params"]}
+                vision_sd = {}
+                for k, v in sd.items():
+                    kk = k[len("model."):] if k.startswith("model.") else k
+                    if kk.startswith(("vision_model.", "projector.")):
+                        vision_sd[kk] = v
+                if ("vision_model.embeddings.patch_embedding.weight"
+                        in vision_sd):
+                    from .navit import convert_navit
+
+                    params.update(convert_navit(vision_sd)["params"])
+                variables = {"params": params}
             elif mtype == ModelType.SAM2:
                 from .sam_hf import convert_sam2
 

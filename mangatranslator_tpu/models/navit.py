@@ -1,0 +1,339 @@
+"""NaViT-style dynamic-resolution vision encoder for PaddleOCR-VL, in Flax.
+
+The reference loads PaddleOCR-VL-1.6 whole via AutoModelForImageTextToText
+(core/ml/model_manager.py:927-980); its vision half is a NaViT-style
+native-aspect-ratio encoder (SigLIP-derived, per the published PaddleOCR-VL
+report: patch-14 transformer with interpolated absolute positions + 2D
+rotary embeddings, processing images at their native aspect ratio) feeding
+the ERNIE-4.5 decoder (models/ernie.py) through a 2×2-merge MLP projector.
+
+TPU mapping: true NaViT packs variable-size images into one sequence with
+per-image attention masks. The OCR path here runs ONE crop per call, so the
+TPU-first equivalent is an aspect-ratio bucket ladder (NAVIT_BUCKETS): the
+crop resizes to the nearest-AR bucket whose pixel dims are multiples of
+patch·merge, one XLA program compiles per bucket, and the interpolated
+position embedding + RoPE tables are bucket constants. Same discipline as
+ops/image.py:pick_bucket and the FLUX pipelines.
+
+Upstream ships this encoder trust_remote_code-only, so (like
+tests/test_flux2.py) the golden test uses a faithful torch reimplementation
+of the graph; conversion uses SigLIP-convention key names and rebinds every
+structural field from the checkpoint shapes.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any, Dict, Mapping, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .convert import linear_kernel, set_path
+
+
+@dataclass(frozen=True)
+class NaViTConfig:
+    hidden_size: int = 1152          # SigLIP-400M width (PaddleOCR-VL report)
+    depth: int = 27
+    num_heads: int = 16
+    mlp_hidden: int = 4304
+    patch_size: int = 14
+    pos_grid: int = 27               # base learned-position grid (378/14)
+    merge_size: int = 2              # 2×2 token merge into the projector
+    out_dim: int = 1024              # ERNIE hidden size after projection
+    use_rope2d: bool = True
+    rope_theta: float = 10000.0
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+NAVIT_PRESETS = {
+    "paddle_ocr_vl": NaViTConfig(),
+    "test": NaViTConfig(hidden_size=32, depth=2, num_heads=2, mlp_hidden=64,
+                        patch_size=14, pos_grid=4, merge_size=2, out_dim=32),
+}
+
+# AR bucket ladder (pixel dims; multiples of patch·merge = 28). Token grids
+# stay ≤ ~800 patches; OCR crops are mostly wide/short lines, so the ladder
+# is AR-heavy on the wide side with a few small squares for stamps/furigana.
+NAVIT_BUCKETS: Tuple[Tuple[int, int], ...] = (
+    (112, 112), (112, 224), (224, 112), (112, 448), (448, 112),
+    (224, 224), (168, 336), (336, 168), (140, 560), (560, 140),
+    (392, 392), (280, 560), (560, 280), (196, 784), (784, 196),
+)
+
+
+def pick_navit_bucket(h: int, w: int,
+                      buckets=NAVIT_BUCKETS) -> Tuple[int, int]:
+    """Nearest bucket by log-aspect-ratio, then by area distance."""
+    ar = math.log(max(1, w) / max(1, h))
+    area = h * w
+
+    def key(b):
+        bh, bw = b
+        return (abs(math.log(bw / bh) - ar), abs(bh * bw - area))
+
+    return min(buckets, key=key)
+
+
+def rope_2d_tables(h: int, w: int, head_dim: int,
+                   theta: float = 10000.0) -> Tuple[np.ndarray, np.ndarray]:
+    """Axial 2D RoPE tables [h·w, head_dim//2] (y half then x half)."""
+    quarter = head_dim // 4
+    freqs = 1.0 / (theta ** (np.arange(quarter, dtype=np.float64) / quarter))
+    ys, xs = np.meshgrid(np.arange(h, dtype=np.float64),
+                         np.arange(w, dtype=np.float64), indexing="ij")
+    ang = np.concatenate([ys.reshape(-1, 1) * freqs,
+                          xs.reshape(-1, 1) * freqs], axis=-1)
+    return np.cos(ang).astype(np.float32), np.sin(ang).astype(np.float32)
+
+
+def _apply_rope(x: jnp.ndarray, cos: jnp.ndarray,
+                sin: jnp.ndarray) -> jnp.ndarray:
+    """x [B, S, heads, hd]; rotate consecutive pairs."""
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    c, s = cos[:, None, :], sin[:, None, :]
+    return jnp.stack([x1 * c - x2 * s, x1 * s + x2 * c],
+                     axis=-1).reshape(x.shape)
+
+
+def _gelu_tanh(x):
+    """SigLIP's gelu_pytorch_tanh activation."""
+    return jax.nn.gelu(x, approximate=True)
+
+
+class NaViTAttention(nn.Module):
+    cfg: NaViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, grid_hw: Tuple[int, int]) -> jnp.ndarray:
+        cfg = self.cfg
+        b, s, _ = x.shape
+        hd = cfg.head_dim
+        q = nn.Dense(cfg.hidden_size, name="q_proj")(x)
+        k = nn.Dense(cfg.hidden_size, name="k_proj")(x)
+        v = nn.Dense(cfg.hidden_size, name="v_proj")(x)
+        q = q.reshape(b, s, cfg.num_heads, hd)
+        k = k.reshape(b, s, cfg.num_heads, hd)
+        v = v.reshape(b, s, cfg.num_heads, hd)
+        if cfg.use_rope2d:
+            cos, sin = rope_2d_tables(*grid_hw, hd, cfg.rope_theta)
+            q = _apply_rope(q, jnp.asarray(cos), jnp.asarray(sin))
+            k = _apply_rope(k, jnp.asarray(cos), jnp.asarray(sin))
+        att = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                         preferred_element_type=jnp.float32) / math.sqrt(hd)
+        att = jax.nn.softmax(att, -1).astype(v.dtype)
+        out = jnp.einsum("bhqk,bkhd->bqhd", att, v).reshape(b, s,
+                                                            cfg.hidden_size)
+        return nn.Dense(cfg.hidden_size, name="out_proj")(out)
+
+
+class NaViTBlock(nn.Module):
+    cfg: NaViTConfig
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, grid_hw) -> jnp.ndarray:
+        cfg = self.cfg
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln1")(x)
+        x = x + NaViTAttention(cfg, name="attn")(h, grid_hw)
+        h = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln2")(x)
+        h = nn.Dense(cfg.mlp_hidden, name="fc1")(h)
+        h = nn.Dense(cfg.hidden_size, name="fc2")(_gelu_tanh(h))
+        return x + h
+
+
+class NaViTEncoder(nn.Module):
+    """Native-AR patch encoder: conv patch embed, base-grid positions
+    bilinearly interpolated to the crop's token grid, RoPE blocks, post-LN.
+    Returns [B, h_tok·w_tok, hidden]."""
+
+    cfg: NaViTConfig
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.cfg
+        p = cfg.patch_size
+        x = nn.Conv(cfg.hidden_size, (p, p), strides=(p, p),
+                    padding="VALID", name="patch_embed")(images)
+        b, h, w, c = x.shape
+        pos = self.param("pos_embed", nn.initializers.normal(0.02),
+                         (1, cfg.pos_grid, cfg.pos_grid, cfg.hidden_size))
+        if (h, w) != (cfg.pos_grid, cfg.pos_grid):
+            pos = jax.image.resize(pos, (1, h, w, c), "bilinear")
+        x = (x + pos).reshape(b, h * w, c)
+        for i in range(cfg.depth):
+            x = NaViTBlock(cfg, name=f"block{i}")(x, (h, w))
+        return nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln_out")(x)
+
+
+class NaViTProjector(nn.Module):
+    """2×2 spatial merge → LN → MLP into the decoder embedding space."""
+
+    cfg: NaViTConfig
+
+    @nn.compact
+    def __call__(self, tokens: jnp.ndarray, grid_hw) -> jnp.ndarray:
+        cfg = self.cfg
+        m = cfg.merge_size
+        b, s, c = tokens.shape
+        h, w = grid_hw
+        x = tokens.reshape(b, h // m, m, w // m, m, c)
+        x = jnp.transpose(x, (0, 1, 3, 2, 4, 5))
+        x = x.reshape(b, (h // m) * (w // m), m * m * c)
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, name="ln")(x)
+        x = nn.Dense(cfg.out_dim, name="linear_1")(x)
+        return nn.Dense(cfg.out_dim, name="linear_2")(_gelu_tanh(x))
+
+
+class NaViTVision(nn.Module):
+    """Encoder + projector (the full vision half of PaddleOCR-VL)."""
+
+    cfg: NaViTConfig
+
+    def setup(self):
+        self.encoder = NaViTEncoder(self.cfg, name="navit")
+        self.projector = NaViTProjector(self.cfg, name="projector")
+
+    def __call__(self, images: jnp.ndarray) -> jnp.ndarray:
+        p = self.cfg.patch_size
+        grid = (images.shape[1] // p, images.shape[2] // p)
+        return self.projector(self.encoder(images), grid)
+
+
+def init_navit(cfg: NaViTConfig, h: int = 56, w: int = 56, seed: int = 0):
+    return NaViTVision(cfg).init(jax.random.PRNGKey(seed),
+                                 jnp.zeros((1, h, w, 3)))
+
+
+# ---- conversion (SigLIP-convention naming) ---------------------------------------
+
+
+def _lin(sd, key, p, path):
+    set_path(p, path + ("kernel",),
+             linear_kernel(np.asarray(sd[f"{key}.weight"])))
+    if f"{key}.bias" in sd:
+        set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+
+def _ln(sd, key, p, path):
+    set_path(p, path + ("scale",), np.asarray(sd[f"{key}.weight"]))
+    set_path(p, path + ("bias",), np.asarray(sd[f"{key}.bias"]))
+
+
+def infer_navit_config(sd: Mapping[str, np.ndarray],
+                       out_dim: int = 1024) -> NaViTConfig:
+    pk = sd["vision_model.embeddings.patch_embedding.weight"]
+    hidden = pk.shape[0]
+    patch = pk.shape[-1]
+    depth = 0
+    while f"vision_model.encoder.layers.{depth}.layer_norm1.weight" in sd:
+        depth += 1
+    pos = sd["vision_model.embeddings.position_embedding.weight"]
+    grid = int(round(math.sqrt(pos.shape[0])))
+    mlp = sd["vision_model.encoder.layers.0.mlp.fc1.weight"].shape[0]
+    if "projector.linear_1.weight" in sd:
+        out_dim = sd["projector.linear_1.weight"].shape[0]
+    heads = max(1, hidden // 72) if hidden % 72 == 0 else max(1, hidden // 64)
+    return NaViTConfig(hidden_size=hidden, depth=depth, num_heads=heads,
+                       mlp_hidden=mlp, patch_size=patch, pos_grid=grid,
+                       out_dim=out_dim)
+
+
+def convert_navit(sd: Mapping[str, np.ndarray],
+                  cfg: NaViTConfig = None) -> Dict[str, Any]:
+    """SigLIP-style vision state dict (+ projector) → NaViTVision variables."""
+    if cfg is None:
+        cfg = infer_navit_config(sd)
+    p: Dict[str, Any] = {}
+    vm = "vision_model"
+    w = np.asarray(sd[f"{vm}.embeddings.patch_embedding.weight"])
+    set_path(p, ("navit", "patch_embed", "kernel"),
+             np.transpose(w, (2, 3, 1, 0)))
+    set_path(p, ("navit", "patch_embed", "bias"),
+             np.asarray(sd[f"{vm}.embeddings.patch_embedding.bias"]))
+    pos = np.asarray(sd[f"{vm}.embeddings.position_embedding.weight"])
+    g = cfg.pos_grid
+    set_path(p, ("navit", "pos_embed"),
+             pos.reshape(1, g, g, cfg.hidden_size))
+    for i in range(cfg.depth):
+        base = f"{vm}.encoder.layers.{i}"
+        path = ("navit", f"block{i}")
+        _ln(sd, f"{base}.layer_norm1", p, path + ("ln1",))
+        _ln(sd, f"{base}.layer_norm2", p, path + ("ln2",))
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            _lin(sd, f"{base}.self_attn.{proj}", p, path + ("attn", proj))
+        _lin(sd, f"{base}.mlp.fc1", p, path + ("fc1",))
+        _lin(sd, f"{base}.mlp.fc2", p, path + ("fc2",))
+    _ln(sd, f"{vm}.post_layernorm", p, ("navit", "ln_out"))
+    if "projector.linear_1.weight" in sd:
+        _ln(sd, "projector.layer_norm", p, ("projector", "ln"))
+        _lin(sd, "projector.linear_1", p, ("projector", "linear_1"))
+        _lin(sd, "projector.linear_2", p, ("projector", "linear_2"))
+    return {"params": p}
+
+
+def export_navit_style(variables: Dict[str, Any],
+                       cfg: NaViTConfig) -> Dict[str, np.ndarray]:
+    """Inverse of convert_navit for round-trip tests."""
+    p = variables["params"]
+    sd: Dict[str, np.ndarray] = {}
+
+    def put_lin(key, node):
+        sd[f"{key}.weight"] = np.asarray(node["kernel"]).T
+        if "bias" in node:
+            sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    def put_ln(key, node):
+        sd[f"{key}.weight"] = np.asarray(node["scale"])
+        sd[f"{key}.bias"] = np.asarray(node["bias"])
+
+    vm = "vision_model"
+    nav = p["navit"]
+    sd[f"{vm}.embeddings.patch_embedding.weight"] = np.asarray(
+        nav["patch_embed"]["kernel"]).transpose(3, 2, 0, 1)
+    sd[f"{vm}.embeddings.patch_embedding.bias"] = np.asarray(
+        nav["patch_embed"]["bias"])
+    sd[f"{vm}.embeddings.position_embedding.weight"] = np.asarray(
+        nav["pos_embed"]).reshape(cfg.pos_grid * cfg.pos_grid,
+                                  cfg.hidden_size)
+    for i in range(cfg.depth):
+        node = nav[f"block{i}"]
+        base = f"{vm}.encoder.layers.{i}"
+        put_ln(f"{base}.layer_norm1", node["ln1"])
+        put_ln(f"{base}.layer_norm2", node["ln2"])
+        for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            put_lin(f"{base}.self_attn.{proj}", node["attn"][proj])
+        put_lin(f"{base}.mlp.fc1", node["fc1"])
+        put_lin(f"{base}.mlp.fc2", node["fc2"])
+    put_ln(f"{vm}.post_layernorm", nav["ln_out"])
+    if "projector" in p:
+        put_ln("projector.layer_norm", p["projector"]["ln"])
+        put_lin("projector.linear_1", p["projector"]["linear_1"])
+        put_lin("projector.linear_2", p["projector"]["linear_2"])
+    return sd
+
+
+def infer_navit_config_from_variables(variables: Dict[str, Any]) -> NaViTConfig:
+    nav = variables["params"]["navit"]
+    pk = np.asarray(nav["patch_embed"]["kernel"])
+    hidden = pk.shape[-1]
+    depth = 0
+    while f"block{depth}" in nav:
+        depth += 1
+    grid = np.asarray(nav["pos_embed"]).shape[1]
+    mlp = np.asarray(nav["block0"]["fc1"]["kernel"]).shape[-1]
+    out_dim = hidden
+    if "projector" in variables["params"]:
+        out_dim = np.asarray(
+            variables["params"]["projector"]["linear_1"]["kernel"]).shape[-1]
+    heads = max(1, hidden // 72) if hidden % 72 == 0 else max(1, hidden // 64)
+    return NaViTConfig(hidden_size=hidden, depth=depth, num_heads=heads,
+                       mlp_hidden=mlp, patch_size=pk.shape[0], pos_grid=grid,
+                       out_dim=out_dim)

@@ -104,12 +104,14 @@ class PaddleVLModel(nn.Module):
 class ErnieVLModel(nn.Module):
     """PaddleOCR-VL with the HF-exact ERNIE-4.5 decoder (models/ernie.py):
     vision tokens project into the ERNIE embedding space and ride as a soft
-    prefix. Used when a converted text-side checkpoint exists; the NaViT
-    vision encoder remains our Flax design (its modeling code is
-    trust_remote_code-only upstream)."""
+    prefix. With ``navit_cfg`` the vision half is the NaViT-style
+    dynamic-resolution encoder + 2×2-merge projector (models/navit.py,
+    converted 1:1 from checkpoints); otherwise a lean ViT stub keeps the
+    graph exercisable from random init."""
 
     cfg: PaddleVLConfig
     ernie_cfg: Optional[object] = None  # ErnieConfig; derived when omitted
+    navit_cfg: Optional[object] = None  # NaViTConfig; stub ViT when omitted
 
     def setup(self):
         from .ernie import ErnieConfig, ErnieModel
@@ -121,13 +123,25 @@ class ErnieVLModel(nn.Module):
             num_layers=c.decoder_depth, num_heads=c.decoder_heads,
             num_kv_heads=max(1, c.decoder_heads // 8),
             head_dim=c.decoder_dim // c.decoder_heads)
-        self.vision = VitEncoder(_EncCfg(c.image_size, c.patch_size,
-                                         c.encoder_dim, c.encoder_depth,
-                                         c.encoder_heads))
-        self.projector = nn.Dense(ecfg.hidden_size)
+        if self.navit_cfg is not None:
+            # module names line up with convert_navit's tree (navit/projector)
+            from .navit import NaViTEncoder, NaViTProjector
+
+            self.vision = NaViTEncoder(self.navit_cfg, name="navit")
+            self.vl_projector = NaViTProjector(self.navit_cfg,
+                                               name="projector")
+        else:
+            self.vision = VitEncoder(_EncCfg(c.image_size, c.patch_size,
+                                             c.encoder_dim, c.encoder_depth,
+                                             c.encoder_heads))
+            self.projector = nn.Dense(ecfg.hidden_size)
         self.decoder = ErnieModel(ecfg, name="ernie")
 
     def encode_image(self, images: jnp.ndarray) -> jnp.ndarray:
+        if self.navit_cfg is not None:
+            p = self.navit_cfg.patch_size
+            grid = (images.shape[1] // p, images.shape[2] // p)
+            return self.vl_projector(self.vision(images), grid)
         return self.projector(self.vision(images))
 
     def decode(self, img_tokens: jnp.ndarray,
@@ -183,6 +197,9 @@ class PaddleVLRunner:
         self._params = params
         self._detok = detokenize
         self._prompt = jnp.arange(3, 3 + cfg.prompt_len, dtype=jnp.int32)
+        self._navit = getattr(self.model, "navit_cfg", None)
+        self._lock = threading.Lock()
+        self._progs = {}
 
         @jax.jit
         def _gen(params, images):
@@ -191,11 +208,32 @@ class PaddleVLRunner:
 
         self._gen = _gen
 
+    def _gen_for(self, h: int, w: int):
+        """One compiled generate program per NaViT AR bucket (variable crop
+        resolutions would otherwise recompile per size)."""
+        with self._lock:
+            prog = self._progs.get((h, w))
+            if prog is None:
+                prog = self._progs[(h, w)] = jax.jit(
+                    lambda params, images: greedy_generate_vl(
+                        self.model, params, images, self._prompt, self.cfg))
+            return prog
+
     def __call__(self, pil_image) -> str:
-        img = pil_image.convert("RGB").resize(
-            (self.cfg.image_size, self.cfg.image_size))
-        arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
-        ids = np.asarray(self._gen(self._params, jnp.asarray(arr[None])))[0]
+        img = pil_image.convert("RGB")
+        if self._navit is not None:
+            from .navit import pick_navit_bucket
+
+            bh, bw = pick_navit_bucket(img.height, img.width)
+            arr = (np.asarray(img.resize((bw, bh)), np.float32)
+                   / 255.0 - 0.5) / 0.5
+            gen = self._gen_for(bh, bw)
+        else:
+            arr = (np.asarray(
+                img.resize((self.cfg.image_size, self.cfg.image_size)),
+                np.float32) / 255.0 - 0.5) / 0.5
+            gen = self._gen
+        ids = np.asarray(gen(self._params, jnp.asarray(arr[None])))[0]
         if self._detok is not None:
             return self._detok(ids)
         return _stub_detokenize(ids, self.cfg)
@@ -219,8 +257,8 @@ def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunne
         converted = get_model_manager()._load_converted(
             ModelType.PADDLE_OCR_VL)
         if converted is not None and "ernie" in converted.get("params", {}):
-            # HF-exact ERNIE text side; vision/projector init randomly until
-            # a NaViT conversion lands (upstream is trust_remote_code-only)
+            # HF-exact ERNIE text side; NaViT vision half when the converted
+            # tree carries it (models/navit.py), random stub otherwise
             from .ernie import infer_ernie_config_from_variables
 
             ecfg = infer_ernie_config_from_variables(
@@ -232,13 +270,25 @@ def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunne
                 decoder_dim=ecfg.hidden_size, decoder_depth=ecfg.num_layers,
                 decoder_heads=ecfg.num_heads, vocab_size=ecfg.vocab_size,
                 max_new_tokens=cfg.max_new_tokens, prompt_len=cfg.prompt_len)
-            model = ErnieVLModel(cfg, ernie_cfg=ecfg)
+            navit_cfg = None
+            init_size = cfg.image_size
+            if "navit" in converted["params"]:
+                from .navit import infer_navit_config_from_variables
+
+                navit_cfg = infer_navit_config_from_variables(converted)
+                init_size = navit_cfg.patch_size * navit_cfg.merge_size * 2
+            model = ErnieVLModel(cfg, ernie_cfg=ecfg, navit_cfg=navit_cfg)
             params = model.init(
                 jax.random.PRNGKey(0),
-                jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
+                jnp.zeros((1, init_size, init_size, 3)),
                 jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
                           jnp.int32))
             params["params"]["ernie"] = converted["params"]["ernie"]
+            if navit_cfg is not None:
+                params["params"]["navit"] = converted["params"]["navit"]
+                if "projector" in converted["params"]:
+                    params["params"]["projector"] = (
+                        converted["params"]["projector"])
             _runner = PaddleVLRunner(cfg, params, model=model)
             return _runner
         model = PaddleVLModel(cfg)

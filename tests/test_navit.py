@@ -1,0 +1,284 @@
+"""NaViT vision encoder (PaddleOCR-VL): torch-reimplementation golden,
+conversion round-trips, AR bucketing, and the converted end-to-end VL path.
+
+Upstream ships the encoder trust_remote_code-only, so the golden compares
+against a faithful torch reimplementation of the SigLIP-derived graph (same
+approach as tests/test_flux2.py / tests/test_sam3.py).
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import torch
+import torch.nn as tnn
+import torch.nn.functional as F
+from PIL import Image
+
+from mangatranslator_tpu.models.navit import (
+    NAVIT_BUCKETS,
+    NaViTConfig,
+    NaViTVision,
+    convert_navit,
+    export_navit_style,
+    infer_navit_config,
+    infer_navit_config_from_variables,
+    init_navit,
+    pick_navit_bucket,
+    rope_2d_tables,
+)
+
+CFG = NaViTConfig(hidden_size=32, depth=2, num_heads=2, mlp_hidden=64,
+                  patch_size=14, pos_grid=3, merge_size=2, out_dim=48)
+
+
+def _randomize(variables, seed=0):
+    leaves, treedef = jax.tree.flatten(variables)
+    rng = np.random.default_rng(seed)
+    out = [np.asarray(rng.standard_normal(np.shape(x)) * 0.05, np.float32)
+           for x in leaves]
+    return jax.tree.unflatten(treedef, out)
+
+
+# ---- torch reimplementation -------------------------------------------------------
+
+
+def _torch_rope(x, cos, sin):
+    x1, x2 = x[..., 0::2], x[..., 1::2]
+    c, s = cos[:, None, :], sin[:, None, :]
+    return torch.stack([x1 * c - x2 * s, x1 * s + x2 * c],
+                       dim=-1).reshape(x.shape)
+
+
+class TorchNaViTLayer(tnn.Module):
+    def __init__(self, cfg):
+        super().__init__()
+        d = cfg.hidden_size
+        self.layer_norm1 = tnn.LayerNorm(d, eps=cfg.layer_norm_eps)
+        self.layer_norm2 = tnn.LayerNorm(d, eps=cfg.layer_norm_eps)
+        self.self_attn = tnn.Module()
+        for name in ("q_proj", "k_proj", "v_proj", "out_proj"):
+            setattr(self.self_attn, name, tnn.Linear(d, d))
+        self.mlp = tnn.Module()
+        self.mlp.fc1 = tnn.Linear(d, cfg.mlp_hidden)
+        self.mlp.fc2 = tnn.Linear(cfg.mlp_hidden, d)
+        self.cfg = cfg
+
+    def forward(self, x, grid_hw):
+        cfg = self.cfg
+        b, s, d = x.shape
+        hd = d // cfg.num_heads
+        h = self.layer_norm1(x)
+        q = self.self_attn.q_proj(h).reshape(b, s, cfg.num_heads, hd)
+        k = self.self_attn.k_proj(h).reshape(b, s, cfg.num_heads, hd)
+        v = self.self_attn.v_proj(h).reshape(b, s, cfg.num_heads, hd)
+        if cfg.use_rope2d:
+            cos_np, sin_np = rope_2d_tables(*grid_hw, hd, cfg.rope_theta)
+            cos, sin = torch.from_numpy(cos_np), torch.from_numpy(sin_np)
+            q, k = _torch_rope(q, cos, sin), _torch_rope(k, cos, sin)
+        att = torch.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(hd)
+        out = torch.einsum("bhqk,bkhd->bqhd", att.softmax(-1), v)
+        x = x + self.self_attn.out_proj(out.reshape(b, s, d))
+        h = self.layer_norm2(x)
+        return x + self.mlp.fc2(F.gelu(self.mlp.fc1(h), approximate="tanh"))
+
+
+class TorchNaViT(tnn.Module):
+    """state-dict names match convert_navit (vision_model./projector.)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        d = cfg.hidden_size
+        self.vision_model = tnn.Module()
+        self.vision_model.embeddings = tnn.Module()
+        self.vision_model.embeddings.patch_embedding = tnn.Conv2d(
+            3, d, cfg.patch_size, stride=cfg.patch_size)
+        self.vision_model.embeddings.position_embedding = tnn.Embedding(
+            cfg.pos_grid * cfg.pos_grid, d)
+        self.vision_model.encoder = tnn.Module()
+        self.vision_model.encoder.layers = tnn.ModuleList(
+            [TorchNaViTLayer(cfg) for _ in range(cfg.depth)])
+        self.vision_model.post_layernorm = tnn.LayerNorm(
+            d, eps=cfg.layer_norm_eps)
+        self.projector = tnn.Module()
+        m = cfg.merge_size
+        self.projector.layer_norm = tnn.LayerNorm(m * m * d,
+                                                  eps=cfg.layer_norm_eps)
+        self.projector.linear_1 = tnn.Linear(m * m * d, cfg.out_dim)
+        self.projector.linear_2 = tnn.Linear(cfg.out_dim, cfg.out_dim)
+        self.cfg = cfg
+
+    def forward(self, images):  # NCHW
+        cfg = self.cfg
+        x = self.vision_model.embeddings.patch_embedding(images)
+        b, d, h, w = x.shape
+        x = x.permute(0, 2, 3, 1)
+        pos = self.vision_model.embeddings.position_embedding.weight
+        pos = pos.reshape(1, cfg.pos_grid, cfg.pos_grid, d).permute(0, 3, 1, 2)
+        if (h, w) != (cfg.pos_grid, cfg.pos_grid):
+            pos = F.interpolate(pos, size=(h, w), mode="bilinear",
+                                align_corners=False)
+        x = x + pos.permute(0, 2, 3, 1)
+        x = x.reshape(b, h * w, d)
+        for layer in self.vision_model.encoder.layers:
+            x = layer(x, (h, w))
+        x = self.vision_model.post_layernorm(x)
+        m = cfg.merge_size
+        x = x.reshape(b, h // m, m, w // m, m, d)
+        x = x.permute(0, 1, 3, 2, 4, 5).reshape(b, (h // m) * (w // m),
+                                                m * m * d)
+        x = self.projector.layer_norm(x)
+        x = self.projector.linear_2(
+            F.gelu(self.projector.linear_1(x), approximate="tanh"))
+        return x
+
+
+def test_navit_golden_vs_torch():
+    # 56x84 input: grid 4x6 ≠ pos_grid 3 exercises the bilinear interpolation
+    variables = _randomize(init_navit(CFG, h=56, w=84, seed=1), seed=9)
+    sd = export_navit_style(variables, CFG)
+    model_t = TorchNaViT(CFG)
+    model_t.load_state_dict({k: torch.from_numpy(v.copy())
+                             for k, v in sd.items()}, strict=True)
+    model_t.eval()
+
+    rng = np.random.default_rng(2)
+    img = rng.standard_normal((1, 56, 84, 3)).astype(np.float32)
+    out_j = NaViTVision(CFG).apply(variables, jnp.asarray(img))
+    with torch.no_grad():
+        out_t = model_t(torch.from_numpy(img.transpose(0, 3, 1, 2)))
+    assert out_j.shape == (1, (56 // 28) * (84 // 28), CFG.out_dim)
+    np.testing.assert_allclose(np.asarray(out_j), out_t.numpy(),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_convert_roundtrip_bit_identical():
+    variables = _randomize(init_navit(CFG, seed=2), seed=13)
+    sd = export_navit_style(variables, CFG)
+    back = convert_navit(sd, CFG)
+    flat_a = dict(jax.tree_util.tree_flatten_with_path(variables)[0])
+    flat_b = dict(jax.tree_util.tree_flatten_with_path(back)[0])
+    assert flat_a.keys() == flat_b.keys()
+    for k in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[k]),
+                                      np.asarray(flat_b[k]), err_msg=str(k))
+
+
+def test_infer_config_paths():
+    variables = init_navit(CFG)
+    sd = export_navit_style(variables, CFG)
+    ic = infer_navit_config(sd)
+    assert (ic.hidden_size, ic.depth, ic.patch_size, ic.pos_grid,
+            ic.mlp_hidden, ic.out_dim) == (32, 2, 14, 3, 64, 48)
+    it = infer_navit_config_from_variables(variables)
+    assert (it.hidden_size, it.depth, it.pos_grid, it.out_dim) == (32, 2, 3, 48)
+
+
+def test_bucket_ladder_constraints():
+    for bh, bw in NAVIT_BUCKETS:
+        assert bh % 28 == 0 and bw % 28 == 0
+        assert (bh // 14) * (bw // 14) <= 800
+    # wide OCR line → wide bucket; tall → tall
+    bh, bw = pick_navit_bucket(40, 400)
+    assert bw / bh >= 4
+    bh, bw = pick_navit_bucket(400, 40)
+    assert bh / bw >= 4
+    assert pick_navit_bucket(300, 300)[0] == pick_navit_bucket(300, 300)[1]
+
+
+def test_vl_runner_with_converted_navit(tmp_path, monkeypatch):
+    """Manager-converted NaViT + ERNIE tree → the VL runner picks the NaViT
+    path, compiles per AR bucket and emits text."""
+    from mangatranslator_tpu.models import paddle_ocr_vl as pvl
+    from mangatranslator_tpu.models.convert import save_flax_safetensors
+    from mangatranslator_tpu.models.ernie import ERNIE_PRESETS, init_ernie
+    from mangatranslator_tpu.models.manager import (ModelType,
+                                                    get_model_manager,
+                                                    reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_PADDLE_PRESET", "test")
+    reset_model_manager()
+    pvl.reset_paddle_ocr_vl_runner()
+    try:
+        ecfg = ERNIE_PRESETS["test"]
+        # navit projects into the ERNIE hidden size
+        ncfg = NaViTConfig(hidden_size=32, depth=1, num_heads=2,
+                           mlp_hidden=64, patch_size=14, pos_grid=3,
+                           merge_size=2, out_dim=ecfg.hidden_size)
+        ernie_vars = jax.tree.map(np.asarray, init_ernie(ecfg, seq=4))
+        navit_vars = jax.tree.map(np.asarray, init_navit(ncfg))
+        mgr = get_model_manager()
+        out = mgr.checkpoint_path(ModelType.PADDLE_OCR_VL)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        save_flax_safetensors(
+            {"params": {"ernie": ernie_vars["params"],
+                        "navit": navit_vars["params"]["navit"],
+                        "projector": navit_vars["params"]["projector"]}},
+            str(out))
+        runner = pvl.get_paddle_ocr_vl_runner()
+        assert isinstance(runner.model, pvl.ErnieVLModel)
+        assert runner.model.navit_cfg is not None
+        assert runner.model.navit_cfg.out_dim == ecfg.hidden_size
+        text = runner(Image.new("RGB", (200, 40), (255, 255, 255)))
+        assert isinstance(text, str)
+        assert len(runner._progs) == 1  # one program for the picked bucket
+    finally:
+        pvl.reset_paddle_ocr_vl_runner()
+        reset_model_manager()
+
+
+def _ernie_torch_sd(variables, ecfg):
+    """Inverse of convert_ernie45 (transformers Ernie4_5 naming)."""
+    p = variables["params"]
+    sd = {"model.embed_tokens.weight": np.asarray(p["embed"]["embedding"]),
+          "model.norm.weight": np.asarray(p["norm"]["weight"])}
+    for i in range(ecfg.num_layers):
+        node = p[f"layer{i}"]
+        base = f"model.layers.{i}"
+        sd[f"{base}.input_layernorm.weight"] = np.asarray(
+            node["input_ln"]["weight"])
+        sd[f"{base}.post_attention_layernorm.weight"] = np.asarray(
+            node["post_ln"]["weight"])
+        for name in ("q_proj", "k_proj", "v_proj", "o_proj"):
+            sd[f"{base}.self_attn.{name}.weight"] = np.asarray(
+                node["self_attn"][name]["kernel"]).T
+        for name in ("gate_proj", "up_proj", "down_proj"):
+            sd[f"{base}.mlp.{name}.weight"] = np.asarray(
+                node[name]["kernel"]).T
+    if "lm_head" in p:
+        sd["lm_head.weight"] = np.asarray(p["lm_head"]["kernel"]).T
+    return sd
+
+
+def test_manager_converts_torch_vl_checkpoint(tmp_path, monkeypatch):
+    """convert_and_store handles a full VL state dict (vision + text)."""
+    import torch as _torch
+
+    from mangatranslator_tpu.models.ernie import ERNIE_PRESETS, init_ernie
+    from mangatranslator_tpu.models.manager import (ModelType,
+                                                    get_model_manager,
+                                                    reset_model_manager)
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    reset_model_manager()
+    try:
+        ecfg = ERNIE_PRESETS["test"]
+        ernie_vars = jax.tree.map(np.asarray, init_ernie(ecfg, seq=4))
+        navit_vars = _randomize(init_navit(CFG), seed=4)
+        sd = {}
+        for k, v in _ernie_torch_sd(ernie_vars, ecfg).items():
+            sd[f"language_model.{k}"] = _torch.from_numpy(np.asarray(v).copy())
+        for k, v in export_navit_style(navit_vars, CFG).items():
+            sd[f"model.{k}"] = _torch.from_numpy(np.asarray(v).copy())
+        ckpt = tmp_path / "paddle_vl.pt"
+        _torch.save(sd, str(ckpt))
+        mgr = get_model_manager()
+        converted = mgr.convert_and_store(ModelType.PADDLE_OCR_VL, ckpt)
+        assert converted is not None
+        assert "ernie" in converted["params"]
+        assert "navit" in converted["params"]
+        assert "projector" in converted["params"]
+    finally:
+        reset_model_manager()
