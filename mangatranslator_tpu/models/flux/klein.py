@@ -212,6 +212,25 @@ def klein_prompt_embeddings(prompt: str, ctx_dim: int,
     return rng.standard_normal((1, seq_len, ctx_dim)).astype(np.float32) * 0.02
 
 
+def compute_klein_prompt_embedding(prompt: str, qwen3_vars,
+                                   tokens: np.ndarray) -> np.ndarray:
+    """Run the converted Qwen3 encoder once and persist the hidden states
+    for this fixed prompt (token ids come from the checkpoint's own
+    tokenizer — script-time concern, scripts/convert_models.py
+    --embed-prompt). Counterpart of reference _get_prompt_embeddings
+    (:1110-1124) with include_pooled=False."""
+    from ..qwen3 import Qwen3Encoder, infer_qwen3_config_from_variables
+
+    cfg = infer_qwen3_config_from_variables(qwen3_vars)
+    txt = np.asarray(Qwen3Encoder(cfg).apply(
+        jax.tree.map(jnp.asarray, qwen3_vars),
+        jnp.asarray(np.asarray(tokens)[None], jnp.int32)))
+    out = prompt_embed_path(prompt)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, txt=txt)
+    return txt
+
+
 class KleinInpainter:
     """Bucketed-sequence FLUX.2 Klein text-removal inpainter.
 

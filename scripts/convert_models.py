@@ -41,10 +41,24 @@ def main() -> int:
     ap.add_argument("--yolo", help="Path to an ultralytics .pt/.safetensors")
     ap.add_argument("--rcan", help="Path to an RCAN safetensors")
     ap.add_argument("--type", help="ModelType value for the input checkpoint")
+    ap.add_argument("--embed-prompt", action="store_true",
+                    help="Precompute prompt embeddings from converted text "
+                         "encoders (T5+CLIP for Kontext, Qwen3 for Klein)")
+    ap.add_argument("--prompt", help="Prompt text; defaults to both fixed "
+                                     "pipeline prompts")
+    ap.add_argument("--t5", help="Converted T5 encoder .flax.safetensors")
+    ap.add_argument("--clip", help="Converted CLIP-L .flax.safetensors")
+    ap.add_argument("--qwen3", help="Converted Qwen3 .flax.safetensors")
+    ap.add_argument("--tokenizer", help="Local HF tokenizer dir (T5/Qwen3); "
+                                        "CLIP uses --clip-tokenizer")
+    ap.add_argument("--clip-tokenizer", help="Local HF CLIP tokenizer dir")
     args = ap.parse_args()
 
     mgr = ModelManager(Path(args.models_dir))
     converted = 0
+
+    if args.embed_prompt:
+        return embed_prompts(args)
 
     if args.checkpoint:
         mtype = ModelType(args.type)
@@ -84,6 +98,58 @@ def main() -> int:
 
     ap.print_help()
     return 1
+
+
+def embed_prompts(args) -> int:
+    """Precompute and persist the fixed prompts' embeddings so the pipelines
+    stop falling back to the (loudly logged) Gaussian stub. Kontext wants
+    T5-XXL context + CLIP-L pooled; Klein wants Qwen3 hidden states
+    (reference inpainting.py:225 / :1110, utils/model_metadata.py:4-52)."""
+    from mangatranslator_tpu.models.convert import load_flax_safetensors
+    from mangatranslator_tpu.models.flux.klein import (
+        compute_klein_prompt_embedding)
+    from mangatranslator_tpu.models.flux.pipeline import (
+        DEFAULT_PROMPT, KLEIN_PROMPT, compute_prompt_embeddings,
+        prompt_embed_path)
+
+    did = 0
+    if args.t5 and args.clip:
+        from transformers import AutoTokenizer, CLIPTokenizerFast
+
+        prompt = args.prompt or DEFAULT_PROMPT
+        t5_tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        clip_tok = (CLIPTokenizerFast.from_pretrained(args.clip_tokenizer)
+                    if args.clip_tokenizer else t5_tok)
+        import numpy as np
+
+        t5_ids = np.asarray(t5_tok(prompt, padding="max_length",
+                                   max_length=512,
+                                   truncation=True)["input_ids"])
+        clip_ids = np.asarray(clip_tok(prompt, padding="max_length",
+                                       max_length=77,
+                                       truncation=True)["input_ids"])
+        compute_prompt_embeddings(
+            prompt, load_flax_safetensors(args.t5),
+            load_flax_safetensors(args.clip), t5_ids, clip_ids)
+        print(f"embedded (T5+CLIP) -> {prompt_embed_path(prompt)}")
+        did += 1
+    if args.qwen3:
+        from transformers import AutoTokenizer
+
+        import numpy as np
+
+        prompt = args.prompt or KLEIN_PROMPT
+        tok = AutoTokenizer.from_pretrained(args.tokenizer)
+        ids = np.asarray(tok(prompt)["input_ids"])
+        compute_klein_prompt_embedding(
+            prompt, load_flax_safetensors(args.qwen3), ids)
+        print(f"embedded (Qwen3) -> {prompt_embed_path(prompt)}")
+        did += 1
+    if not did:
+        print("--embed-prompt needs --t5+--clip (Kontext) and/or --qwen3 "
+              "(Klein), plus --tokenizer dirs")
+        return 1
+    return 0
 
 
 if __name__ == "__main__":

@@ -237,6 +237,37 @@ def test_manager_builds_klein_from_converted_flux2(monkeypatch, tmp_path):
         reset_model_manager()
 
 
+def test_klein_prompt_embedding_prefers_precomputed(tmp_path, monkeypatch):
+    """compute_klein_prompt_embedding persists Qwen3 hidden states; the
+    pipeline then conditions on them instead of the Gaussian stub
+    (VERDICT item 8: the .npz path is exercised end-to-end)."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.klein import (
+        compute_klein_prompt_embedding, klein_prompt_embeddings)
+    from mangatranslator_tpu.models.qwen3 import Qwen3Config, init_qwen3
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    # hidden 64 = the FLUX2 test preset's ctx_dim, so the built pipeline
+    # can condition on the persisted embedding below
+    qcfg = Qwen3Config(vocab_size=64, hidden_size=64, intermediate_size=96,
+                       num_layers=2, num_heads=4, num_kv_heads=2, head_dim=8)
+    qvars = jax.tree.map(np.asarray, init_qwen3(qcfg, seq=6))
+    rs = np.random.RandomState(0)
+    tokens = rs.randint(0, qcfg.vocab_size, 6)
+
+    from mangatranslator_tpu.models.flux.pipeline import KLEIN_PROMPT
+
+    txt = compute_klein_prompt_embedding(KLEIN_PROMPT, qvars, tokens)
+    assert txt.shape == (1, 6, qcfg.hidden_size)
+    got = klein_prompt_embeddings(KLEIN_PROMPT, qcfg.hidden_size)
+    np.testing.assert_array_equal(got, txt)
+
+    inp = build_random_klein(upscale_small_crops=False)
+    np.testing.assert_array_equal(np.asarray(inp._txt), txt)
+
+
 def test_default_steps_guidance_constants():
     # reference inpainting.py:988-990
     from mangatranslator_tpu.models.flux.klein import (KLEIN_GUIDANCE_SCALE,
