@@ -1,9 +1,11 @@
-"""Anthropic Messages API endpoint (reference utils/endpoints/anthropic.py:19-120):
-temperature clamped ≤1.0, thinking config tiers, effort parameter."""
+"""Anthropic Messages API endpoint (reference utils/endpoints/anthropic.py:
+19-170): images-first content, temperature clamped ≤1.0 (dropped entirely for
+xhigh/no-sampling models), thinking-config tiers gated by capability flags,
+effort validated per tier, web-search tool."""
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from ...config import calculate_reasoning_budget
 from ...exceptions import ValidationError
@@ -11,6 +13,99 @@ from ..http import post_json_with_retries
 
 BASE_URL = "https://api.anthropic.com"
 API_VERSION = "2023-06-01"
+
+
+def _flag(generation_config: Dict[str, Any], name: str) -> bool:
+    return bool(generation_config.get("_metadata", {}).get(name, False))
+
+
+def build_anthropic_payload(
+    api_key: str,
+    model_name: str,
+    parts: List[Dict[str, Any]],
+    generation_config: Dict[str, Any],
+    system_prompt: Optional[str] = None,
+    enable_web_search: bool = False,
+    base_url: str = BASE_URL,
+) -> Tuple[str, Dict[str, str], Dict[str, Any]]:
+    # last text part is the user prompt; images keep their original order
+    # and precede the text block (reference :56-105)
+    user_prompt_part = None
+    image_parts: List[Dict[str, Any]] = []
+    for part in reversed(parts):
+        if "text" in part and user_prompt_part is None:
+            user_prompt_part = part
+        elif "inline_data" in part:
+            image_parts.insert(0, part)
+    if not user_prompt_part:
+        raise ValidationError(
+            "Invalid 'parts' format for Anthropic: No text prompt found for "
+            "user message.")
+
+    user_content: List[Dict[str, Any]] = []
+    for part in image_parts:
+        d = part["inline_data"]
+        if "data" not in d or "mime_type" not in d:
+            continue
+        user_content.append({
+            "type": "image",
+            "source": {"type": "base64", "media_type": d["mime_type"],
+                       "data": d["data"]},
+        })
+    user_content.append({"type": "text", "text": user_prompt_part["text"]})
+
+    temp = generation_config.get("temperature")
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "system": system_prompt,
+        "messages": [{"role": "user", "content": user_content}],
+        "temperature": min(temp, 1.0) if temp is not None else None,
+        "top_k": generation_config.get("top_k"),
+        "max_tokens": generation_config.get("max_tokens", 4096),
+    }
+
+    if _flag(generation_config, "is_claude_effort_xhigh") or _flag(
+            generation_config, "is_claude_no_sampling"):
+        payload.pop("temperature", None)
+        payload.pop("top_k", None)
+
+    if not _flag(generation_config, "is_claude_omit_thinking"):
+        thinking_type = generation_config.get("thinking_type")
+        reasoning_effort = generation_config.get("reasoning_effort")
+        if thinking_type == "adaptive":
+            payload["thinking"] = {"type": "adaptive"}
+        elif thinking_type == "disabled":
+            payload["thinking"] = {"type": "disabled"}
+        elif thinking_type == "enabled":
+            if reasoning_effort and reasoning_effort != "none":
+                budget = calculate_reasoning_budget(
+                    generation_config.get("max_tokens", 4096),
+                    reasoning_effort)
+                payload["thinking"] = {"type": "enabled",
+                                       "budget_tokens": budget}
+            elif reasoning_effort == "none":
+                payload["thinking"] = {"type": "enabled", "budget_tokens": 0}
+
+    effort = generation_config.get("effort")
+    if _flag(generation_config, "is_claude_effort_xhigh"):
+        valid_efforts = ("max", "xhigh", "high", "medium", "low")
+    elif _flag(generation_config, "is_claude_effort_max"):
+        valid_efforts = ("max", "high", "medium", "low")
+    else:
+        valid_efforts = ("high", "medium", "low")
+    if effort and effort in valid_efforts:
+        payload["output_config"] = {"effort": effort}
+
+    if enable_web_search:
+        payload["tools"] = [{"type": "web_search_20250305",
+                             "name": "web_search"}]
+    payload = {k: v for k, v in payload.items() if v is not None}
+    headers = {
+        "x-api-key": api_key,
+        "anthropic-version": API_VERSION,
+        "Content-Type": "application/json",
+    }
+    return f"{base_url}/v1/messages", headers, payload
 
 
 def call_anthropic_endpoint(
@@ -23,61 +118,17 @@ def call_anthropic_endpoint(
     timeout: int = 120,
     max_retries: int = 3,
     base_delay: float = 1.0,
+    enable_web_search: bool = False,
     base_url: str = BASE_URL,
 ) -> Optional[str]:
     if not api_key:
         raise ValidationError("API key is required for Anthropic endpoint")
-
-    content: List[Dict[str, Any]] = []
-    for part in parts:
-        if "inline_data" in part:
-            d = part["inline_data"]
-            content.append({
-                "type": "image",
-                "source": {"type": "base64", "media_type": d["mime_type"],
-                           "data": d["data"]},
-            })
-        elif "text" in part:
-            content.append({"type": "text", "text": part["text"]})
-
-    flags = generation_config.get("_metadata", {})
-    max_tokens = generation_config.get("max_tokens", 4096)
-    payload: Dict[str, Any] = {
-        "model": model_name,
-        "max_tokens": max_tokens,
-        "messages": [{"role": "user", "content": content}],
-    }
-    if system_prompt:
-        payload["system"] = system_prompt
-
-    no_sampling = flags.get("is_claude_effort_xhigh") or flags.get(
-        "is_claude_no_sampling")
-    if not no_sampling:
-        if "temperature" in generation_config:
-            payload["temperature"] = min(generation_config["temperature"], 1.0)
-        if generation_config.get("top_k"):
-            payload["top_k"] = generation_config["top_k"]
-
-    thinking_type = generation_config.get("thinking_type")
-    effort_level = generation_config.get("reasoning_effort")
-    if thinking_type == "adaptive":
-        payload["thinking"] = {"type": "adaptive"}
-    elif thinking_type == "enabled" and effort_level not in (None, "none", "auto"):
-        budget = max(1024, calculate_reasoning_budget(max_tokens, effort_level))
-        payload["thinking"] = {"type": "enabled", "budget_tokens": budget}
-        payload.pop("temperature", None)
-        payload.pop("top_k", None)
-    elif thinking_type == "disabled":
-        payload["thinking"] = {"type": "disabled"}
-    if generation_config.get("effort"):
-        payload["output_config"] = {"effort": generation_config["effort"]}
-
+    url, headers, payload = build_anthropic_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url)
     result = post_json_with_retries(
-        f"{base_url}/v1/messages", payload,
-        headers={"x-api-key": api_key, "anthropic-version": API_VERSION},
-        provider="Anthropic", timeout=timeout, max_retries=max_retries,
-        base_delay=base_delay, debug=debug,
-    )
+        url, payload, headers=headers, provider="Anthropic", timeout=timeout,
+        max_retries=max_retries, base_delay=base_delay, debug=debug)
     for block in result.get("content", []):
         if block.get("type") == "text" and block.get("text"):
             return block["text"].strip()

@@ -22,6 +22,7 @@ def call_openai_endpoint(
     timeout: int = 120,
     max_retries: int = 3,
     base_delay: float = 1.0,
+    enable_web_search: bool = False,
     base_url: str = BASE_URL,
 ) -> Optional[str]:
     if not api_key:
@@ -49,6 +50,8 @@ def call_openai_endpoint(
     }
     if system_prompt:
         payload["instructions"] = system_prompt
+    if enable_web_search:
+        payload["tools"] = [{"type": "web_search"}]  # reference openai.py:98
     for key in ("temperature", "top_p"):
         if key in generation_config:
             payload[key] = generation_config[key]

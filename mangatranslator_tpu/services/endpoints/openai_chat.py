@@ -2,37 +2,51 @@
 Xiaomi MiMo, OpenRouter, OpenAI-Compatible.
 
 Reference: utils/endpoints/{spacexai,deepseek,zai,moonshot,mimo,openrouter,
-openai_compatible}.py — all reshape Google-style parts into OpenAI chat
-messages with provider-specific extra fields.
+openai_compatible}.py. Each provider has its own payload shaping (parameter
+names, clamps, modality gating, web-search tool form); the ``build_*_payload``
+functions are pure so tests/test_payload_parity.py can assert the request
+bodies byte-for-byte against the reference's construction.
 """
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List, Optional, Tuple
 
 from ...exceptions import ValidationError
 from ..http import post_json_with_retries
+from ..metadata import is_mimo_multimodal_model, is_moonshot_k3_model
+
+Request = Tuple[str, Dict[str, str], Dict[str, Any]]  # (url, headers, payload)
 
 
-def _chat_messages(parts: List[Dict[str, Any]],
-                   system_prompt: Optional[str]) -> List[Dict[str, Any]]:
-    messages: List[Dict[str, Any]] = []
-    if system_prompt:
-        messages.append({"role": "system", "content": system_prompt})
-    user_content: List[Dict[str, Any]] = []
+def _text_part(parts: List[Dict[str, Any]], provider: str) -> Dict[str, Any]:
+    part = next((p for p in parts if "text" in p), None)
+    if part is None:
+        raise ValidationError(
+            f"Invalid 'parts' format for {provider}: No text prompt found.")
+    return part
+
+
+def _image_blocks(parts: List[Dict[str, Any]],
+                  detail: Optional[str] = None) -> List[Dict[str, Any]]:
+    """OpenAI chat-completions image_url blocks from Google-style parts."""
+    blocks = []
     for part in parts:
-        if "inline_data" in part:
-            d = part["inline_data"]
-            user_content.append({
-                "type": "image_url",
-                "image_url": {"url": f"data:{d['mime_type']};base64,{d['data']}"},
-            })
-    text = next((p["text"] for p in parts if "text" in p), None)
-    if text is None:
-        raise ValidationError("No text prompt found in parts")
-    user_content.append({"type": "text", "text": text})
-    messages.append({"role": "user", "content": user_content})
-    return messages
+        if "inline_data" not in part:
+            continue
+        d = part["inline_data"]
+        if "data" not in d or "mime_type" not in d:
+            continue
+        image_url: Dict[str, Any] = {
+            "url": f"data:{d['mime_type']};base64,{d['data']}"}
+        if detail:
+            image_url["detail"] = detail
+        blocks.append({"type": "image_url", "image_url": image_url})
+    return blocks
+
+
+def _drop_none(payload: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: v for k, v in payload.items() if v is not None}
 
 
 def _extract_chat_text(result: Dict[str, Any]) -> Optional[str]:
@@ -49,138 +63,451 @@ def _extract_chat_text(result: Dict[str, Any]) -> Optional[str]:
     return content.strip() if content else None
 
 
-def _call_chat(
-    url: str,
-    api_key: Optional[str],
-    model_name: str,
-    parts: List[Dict[str, Any]],
-    generation_config: Dict[str, Any],
-    system_prompt: Optional[str],
-    provider: str,
-    extra_payload: Optional[Dict[str, Any]] = None,
-    extra_headers: Optional[Dict[str, str]] = None,
-    passthrough_keys: tuple = ("temperature", "top_p", "top_k", "reasoning_effort",
-                               "thinking"),
-    timeout: int = 120,
-    max_retries: int = 3,
-    base_delay: float = 1.0,
-    debug: bool = False,
-) -> Optional[str]:
-    payload: Dict[str, Any] = {
-        "model": model_name,
-        "messages": _chat_messages(parts, system_prompt),
-        "max_tokens": generation_config.get("max_tokens", 4096),
-    }
-    for key in passthrough_keys:
-        value = generation_config.get(key)
-        if value is not None:
-            payload[key] = value
-    if extra_payload:
-        payload.update(extra_payload)
+def _bearer(api_key: Optional[str]) -> Dict[str, str]:
     headers = {"Content-Type": "application/json"}
     if api_key:
         headers["Authorization"] = f"Bearer {api_key}"
-    if extra_headers:
-        headers.update(extra_headers)
-    result = post_json_with_retries(url, payload, headers=headers,
-                                    provider=provider, timeout=timeout,
-                                    max_retries=max_retries,
-                                    base_delay=base_delay, debug=debug)
-    return _extract_chat_text(result)
+    return headers
+
+
+# ---- SpaceXAI / xAI (Responses API — reference spacexai.py:56-140) ---------------
+
+
+_XAI_DETAIL_MAP = {
+    "MEDIA_RESOLUTION_UNSPECIFIED": "auto",
+    "MEDIA_RESOLUTION_LOW": "low",
+    "MEDIA_RESOLUTION_MEDIUM": "high",
+    "MEDIA_RESOLUTION_HIGH": "high",
+}
+
+
+def build_xai_payload(api_key, model_name, parts, generation_config,
+                      system_prompt=None, enable_web_search=False,
+                      base_url="https://api.x.ai") -> Request:
+    text_part = _text_part(parts, "SpaceXAI")
+    image_parts = [p for p in parts if "inline_data" in p]
+
+    input_messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        input_messages.append({"role": "system", "content": system_prompt})
+    if image_parts:
+        user_content: List[Dict[str, Any]] = []
+        for part in image_parts:
+            d = part["inline_data"]
+            if "data" not in d or "mime_type" not in d:
+                continue
+            part_res = part.get("media_resolution", {}).get("level")
+            if part_res:
+                detail = _XAI_DETAIL_MAP.get(part_res, "high")
+            else:
+                media_res = (generation_config.get("media_resolution")
+                             or "auto").lower()
+                detail = media_res if media_res in ("auto", "high",
+                                                    "low") else "high"
+            user_content.append({
+                "type": "input_image",
+                "image_url": f"data:{d['mime_type']};base64,{d['data']}",
+                "detail": detail,
+            })
+        user_content.append({"type": "input_text",
+                             "text": text_part["text"]})
+        input_messages.append({"role": "user", "content": user_content})
+    else:
+        input_messages.append({
+            "role": "user",
+            "content": [{"type": "input_text", "text": text_part["text"]}],
+        })
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "input": input_messages,
+        "temperature": generation_config.get("temperature"),
+        "top_p": generation_config.get("top_p"),
+    }
+    payload["max_output_tokens"] = generation_config.get("max_tokens", 4096)
+    if generation_config.get("prompt_cache_key"):
+        payload["prompt_cache_key"] = generation_config["prompt_cache_key"]
+
+    model_lower = (model_name or "").lower()
+    reasoning_effort = generation_config.get("reasoning_effort")
+    if "multi-agent" in model_lower:
+        if reasoning_effort in ("low", "medium", "high", "xhigh"):
+            payload["reasoning"] = {"effort": reasoning_effort}
+    elif model_lower.startswith("grok-4.3") or model_lower.startswith(
+            "grok-4.5"):
+        if reasoning_effort in ("none", "low", "medium", "high"):
+            payload["reasoning"] = {"effort": reasoning_effort}
+
+    if enable_web_search:
+        payload["tools"] = [{"type": "web_search"}]
+    return (f"{base_url}/v1/responses", _bearer(api_key),
+            _drop_none(payload))
 
 
 def call_xai_endpoint(api_key, model_name, parts, generation_config,
                       system_prompt=None, debug=False, timeout=120,
                       max_retries=3, base_delay=1.0,
+                      enable_web_search=False,
                       base_url="https://api.x.ai") -> Optional[str]:
-    """SpaceXAI/xAI (reference spacexai.py, 243 LoC)."""
     if not api_key:
         raise ValidationError("API key is required for SpaceXAI endpoint")
-    extra = {}
-    if generation_config.get("prompt_cache_key"):
-        extra["prompt_cache_key"] = generation_config["prompt_cache_key"]
-    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
-                      parts, generation_config, system_prompt, "SpaceXAI",
-                      extra_payload=extra, timeout=timeout,
-                      max_retries=max_retries, base_delay=base_delay, debug=debug)
+    url, headers, payload = build_xai_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="SpaceXAI", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    # Responses API: output list with message items; fall back to chat shape
+    for item in result.get("output") or []:
+        if item.get("type") == "message":
+            for block in item.get("content") or []:
+                if block.get("type") == "output_text":
+                    return (block.get("text") or "").strip()
+    return _extract_chat_text(result)
+
+
+# ---- DeepSeek (text-only — reference deepseek.py:57-96) --------------------------
+
+
+def build_deepseek_payload(api_key, model_name, parts, generation_config,
+                           system_prompt=None,
+                           base_url="https://api.deepseek.com") -> Request:
+    text_part = _text_part(parts, "DeepSeek")
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    messages.append({"role": "user", "content": text_part["text"]})
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        "max_tokens": generation_config.get("max_tokens", 4096),
+    }
+    thinking_config = generation_config.get("thinking")
+    thinking_enabled = bool(thinking_config
+                            and thinking_config.get("type") == "enabled")
+    if thinking_config:
+        payload["thinking"] = thinking_config
+    if generation_config.get("reasoning_effort"):
+        payload["reasoning_effort"] = generation_config["reasoning_effort"]
+    # thinking mode ignores sampling params (reference deepseek.py:86-94)
+    if not thinking_enabled:
+        temp = generation_config.get("temperature")
+        if temp is not None:
+            payload["temperature"] = min(temp, 2.0)
+        top_p = generation_config.get("top_p")
+        if top_p is not None:
+            payload["top_p"] = top_p
+    return (f"{base_url}/chat/completions", _bearer(api_key),
+            _drop_none(payload))
 
 
 def call_deepseek_endpoint(api_key, model_name, parts, generation_config,
                            system_prompt=None, debug=False, timeout=120,
                            max_retries=3, base_delay=1.0,
                            base_url="https://api.deepseek.com") -> Optional[str]:
-    """DeepSeek (reference deepseek.py, 195 LoC)."""
     if not api_key:
         raise ValidationError("API key is required for DeepSeek endpoint")
-    return _call_chat(f"{base_url}/chat/completions", api_key, model_name, parts,
-                      generation_config, system_prompt, "DeepSeek",
-                      timeout=timeout, max_retries=max_retries,
-                      base_delay=base_delay, debug=debug)
+    url, headers, payload = build_deepseek_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        base_url)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="DeepSeek", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+# ---- Z.ai GLM (reference zai.py:55-127) ------------------------------------------
+
+
+def build_zai_payload(api_key, model_name, parts, generation_config,
+                      system_prompt=None, enable_web_search=False,
+                      base_url="https://api.z.ai/api/paas") -> Request:
+    text_part = _text_part(parts, "Z.ai")
+    image_parts = [p for p in parts if "inline_data" in p]
+
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    # vision models end in "v" or contain "v-" (reference zai.py:67)
+    model_lower = (model_name or "").lower()
+    is_vision = model_lower.endswith("v") or "v-" in model_lower
+    if image_parts and is_vision:
+        user_content = _image_blocks(image_parts)
+        user_content.append({"type": "text", "text": text_part["text"]})
+        messages.append({"role": "user", "content": user_content})
+    else:
+        messages.append({"role": "user", "content": text_part["text"]})
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        "temperature": generation_config.get("temperature"),
+        "top_p": generation_config.get("top_p"),
+        "max_tokens": generation_config.get("max_tokens", 4096),
+        "stream": False,
+    }
+    if generation_config.get("thinking"):
+        payload["thinking"] = generation_config["thinking"]
+    if generation_config.get("reasoning_effort"):
+        payload["reasoning_effort"] = generation_config["reasoning_effort"]
+    if enable_web_search:
+        payload["tools"] = [{
+            "type": "web_search",
+            "web_search": {"enable": True,
+                           "search_engine": "search_pro_jina"},
+        }]
+    headers = _bearer(api_key)
+    headers["Accept-Language"] = "en-US,en"
+    return (f"{base_url}/v4/chat/completions", headers, _drop_none(payload))
 
 
 def call_zai_endpoint(api_key, model_name, parts, generation_config,
                       system_prompt=None, debug=False, timeout=120,
-                      max_retries=3, base_delay=1.0,
+                      max_retries=3, base_delay=1.0, enable_web_search=False,
                       base_url="https://api.z.ai/api/paas") -> Optional[str]:
-    """Z.ai GLM (reference zai.py, 220 LoC)."""
     if not api_key:
         raise ValidationError("API key is required for Z.ai endpoint")
-    return _call_chat(f"{base_url}/v4/chat/completions", api_key, model_name,
-                      parts, generation_config, system_prompt, "Z.ai",
-                      timeout=timeout, max_retries=max_retries,
-                      base_delay=base_delay, debug=debug)
+    url, headers, payload = build_zai_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="Z.ai", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+# ---- Moonshot AI Kimi (reference moonshot.py:48-125) -----------------------------
+
+
+def build_moonshot_payload(api_key, model_name, parts, generation_config,
+                           system_prompt=None, enable_web_search=False,
+                           base_url="https://api.moonshot.ai") -> Request:
+    text_part = _text_part(parts, "Moonshot")
+    image_parts = [p for p in parts if "inline_data" in p]
+
+    if image_parts:
+        user_content: Any = _image_blocks(image_parts)
+        user_content.append({"type": "text", "text": text_part["text"]})
+    else:
+        user_content = text_part["text"]
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    messages.append({"role": "user", "content": user_content})
+
+    max_tokens_value = generation_config.get("max_tokens", 4096)
+    k3 = is_moonshot_k3_model(model_name)
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        ("max_completion_tokens" if k3 else "max_tokens"): max_tokens_value,
+    }
+    temp = generation_config.get("temperature")
+    if temp is not None:
+        payload["temperature"] = min(temp, 1.0)
+    top_p = generation_config.get("top_p")
+    if top_p is not None:
+        payload["top_p"] = top_p
+    if generation_config.get("thinking"):
+        payload["thinking"] = generation_config["thinking"]
+    if generation_config.get("reasoning_effort"):
+        payload["reasoning_effort"] = generation_config["reasoning_effort"]
+    if k3:  # K3 rejects sampling params (reference moonshot.py:118-120)
+        payload.pop("temperature", None)
+        payload.pop("top_p", None)
+    if enable_web_search:
+        payload["tools"] = [{"type": "builtin_search"}]
+    return (f"{base_url}/v1/chat/completions", _bearer(api_key),
+            _drop_none(payload))
 
 
 def call_moonshot_endpoint(api_key, model_name, parts, generation_config,
                            system_prompt=None, debug=False, timeout=120,
                            max_retries=3, base_delay=1.0,
+                           enable_web_search=False,
                            base_url="https://api.moonshot.ai") -> Optional[str]:
-    """Moonshot AI Kimi (reference moonshot.py, 225 LoC)."""
     if not api_key:
         raise ValidationError("API key is required for Moonshot endpoint")
-    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
-                      parts, generation_config, system_prompt, "Moonshot AI",
-                      timeout=timeout, max_retries=max_retries,
-                      base_delay=base_delay, debug=debug)
+    url, headers, payload = build_moonshot_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="Moonshot AI", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+# ---- Xiaomi MiMo (reference mimo.py:45-108) --------------------------------------
+
+
+def build_mimo_payload(api_key, model_name, parts, generation_config,
+                       system_prompt=None, enable_web_search=False,
+                       base_url="https://api.xiaomimimo.com") -> Request:
+    text_part = _text_part(parts, "MiMo")
+    image_parts = [p for p in parts if "inline_data" in p]
+
+    if is_mimo_multimodal_model(model_name) and image_parts:
+        user_content: Any = _image_blocks(image_parts)
+        user_content.append({"type": "text", "text": text_part["text"]})
+    else:
+        user_content = text_part["text"]
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    messages.append({"role": "user", "content": user_content})
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        "max_completion_tokens": generation_config.get("max_tokens", 4096),
+    }
+    temp = generation_config.get("temperature")
+    if temp is not None:
+        payload["temperature"] = min(temp, 1.0)
+    top_p = generation_config.get("top_p")
+    if top_p is not None:
+        payload["top_p"] = top_p
+    if generation_config.get("thinking"):
+        payload["thinking"] = generation_config["thinking"]
+    if enable_web_search:
+        payload["tools"] = [{"type": "web_search"}]
+    return (f"{base_url}/v1/chat/completions", _bearer(api_key),
+            _drop_none(payload))
 
 
 def call_mimo_endpoint(api_key, model_name, parts, generation_config,
                        system_prompt=None, debug=False, timeout=120,
-                       max_retries=3, base_delay=1.0,
+                       max_retries=3, base_delay=1.0, enable_web_search=False,
                        base_url="https://api.xiaomimimo.com") -> Optional[str]:
-    """Xiaomi MiMo (reference mimo.py, 201 LoC)."""
     if not api_key:
         raise ValidationError("API key is required for MiMo endpoint")
-    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
-                      parts, generation_config, system_prompt, "Xiaomi MiMo",
-                      timeout=timeout, max_retries=max_retries,
-                      base_delay=base_delay, debug=debug)
+    url, headers, payload = build_mimo_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="Xiaomi MiMo", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+# ---- OpenRouter (reference openrouter.py:115-222) --------------------------------
+
+
+def build_openrouter_payload(api_key, model_name, parts, generation_config,
+                             system_prompt=None, enable_web_search=False,
+                             base_url="https://openrouter.ai/api",
+                             is_reasoning_model: Optional[bool] = None
+                             ) -> Request:
+    text_part = _text_part(parts, "OpenRouter")
+    image_parts = [p for p in parts if "inline_data" in p]
+    metadata = generation_config.get("_metadata", {})
+
+    is_openai_model = metadata.get("is_openai_model", False)
+    is_anthropic_model = metadata.get("is_anthropic_model", False)
+    image_detail = (generation_config.get("image_detail")
+                    if is_openai_model else None)
+
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    user_content = _image_blocks(image_parts, detail=image_detail)
+    user_content.append({"type": "text", "text": text_part["text"]})
+    messages.append({"role": "user", "content": user_content})
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        "max_tokens": generation_config.get("max_tokens", 4096),
+    }
+    if enable_web_search and not model_name.endswith(":online"):
+        payload["model"] = f"{model_name}:online"
+
+    temp = generation_config.get("temperature")
+    no_sampling = metadata.get("is_claude_effort_xhigh", False) or \
+        metadata.get("is_claude_no_sampling", False)
+    if temp is not None and not (is_anthropic_model and no_sampling):
+        payload["temperature"] = (min(temp, 1.0)
+                                  if is_anthropic_model or is_openai_model
+                                  else temp)
+    top_p = generation_config.get("top_p")
+    if top_p is not None and not is_anthropic_model:
+        payload["top_p"] = top_p
+    top_k = generation_config.get("top_k")
+    if top_k is not None and not is_openai_model and not is_anthropic_model:
+        payload["top_k"] = top_k
+
+    # verbosity: Claude effort routing and GPT-5 verbosity share the key
+    effort = generation_config.get("effort")
+    if effort and metadata.get("is_claude_effort", False):
+        payload["verbosity"] = effort
+    elif metadata.get("is_gpt5_model", False) and generation_config.get(
+            "verbosity"):
+        payload["verbosity"] = generation_config["verbosity"]
+
+    # reasoning block (reference openrouter.py:196-222)
+    reasoning_config: Dict[str, Any] = {}
+    reasoning_effort = generation_config.get("reasoning_effort")
+    if is_reasoning_model is None:
+        is_reasoning_model = metadata.get("is_reasoning_model", False)
+    is_claude_max = metadata.get("is_claude_effort_max", False)
+    is_claude_xhigh = metadata.get("is_claude_effort_xhigh", False)
+    is_claude_adaptive = metadata.get("is_claude_adaptive_default", False)
+    omit_thinking = metadata.get("is_claude_omit_thinking", False)
+    if reasoning_effort and is_claude_adaptive and not omit_thinking:
+        reasoning_config["enabled"] = reasoning_effort != "none"
+    elif reasoning_effort and is_claude_xhigh and not omit_thinking:
+        if reasoning_effort != "none":
+            reasoning_config["enabled"] = True
+    elif reasoning_effort and is_claude_max and not is_claude_xhigh:
+        if reasoning_effort == "auto":
+            reasoning_config["enabled"] = True
+    elif reasoning_effort and is_reasoning_model and not is_claude_max:
+        reasoning_config["effort"] = reasoning_effort
+    if reasoning_config:
+        reasoning_config["exclude"] = True
+        payload["reasoning"] = reasoning_config
+
+    headers = _bearer(api_key)
+    headers.update({
+        "HTTP-Referer": "https://github.com/meangrinch/MangaTranslator",
+        "X-OpenRouter-Title": "MangaTranslator",
+        "X-OpenRouter-Categories": "writing-assistant,image-gen",
+    })
+    return (f"{base_url}/v1/chat/completions", headers, _drop_none(payload))
 
 
 def call_openrouter_endpoint(api_key, model_name, parts, generation_config,
                              system_prompt=None, debug=False, timeout=120,
                              max_retries=3, base_delay=1.0,
+                             enable_web_search=False,
                              base_url="https://openrouter.ai/api") -> Optional[str]:
-    """OpenRouter (reference openrouter.py:19-323): chat completions with
-    reasoning block and optional provider-specific extras from _metadata."""
     if not api_key:
         raise ValidationError("API key is required for OpenRouter endpoint")
+    is_reasoning = None
     meta = generation_config.get("_metadata", {})
-    extra: Dict[str, Any] = {}
-    effort = generation_config.get("reasoning_effort")
-    if effort and effort not in ("none", "auto"):
-        extra["reasoning"] = {"effort": effort}
-    if generation_config.get("verbosity"):
-        extra["verbosity"] = generation_config["verbosity"]
-    if meta.get("is_claude_effort") and generation_config.get("effort"):
-        extra["effort"] = generation_config["effort"]
-    return _call_chat(f"{base_url}/v1/chat/completions", api_key, model_name,
-                      parts, generation_config, system_prompt, "OpenRouter",
-                      extra_payload=extra,
-                      extra_headers={"HTTP-Referer": "https://mangatranslator",
-                                     "X-Title": "MangaTranslator"},
-                      timeout=timeout, max_retries=max_retries,
-                      base_delay=base_delay, debug=debug)
+    if "is_reasoning_model" not in meta:
+        try:
+            is_reasoning = _openrouter_is_reasoning_model(model_name,
+                                                          api_key, debug)
+        except Exception:
+            is_reasoning = False
+    url, headers, payload = build_openrouter_payload(
+        api_key, model_name, parts, generation_config, system_prompt,
+        enable_web_search, base_url, is_reasoning_model=is_reasoning)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="OpenRouter", timeout=timeout,
+                                    max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)
+
+
+_openrouter_meta_cache: Dict[str, Any] = {}
 
 
 def call_openrouter_models_metadata(api_key: Optional[str] = None,
@@ -196,17 +523,60 @@ def call_openrouter_models_metadata(api_key: Optional[str] = None,
     return resp.json()
 
 
+def _openrouter_is_reasoning_model(model_name: str, api_key: Optional[str],
+                                   debug: bool) -> bool:
+    if "models" not in _openrouter_meta_cache:
+        _openrouter_meta_cache["models"] = call_openrouter_models_metadata(
+            api_key)
+    for entry in _openrouter_meta_cache["models"].get("data", []):
+        if entry.get("id") == model_name:
+            return "reasoning" in (entry.get("supported_parameters") or [])
+    return False
+
+
+# ---- OpenAI-Compatible (reference openai_compatible.py:49-107) -------------------
+
+
+def build_openai_compatible_payload(base_url, api_key, model_name, parts,
+                                    generation_config,
+                                    system_prompt=None) -> Request:
+    if not base_url:
+        raise ValidationError(
+            "Base URL is required for OpenAI-Compatible endpoint")
+    text_part = _text_part(parts, "OpenAI-Compatible")
+    image_parts = [p for p in parts if "inline_data" in p]
+
+    messages: List[Dict[str, Any]] = []
+    if system_prompt:
+        messages.append({"role": "system", "content": system_prompt})
+    user_content = _image_blocks(image_parts)
+    user_content.append({"type": "text", "text": text_part["text"]})
+    messages.append({"role": "user", "content": user_content})
+
+    payload: Dict[str, Any] = {
+        "model": model_name,
+        "messages": messages,
+        "max_tokens": generation_config.get("max_tokens", 4096),
+    }
+    for key in ("temperature", "top_p", "top_k"):
+        if generation_config.get(key) is not None:
+            payload[key] = generation_config[key]
+    return (f"{base_url.rstrip('/')}/chat/completions", _bearer(api_key),
+            _drop_none(payload))
+
+
 def call_openai_compatible_endpoint(base_url, api_key, model_name, parts,
                                     generation_config, system_prompt=None,
                                     debug=False, timeout=480, max_retries=5,
                                     base_delay=1.0) -> Optional[str]:
-    """Generic llama.cpp-style endpoint (reference openai_compatible.py:11-203).
-
-    Note the distinct signature: base_url first, longer timeout, 5 retries.
-    """
-    if not base_url:
-        raise ValidationError("Base URL is required for OpenAI-Compatible endpoint")
-    return _call_chat(f"{base_url.rstrip('/')}/chat/completions", api_key,
-                      model_name, parts, generation_config, system_prompt,
-                      "OpenAI-Compatible", timeout=timeout,
-                      max_retries=max_retries, base_delay=base_delay, debug=debug)
+    """Generic llama.cpp-style endpoint. Note the distinct signature:
+    base_url first, longer timeout, 5 retries (reference
+    openai_compatible.py:11-203)."""
+    url, headers, payload = build_openai_compatible_payload(
+        base_url, api_key, model_name, parts, generation_config,
+        system_prompt)
+    result = post_json_with_retries(url, payload, headers=headers,
+                                    provider="OpenAI-Compatible",
+                                    timeout=timeout, max_retries=max_retries,
+                                    base_delay=base_delay, debug=debug)
+    return _extract_chat_text(result)

@@ -196,8 +196,12 @@ def _call_llm_endpoint(
                             gen_cfg, system_prompt, debug=debug,
                             enable_web_search=config.enable_web_search,
                             enable_code_execution=config.enable_code_execution)
+        if provider == "DeepSeek":  # text-only, no web search (reference :795)
+            return endpoint(_provider_api_key(config), config.model_name, parts,
+                            gen_cfg, system_prompt, debug=debug)
         return endpoint(_provider_api_key(config), config.model_name, parts,
-                        gen_cfg, system_prompt, debug=debug)
+                        gen_cfg, system_prompt, debug=debug,
+                        enable_web_search=config.enable_web_search)
 
     if coordinator is not None:
         return coordinator.run(do_call)

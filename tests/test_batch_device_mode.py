@@ -1,5 +1,7 @@
 """Batch driver's device-batched fast path (pages_per_device_batch > 1)."""
 
+import zipfile
+
 from PIL import Image
 
 from mangatranslator_tpu.pipeline.batch import batch_translate_images
@@ -21,3 +23,46 @@ def test_device_batched_batch_driver(batch_manager, tmp_path):  # noqa: F811
     assert result["success_count"] == 5
     assert result["error_count"] == 0
     assert len(list(out.glob("*_translated.png"))) == 5
+
+
+def test_64_page_zip_sharded_over_mesh(batch_manager, tmp_path,  # noqa: F811
+                                        monkeypatch):
+    """BASELINE config (5): a 64-page ZIP chapter through the full batch
+    pipeline with pages_per_device_batch=8 on the virtual 8-device mesh.
+    Fails if the stacked page batches silently degrade to one device."""
+    import jax
+
+    import mangatranslator_tpu.runtime as rt
+
+    mgr, img = batch_manager
+    zip_path = tmp_path / "chapter.zip"
+    pil = Image.fromarray(img)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for i in range(64):
+            page = tmp_path / f"page_{i + 1:03d}.png"
+            pil.save(page)
+            zf.write(page, arcname=page.name)
+            page.unlink()
+
+    shardings = []
+    real_put = rt.device_put_sharded_pages
+
+    def spy(pages, mesh, axis="data"):
+        arr = real_put(pages, mesh, axis)
+        shardings.append(len(arr.sharding.device_set))
+        return arr
+
+    monkeypatch.setattr(rt, "device_put_sharded_pages", spy)
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 8
+    out = tmp_path / "out"
+    result = batch_translate_images(zip_path, cfg, out)
+    assert result["success_count"] == 64
+    assert result["error_count"] == 0
+    assert len(list(out.glob("*_translated.png"))) == 64
+
+    assert jax.device_count() == 8  # conftest forces the virtual mesh
+    assert shardings, "page batches never went through the sharded path"
+    assert all(n == 8 for n in shardings), (
+        f"page sharding degraded: device counts {shardings}")

@@ -1,0 +1,371 @@
+"""Per-provider request-payload parity (VERDICT item 10).
+
+Each case asserts the EXACT request body (and the load-bearing headers/URL)
+our endpoint produces for a fixed (parts, generation_config) input, written
+out by hand from the reference's construction code:
+
+  Google      utils/endpoints/google.py:52-77
+  OpenAI      utils/endpoints/openai.py:63-145
+  Anthropic   utils/endpoints/anthropic.py:56-170
+  SpaceXAI    utils/endpoints/spacexai.py:56-140  (Responses API)
+  DeepSeek    utils/endpoints/deepseek.py:57-96   (text-only, temp ≤ 2.0)
+  Z.ai        utils/endpoints/zai.py:55-127       (vision gating, stream)
+  Moonshot    utils/endpoints/moonshot.py:48-125  (K3 param renames)
+  MiMo        utils/endpoints/mimo.py:45-108      (max_completion_tokens)
+  OpenRouter  utils/endpoints/openrouter.py:115-222
+  OpenAI-Compatible utils/endpoints/openai_compatible.py:49-107
+"""
+
+import pytest
+
+import mangatranslator_tpu.services.endpoints.anthropic as anthropic_mod
+import mangatranslator_tpu.services.endpoints.google as google_mod
+import mangatranslator_tpu.services.endpoints.openai as openai_mod
+import mangatranslator_tpu.services.endpoints.openai_chat as chat_mod
+
+TEXT = "Translate the bubbles."
+IMG_B64 = "aW1n"
+PARTS = [{"text": TEXT},
+         {"inline_data": {"mime_type": "image/jpeg", "data": IMG_B64}}]
+DATA_URL = f"data:image/jpeg;base64,{IMG_B64}"
+SYS = "You are a translator."
+
+
+def capture(monkeypatch, module):
+    captured = {}
+
+    def fake_post(url, payload, headers=None, provider=None, **kw):
+        captured.update(url=url, payload=payload, headers=headers or {})
+        return {"choices": [{"message": {"content": "ok"}}],
+                "content": [{"type": "text", "text": "ok"}],
+                "candidates": [{"content": {"parts": [{"text": "ok"}]}}],
+                "output": [{"type": "message",
+                            "content": [{"type": "output_text",
+                                         "text": "ok"}]}]}
+
+    monkeypatch.setattr(module, "post_json_with_retries", fake_post)
+    return captured
+
+
+def test_google_payload(monkeypatch):
+    cap = capture(monkeypatch, google_mod)
+    google_mod.call_gemini_endpoint(
+        "KEY", "gemini-3-flash", PARTS,
+        {"temperature": 0.7, "maxOutputTokens": 512}, system_prompt=SYS,
+        enable_web_search=True, enable_code_execution=True)
+    # gemini-3 → v1alpha (reference google.py:53-55)
+    assert cap["url"].startswith(
+        "https://generativelanguage.googleapis.com/v1alpha/models/"
+        "gemini-3-flash:generateContent?key=KEY")
+    assert cap["payload"] == {
+        "contents": [{"parts": PARTS}],
+        "generationConfig": {"temperature": 0.7, "maxOutputTokens": 512},
+        "safetySettings": [
+            {"category": "HARM_CATEGORY_HARASSMENT", "threshold": "BLOCK_NONE"},
+            {"category": "HARM_CATEGORY_HATE_SPEECH", "threshold": "BLOCK_NONE"},
+            {"category": "HARM_CATEGORY_SEXUALLY_EXPLICIT",
+             "threshold": "BLOCK_NONE"},
+            {"category": "HARM_CATEGORY_DANGEROUS_CONTENT",
+             "threshold": "BLOCK_NONE"},
+        ],
+        "systemInstruction": {"parts": [{"text": SYS}]},
+        "tools": [{"googleSearch": {}}, {"code_execution": {}}],
+    }
+    cap2 = capture(monkeypatch, google_mod)
+    google_mod.call_gemini_endpoint("KEY", "gemini-2.5-flash", PARTS, {})
+    assert "/v1beta/models/" in cap2["url"]  # non-gemini-3 → v1beta
+
+
+def test_openai_payload(monkeypatch):
+    cap = capture(monkeypatch, openai_mod)
+    openai_mod.call_openai_endpoint(
+        "KEY", "gpt-5.2", PARTS,
+        {"max_output_tokens": 2048, "temperature": 0.6, "image_detail": "high",
+         "reasoning_effort": "high", "verbosity": "low"}, system_prompt=SYS)
+    assert cap["url"] == "https://api.openai.com/v1/responses"
+    assert cap["payload"] == {
+        "model": "gpt-5.2",
+        "input": [{"role": "user", "content": [
+            {"type": "input_text", "text": TEXT},
+            {"type": "input_image", "image_url": DATA_URL, "detail": "high"},
+        ]}],
+        "max_output_tokens": 2048,
+        "instructions": SYS,
+        "temperature": 0.6,
+        "reasoning": {"effort": "high"},
+        "text": {"verbosity": "low"},
+    }
+
+
+def test_anthropic_payload_images_first_temp_clamped(monkeypatch):
+    cap = capture(monkeypatch, anthropic_mod)
+    anthropic_mod.call_anthropic_endpoint(
+        "KEY", "claude-sonnet-4", PARTS,
+        {"temperature": 1.8, "top_k": 40, "max_tokens": 1024,
+         "thinking_type": "enabled", "reasoning_effort": "medium"},
+        system_prompt=SYS)
+    # images precede the text block; temp clamps to 1.0 (reference :111-119)
+    assert cap["payload"] == {
+        "model": "claude-sonnet-4",
+        "system": SYS,
+        "messages": [{"role": "user", "content": [
+            {"type": "image", "source": {"type": "base64",
+                                         "media_type": "image/jpeg",
+                                         "data": IMG_B64}},
+            {"type": "text", "text": TEXT},
+        ]}],
+        "temperature": 1.0,
+        "top_k": 40,
+        "max_tokens": 1024,
+        "thinking": {"type": "enabled", "budget_tokens": 512},  # 50% of 1024
+    }
+    assert cap["headers"]["x-api-key"] == "KEY"
+    assert cap["headers"]["anthropic-version"] == "2023-06-01"
+
+
+def test_anthropic_xhigh_drops_sampling(monkeypatch):
+    cap = capture(monkeypatch, anthropic_mod)
+    anthropic_mod.call_anthropic_endpoint(
+        "KEY", "claude-opus-4-7", PARTS,
+        {"temperature": 0.7, "top_k": 40, "max_tokens": 2048,
+         "effort": "xhigh",
+         "_metadata": {"is_claude_effort": True, "is_claude_effort_max": True,
+                       "is_claude_effort_xhigh": True}})
+    p = cap["payload"]
+    assert "temperature" not in p and "top_k" not in p  # reference :122-126
+    assert p["output_config"] == {"effort": "xhigh"}
+
+
+def test_anthropic_effort_tier_validation(monkeypatch):
+    cap = capture(monkeypatch, anthropic_mod)
+    # "max" effort is invalid below the effort_max tier → omitted
+    anthropic_mod.call_anthropic_endpoint(
+        "KEY", "claude-opus-4-5", PARTS,
+        {"max_tokens": 2048, "effort": "max",
+         "_metadata": {"is_claude_effort": True}})
+    assert "output_config" not in cap["payload"]
+
+
+def test_xai_responses_api_payload(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_xai_endpoint(
+        "KEY", "grok-4.5-fast", PARTS,
+        {"temperature": 0.7, "top_p": 0.95, "max_tokens": 4096,
+         "media_resolution": "low", "prompt_cache_key": "abc",
+         "reasoning_effort": "high"}, system_prompt=SYS,
+        enable_web_search=True)
+    assert cap["url"] == "https://api.x.ai/v1/responses"
+    assert cap["payload"] == {
+        "model": "grok-4.5-fast",
+        "input": [
+            {"role": "system", "content": SYS},
+            {"role": "user", "content": [
+                {"type": "input_image", "image_url": DATA_URL,
+                 "detail": "low"},
+                {"type": "input_text", "text": TEXT},
+            ]},
+        ],
+        "temperature": 0.7,
+        "top_p": 0.95,
+        "max_output_tokens": 4096,  # NOT max_tokens (reference :122)
+        "prompt_cache_key": "abc",
+        "reasoning": {"effort": "high"},  # grok-4.5 prefix gate (:130-135)
+        "tools": [{"type": "web_search"}],
+    }
+
+
+def test_xai_per_part_media_resolution(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    parts = [{"text": TEXT},
+             {"inline_data": {"mime_type": "image/png", "data": IMG_B64},
+              "media_resolution": {"level": "MEDIA_RESOLUTION_MEDIUM"}}]
+    chat_mod.call_xai_endpoint("KEY", "grok-4", parts, {"max_tokens": 64})
+    img = cap["payload"]["input"][0]["content"][0]
+    assert img["detail"] == "high"  # MEDIUM maps to high (reference :81-86)
+    assert "reasoning" not in cap["payload"]  # grok-4 fails both name gates
+
+
+def test_deepseek_text_only_and_thinking_gates_sampling(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_deepseek_endpoint(
+        "KEY", "deepseek-chat", PARTS,
+        {"temperature": 2.5, "top_p": 0.9, "max_tokens": 1024},
+        system_prompt=SYS)
+    assert cap["payload"] == {
+        "model": "deepseek-chat",
+        "messages": [{"role": "system", "content": SYS},
+                     {"role": "user", "content": TEXT}],  # images dropped
+        "max_tokens": 1024,
+        "temperature": 2.0,  # clamp ≤2.0 (reference :90)
+        "top_p": 0.9,
+    }
+    cap2 = capture(monkeypatch, chat_mod)
+    chat_mod.call_deepseek_endpoint(
+        "KEY", "deepseek-reasoner", PARTS,
+        {"temperature": 0.7, "top_p": 0.9, "max_tokens": 1024,
+         "thinking": {"type": "enabled"}})
+    p = cap2["payload"]
+    # thinking enabled → no sampling params (reference :86-94)
+    assert "temperature" not in p and "top_p" not in p
+    assert p["thinking"] == {"type": "enabled"}
+
+
+def test_zai_vision_gating_and_web_search(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_zai_endpoint(
+        "KEY", "glm-4.6v", PARTS,
+        {"temperature": 0.7, "top_p": 0.9, "max_tokens": 512},
+        enable_web_search=True)
+    assert cap["payload"] == {
+        "model": "glm-4.6v",
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": DATA_URL}},
+            {"type": "text", "text": TEXT},
+        ]}],
+        "temperature": 0.7,
+        "top_p": 0.9,
+        "max_tokens": 512,
+        "stream": False,
+        "tools": [{"type": "web_search",
+                   "web_search": {"enable": True,
+                                  "search_engine": "search_pro_jina"}}],
+    }
+    assert cap["headers"]["Accept-Language"] == "en-US,en"
+    cap2 = capture(monkeypatch, chat_mod)
+    chat_mod.call_zai_endpoint("KEY", "glm-4.7", PARTS, {"max_tokens": 512})
+    # non-vision model: plain-string text content (reference :92-94)
+    assert cap2["payload"]["messages"] == [{"role": "user", "content": TEXT}]
+
+
+def test_moonshot_k3_param_renames(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_moonshot_endpoint(
+        "KEY", "kimi-k3", PARTS,
+        {"temperature": 1.4, "top_p": 0.9, "max_tokens": 512,
+         "reasoning_effort": "high"}, enable_web_search=True)
+    assert cap["payload"] == {
+        "model": "kimi-k3",
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": DATA_URL}},
+            {"type": "text", "text": TEXT},
+        ]}],
+        "max_completion_tokens": 512,  # K3 rename (reference :90-95)
+        "reasoning_effort": "high",    # temp/top_p dropped for K3 (:118-120)
+        "tools": [{"type": "builtin_search"}],
+    }
+    cap2 = capture(monkeypatch, chat_mod)
+    chat_mod.call_moonshot_endpoint(
+        "KEY", "kimi-k2", PARTS, {"temperature": 1.4, "max_tokens": 512})
+    assert cap2["payload"]["max_tokens"] == 512
+    assert cap2["payload"]["temperature"] == 1.0  # clamp ≤1.0 (:104)
+
+
+def test_mimo_multimodal_gating(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_mimo_endpoint(
+        "KEY", "mimo-v2.5", PARTS,
+        {"temperature": 1.2, "top_p": 0.9, "max_tokens": 256},
+        enable_web_search=True)
+    assert cap["payload"] == {
+        "model": "mimo-v2.5",
+        "messages": [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": DATA_URL}},
+            {"type": "text", "text": TEXT},
+        ]}],
+        "max_completion_tokens": 256,  # always (reference mimo.py:89)
+        "temperature": 1.0,            # clamp ≤1.0 (:95)
+        "top_p": 0.9,
+        "tools": [{"type": "web_search"}],
+    }
+    cap2 = capture(monkeypatch, chat_mod)
+    chat_mod.call_mimo_endpoint("KEY", "mimo-t1", PARTS, {"max_tokens": 256})
+    # non-multimodal model ignores image parts (reference :60-79)
+    assert cap2["payload"]["messages"] == [{"role": "user", "content": TEXT}]
+
+
+def test_openrouter_anthropic_param_restrictions(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_openrouter_endpoint(
+        "KEY", "anthropic/claude-sonnet-4.6", PARTS,
+        {"temperature": 1.5, "top_p": 0.9, "top_k": 40, "max_tokens": 1024,
+         "effort": "high", "reasoning_effort": "auto",
+         "_metadata": {"is_openai_model": False, "is_anthropic_model": True,
+                       "is_claude_effort": True, "is_claude_effort_max": True,
+                       "is_reasoning_model": True}},
+        system_prompt=SYS)
+    assert cap["url"] == "https://openrouter.ai/api/v1/chat/completions"
+    assert cap["payload"] == {
+        "model": "anthropic/claude-sonnet-4.6",
+        "messages": [
+            {"role": "system", "content": SYS},
+            {"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": DATA_URL}},
+                {"type": "text", "text": TEXT},
+            ]},
+        ],
+        "max_tokens": 1024,
+        "temperature": 1.0,            # anthropic clamp (reference :166-173)
+        "verbosity": "high",           # claude effort → verbosity (:183-189)
+        "reasoning": {"enabled": True, "exclude": True},  # claude-max + auto
+    }
+    # top_p / top_k omitted for anthropic models (reference :175-181)
+    assert cap["headers"]["HTTP-Referer"] == \
+        "https://github.com/meangrinch/MangaTranslator"
+    assert cap["headers"]["X-OpenRouter-Title"] == "MangaTranslator"
+    assert cap["headers"]["X-OpenRouter-Categories"] == \
+        "writing-assistant,image-gen"
+
+
+def test_openrouter_online_suffix_and_reasoning_effort(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_openrouter_endpoint(
+        "KEY", "deepseek/deepseek-r1", PARTS,
+        {"temperature": 0.7, "top_p": 0.9, "top_k": 40, "max_tokens": 512,
+         "reasoning_effort": "high",
+         "_metadata": {"is_openai_model": False, "is_anthropic_model": False,
+                       "is_reasoning_model": True}},
+        enable_web_search=True)
+    p = cap["payload"]
+    assert p["model"] == "deepseek/deepseek-r1:online"  # reference :158-160
+    assert p["temperature"] == 0.7     # unclamped for other vendors
+    assert p["top_p"] == 0.9 and p["top_k"] == 40
+    assert p["reasoning"] == {"effort": "high", "exclude": True}
+
+
+def test_openai_compatible_payload(monkeypatch):
+    cap = capture(monkeypatch, chat_mod)
+    chat_mod.call_openai_compatible_endpoint(
+        "http://localhost:8080/v1/", None, "local-model", PARTS,
+        {"temperature": 0.8, "top_p": 0.9, "top_k": 50, "max_tokens": 512},
+        system_prompt=SYS)
+    assert cap["url"] == "http://localhost:8080/v1/chat/completions"
+    assert "Authorization" not in cap["headers"]  # no key → no header
+    assert cap["payload"] == {
+        "model": "local-model",
+        "messages": [
+            {"role": "system", "content": SYS},
+            {"role": "user", "content": [
+                {"type": "image_url", "image_url": {"url": DATA_URL}},
+                {"type": "text", "text": TEXT},
+            ]},
+        ],
+        "max_tokens": 512,
+        "temperature": 0.8,
+        "top_p": 0.9,
+        "top_k": 50,
+    }
+
+
+@pytest.mark.parametrize("provider,call,needs_key", [
+    ("SpaceXAI", chat_mod.call_xai_endpoint, True),
+    ("DeepSeek", chat_mod.call_deepseek_endpoint, True),
+    ("Z.ai", chat_mod.call_zai_endpoint, True),
+    ("Moonshot", chat_mod.call_moonshot_endpoint, True),
+    ("MiMo", chat_mod.call_mimo_endpoint, True),
+    ("OpenRouter", chat_mod.call_openrouter_endpoint, True),
+])
+def test_missing_key_raises(provider, call, needs_key):
+    from mangatranslator_tpu.exceptions import ValidationError
+
+    with pytest.raises(ValidationError):
+        call(None, "m", PARTS, {})
