@@ -240,7 +240,9 @@ def measure_rcan(pages, cpu_mode: bool) -> float:
 
     from mangatranslator_tpu.pipeline.upscale import upscale_image
 
-    variant = "model_lite" if cpu_mode else "model"
+    # model_lite on BOTH backends so vs_baseline compares like for like
+    # (full "model" on the CPU side costs ~40 min for one page)
+    variant = "model_lite"
     upscale_image(Image.fromarray(pages[0]), 2.0, variant)  # warm/compile
     n = 1 if cpu_mode else 4
     t0 = time.perf_counter()
@@ -262,7 +264,7 @@ def measure_flux_steps(pages, cpu_mode: bool) -> float:
     from mangatranslator_tpu.models.flux.klein import build_random_klein
 
     inp = build_random_klein(upscale_small_crops=False)
-    size = 256 if cpu_mode else 512  # 512px, vf=4 ⇒ 64×64 latents ⇒ 4096 tokens
+    size = 512  # 512px, vf=4 ⇒ 64×64 latents ⇒ 4096 tokens (≈1MP production)
     rng = np.random.default_rng(0)
     crop = rng.integers(0, 255, (size, size, 3), np.uint8)
     steps = 4

@@ -1,0 +1,197 @@
+"""Declarative widget schema for the web UI's Config surface.
+
+The reference Config tab (ui/layout.py:519-2170) hand-builds ~150 Gradio
+widgets in eleven sections. Here the same surface is declared as data: every
+persisted setting (settings_manager.DEFAULT_SETTINGS + DEFAULT_BATCH_SETTINGS)
+maps to exactly one widget in one section, with enum choices lifted from the
+reference's dropdowns; the web client renders the form from this schema and
+tests/test_ui.py asserts completeness so new settings cannot silently drop
+off the UI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+from .settings_manager import (
+    DEFAULT_BATCH_SETTINGS,
+    DEFAULT_SETTINGS,
+    PROVIDER_MODELS,
+)
+
+# enum choices per key (reference ui/layout.py dropdowns; value lists keep
+# the reference's wire values)
+ENUM_OPTIONS: Dict[str, List[str]] = {
+    "provider": list(PROVIDER_MODELS),
+    "reading_direction": ["rtl", "ltr"],                      # :647
+    "translation_mode": ["one-step", "two-step"],             # :703
+    "ocr_method": ["LLM", "manga-ocr", "paddleocr-vl-1.6"],   # :724
+    "bubble_detector_model": ["yolo_1", "yolo_2"],            # :574
+    "seg_model": ["sam3", "sam2", "yolo"],                    # :628
+    "font_hinting": ["none", "slight", "normal", "full"],     # :1340
+    "output_format": ["auto", "png", "jpeg"],                 # :2024
+    "image_upscale_mode": ["off", "initial", "final"],        # :2054
+    "image_upscale_model": ["model", "model_lite"],           # :2064
+    "upscale_method": ["model", "model_lite", "lanczos", "none"],  # :1237
+    "image_detail": ["auto", "high", "medium", "low"],        # :1094
+    "media_resolution": ["unspecified", "low", "medium", "high"],
+    "media_resolution_bubbles": ["unspecified", "low", "medium", "high"],
+    "media_resolution_context": ["unspecified", "low", "medium", "high"],
+    "outside_text_inpainting_method": [
+        "flux_klein_9b", "flux_klein_4b", "flux_kontext", "opencv", "none",
+    ],                                                        # :1581
+    "outside_text_flux_backend": ["jax", "sdnq", "sdcpp", "nunchaku"],
+    "outside_text_flux_sdcpp_cache_mode": [
+        "spectrum", "cache-dit", "taylorseer", "dbcache", "none",
+    ],                                                        # :1657
+    "outside_text_osb_font_hinting": ["none", "slight", "normal", "full"],
+    # dynamic vocab (provider/model-dependent via /api/interactivity):
+    "reasoning_effort": [],
+    "effort": [],
+    "verbosity": [],
+    "model_name": [],
+    "font_pack": [],
+    "batch_font_pack": [],
+    "outside_text_osb_font_pack": [],
+}
+
+_SECRET_KEYS = frozenset(k for k in DEFAULT_SETTINGS
+                         if k.endswith("_api_key")
+                         or k.endswith("huggingface_token"))
+
+# Section layout mirrors the reference Config tab's groups
+# (ui/layout.py:572,659,701,742,1213,1304,1352,1454,2022,2052,2106).
+CONFIG_SECTIONS: List[Dict[str, Any]] = [
+    {"id": "detection", "title": "Speech Bubble Detection", "keys": [
+        "bubble_detector_model", "confidence", "seg_model",
+        "conjoined_detection", "conjoined_confidence",
+        "use_panel_sorting", "panel_confidence",
+        "use_osb_text_verification", "reading_direction",
+        "whiteout_conjoined_bubbles",
+    ]},
+    {"id": "cleaning", "title": "Mask Cleaning & Refinement", "keys": [
+        "use_otsu_threshold", "thresholding_value", "roi_shrink_px",
+        "inpaint_colored_bubbles",
+    ]},
+    {"id": "translation", "title": "OCR & Translation", "keys": [
+        "translation_mode", "ocr_method", "input_language",
+        "output_language", "special_instructions", "send_full_page_context",
+    ]},
+    {"id": "llm", "title": "LLM Settings", "keys": [
+        "provider", "model_name",
+        "google_api_key", "openai_api_key", "anthropic_api_key",
+        "xai_api_key", "deepseek_api_key", "zai_api_key",
+        "moonshot_api_key", "mimo_api_key", "openrouter_api_key",
+        "openai_compatible_url", "openai_compatible_api_key",
+        "use_custom_sampling", "temperature", "top_p", "top_k", "max_tokens",
+        "reasoning_effort", "effort", "verbosity",
+        "enable_web_search", "enable_code_execution",
+        "image_detail", "media_resolution", "media_resolution_bubbles",
+        "media_resolution_context",
+    ]},
+    {"id": "context", "title": "Context & Upscaling", "keys": [
+        "auto_scale", "upscale_method", "bubble_min_side_pixels",
+        "context_image_max_side_pixels", "osb_min_side_pixels",
+    ]},
+    {"id": "font", "title": "Font Rendering", "keys": [
+        "font_pack", "max_font_size", "min_font_size", "line_spacing_mult",
+        "use_subpixel_rendering", "font_hinting", "use_ligatures",
+        "supersampling_factor",
+    ]},
+    {"id": "layout", "title": "Text Layout", "keys": [
+        "hyphenate_before_scaling", "hyphen_penalty",
+        "hyphenation_min_word_length", "badness_exponent", "padding_pixels",
+        "detach_trailing_punctuation", "auto_vertical_text",
+    ]},
+    {"id": "osb", "title": "Outside Speech Bubble Text", "keys": [
+        "outside_text_enabled", "outside_text_inpainting_method",
+        "outside_text_flux_backend", "outside_text_flux_low_vram",
+        "outside_text_flux_sdcpp_cache_mode",
+        "outside_text_flux_sdcpp_diffusion_quant",
+        "outside_text_flux_sdcpp_text_encoder_quant",
+        "outside_text_flux_num_inference_steps",
+        "outside_text_flux_luminance_correction",
+        "outside_text_flux_upscale_small_crops",
+        "outside_text_flux_group_regions",
+        "outside_text_flux_residual_diff_threshold",
+        "outside_text_seed", "outside_text_huggingface_token",
+        "outside_text_osb_confidence",
+        "outside_text_enable_page_number_filtering",
+        "outside_text_page_filter_margin_threshold",
+        "outside_text_page_filter_min_area_ratio",
+        "outside_text_min_area_ignore_ratio",
+        "outside_text_bbox_expansion_percent",
+        "outside_text_osb_render_expansion_narrow_multiplier",
+        "outside_text_osb_render_expansion_tiny_multiplier",
+        "outside_text_osb_render_expansion_aspect_ratio_threshold",
+        "outside_text_osb_render_expansion_area_ratio_threshold",
+        "outside_text_osb_font_pack", "outside_text_osb_max_font_size",
+        "outside_text_osb_min_font_size", "outside_text_osb_use_ligatures",
+        "outside_text_osb_outline_width", "outside_text_osb_line_spacing",
+        "outside_text_osb_use_subpixel_rendering",
+        "outside_text_osb_font_hinting",
+        "outside_text_text_box_proximity_ratio",
+    ]},
+    {"id": "output", "title": "Output Format", "keys": [
+        "output_format", "jpeg_quality", "png_compression",
+    ]},
+    {"id": "upscaling", "title": "Upscaling", "keys": [
+        "image_upscale_mode", "image_upscale_factor", "image_upscale_model",
+    ]},
+    {"id": "other", "title": "Other", "keys": [
+        "cleaning_only", "upscaling_only", "test_mode", "verbose",
+        "overlap_llm_with_inpaint",
+    ]},
+    {"id": "batch", "title": "Batch Defaults", "keys": [
+        "batch_input_language", "batch_output_language", "batch_font_pack",
+        "batch_special_instructions", "batch_parallel_requests",
+        "batch_parallel_within_pages", "batch_overlap_llm_with_inpaint",
+        "batch_retry_failed_once", "batch_previous_context_image_count",
+        "batch_previous_context_text_count",
+    ]},
+]
+
+# settings that are persisted but not form widgets (structured values the
+# Config tab's raw-JSON editor still reaches)
+NON_WIDGET_KEYS = frozenset({"provider_models"})
+
+
+def _widget_for(key: str, default: Any) -> Dict[str, Any]:
+    w: Dict[str, Any] = {"key": key, "default": default}
+    if key in ENUM_OPTIONS:
+        w["type"] = "select"
+        w["options"] = ENUM_OPTIONS[key]
+    elif isinstance(default, bool):
+        w["type"] = "bool"
+    elif isinstance(default, (int, float)) and not isinstance(default, bool):
+        w["type"] = "number"
+        w["step"] = 1 if isinstance(default, int) else 0.05
+    else:
+        w["type"] = "secret" if key in _SECRET_KEYS else "text"
+    return w
+
+
+def settings_schema() -> Dict[str, Any]:
+    """Schema served at /api/schema and consumed by the web client."""
+    all_defaults = {**DEFAULT_SETTINGS, **DEFAULT_BATCH_SETTINGS}
+    sections = []
+    for section in CONFIG_SECTIONS:
+        sections.append({
+            "id": section["id"],
+            "title": section["title"],
+            "widgets": [_widget_for(k, all_defaults.get(k))
+                        for k in section["keys"]],
+        })
+    return {"sections": sections}
+
+
+def schema_key_coverage() -> Dict[str, List[str]]:
+    """Diagnostic: settings missing from / duplicated in the schema."""
+    all_keys = set(DEFAULT_SETTINGS) | set(DEFAULT_BATCH_SETTINGS)
+    placed: List[str] = []
+    for section in CONFIG_SECTIONS:
+        placed.extend(section["keys"])
+    missing = sorted(all_keys - set(placed) - NON_WIDGET_KEYS)
+    dupes = sorted(k for k in set(placed) if placed.count(k) > 1)
+    unknown = sorted(set(placed) - all_keys)
+    return {"missing": missing, "duplicated": dupes, "unknown": unknown}

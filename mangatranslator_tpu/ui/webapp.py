@@ -8,9 +8,14 @@ standard library so the web surface works in any environment.
 Endpoints:
   GET  /                → single-page UI
   GET  /api/settings    → saved settings + provider model lists + font packs
+  GET  /api/schema      → widget schema for the Config form (ui/schema.py)
+  GET  /api/interactivity?provider=&model= → dynamic widget matrices
   POST /api/settings    → persist settings (config.json schema parity)
   POST /api/translate   → {image_b64, settings?} → {image_b64, info}
-  POST /api/batch       → {input_path, output_dir, settings?} → result dict
+  POST /api/batch       → {input_path, output_dir, settings?} → result dict;
+                          with async_mode → {job} (poll /api/progress)
+  GET  /api/progress?job= → {done,total,current,status,results,...}
+  GET  /api/result?job=&index= → one finished page as PNG bytes (gallery)
   POST /api/cancel      → cooperative cancellation
   GET  /api/device      → device banner info
 """
@@ -18,7 +23,9 @@ Endpoints:
 from __future__ import annotations
 
 import base64
+import itertools
 import json
+import threading
 import traceback
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from io import BytesIO
@@ -85,12 +92,26 @@ border:none;border-radius:6px;cursor:pointer;font-size:15px}
 <input id="batch_input"><label>Output directory</label><input id="batch_output">
 <label>Parallel page workers</label><input id="parallel" type="number" value="1">
 <button class="go" id="run_batch">Run batch</button>
-<div id="batch_status"></div></div>
+<button class="go" id="cancel_batch" style="background:#a33">Cancel</button>
+<div id="progress_wrap" style="display:none;margin-top:12px">
+<div style="background:#20232b;border-radius:6px;height:18px">
+<div id="progress_bar" style="background:#36a855;height:18px;width:0;
+border-radius:6px;transition:width .3s"></div></div>
+<div id="progress_text" style="font-size:13px;color:#aab;margin-top:4px"></div>
+</div>
+<div id="batch_status"></div>
+<div id="gallery" style="display:flex;flex-wrap:wrap;gap:10px;margin-top:14px">
+</div></div>
 <div id="config" class="tab">
-<p>Settings persist to config.json (same schema as the reference app).</p>
-<textarea id="settings_json" rows="24" spellcheck="false"></textarea>
+<div style="display:flex;gap:18px">
+<div id="cfg_nav" style="min-width:190px"></div>
+<div id="cfg_form" style="flex:1"></div></div>
 <button class="go" id="save_settings">Save settings</button>
-<div id="cfg_status"></div></div>
+<button class="go" id="toggle_json" style="background:#555">Raw JSON</button>
+<div id="cfg_status"></div>
+<textarea id="settings_json" rows="24" spellcheck="false"
+style="display:none;margin-top:10px"></textarea>
+</div>
 </main>
 <script>
 const $=id=>document.getElementById(id);
@@ -98,22 +119,110 @@ document.querySelectorAll('nav button').forEach(b=>b.onclick=()=>{
  document.querySelectorAll('nav button').forEach(x=>x.classList.remove('active'));
  document.querySelectorAll('.tab').forEach(x=>x.classList.remove('active'));
  b.classList.add('active');$(b.dataset.tab).classList.add('active');});
-let SETTINGS={},MODELS={};
+let SETTINGS={},MODELS={},SCHEMA=null,FONTS=[];
 fetch('/api/device').then(r=>r.json()).then(d=>
  $('device').textContent=d.platform+' × '+d.num_devices);
-fetch('/api/settings').then(r=>r.json()).then(d=>{
- SETTINGS=d.settings;MODELS=d.provider_models;
+Promise.all([fetch('/api/settings').then(r=>r.json()),
+             fetch('/api/schema').then(r=>r.json())]).then(([d,sch])=>{
+ SETTINGS=d.settings;MODELS=d.provider_models;FONTS=d.font_packs;SCHEMA=sch;
  $('settings_json').value=JSON.stringify(d.settings,null,2);
  for(const p of Object.keys(MODELS)){const o=document.createElement('option');
   o.textContent=p;$('provider').appendChild(o);}
  $('provider').value=SETTINGS.provider;fillModels();
- for(const f of d.font_packs){const o=document.createElement('option');
-  o.textContent=f;$('font_pack').appendChild(o);}});
+ for(const f of FONTS){const o=document.createElement('option');
+  o.textContent=f;$('font_pack').appendChild(o);}
+ buildConfigForm();applyInteractivity();});
 function fillModels(){$('model_name').innerHTML='';
  for(const m of MODELS[$('provider').value]||[]){
   const o=document.createElement('option');o.textContent=m;
   $('model_name').appendChild(o);}}
-$('provider').onchange=fillModels;
+$('provider').onchange=()=>{fillModels();applyInteractivity();};
+$('model_name').onchange=applyInteractivity;
+
+// ---- dynamic interactivity (server matrices, ui/interactivity.py) ----
+async function applyInteractivity(){
+ const prov=$('provider').value,model=$('model_name').value;
+ if(!prov)return;
+ const m=await fetch('/api/interactivity?provider='+encodeURIComponent(prov)
+  +'&model='+encodeURIComponent(model||'')).then(r=>r.json());
+ const set=(key,opts,enabled)=>{const el=document.querySelector(
+   '[data-key="'+key+'"]');if(!el)return;
+  if(opts!==null&&el.tagName==='SELECT'){const cur=el.value;el.innerHTML='';
+   for(const o of (opts||[])){const e=document.createElement('option');
+    e.textContent=o===null?'':o;e.value=o===null?'':o;el.appendChild(e);}
+   if([...el.options].some(x=>x.value===cur))el.value=cur;}
+  el.disabled=!enabled;
+  el.closest('.widget').style.opacity=enabled?1:0.4;};
+ for(const k of['reasoning_effort','effort','verbosity'])
+  set(k,(m[k]&&m[k].choices)||[],!!(m[k]&&m[k].visible));
+ for(const k of['temperature','top_p','top_k'])
+  set(k,null,!!(m.sampling&&m.sampling[k]));
+ set('enable_web_search',null,!!m.web_search);
+ set('enable_code_execution',null,!!m.code_execution);
+ for(const k of['media_resolution','media_resolution_bubbles',
+  'media_resolution_context','image_detail'])
+  set(k,null,!!(m.media_resolution&&m.media_resolution[k]));
+}
+
+// ---- schema-driven Config form (ui/schema.py sections) ----
+function widgetHTML(w){
+ const v=SETTINGS[w.key]!==undefined?SETTINGS[w.key]:w.default;
+ if(w.type==='bool')return '<label class="widget"><input type="checkbox" '+
+  'style="width:auto" data-key="'+w.key+'" '+(v?'checked':'')+'> '+w.key+
+  '</label>';
+ let inner;
+ if(w.type==='select'){
+  let opts=w.options&&w.options.length?w.options:
+   (w.key==='model_name'?(MODELS[SETTINGS.provider]||[]):
+    (w.key.endsWith('font_pack')?['',...FONTS]:['']));
+  inner='<select data-key="'+w.key+'">'+opts.map(o=>'<option'+
+   ((o===v||(o===''&&v==null))?' selected':'')+'>'+o+'</option>').join('')+
+   '</select>';
+ }else if(w.type==='number'){
+  inner='<input type="number" step="'+(w.step||1)+'" data-key="'+w.key+
+   '" value="'+(v==null?'':v)+'">';
+ }else{
+  inner='<input type="'+(w.type==='secret'?'password':'text')+'" data-key="'+
+   w.key+'" value="'+(v==null?'':String(v).replace(/"/g,'&quot;'))+'">';
+ }
+ return '<div class="widget"><label>'+w.key+'</label>'+inner+'</div>';
+}
+function buildConfigForm(){
+ $('cfg_nav').innerHTML=SCHEMA.sections.map(s=>
+  '<button data-sec="'+s.id+'" style="display:block;width:100%;margin:3px 0;'+
+  'padding:7px;background:#2a2e38;color:#dde;border:none;border-radius:5px;'+
+  'cursor:pointer;text-align:left">'+s.title+'</button>').join('');
+ $('cfg_form').innerHTML=SCHEMA.sections.map(s=>
+  '<fieldset id="sec_'+s.id+'" style="border:1px solid #333;border-radius:8px;'+
+  'margin-bottom:10px"><legend>'+s.title+'</legend>'+
+  s.widgets.map(widgetHTML).join('')+'</fieldset>').join('');
+ document.querySelectorAll('#cfg_nav button').forEach(b=>b.onclick=()=>
+  $('sec_'+b.dataset.sec).scrollIntoView({behavior:'smooth'}));
+}
+function collectForm(){
+ const out={...SETTINGS};
+ document.querySelectorAll('#cfg_form [data-key]').forEach(el=>{
+  const k=el.dataset.key;
+  if(el.type==='checkbox'){out[k]=el.checked;return;}
+  let v=el.value;
+  if(el.type==='number')v=v===''?null:+v;
+  if(v==='')v=(SETTINGS[k]===null||SETTINGS[k]===undefined)?null:'';
+  out[k]=v;});
+ return out;
+}
+$('toggle_json').onclick=()=>{const t=$('settings_json');
+ t.style.display=t.style.display==='none'?'block':'none';
+ t.value=JSON.stringify(collectForm(),null,2);};
+$('save_settings').onclick=async()=>{
+ let s;
+ if($('settings_json').style.display!=='none'){
+  try{s=JSON.parse($('settings_json').value);}
+  catch(e){$('cfg_status').textContent='invalid JSON: '+e;return;}
+ }else s=collectForm();
+ const r=await fetch('/api/settings',{method:'POST',body:JSON.stringify(s)});
+ $('cfg_status').textContent=JSON.stringify(await r.json());SETTINGS=s;};
+
+// ---- translator ----
 $('run').onclick=async()=>{
  const f=$('file').files[0];if(!f){$('status').textContent='pick an image';return}
  $('status').textContent='processing…';
@@ -129,17 +238,38 @@ $('run').onclick=async()=>{
  $('preview').src='data:image/png;base64,'+d.image_b64;
  $('status').textContent=JSON.stringify(d.info,null,1);};
 $('cancel').onclick=()=>fetch('/api/cancel',{method:'POST'});
+$('cancel_batch').onclick=()=>fetch('/api/cancel',{method:'POST'});
+
+// ---- batch with progress polling + result gallery ----
+let POLL=null;
 $('run_batch').onclick=async()=>{
- $('batch_status').textContent='running…';
+ $('batch_status').textContent='starting…';$('gallery').innerHTML='';
+ $('progress_wrap').style.display='block';$('progress_bar').style.width='0';
  const resp=await fetch('/api/batch',{method:'POST',body:JSON.stringify({
   input_path:$('batch_input').value,output_dir:$('batch_output').value,
+  async_mode:true,
   settings:{...SETTINGS,batch_parallel_requests:+$('parallel').value}})});
- $('batch_status').textContent=JSON.stringify(await resp.json(),null,1);};
-$('save_settings').onclick=async()=>{
- try{const s=JSON.parse($('settings_json').value);
-  const r=await fetch('/api/settings',{method:'POST',body:JSON.stringify(s)});
-  $('cfg_status').textContent=JSON.stringify(await r.json());SETTINGS=s;}
- catch(e){$('cfg_status').textContent='invalid JSON: '+e}};
+ const d=await resp.json();
+ if(d.error){$('batch_status').textContent='error: '+d.error;return}
+ const job=d.job;let shown=0;
+ if(POLL)clearInterval(POLL);
+ POLL=setInterval(async()=>{
+  const p=await fetch('/api/progress?job='+job).then(r=>r.json());
+  if(p.total)$('progress_bar').style.width=(100*p.done/p.total)+'%';
+  $('progress_text').textContent=p.done+'/'+(p.total||'?')+' '+
+   (p.current||'')+' ['+p.status+']';
+  while(shown<(p.results||[]).length){
+   const img=document.createElement('img');
+   img.src='/api/result?job='+job+'&index='+shown;
+   img.style.cssText='width:150px;border:1px solid #333;border-radius:4px;'+
+    'cursor:pointer';
+   img.title=p.results[shown];
+   img.onclick=()=>window.open(img.src);
+   $('gallery').appendChild(img);shown++;}
+  if(p.status==='done'||p.status==='error'){
+   clearInterval(POLL);POLL=null;
+   $('batch_status').textContent=JSON.stringify(p.result||p,null,1);}
+ },700);};
 </script></body></html>"""
 
 
@@ -159,6 +289,9 @@ class WebApp:
         self.fonts_dir = Path(fonts_dir)
         self.config_file = config_file
         self.cancellation = CancellationManager()
+        self._jobs: Dict[str, Dict[str, Any]] = {}
+        self._jobs_lock = threading.Lock()
+        self._job_ids = itertools.count(1)
 
     # -- API handlers -------------------------------------------------------
 
@@ -170,6 +303,10 @@ class WebApp:
                 "font_packs": _list_font_packs(self.fonts_dir),
                 "defaults": {**DEFAULT_SETTINGS, **DEFAULT_BATCH_SETTINGS},
             }
+        if method == "GET" and path == "/api/schema":
+            from .schema import settings_schema
+
+            return settings_schema()
         if method == "GET" and path == "/api/device":
             from ..runtime import get_device_info
 
@@ -182,6 +319,11 @@ class WebApp:
             q = parse_qs(urlparse(path).query)
             return model_interactivity(q.get("provider", ["Google"])[0],
                                        q.get("model", [None])[0])
+        if method == "GET" and path.startswith("/api/progress"):
+            from urllib.parse import parse_qs, urlparse
+
+            q = parse_qs(urlparse(path).query)
+            return self._progress(q.get("job", [""])[0])
         if method == "POST" and path == "/api/settings":
             ok = save_config(body or {}, self.config_file)
             return {"saved": ok}
@@ -193,6 +335,66 @@ class WebApp:
         if method == "POST" and path == "/api/batch":
             return self._batch(body or {})
         return {"error": f"unknown endpoint {method} {path}"}
+
+    # -- batch jobs (progress streaming + result gallery) --------------------
+
+    def _progress(self, job_id: str) -> Dict[str, Any]:
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+            if job is None:
+                return {"error": f"unknown job {job_id}"}
+            return {k: v for k, v in job.items() if k != "paths"}
+
+    def result_bytes(self, job_id: str, index: int) -> Optional[bytes]:
+        """PNG/JPEG bytes of one finished page; only paths the job itself
+        recorded are served (no arbitrary file reads)."""
+        with self._jobs_lock:
+            job = self._jobs.get(job_id)
+            if job is None or not (0 <= index < len(job["paths"])):
+                return None
+            path = job["paths"][index]
+        try:
+            return Path(path).read_bytes()
+        except OSError:
+            return None
+
+    def _run_batch_job(self, job_id: str, input_path: str,
+                       output_dir: Optional[str],
+                       settings: Dict[str, Any]) -> None:
+        from ..pipeline.batch import batch_translate_images
+
+        job = self._jobs[job_id]
+
+        def on_progress(done: int, total: int, current: str) -> None:
+            with self._jobs_lock:
+                job["done"] = done
+                job["total"] = total
+                job["current"] = current
+                self._collect_results(job)
+
+        try:
+            cfg = map_settings_to_config(settings, self.models_dir,
+                                         self.fonts_dir, batch=True)
+            result = batch_translate_images(
+                input_path, cfg, output_dir, progress_callback=on_progress,
+                cancellation=self.cancellation)
+            with self._jobs_lock:
+                self._collect_results(job)
+                job["result"] = result
+                job["status"] = "done"
+        except Exception as e:
+            log_message(traceback.format_exc(), always_print=True)
+            with self._jobs_lock:
+                job["status"] = "error"
+                job["error"] = str(e)
+
+    def _collect_results(self, job: Dict[str, Any]) -> None:
+        out_dir = job.get("output_dir")
+        if not out_dir or not Path(out_dir).is_dir():
+            return
+        paths = sorted(str(p) for p in Path(out_dir).glob("*_translated.*"))
+        job["paths"] = paths
+        job["results"] = [Path(p).name for p in paths]
 
     # Settings keys accepted from request bodies beyond the persisted schema:
     # runtime-only knobs the config mapping understands but never saves.
@@ -231,6 +433,20 @@ class WebApp:
 
         self.cancellation.reset()
         settings = self._merged_settings(body.get("settings"))
+        if body.get("async_mode"):
+            job_id = str(next(self._job_ids))
+            with self._jobs_lock:
+                self._jobs[job_id] = {
+                    "status": "running", "done": 0, "total": 0,
+                    "current": "", "results": [], "paths": [],
+                    "output_dir": body.get("output_dir"),
+                }
+            threading.Thread(
+                target=self._run_batch_job,
+                args=(job_id, body["input_path"], body.get("output_dir"),
+                      settings),
+                daemon=True).start()
+            return {"job": job_id}
         cfg = map_settings_to_config(settings, self.models_dir, self.fonts_dir,
                                      batch=True)
         return batch_translate_images(
@@ -255,6 +471,18 @@ class WebApp:
             def do_GET(self):
                 if self.path in ("/", "/index.html"):
                     self._send(200, _PAGE.encode(), "text/html; charset=utf-8")
+                    return
+                if self.path.startswith("/api/result"):
+                    from urllib.parse import parse_qs, urlparse
+
+                    q = parse_qs(urlparse(self.path).query)
+                    data = app.result_bytes(q.get("job", [""])[0],
+                                            int(q.get("index", ["-1"])[0]))
+                    if data is None:
+                        self._send(404, json.dumps(
+                            {"error": "no such result"}).encode())
+                    else:
+                        self._send(200, data, "image/png")
                     return
                 try:
                     out = app.handle("GET", self.path, None)

@@ -158,3 +158,70 @@ class TestWebApp:
         out = Image.open(BytesIO(base64.b64decode(resp["image_b64"])))
         assert out.size == (img.shape[1], img.shape[0])
         assert resp["info"]["bubbles"] == 2
+
+    def test_schema_endpoint_covers_every_setting(self, web_server):
+        import requests
+
+        url, _ = web_server
+        schema = requests.get(url + "/api/schema").json()
+        placed = [w["key"] for s in schema["sections"] for w in s["widgets"]]
+        all_keys = (set(DEFAULT_SETTINGS) | set(DEFAULT_BATCH_SETTINGS)) - {
+            "provider_models"}
+        assert set(placed) == all_keys
+        assert len(placed) == len(set(placed))  # no duplicates
+        # api keys render as secrets; enums carry their reference choices
+        by_key = {w["key"]: w for s in schema["sections"]
+                  for w in s["widgets"]}
+        assert by_key["google_api_key"]["type"] == "secret"
+        assert by_key["seg_model"]["options"] == ["sam3", "sam2", "yolo"]
+        assert by_key["outside_text_inpainting_method"]["options"][0] == \
+            "flux_klein_9b"
+
+    def test_interactivity_endpoint(self, web_server):
+        import requests
+
+        url, _ = web_server
+        m = requests.get(url + "/api/interactivity?provider=Anthropic"
+                         "&model=claude-sonnet-4-6").json()
+        assert m["sampling"]["temperature"] is True
+        assert m["sampling"]["top_p"] is False  # Anthropic: no top_p
+        assert m["effort"]["visible"] is True
+
+    def test_async_batch_job_progress_and_gallery(self, web_server, tmp_path):
+        import time
+
+        import requests
+
+        url, img = web_server
+        pages = tmp_path / "pages"
+        pages.mkdir()
+        for i in range(3):
+            Image.fromarray(img).save(pages / f"p{i + 1}.png")
+        out_dir = tmp_path / "out"
+        r = requests.post(url + "/api/batch", json={
+            "input_path": str(pages), "output_dir": str(out_dir),
+            "async_mode": True,
+            "settings": {"test_mode": True, "font_pack": None,
+                         "font_dir": "/usr/share/fonts/truetype/dejavu",
+                         "max_font_size": 24, "min_font_size": 6},
+        }).json()
+        job = r["job"]
+        deadline = time.time() + 120
+        status = None
+        while time.time() < deadline:
+            p = requests.get(url + f"/api/progress?job={job}").json()
+            status = p["status"]
+            if status in ("done", "error"):
+                break
+            time.sleep(0.3)
+        assert status == "done", f"job did not finish: {p}"
+        assert p["result"]["success_count"] == 3
+        assert len(p["results"]) == 3
+        # gallery serves the recorded result bytes (and only those)
+        png = requests.get(url + f"/api/result?job={job}&index=0")
+        assert png.status_code == 200
+        assert png.content[:8] == b"\x89PNG\r\n\x1a\n"
+        assert requests.get(
+            url + f"/api/result?job={job}&index=99").status_code == 404
+        assert requests.get(
+            url + "/api/result?job=nope&index=0").status_code == 404
