@@ -219,8 +219,54 @@ def dryrun_multichip(n_devices: int) -> None:
                        batch["img_ids"], batch["txt"], batch["txt_ids"],
                        batch["pooled"], jnp.ones((b,), jnp.float32))
             z_ok = bool(np.isfinite(np.asarray(z)).all())
+
+        # FLUX.2 Klein (the default inpainting model) over the same mesh:
+        # the tp param specs apply as-is (shared block naming); Klein has no
+        # pooled vector, so a thin adapter drops that argument.
+        loss2_val = _dryrun_flux2_step(mesh, data_par, ds)
     assert np.isfinite(loss_val), f"non-finite loss {loss_val}"
+    assert np.isfinite(loss2_val), f"non-finite flux2 loss {loss2_val}"
     assert z_ok, "non-finite sp-sampled latents"
     print(f"dryrun_multichip OK: mesh data={data_par} model={model_par}, "
-          f"one train step (loss={loss_val:.4f})"
+          f"FLUX.1 step (loss={loss_val:.4f}) + FLUX.2 Klein step "
+          f"(loss={loss2_val:.4f})"
           + (" + sp-sampled latents" if use_sp else ""))
+
+
+class _Flux2NoPooled:
+    """Adapter: Flux2DiT has no pooled text vector; reuse the FLUX.1
+    train-step factories by dropping that argument."""
+
+    def __init__(self, model):
+        self._model = model
+
+    def apply(self, params, z, img_ids, txt, txt_ids, t, pooled, guidance):
+        del pooled
+        return self._model.apply(params, z, img_ids, txt, txt_ids, t,
+                                 guidance)
+
+
+def _dryrun_flux2_step(mesh: Mesh, data_par: int, ds: NamedSharding) -> float:
+    from ..models.flux.flux2 import (FLUX2_PRESETS, Flux2DiT, init_flux2,
+                                     make_img_ids2, make_txt_ids2)
+
+    cfg = FLUX2_PRESETS["test"]
+    model = _Flux2NoPooled(Flux2DiT(cfg))
+    params = shard_params(init_flux2(cfg, h_tok=4, w_tok=4, txt_len=8), mesh)
+    optimizer = optax.adamw(1e-4)
+    opt_state = optimizer.init(params)
+    train_step = make_flux_train_step(model, optimizer, mesh)
+    b = max(data_par * 2, 2)
+    batch = {
+        "clean_tokens": jax.device_put(
+            np.random.RandomState(3).randn(b, 16, cfg.in_channels)
+            .astype(np.float32), ds),
+        "img_ids": jnp.asarray(make_img_ids2(4, 4)),
+        "txt": jax.device_put(
+            np.random.RandomState(4).randn(b, 8, cfg.ctx_dim)
+            .astype(np.float32), ds),
+        "txt_ids": jnp.asarray(make_txt_ids2(8)),
+        "pooled": jax.device_put(np.zeros((b, 1), np.float32), ds),
+    }
+    _, _, loss = train_step(params, opt_state, batch, jax.random.PRNGKey(5))
+    return float(loss)
