@@ -45,13 +45,14 @@ def ioa_matrix(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(area_a[:, None] > 0, inter / area_a[:, None], 0.0)
 
 
-@functools.partial(jax.jit, static_argnames=("max_det",))
+@functools.partial(jax.jit, static_argnames=("max_det", "pre_topk"))
 def nms(
     boxes: jnp.ndarray,
     scores: jnp.ndarray,
     iou_threshold: float,
     score_threshold: float,
     max_det: int = 300,
+    pre_topk: int = 1024,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Class-agnostic NMS with fixed-size output.
 
@@ -59,20 +60,34 @@ def nms(
     num_kept []). Greedy: at each step take the highest-score live box, suppress
     everything with IoU > threshold. Runs fully on device — replaces the
     torchvision NMS inside ultralytics postprocess.
+
+    The pairwise IoU matrix is built only over the ``pre_topk``
+    highest-scoring candidates: large detector inputs make the raw candidate
+    count quadratically lethal ([52500, 52500, 2] ≈ 22 GB of HBM at yolo_2's
+    1600 px default), while the survivors of greedy NMS (max_det ≤ a few
+    hundred) always live inside the top scores.
     """
     n = boxes.shape[0]
-    live = scores > score_threshold
-    ious = iou_matrix(boxes, boxes)
+    k = min(pre_topk, n)
+    if k < n:
+        top_scores, top_idx = jax.lax.top_k(scores, k)
+        top_boxes = boxes[top_idx]
+    else:
+        top_scores, top_idx = scores, jnp.arange(n, dtype=jnp.int32)
+        top_boxes = boxes
+    live = top_scores > score_threshold
+    ious = iou_matrix(top_boxes, top_boxes)
 
     def body(state, _):
         live_mask, keep, count = state
-        masked = jnp.where(live_mask, scores, -jnp.inf)
+        masked = jnp.where(live_mask, top_scores, -jnp.inf)
         best = jnp.argmax(masked)
         ok = masked[best] > -jnp.inf
-        keep = keep.at[count].set(jnp.where(ok, best.astype(jnp.int32), -1))
+        keep = keep.at[count].set(
+            jnp.where(ok, top_idx[best].astype(jnp.int32), -1))
         count = count + jnp.where(ok, 1, 0)
         suppress = ious[best] > iou_threshold
-        live_mask = live_mask & ~suppress & ~(jnp.arange(n) == best)
+        live_mask = live_mask & ~suppress & ~(jnp.arange(k) == best)
         live_mask = live_mask & ok  # once exhausted, stay exhausted
         return (live_mask, keep, count), None
 

@@ -161,7 +161,19 @@ def draw_layout_rgba(
     line_spacing_mult: float = 1.0,
 ) -> Tuple[Image.Image, Tuple[int, int]]:
     """Rasterize a layout into an RGBA patch at ``supersampling``×, downsampled
-    with LANCZOS. Returns (patch, (paste_x, paste_y)) in page coordinates."""
+    with LANCZOS. Returns (patch, (paste_x, paste_y)) in page coordinates.
+
+    MTX_NATIVE_RASTER=1 routes through the native FreeType rasterizer
+    (native/mtx_native.cpp — the Skia role in SURVEY §2.9): HarfBuzz-shaped
+    glyph runs, native coverage + stroked-outline canvases, colorized here.
+    PIL (FreeType+raqm) remains the default backend."""
+    import os
+
+    if os.environ.get("MTX_NATIVE_RASTER") == "1":
+        out = _native_draw_layout_rgba(measurer, layout, box, text_rgb,
+                                       outline_width, supersampling)
+        if out is not None:
+            return out
     ss = max(1, int(supersampling))
     x1, y1, x2, y2 = box
     cx = (x1 + x2) / 2.0
@@ -193,6 +205,81 @@ def draw_layout_rgba(
             )
             sx += measurer.width(seg, int(size_ss), style)
 
+    patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
+    return patch, (px1, py1)
+
+
+def _native_draw_layout_rgba(
+    measurer: TextMeasurer,
+    layout: LayoutResult,
+    box: Tuple[float, float, float, float],
+    text_rgb: Tuple[int, int, int],
+    outline_width: float,
+    supersampling: int,
+) -> Optional[Tuple[Image.Image, Tuple[int, int]]]:
+    """FreeType raster backend: same geometry as the PIL path. Returns None
+    when the native library / HarfBuzz / FreeType are unavailable so the
+    caller falls back silently."""
+    from .. import native
+
+    if not native.ft_raster_available():
+        return None
+
+    ss = max(1, int(supersampling))
+    x1, y1, x2, y2 = box
+    cx = (x1 + x2) / 2.0
+    top = (y1 + y2) / 2.0 - layout.block_height / 2.0
+
+    margin = max(4.0, outline_width * 2 + 2)
+    px1 = int(np.floor(cx - layout.block_width / 2.0 - margin))
+    py1 = int(np.floor(top - margin))
+    pw = int(np.ceil(layout.block_width + 2 * margin))
+    ph = int(np.ceil(layout.block_height + 2 * margin))
+    W, H = pw * ss, ph * ss
+
+    fill = np.zeros((H, W), np.uint8)
+    stroke = np.zeros((H, W), np.uint8)
+    stroke_px = outline_width * ss
+    size_ss = int(layout.font_size * ss)
+    lh_ss = layout.line_height * ss
+
+    for i, line in enumerate(layout.lines):
+        ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
+        lx = (cx - px1) * ss - (line.width * ss) / 2.0
+        segs = TP.parse_styled_segments(line.text)
+        sx = lx
+        for seg, style in segs:
+            font = measurer.font_path(style)
+            shaped = native.hb_shape_glyphs(font, seg, size_ss)
+            metrics = native.ft_metrics(font, size_ss)
+            if shaped is None or metrics is None:
+                return None
+            gids, _, adv = shaped
+            ascent = metrics[0]
+            xs = sx + np.concatenate([[0.0], np.cumsum(adv)[:-1]])
+            ys = np.full(len(gids), ly + ascent)
+            out = native.ft_render_run(font, size_ss, gids, xs, ys, W, H,
+                                       stroke_px=stroke_px)
+            if out is None:
+                return None
+            fill = np.maximum(fill, out[0])
+            if out[1] is not None:
+                stroke = np.maximum(stroke, out[1])
+            sx += measurer.width(seg, size_ss, style)
+
+    rgba = np.zeros((H, W, 4), np.uint8)
+    if stroke_px > 0:
+        oc = _outline_color(text_rgb)
+        rgba[..., 0], rgba[..., 1], rgba[..., 2] = oc
+        rgba[..., 3] = np.maximum(stroke, fill)
+    # fill composited over the stroke underlay
+    fa = fill.astype(np.float32) / 255.0
+    for ch in range(3):
+        rgba[..., ch] = (fa * text_rgb[ch]
+                         + (1.0 - fa) * rgba[..., ch]).astype(np.uint8)
+    if stroke_px <= 0:
+        rgba[..., 3] = fill
+    canvas = Image.fromarray(rgba, "RGBA")
     patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
     return patch, (px1, py1)
 

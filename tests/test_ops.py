@@ -277,3 +277,26 @@ class TestImageOps:
         img = np.random.randint(0, 255, (32, 32, 3), np.uint8)
         out = np.asarray(I.resize(jnp.asarray(img), (64, 64)))
         assert out.shape == (64, 64, 3) and out.dtype == np.uint8
+
+
+def test_nms_pre_topk_equivalent_and_scales():
+    """pre_topk pre-selection changes nothing when the interesting candidates
+    fit in the top-K (they always do: max_det << K), and keeps the pairwise
+    IoU matrix bounded for yolo_2's 52 500-candidate 1600 px input."""
+    import jax.numpy as jnp
+
+    from mangatranslator_tpu.ops.boxes import nms
+
+    rng = np.random.default_rng(7)
+    n = 5000
+    xy = rng.uniform(0, 600, (n, 2)).astype(np.float32)
+    wh = rng.uniform(10, 60, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], 1)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+
+    keep_full, num_full = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                              0.5, 0.25, max_det=32, pre_topk=n)
+    keep_k, num_k = nms(jnp.asarray(boxes), jnp.asarray(scores),
+                        0.5, 0.25, max_det=32, pre_topk=512)
+    assert int(num_full) == int(num_k)
+    np.testing.assert_array_equal(np.asarray(keep_full), np.asarray(keep_k))

@@ -192,3 +192,83 @@ class TestPlaceholders:
         text = generate_test_placeholder(img, (20, 20, 380, 280), mask, FONT_DIR,
                                          max_font_size=50)
         assert text.startswith("Lorem ipsum")
+
+
+class TestNativeRaster:
+    """FreeType raster backend (native/mtx_native.cpp mtx_ft_render_run —
+    the Skia-role native module, SURVEY §2.9)."""
+
+    def page(self):
+        img = Image.new("RGB", (300, 200), (240, 240, 240))
+        mask = np.zeros((200, 300), np.uint8)
+        cv2.ellipse(mask, (150, 100), (120, 80), 0, 0, 360, 255, -1)
+        return img, mask
+
+    def test_native_backend_renders_ink(self, monkeypatch):
+        from mangatranslator_tpu import native
+
+        if not native.ft_raster_available():
+            pytest.skip("native library not built")
+        monkeypatch.setenv("MTX_NATIVE_RASTER", "1")
+        img, mask = self.page()
+        out, info = render_text(
+            img, "Hello world!", (30, 20, 270, 180), mask, FONT_DIR,
+            max_font_size=30, min_font_size=8, outline_width=1.5,
+        )
+        a, b = np.asarray(img), np.asarray(out)
+        assert (a != b).any()
+        assert b.min() < 50  # dark glyph cores present
+
+    def test_native_matches_pil_geometry(self, measurer, monkeypatch):
+        """Same layout renders with ink in (almost) the same bounding box on
+        both backends — the native raster is a drop-in, not a re-layout."""
+        from mangatranslator_tpu import native
+
+        if not native.ft_raster_available():
+            pytest.skip("native library not built")
+        from mangatranslator_tpu.text.layout import find_optimal_layout
+        from mangatranslator_tpu.text.render import draw_layout_rgba
+
+        box = (20.0, 20.0, 280.0, 170.0)
+        layout = find_optimal_layout(measurer, "Hello world again",
+                                     box, max_font_size=28, min_font_size=8)
+        assert layout is not None
+
+        pil_patch, pil_origin = draw_layout_rgba(
+            measurer, layout, box, (0, 0, 0), supersampling=2)
+        monkeypatch.setenv("MTX_NATIVE_RASTER", "1")
+        nat_patch, nat_origin = draw_layout_rgba(
+            measurer, layout, box, (0, 0, 0), supersampling=2)
+        assert nat_origin == pil_origin
+        assert nat_patch.size == pil_patch.size
+
+        def ink_bbox(patch):
+            a = np.asarray(patch)[..., 3]
+            ys, xs = np.nonzero(a > 32)
+            return xs.min(), xs.max(), ys.min(), ys.max()
+
+        nx1, nx2, ny1, ny2 = ink_bbox(nat_patch)
+        px1, px2, py1, py2 = ink_bbox(pil_patch)
+        for n, p in ((nx1, px1), (nx2, px2), (ny1, py1), (ny2, py2)):
+            assert abs(int(n) - int(p)) <= 4, (
+                f"ink bbox drifted: native {ink_bbox(nat_patch)} "
+                f"vs PIL {ink_bbox(pil_patch)}")
+
+    def test_ft_render_run_binding(self):
+        from mangatranslator_tpu import native
+
+        if not native.ft_raster_available():
+            pytest.skip("native library not built")
+        font = FONT_DIR + "/DejaVuSans.ttf"
+        shaped = native.hb_shape_glyphs(font, "Ag", 24)
+        assert shaped is not None
+        gids, _, adv = shaped
+        xs = 4 + np.concatenate([[0.0], np.cumsum(adv)[:-1]])
+        out = native.ft_render_run(font, 24, gids, xs,
+                                   np.full(len(gids), 30.0), 70, 40,
+                                   stroke_px=1.0)
+        assert out is not None
+        fill, stroke = out
+        assert fill.sum() > 0 and stroke.sum() > fill.sum() * 0.5
+        asc, desc, _ = native.ft_metrics(font, 24)
+        assert asc > 0 > desc
