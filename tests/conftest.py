@@ -32,3 +32,34 @@ def _seed():
 @pytest.fixture()
 def rng():
     return np.random.default_rng(1234)
+
+
+# ---- test tiers -------------------------------------------------------------
+# Multi-minute compile/golden modules are marked `slow` centrally so the
+# smoke tier (`pytest -m "not slow"`, ~3 min on this box) stays useful as
+# the suite grows. Durations measured on the 1-core CI box (full run ~33 min).
+
+_SLOW_MODULES = {
+    "test_batch", "test_checkpoint", "test_convert_flux", "test_convert_rcan",
+    "test_convert_yolo", "test_ernie", "test_flux", "test_flux2",
+    "test_klein", "test_navit", "test_ocr", "test_ocr_hf", "test_paddle_vl",
+    "test_parallel", "test_quant", "test_qwen3", "test_rtdetr",
+    "test_rtdetr_hf", "test_sam", "test_sam_hf", "test_sam3",
+    "test_text_encoders", "test_thread_safety", "test_yolo",
+    "test_pallas_clean", "test_pallas_tiled",
+}
+_SLOW_TESTS = {
+    "test_otsu_path",                       # test_cleaning, 162s
+    "test_64_page_zip_sharded_over_mesh",   # test_batch_device_mode, 181s
+    "test_translate_endpoint",              # test_ui, 37s
+    "test_async_batch_job_progress_and_gallery",  # test_ui, 23s
+    "test_sam_seg_model_path",              # test_pipeline_osb, 31s
+    "test_flux_path_with_tiny_inpainter",   # test_osb, 22s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    slow = pytest.mark.slow
+    for item in items:
+        if item.module.__name__ in _SLOW_MODULES or item.name in _SLOW_TESTS:
+            item.add_marker(slow)
