@@ -141,8 +141,14 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     cfg.rendering.max_font_size = 40
     cfg.rendering.min_font_size = 8
 
+    from mangatranslator_tpu.logging import get_stage_timers
+
     times = []
+    timers = get_stage_timers()
     for i, page in enumerate(pages):
+        if i == 1:
+            # reset so the breakdown covers warm pages only
+            timers.__init__()
         t0 = time.perf_counter()
         translate_and_render(Image.fromarray(page), cfg,
                              output_path=tmp_out / f"p{i}.png")
@@ -150,7 +156,41 @@ def run_pipeline(pages, tmp_out: Path) -> float:
         log(f"page {i}: {dt:.2f}s {'(warm-up)' if i == 0 else ''}")
         if i > 0:
             times.append(dt)
+    log("stage breakdown (warm pages, mean seconds): " + json.dumps(
+        {k: round(v["mean_s"], 4)
+         for k, v in sorted(timers.summary().items(),
+                            key=lambda kv: -kv[1]["total_s"])}))
+    log_transfer_floor()
     return statistics.median(times)
+
+
+def log_transfer_floor() -> None:
+    """Quantify host↔device transfer vs compute: round-trip one page-sized
+    uint8 buffer (the clean program's IO shape). On the remote-attached dev
+    TPU this is the latency floor the clean stage pays regardless of
+    compute; on a locally-attached chip it collapses to PCIe/ICI time."""
+    try:
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        buf = np.zeros((PAGE_H, PAGE_W, 3), np.uint8)
+        dev = jax.device_put(buf)
+        jax.block_until_ready(dev)  # warm
+        t0 = time.perf_counter()
+        dev = jax.device_put(buf)
+        jax.block_until_ready(dev)
+        up = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        np.asarray(dev)
+        down = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(jnp.sum(dev.astype(jnp.float32)))
+        reduce_s = time.perf_counter() - t0
+        log(f"transfer floor ({PAGE_W}x{PAGE_H}x3 u8): upload {up:.3f}s, "
+            f"download {down:.3f}s, on-device reduce {reduce_s:.3f}s")
+    except Exception as e:
+        log(f"transfer probe skipped: {e}")
 
 
 def measure(platform_label: str, extras: dict) -> float:

@@ -263,3 +263,51 @@ class TestSpecialFormats:
         out = parse_hy_mt2_response('{"1": "Hi", "2": "There"}', 3, "X")
         assert out == ["Hi", "There", "[X: Missing item 3]"]
         assert parse_hy_mt2_response("garbage", 2, "X") == ["[X: Parse error]"] * 2
+
+
+def test_openai_compatible_against_live_stub_server():
+    """SURVEY §4(4): a real localhost HTTP stub drives the full request path
+    (requests session, retry wrapper, payload serialization, response
+    parsing) — not just the payload builder."""
+    import json as _json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from mangatranslator_tpu.services.endpoints.openai_chat import (
+        call_openai_compatible_endpoint)
+
+    seen = {}
+
+    class Stub(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers.get("Content-Length", 0))
+            seen["path"] = self.path
+            seen["body"] = _json.loads(self.rfile.read(n))
+            out = _json.dumps({"choices": [{"message": {
+                "content": "  stubbed translation  "}}]}).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    server = HTTPServer(("127.0.0.1", 0), Stub)
+    threading.Thread(target=server.serve_forever, daemon=True).start()
+    try:
+        base = f"http://127.0.0.1:{server.server_port}/v1"
+        text = call_openai_compatible_endpoint(
+            base, "key", "local-model",
+            [{"text": "Translate this"}],
+            {"temperature": 0.5, "max_tokens": 64},
+            system_prompt="sys")
+        assert text == "stubbed translation"
+        assert seen["path"] == "/v1/chat/completions"
+        assert seen["body"]["model"] == "local-model"
+        assert seen["body"]["temperature"] == 0.5
+        assert seen["body"]["messages"][0] == {"role": "system",
+                                               "content": "sys"}
+    finally:
+        server.shutdown()
