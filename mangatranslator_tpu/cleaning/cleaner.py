@@ -43,11 +43,20 @@ from ..ops.image import pick_bucket
 _EROSION_KERNEL = (5, 5)  # centroid-validity erosion (reference EROSION_KERNEL_SIZE)
 
 # Coarse compile-shape ladders (see bucket note in clean_speech_bubbles)
-CLEAN_BUCKETS = (256, 512, 1024, 1536, 2048)
+# 64-multiple rungs (Pallas TILE_H) at ~1.25-1.5× steps: a 520 px crop costs a
+# 640-wide program instead of 1024 — upload bytes and kernel area scale with
+# the rung, and every (count, bh, bw) combination is one persistent-cached
+# compile
+CLEAN_BUCKETS = (128, 256, 384, 512, 640, 768, 1024, 1536, 2048)
+
+_COUNT_BUCKETS = (4, 8, 12, 16, 24, 32, 48, 64, 96, 128)
 
 
 def _count_bucket(n: int) -> int:
-    b = 4
+    for b in _COUNT_BUCKETS:
+        if n <= b:
+            return b
+    b = _COUNT_BUCKETS[-1]
     while b < n:
         b *= 2
     return b
@@ -122,7 +131,8 @@ def _sample_text_color(image: np.ndarray, text_mask: np.ndarray) -> Tuple[int, i
                                               "shrink_radius", "use_pallas",
                                               "junction_radius",
                                               "need_light"))
-def _clean_device_program(gray_u8, mask_u8, use_otsu: bool, fixed_thresh: float,
+def _clean_device_program(gray_u8, mask_packed, use_otsu: bool,
+                          fixed_thresh: float,
                           shrink_radius: int, use_pallas: bool,
                           junction_radius: int = 1, need_light: bool = True):
     """The whole per-page clean chain as ONE compiled program: black/white
@@ -130,14 +140,17 @@ def _clean_device_program(gray_u8, mask_u8, use_otsu: bool, fixed_thresh: float,
     and the centroid-validity erosion. One dispatch per page instead of a
     chain of eager ops (each eager op costs a host↔device round trip).
 
-    Inputs arrive uint8 (4× cheaper host→device upload) and the three output
+    Gray arrives uint8 (4× cheaper host→device upload), the bubble masks
+    arrive bitpacked (8 px/byte, unpacked on device) and the three output
     masks leave as ONE stacked bitpacked array + one scalar pair — every
     separate device_get leaf pays a full tunnel round trip on remote-attached
     TPUs, so transfer count matters as much as bytes."""
     import jax.numpy as jnp
 
+    from ..ops.masks import bitunpack_mask
+
     gray_b = gray_u8.astype(jnp.float32)
-    mask_b = mask_u8.astype(jnp.float32)
+    mask_b = bitunpack_mask(mask_packed)
 
     from ..ops.masks import (
         binary_dilate,
@@ -273,7 +286,7 @@ def clean_pages_bubbles(
     junction_px = max(1, int(round(1.0 * processing_scale)))
     need_light = any(it[2].get("conjoined_siblings") for it in items)
     packed_d, scalars_d = _clean_device_program(
-        jnp.asarray(gray_b), jnp.asarray(mask_b),
+        jnp.asarray(gray_b), jnp.asarray(np.packbits(mask_b, axis=-1)),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
         shrink_radius=int(shrink_px), use_pallas=use_pallas,
@@ -371,7 +384,8 @@ def clean_pages_bubbles(
         results[pi].append(CleanedBubble(det["bbox"], page_mask, fill_color,
                                          text_bbox, text_color, is_black,
                                          True))
-        cleaned_pages[pi][page_mask > 0] = fill_color
+        # bbox-limited fill: boolean-index the ROI view, not the whole page
+        cleaned_pages[pi][y1:y2, x1:x2][comp > 0] = fill_color
         n_ok += 1
 
     log_message(

@@ -41,7 +41,8 @@ def _load() -> Optional[ctypes.CDLL]:
                     continue
                 lib.mtx_png_encode.argtypes = [
                     ctypes.c_char_p, ctypes.POINTER(ctypes.c_uint8),
-                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int]
+                    ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                    ctypes.c_int]
                 lib.mtx_png_encode.restype = ctypes.c_int
                 lib.mtx_connected_components.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int,
@@ -85,8 +86,15 @@ def available() -> bool:
     return _load() is not None
 
 
-def png_encode(path: str, pixels: np.ndarray, compress_level: int = 6) -> bool:
-    """Write RGB/RGBA uint8 HWC pixels as PNG. Returns False on fallback."""
+PNG_FILTER_NONE = 0x08
+PNG_FILTER_SUB = 0x10
+PNG_ALL_FILTERS = 0xF8
+
+
+def png_encode(path: str, pixels: np.ndarray, compress_level: int = 6,
+               filters: int = 0) -> bool:
+    """Write RGB/RGBA uint8 HWC pixels as PNG. Returns False on fallback.
+    ``filters``: libpng PNG_FILTER_* bitmask; 0 = adaptive (ALL)."""
     lib = _load()
     if lib is None:
         return False
@@ -95,7 +103,8 @@ def png_encode(path: str, pixels: np.ndarray, compress_level: int = 6) -> bool:
         return False
     rc = lib.mtx_png_encode(
         str(path).encode(), arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        arr.shape[1], arr.shape[0], arr.shape[2], int(compress_level))
+        arr.shape[1], arr.shape[0], arr.shape[2], int(compress_level),
+        int(filters))
     return rc == 0
 
 

@@ -244,6 +244,16 @@ def bitpack_mask(mask: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
 
 
+def bitunpack_mask(packed: jnp.ndarray) -> jnp.ndarray:
+    """Device-side inverse of bitpack_mask: uint8 [..., W/8] → float32 [..., W]
+    (np.packbits big-endian bit order). Lets hosts upload binary masks 8×
+    smaller — upload bandwidth matters on remote-attached TPUs."""
+    shifts = jnp.asarray([7, 6, 5, 4, 3, 2, 1, 0], jnp.uint8)
+    bits = (packed[..., None] >> shifts) & jnp.uint8(1)
+    return bits.reshape(*packed.shape[:-1],
+                        packed.shape[-1] * 8).astype(jnp.float32)
+
+
 def bitunpack_mask_np(packed: np.ndarray, width: int) -> np.ndarray:
     """Host-side inverse of bitpack_mask → uint8 0/1 with last axis ``width``."""
     un = np.unpackbits(packed, axis=-1)

@@ -97,7 +97,7 @@ def _render_one_bubble(
     for attempt_mask in (mask, None):
         try:
             out, _ = render_text(image, text, tuple(det["bbox"]), attempt_mask,
-                                 **kwargs)
+                                 in_place=True, **kwargs)
             return out, True
         except Exception as e:
             last_err = e
@@ -153,7 +153,8 @@ def _render_osb_text(
     for auto_vertical in (False, True):
         try:
             out, _ = render_text(image, text, tuple(det["bbox"]), None,
-                                 auto_vertical=auto_vertical, **kwargs)
+                                 auto_vertical=auto_vertical, in_place=True,
+                                 **kwargs)
             return out, True
         except Exception:
             continue
@@ -418,17 +419,28 @@ def translate_and_render(
 
     def run_translate():
         if config.test_mode:
+            # probe with the SAME layout kwargs the renderer will use: the
+            # picked tier is consistent with the final layout AND the final
+            # render's layout search is a warm cache hit (render.py memo)
+            r = config.rendering
             out = []
             for det in ordered:
                 c = cleaned_by_idx.get(det.get("_idx", -1))
                 out.append(generate_test_placeholder(
                     image, det["bbox"],
                     c.fill_mask if (c and c.success) else None,
-                    config.rendering.font_dir,
-                    max_font_size=scale_font_size(
-                        config.rendering.max_font_size, scale),
-                    min_font_size=scale_font_size(
-                        config.rendering.min_font_size, scale),
+                    r.font_dir,
+                    max_font_size=scale_font_size(r.max_font_size, scale),
+                    min_font_size=scale_font_size(r.min_font_size, scale),
+                    line_spacing_mult=r.line_spacing_mult,
+                    padding_pixels=r.padding_pixels * scale,
+                    hyphenate=r.hyphenate_before_scaling,
+                    hyphenation_min_word_length=r.hyphenation_min_word_length,
+                    badness_exponent=r.badness_exponent,
+                    hyphen_penalty=r.hyphen_penalty,
+                    output_language=config.translation.output_language,
+                    detach_trailing_punctuation=r.detach_trailing_punctuation,
+                    auto_vertical=r.auto_vertical_text,
                 ))
             return out
         if translate_fn is not None:

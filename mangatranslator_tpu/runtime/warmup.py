@@ -55,7 +55,7 @@ def warm_pipeline(
         try:
             _clean_device_program(
                 jnp.zeros((n, bh, bw), jnp.uint8),
-                jnp.zeros((n, bh, bw), jnp.uint8),
+                jnp.zeros((n, bh, bw // 8), jnp.uint8),
                 use_otsu=False, fixed_thresh=200.0, shrink_radius=5,
                 use_pallas=True, junction_radius=1)
         except Exception as e:

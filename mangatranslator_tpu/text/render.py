@@ -285,6 +285,28 @@ def _native_draw_layout_rgba(
 
 
 _SAFE_BOX_CACHE: "OrderedDict[tuple, tuple]" = None  # lazy OrderedDict
+_LAYOUT_CACHE: "OrderedDict[tuple, object]" = None
+
+
+def _layout_cache_get(key):
+    global _LAYOUT_CACHE
+    if _LAYOUT_CACHE is None:
+        return None
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        _LAYOUT_CACHE.move_to_end(key)
+    return hit
+
+
+def _layout_cache_put(key, layout) -> None:
+    global _LAYOUT_CACHE
+    from collections import OrderedDict
+
+    if _LAYOUT_CACHE is None:
+        _LAYOUT_CACHE = OrderedDict()
+    _LAYOUT_CACHE[key] = layout
+    while len(_LAYOUT_CACHE) > 256:
+        _LAYOUT_CACHE.popitem(last=False)
 
 
 def _cached_expansion_box(cleaned_mask: np.ndarray, padding_pixels: float,
@@ -336,6 +358,7 @@ def render_text(
     bubble_fill_rgb: Optional[Tuple[int, int, int]] = None,
     text_color_rgb: Optional[Tuple[int, int, int]] = None,
     layout_only: bool = False,
+    in_place: bool = False,
     verbose: bool = False,
 ) -> Tuple[Image.Image, Dict]:
     """Full render orchestration (reference render_text_skia, text_renderer.py:82):
@@ -347,36 +370,56 @@ def render_text(
     """
     measurer = get_measurer(font_dir, verbose=verbose)
 
+    mask_key = None
     safe_mask = None
     if cleaned_mask is not None and np.any(cleaned_mask):
+        arr = np.asarray(cleaned_mask)
+        mask_key = (id(cleaned_mask), arr.shape,
+                    int(arr[:: max(1, arr.shape[0] // 32)].sum()))
         try:
             (bx, by, bw, bh), _ = _cached_expansion_box(
                 cleaned_mask, padding_pixels, verbose=verbose
             )
             box = (float(bx), float(by), float(bx + bw), float(by + bh))
-            safe_mask = (np.asarray(cleaned_mask) > 0).astype(np.uint8)
+            safe_mask = (arr > 0).astype(np.uint8)
         except ImageProcessingError:
             box = padded_bbox_fallback(bbox)
     else:
         box = padded_bbox_fallback(bbox)
 
-    layout = find_optimal_layout(
-        measurer, text, box, min_font_size, max_font_size, line_spacing_mult,
-        safe_mask=safe_mask, hyphenate=hyphenate,
-        min_word_length=hyphenation_min_word_length,
-        badness_exponent=badness_exponent, hyphen_penalty=hyphen_penalty,
-        output_language=output_language,
-        detach_punct=detach_trailing_punctuation,
-    )
+    # memoized layout search: the test-mode placeholder probes each lorem
+    # tier layout_only and the final render re-lays-out the winning tier with
+    # identical inputs — the second search is a cache hit (reference probes
+    # pay the double cost, text_renderer.py:305-309)
+    layout_key = (text, tuple(round(v, 1) for v in box), min_font_size,
+                  max_font_size, line_spacing_mult, mask_key, hyphenate,
+                  hyphenation_min_word_length, badness_exponent,
+                  hyphen_penalty, output_language,
+                  detach_trailing_punctuation, auto_vertical, font_dir)
+    layout = _layout_cache_get(layout_key)
+    if layout is None:
+        layout = find_optimal_layout(
+            measurer, text, box, min_font_size, max_font_size,
+            line_spacing_mult,
+            safe_mask=safe_mask, hyphenate=hyphenate,
+            min_word_length=hyphenation_min_word_length,
+            badness_exponent=badness_exponent, hyphen_penalty=hyphen_penalty,
+            output_language=output_language,
+            detach_punct=detach_trailing_punctuation,
+        )
 
-    # auto-vertical: short single words in tall boxes (reference :38-79)
-    if auto_vertical and " " not in text.strip():
-        bx1, by1, bx2, by2 = box
-        if (by2 - by1) > 1.8 * (bx2 - bx1):
-            vert = build_vertical_layout(measurer, text, box, min_font_size,
-                                         max_font_size, line_spacing_mult)
-            if vert and (layout is None or vert.font_size > layout.font_size):
-                layout = vert
+        # auto-vertical: short single words in tall boxes (reference :38-79)
+        if auto_vertical and " " not in text.strip():
+            bx1, by1, bx2, by2 = box
+            if (by2 - by1) > 1.8 * (bx2 - bx1):
+                vert = build_vertical_layout(measurer, text, box,
+                                             min_font_size, max_font_size,
+                                             line_spacing_mult)
+                if vert and (layout is None
+                             or vert.font_size > layout.font_size):
+                    layout = vert
+        if layout is not None:
+            _layout_cache_put(layout_key, layout)
 
     if layout is None:
         raise RenderingError(f"Could not fit text in bubble: {text[:40]!r}")
@@ -395,6 +438,17 @@ def render_text(
         measurer, layout, box, color, outline_width, supersampling_factor,
         line_spacing_mult,
     )
-    out = image.convert("RGBA") if image.mode != "RGBA" else image.copy()
-    out.alpha_composite(patch, (max(0, px), max(0, py)))
+    pos = (max(0, px), max(0, py))
+    if image.mode in ("RGB", "RGBA"):
+        # patch-local composite: no full-page mode conversions, and with
+        # ``in_place`` the per-bubble full-page copy disappears too (the page
+        # render loop owns a freshly-built image)
+        out = image if in_place else image.copy()
+        if out.mode == "RGBA":
+            out.alpha_composite(patch, pos)
+        else:
+            out.paste(patch, pos, patch)
+        return out, info
+    out = image.convert("RGBA")
+    out.alpha_composite(patch, pos)
     return out.convert(image.mode), info

@@ -28,8 +28,9 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 // Encode RGB8/RGBA8 rows to a PNG file. Returns 0 on success.
+// filters: libpng PNG_FILTER_* bitmask; <=0 selects adaptive ALL_FILTERS
 int mtx_png_encode(const char* path, const uint8_t* pixels, int width,
-                   int height, int channels, int compress_level) {
+                   int height, int channels, int compress_level, int filters) {
     if (channels != 3 && channels != 4) return -1;
     FILE* fp = fopen(path, "wb");
     if (!fp) return -2;
@@ -47,8 +48,9 @@ int mtx_png_encode(const char* path, const uint8_t* pixels, int width,
     if (compress_level < 0) compress_level = 6;
     if (compress_level > 9) compress_level = 9;
     png_set_compression_level(png, compress_level);
-    // adaptive filtering gives most of oxipng's win at a fraction of its cost
-    png_set_filter(png, 0, PNG_ALL_FILTERS);
+    // adaptive filtering gives most of oxipng's win at a fraction of its
+    // cost; callers on a throughput path can pin a cheap filter instead
+    png_set_filter(png, 0, filters > 0 ? filters : PNG_ALL_FILTERS);
     png_set_IHDR(png, pinfo, width, height, 8,
                  channels == 3 ? PNG_COLOR_TYPE_RGB : PNG_COLOR_TYPE_RGBA,
                  PNG_INTERLACE_NONE, PNG_COMPRESSION_TYPE_DEFAULT,
