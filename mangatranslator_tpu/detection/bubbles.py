@@ -86,7 +86,7 @@ def _run_detector(
 
     page_h, page_w = image.shape[:2]
     canvas, scale, px, py = _letterbox_np(image, runner.imgsz)
-    batch = jnp.asarray(canvas[None], jnp.float32) / 255.0
+    batch = jnp.asarray(canvas[None])  # uint8; normalized on device
     det = runner(batch, conf=conf)
     # ONE batched device_get: each separate readback pays a tunnel round trip
     fetched = jax.device_get((det.num, det.boxes, det.scores, det.classes,

@@ -195,6 +195,9 @@ class FluxInpainter:
 
         @jax.jit
         def run(dit_params, vae_params, image01, key):
+            if image01.dtype == jnp.uint8:
+                # uint8 crop upload, normalized on device
+                image01 = image01.astype(jnp.float32) / 255.0
             if self.quant:
                 from ...ops.quant import (dequantize_tree,
                                           dequantize_tree_int4)
@@ -221,7 +224,9 @@ class FluxInpainter:
             z = euler_denoise(velocity, noise, schedule)
             out = self._vae.apply(vae_params, unpack_latents(z, lh, lw),
                                   method=FluxVAE.decode)
-            return jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+            # uint8 patch download (4x fewer tunnel bytes than float32)
+            p01 = jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+            return jnp.round(p01 * 255.0).astype(jnp.uint8)
 
         return run
 
@@ -283,11 +288,9 @@ class FluxInpainter:
                                     float(guidance_scale))
         key = jax.random.PRNGKey(seed if seed != -1 else
                                  np.random.randint(0, 2**31 - 1))
-        out01 = program(self.bundle.dit_params, self.bundle.vae_params,
-                        jnp.asarray(crop_rs, jnp.float32) / 255.0, key)
-        patch = np.asarray(out01)
-        patch = cv2.resize((patch * 255.0).astype(np.uint8),
-                           (x2 - x1, y2 - y1),
+        out_u8 = program(self.bundle.dit_params, self.bundle.vae_params,
+                         jnp.asarray(crop_rs), key)  # uint8 both ways
+        patch = cv2.resize(np.asarray(out_u8), (x2 - x1, y2 - y1),
                            interpolation=cv2.INTER_LANCZOS4)
         if cache is not None:
             cache.put("inpaint", cache_key, patch)

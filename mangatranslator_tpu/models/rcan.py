@@ -125,14 +125,29 @@ class UpscalerRunner:
     TILE = 512
     HALO = 16
 
-    def __init__(self, cfg: RCANConfig, params):
+    def __init__(self, cfg: RCANConfig, params, compute_dtype=None):
         self.cfg = cfg
         self.model = RCAN(cfg)
-        self._params = params
+        if compute_dtype is None:
+            # half precision on TPU mirrors the reference's fp16/bf16 GPU
+            # default (core/device.py get_best_dtype); CPU (goldens, tests)
+            # stays fp32 so conversion round-trips remain bit-identical
+            compute_dtype = (jnp.bfloat16
+                             if jax.devices()[0].platform == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self._params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
         @jax.jit
         def _run(params, tiles):
-            return self.model.apply(params, tiles)
+            # uint8 IO: normalize/quantize on device — the float32 tile
+            # upload + upscaled download dominated wall time on
+            # remote-attached TPUs (4× the bytes of the pixels themselves)
+            x = tiles.astype(compute_dtype) / 255.0
+            y = self.model.apply(params, x).astype(jnp.float32)
+            return jnp.round(jnp.clip(y, 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
         self._run = _run
 
@@ -150,7 +165,7 @@ class UpscalerRunner:
                 y1, x1 = min(y0 + t, h), min(x0 + t, w)
                 ya, xa = max(0, y0 - halo), max(0, x0 - halo)
                 yb, xb = min(h, y1 + halo), min(w, x1 + halo)
-                tile = img[ya:yb, xa:xb].astype(np.float32) / 255.0
+                tile = img[ya:yb, xa:xb]
                 # pad to fixed (t+2*halo) square so one jit shape serves all.
                 # Edge replication beats zero padding visually at image borders;
                 # a border band up to ~halo px may differ from an untiled
@@ -159,13 +174,12 @@ class UpscalerRunner:
                 tile = np.pad(tile, ((0, ph), (0, pw), (0, 0)), mode="edge")
                 tiles.append(tile)
                 coords.append((y0, x0, y1, x1, y0 - ya, x0 - xa))
-        batch = jnp.asarray(np.stack(tiles))
-        up = np.asarray(jnp.clip(self._run(self._params, batch), 0.0, 1.0))
+        batch = jnp.asarray(np.stack(tiles))  # uint8 upload
+        up = np.asarray(self._run(self._params, batch))
         for tile_up, (y0, x0, y1, x1, oy, ox) in zip(up, coords):
             hh, ww = (y1 - y0) * s, (x1 - x0) * s
-            out[y0 * s: y1 * s, x0 * s: x1 * s] = np.round(
-                tile_up[oy * s: oy * s + hh, ox * s: ox * s + ww] * 255.0
-            ).astype(np.uint8)
+            out[y0 * s: y1 * s, x0 * s: x1 * s] = \
+                tile_up[oy * s: oy * s + hh, ox * s: ox * s + ww]
         return out
 
 

@@ -265,6 +265,9 @@ class RTDetrRunner:
 
         @jax.jit
         def _run(params, images, conf, iou):
+            if images.dtype == jnp.uint8:
+                # uint8 letterbox upload, normalized on device (tunnel bytes)
+                images = images.astype(jnp.float32) / 255.0
             out = self.model.apply(params, images)
             probs = jax.nn.sigmoid(out["logits"])
             scores = jnp.max(probs, axis=-1)

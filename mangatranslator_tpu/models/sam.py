@@ -235,6 +235,9 @@ class SamRefiner:
 
         @jax.jit
         def _run(params, image, boxes01):
+            if image.dtype == jnp.uint8:
+                # uint8 upload (4× fewer tunnel bytes), normalized on device
+                image = image.astype(jnp.float32) / 255.0
             logits = self.model.apply(params, image, boxes01)
             return jax.nn.sigmoid(logits)
 
@@ -250,7 +253,7 @@ class SamRefiner:
         n = len(boxes)
         if n == 0:
             return []
-        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+        resized = cv2.resize(image, (size, size))  # uint8 upload
         norm = np.array([w, h, w, h], np.float32)
         boxes01 = np.zeros((self.MAX_PROMPTS, 4), np.float32)
         boxes01[:n] = np.asarray(boxes, np.float32)[: self.MAX_PROMPTS] / norm

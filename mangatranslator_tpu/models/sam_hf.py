@@ -750,6 +750,9 @@ class Sam2HFRefiner:
 
         @jax.jit
         def _run(params, image, boxes):
+            if image.dtype == jnp.uint8:
+                # uint8 upload (4× fewer tunnel bytes), normalized on device
+                image = image.astype(jnp.float32) / 255.0
             masks, iou, obj = self.model.apply(params, image, boxes)
             return masks[:, :, 0]  # [1, P, h/4, w/4] logits
 
@@ -763,7 +766,7 @@ class Sam2HFRefiner:
         n = len(boxes)
         if n == 0:
             return []
-        resized = cv2.resize(image, (size, size)).astype(np.float32) / 255.0
+        resized = cv2.resize(image, (size, size))  # uint8 upload
         scale = np.array([size / w, size / h, size / w, size / h], np.float32)
         padded = np.zeros((1, self.MAX_PROMPTS, 4), np.float32)
         padded[0, :n] = np.asarray(boxes, np.float32)[: self.MAX_PROMPTS] * scale

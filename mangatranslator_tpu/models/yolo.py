@@ -394,6 +394,10 @@ class YoloRunner:
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, images, conf, iou):
+            if images.dtype == jnp.uint8:
+                # hosts upload uint8 letterbox canvases (4× fewer bytes over
+                # a remote-attached tunnel); normalize on device
+                images = images.astype(jnp.float32) / 255.0
             raw = self.model.apply(params, images)
             return postprocess(raw, imgsz, conf, iou, max_det, cfg.seg)
 

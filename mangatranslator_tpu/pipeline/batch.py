@@ -110,6 +110,43 @@ def _run_device_batched(images, config, out_dir, root, result,
     from .io import load_image, save_image_with_compression
 
     bs = config.parallel.pages_per_device_batch
+
+    def _save_all(paths, outs) -> None:
+        done = 0
+        from concurrent.futures import ThreadPoolExecutor
+
+        def save_one(args):
+            p, (arr_out, _info) = args
+            if out_dir:
+                save_image_with_compression(
+                    Image.fromarray(arr_out),
+                    resolve_output_path(p, out_dir,
+                                        config.output.output_format,
+                                        relative_root=root),
+                    config.output.jpeg_quality,
+                    config.output.png_compression)
+            return p
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            for p in pool.map(save_one, zip(paths, outs)):
+                result["success_count"] += 1
+                done += 1
+                if progress_callback:
+                    progress_callback(done, len(images), str(p))
+
+    outs = None
+    try:
+        # one pipelined call: chunk k+1's device phase (stacked detect +
+        # batched clean) overlaps chunk k's host render (device_batch.py)
+        arrs = [np.asarray(load_image(p).convert("RGB")) for p in images]
+        outs = process_pages_batched(arrs, config, chunk_pages=bs)
+    except Exception as e:
+        log_message(f"Pipelined device batch failed ({e}); retrying "
+                    "per-chunk", always_print=True)
+    if outs is not None:
+        _save_all(images, outs)
+        return
+
     done = 0
     for start in range(0, len(images), bs):
         chunk = images[start: start + bs]

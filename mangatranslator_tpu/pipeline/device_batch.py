@@ -51,7 +51,7 @@ def detect_pages_batched(
 
     import jax
 
-    batch = jnp.asarray(canvases, jnp.float32) / 255.0
+    batch = jnp.asarray(canvases)  # uint8; normalized on device
     if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
         # shard the stacked page batch over the data mesh axis: a v5e-4 slice
         # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
@@ -102,55 +102,34 @@ def detect_pages_batched(
     return out
 
 
-def process_pages_batched(
+def _device_phase(
     images: List[np.ndarray],
     config: MangaTranslatorConfig,
-    translate_texts: Optional[List[List[str]]] = None,
-    host_workers: int = 8,
-) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
-    """Detect (one forward) → clean (one batched program across ALL pages'
-    bubbles) → per-page sort/translate/render on host threads.
-
-    Returns per page (final RGB array, info dict). Test-mode/placeholder or
-    caller-provided texts only (the LLM path goes through the threaded batch
-    scheduler, which overlaps network with device work).
-    """
-    from PIL import Image
-
-    from ..cleaning.cleaner import clean_speech_bubbles
-    from ..detection.sorting import sort_bubbles_by_reading_order
-    from ..scaling import processing_scale_for, scale_font_size
-    from ..text.placeholders import generate_test_placeholder
-    from .page import _render_one_bubble
+) -> Tuple[List[List[Dict[str, Any]]], List[np.ndarray], Dict[int, List]]:
+    """The per-chunk device work: one stacked detect forward + one batched
+    clean program per shrink-radius group. Returns (detections, cleaned
+    pages, per-page clean infos)."""
+    from ..cleaning.cleaner import clean_pages_bubbles
+    from ..scaling import processing_scale_for, scale_length
 
     timers = get_stage_timers()
     with timers.span("batched_detect"):
         per_page_dets = detect_pages_batched(images, config)
 
-    # one clean program over the concatenation of every page's bubbles:
-    # tag detections with their page, merge, clean, scatter back
-    merged: List[Dict[str, Any]] = []
     for pi, dets in enumerate(per_page_dets):
         for d in dets:
             d["_page"] = pi
-            merged.append(d)
 
-    results: List[Tuple[np.ndarray, Dict[str, Any]]] = []
     cleaned_pages = [img.copy() for img in images]
     cleaned_infos: Dict[int, List] = {pi: [] for pi in range(len(images))}
-
-    if merged:
+    if any(per_page_dets):
         with timers.span("batched_clean"):
             # ONE clean program over every page's bubbles: the chain operates
             # on crops, so bubbles from different pages batch together and a
-            # single dispatch+readback covers the whole page batch
-            from ..cleaning.cleaner import clean_pages_bubbles
-
-            # shrink radii are per-program statics: group pages whose
+            # single dispatch+readback covers the whole page batch.
+            # Shrink radii are per-program statics: group pages whose
             # processing scales round to the same radii so mixed-size
-            # batches keep per-page parity
-            from ..scaling import scale_length
-
+            # batches keep per-page parity.
             groups: Dict[int, List[int]] = {}
             scales = {}
             for pi, img in enumerate(images):
@@ -159,7 +138,6 @@ def process_pages_batched(
                 key = int(round(scale_length(
                     config.cleaning.roi_shrink_px, sc, minimum=0.0)))
                 groups.setdefault(key, []).append(pi)
-            cleaned_infos = {}
             for key, page_ids in groups.items():
                 outs, infos_pp = clean_pages_bubbles(
                     [images[pi] for pi in page_ids],
@@ -169,6 +147,43 @@ def process_pages_batched(
                 for local, pi in enumerate(page_ids):
                     cleaned_pages[pi] = outs[local]
                     cleaned_infos[pi] = infos_pp[local]
+    return per_page_dets, cleaned_pages, cleaned_infos
+
+
+def process_pages_batched(
+    images: List[np.ndarray],
+    config: MangaTranslatorConfig,
+    translate_texts: Optional[List[List[str]]] = None,
+    host_workers: int = 8,
+    chunk_pages: int = 0,
+) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
+    """Detect (one stacked forward) → clean (one batched program) → per-page
+    sort/translate/render on host threads.
+
+    ``chunk_pages`` > 0 pipelines the batch: chunk k+1's device phase
+    (detect + clean dispatch/readback) runs while chunk k's pages are still
+    laying out/rendering on the host pool — the TPU-native double-buffering
+    the reference approximates with thread tricks (SURVEY §2.7). 0 = one
+    batch (device phase for all pages, then render).
+
+    Returns per page (final RGB array, info dict). Test-mode/placeholder or
+    caller-provided texts only (the LLM path goes through the threaded batch
+    scheduler, which overlaps network with device work).
+    """
+    from PIL import Image
+
+    from ..detection.sorting import sort_bubbles_by_reading_order
+    from ..scaling import processing_scale_for, scale_font_size
+    from ..text.placeholders import generate_test_placeholder
+    from .page import _render_one_bubble
+
+    timers = get_stage_timers()
+    n = len(images)
+    chunk = n if chunk_pages <= 0 else max(1, int(chunk_pages))
+
+    per_page_dets: List[List[Dict[str, Any]]] = [None] * n  # type: ignore
+    cleaned_pages: List[np.ndarray] = [None] * n  # type: ignore
+    cleaned_infos: Dict[int, List] = {}
 
     def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
         img = Image.fromarray(cleaned_pages[pi])
@@ -183,15 +198,25 @@ def process_pages_batched(
         if translate_texts is not None:
             texts = translate_texts[pi]
         else:
+            r = config.rendering
             for d in ordered:
                 c = infos[d["_idx"]] if d["_idx"] < len(infos) else None
+                # same layout kwargs as the renderer: consistent tier pick +
+                # warm layout-cache hit on the final render (page.py parity)
                 texts.append(generate_test_placeholder(
                     img, d["bbox"], c.fill_mask if (c and c.success) else None,
-                    config.rendering.font_dir,
-                    max_font_size=scale_font_size(
-                        config.rendering.max_font_size, scale),
-                    min_font_size=scale_font_size(
-                        config.rendering.min_font_size, scale)))
+                    r.font_dir,
+                    max_font_size=scale_font_size(r.max_font_size, scale),
+                    min_font_size=scale_font_size(r.min_font_size, scale),
+                    line_spacing_mult=r.line_spacing_mult,
+                    padding_pixels=r.padding_pixels * scale,
+                    hyphenate=r.hyphenate_before_scaling,
+                    hyphenation_min_word_length=r.hyphenation_min_word_length,
+                    badness_exponent=r.badness_exponent,
+                    hyphen_penalty=r.hyphen_penalty,
+                    output_language=config.translation.output_language,
+                    detach_trailing_punctuation=r.detach_trailing_punctuation,
+                    auto_vertical=r.auto_vertical_text))
         rendered = 0
         for d, text in zip(ordered, texts):
             if not text:
@@ -202,7 +227,19 @@ def process_pages_batched(
         return np.asarray(img), {"bubbles": len(dets), "rendered": rendered,
                                  "texts": texts}
 
-    with timers.span("batched_render"):
-        with ThreadPoolExecutor(max_workers=host_workers) as pool:
-            results = list(pool.map(finish_page, range(len(images))))
+    with ThreadPoolExecutor(max_workers=host_workers) as pool:
+        futures = []
+        for start in range(0, n, chunk):
+            ids = list(range(start, min(n, start + chunk)))
+            dets_c, pages_c, infos_c = _device_phase(
+                [images[pi] for pi in ids], config)
+            for local, pi in enumerate(ids):
+                per_page_dets[pi] = dets_c[local]
+                cleaned_pages[pi] = pages_c[local]
+                cleaned_infos[pi] = infos_c[local]
+            # submit without waiting: the next chunk's device phase runs
+            # while these pages lay out/render on the pool
+            futures.extend(pool.submit(finish_page, pi) for pi in ids)
+        with timers.span("batched_render"):
+            results = [f.result() for f in futures]
     return results

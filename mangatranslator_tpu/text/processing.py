@@ -12,6 +12,7 @@ style regex) are the app's tuning and are kept identical.
 
 from __future__ import annotations
 
+import functools
 import re
 import unicodedata
 from typing import Callable, Dict, List, Optional, Tuple
@@ -392,6 +393,7 @@ def _token_plain_content(token: str) -> str:
     return m.group(2) if m else token
 
 
+@functools.lru_cache(maxsize=4096)
 def _is_cjk_token(token: str) -> bool:
     content = _token_plain_content(token)
     return len(content) > 0 and all(
@@ -399,6 +401,7 @@ def _is_cjk_token(token: str) -> bool:
     )
 
 
+@functools.lru_cache(maxsize=4096)
 def _is_thai_token(token: str) -> bool:
     content = _token_plain_content(token)
     if not content:
