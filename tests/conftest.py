@@ -46,7 +46,7 @@ _SLOW_MODULES = {
     "test_parallel", "test_quant", "test_qwen3", "test_rtdetr",
     "test_rtdetr_hf", "test_sam", "test_sam_hf", "test_sam3",
     "test_text_encoders", "test_thread_safety", "test_yolo",
-    "test_pallas_clean", "test_pallas_tiled",
+    "test_pallas_clean", "test_pallas_tiled", "test_uint8_io",
 }
 _SLOW_TESTS = {
     "test_otsu_path",                       # test_cleaning, 162s

@@ -1,0 +1,84 @@
+"""uint8 device-IO equivalence.
+
+Hosts upload images as uint8 and the jitted programs normalize on device
+(4× fewer tunnel bytes on remote-attached TPUs). These tests pin that the
+uint8 input branch is numerically identical to the float path it replaced
+(same normalize math, traced per dtype)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.yolo import YoloRunner, init_yolo, yolo_config
+
+
+IMGSZ = 128
+
+
+def test_yolo_runner_uint8_matches_float():
+    cfg = yolo_config("v8", "n", num_classes=2, seg=True)
+    params = init_yolo(cfg, IMGSZ, seed=1)
+    runner = YoloRunner(cfg, params, IMGSZ, max_det=8)
+    img = np.random.RandomState(0).randint(
+        0, 255, (1, IMGSZ, IMGSZ, 3)).astype(np.uint8)
+
+    det_u8 = runner(jnp.asarray(img))
+    det_f32 = runner(jnp.asarray(img, jnp.float32) / 255.0)
+
+    np.testing.assert_array_equal(np.asarray(det_u8.num),
+                                  np.asarray(det_f32.num))
+    np.testing.assert_allclose(np.asarray(det_u8.boxes),
+                               np.asarray(det_f32.boxes), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(det_u8.scores),
+                               np.asarray(det_f32.scores), atol=1e-6)
+
+
+def test_sam_refiner_uint8_input():
+    from mangatranslator_tpu.models.sam import SAM_PRESETS, SamRefiner, init_sam
+
+    cfg = SAM_PRESETS["test"]
+    refiner = SamRefiner(cfg, init_sam(cfg))
+    img = np.random.RandomState(1).randint(
+        0, 255, (160, 120, 3)).astype(np.uint8)
+    boxes = np.array([[10, 12, 90, 100]], np.float32)
+    masks = refiner(img, boxes)
+    assert len(masks) == 1
+    assert masks[0].shape == (160, 120)
+    assert masks[0].dtype == np.uint8
+
+    # program-level equivalence: uint8 vs pre-normalized float input
+    import cv2
+
+    resized = cv2.resize(img, (cfg.img_size, cfg.img_size))
+    boxes01 = np.zeros((refiner.MAX_PROMPTS, 4), np.float32)
+    boxes01[0] = boxes[0] / np.array([120, 160, 120, 160], np.float32)
+    p_u8 = np.asarray(refiner._run(refiner._params,
+                                   jnp.asarray(resized[None]),
+                                   jnp.asarray(boxes01)))
+    p_f = np.asarray(refiner._run(
+        refiner._params,
+        jnp.asarray(resized[None], jnp.float32) / 255.0,
+        jnp.asarray(boxes01)))
+    np.testing.assert_allclose(p_u8, p_f, atol=1e-6)
+
+
+def test_rcan_uint8_roundtrip_quantization():
+    """The tile program's on-device quantization matches the former host
+    round(clip(x)*255) exactly (CPU: fp32 compute path)."""
+    from mangatranslator_tpu.models.rcan import (RCAN, RCANConfig,
+                                                 UpscalerRunner, init_rcan)
+
+    tiny = RCANConfig(n_groups=1, n_blocks=1, n_feats=8, reduction=4)
+    params = init_rcan(tiny, seed=2)
+    runner = UpscalerRunner(tiny, params)
+    assert runner.compute_dtype == jnp.float32  # CPU test env
+
+    img = np.random.RandomState(2).randint(0, 255, (24, 20, 3)).astype(np.uint8)
+    tile = jnp.asarray(img[None])
+    out_dev = np.asarray(runner._run(runner._params, tile))[0]
+
+    ref = np.asarray(RCAN(tiny).apply(
+        params, jnp.asarray(img[None], jnp.float32) / 255.0))[0]
+    ref_u8 = np.round(np.clip(ref, 0.0, 1.0) * 255.0).astype(np.uint8)
+    np.testing.assert_array_equal(out_dev, ref_u8)
+    assert out_dev.dtype == np.uint8
