@@ -166,7 +166,14 @@ def run_pipeline(pages, tmp_out: Path) -> float:
                             key=lambda kv: -kv[1]["total_s"])}))
     log_transfer_floor()
 
-    # --- timed run: the batch driver with parallel page workers ---
+    # --- timed run: the batch driver with parallel page workers, including
+    # PNG decode of inputs and compressed saves of outputs. Threaded page
+    # workers overlap each page's device waits with other pages' host
+    # layout/render/save, and the many small transfers ride out both
+    # latency- and bandwidth-degraded phases of a remote-attached link
+    # (the device-batched chapter mode — fewer, larger transfers — wins on
+    # locally-attached chips and calm links; it's reported as the
+    # batched_mode extra and logged below for comparison).
     in_dir = tmp_out / "chapter"
     in_dir.mkdir(exist_ok=True)
     for i, page in enumerate(pages):
@@ -177,8 +184,19 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     dt = time.perf_counter() - t0
     if result["error_count"]:
         log(f"batch errors: {result['errors']}")
-    log(f"batch of {len(pages)} pages, {cfg.parallel_requests} workers: "
-        f"{dt:.2f}s ({dt / len(pages):.3f}s/page)")
+    log(f"chapter of {len(pages)} pages, {cfg.parallel_requests} page "
+        f"workers: {dt:.2f}s ({dt / len(pages):.3f}s/page)")
+
+    # device-batched chapter mode (stacked detect + batched clean per chunk,
+    # pipelined against host render) for comparison
+    cfg2 = _bench_config()
+    cfg2.parallel.pages_per_device_batch = int(
+        os.environ.get("MTX_BENCH_DEVICE_BS", "4"))
+    t0 = time.perf_counter()
+    batch_translate_images(in_dir, cfg2, tmp_out / "out2")
+    dt2 = time.perf_counter() - t0
+    log(f"device-batched chapter (chunk {cfg2.parallel.pages_per_device_batch}): "
+        f"{dt2:.2f}s ({dt2 / len(pages):.3f}s/page)")
     return dt / len(pages)
 
 
@@ -222,6 +240,8 @@ def measure(platform_label: str, extras: dict) -> float:
         sec_per_page = run_pipeline(pages, Path(tmp))
     log(f"{platform_label}: {sec_per_page:.3f}s/page")
 
+    if os.environ.get("MTX_BENCH_PRIMARY_ONLY") == "1":
+        return 1.0 / sec_per_page
     for name, fn in (("batched_mode", measure_batched),
                      ("sam_batch8", measure_sam_batch),
                      ("rcan_upscale", measure_rcan),
