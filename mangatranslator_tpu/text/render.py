@@ -10,6 +10,8 @@ page lives in HBM.
 
 from __future__ import annotations
 
+import threading
+
 from dataclasses import dataclass
 from typing import Dict, Optional, Tuple
 
@@ -286,27 +288,30 @@ def _native_draw_layout_rgba(
 
 _SAFE_BOX_CACHE: "OrderedDict[tuple, tuple]" = None  # lazy OrderedDict
 _LAYOUT_CACHE: "OrderedDict[tuple, object]" = None
+_CACHE_LOCK = threading.Lock()  # page workers render concurrently
 
 
 def _layout_cache_get(key):
     global _LAYOUT_CACHE
-    if _LAYOUT_CACHE is None:
-        return None
-    hit = _LAYOUT_CACHE.get(key)
-    if hit is not None:
-        _LAYOUT_CACHE.move_to_end(key)
-    return hit
+    with _CACHE_LOCK:
+        if _LAYOUT_CACHE is None:
+            return None
+        hit = _LAYOUT_CACHE.get(key)
+        if hit is not None:
+            _LAYOUT_CACHE.move_to_end(key)
+        return hit
 
 
 def _layout_cache_put(key, layout) -> None:
     global _LAYOUT_CACHE
     from collections import OrderedDict
 
-    if _LAYOUT_CACHE is None:
-        _LAYOUT_CACHE = OrderedDict()
-    _LAYOUT_CACHE[key] = layout
-    while len(_LAYOUT_CACHE) > 256:
-        _LAYOUT_CACHE.popitem(last=False)
+    with _CACHE_LOCK:
+        if _LAYOUT_CACHE is None:
+            _LAYOUT_CACHE = OrderedDict()
+        _LAYOUT_CACHE[key] = layout
+        while len(_LAYOUT_CACHE) > 256:
+            _LAYOUT_CACHE.popitem(last=False)
 
 
 def _cached_expansion_box(cleaned_mask: np.ndarray, padding_pixels: float,
@@ -322,17 +327,19 @@ def _cached_expansion_box(cleaned_mask: np.ndarray, padding_pixels: float,
     arr = np.asarray(cleaned_mask)
     key = (id(cleaned_mask), arr.shape, float(padding_pixels),
            int(arr[:: max(1, arr.shape[0] // 32)].sum()))
-    if _SAFE_BOX_CACHE is None:
-        _SAFE_BOX_CACHE = OrderedDict()
-    hit = _SAFE_BOX_CACHE.get(key)
-    if hit is not None:
-        _SAFE_BOX_CACHE.move_to_end(key)
-        return hit
+    with _CACHE_LOCK:
+        if _SAFE_BOX_CACHE is None:
+            _SAFE_BOX_CACHE = OrderedDict()
+        hit = _SAFE_BOX_CACHE.get(key)
+        if hit is not None:
+            _SAFE_BOX_CACHE.move_to_end(key)
+            return hit
     out = calculate_centroid_expansion_box(cleaned_mask, padding_pixels,
                                            verbose=verbose)
-    _SAFE_BOX_CACHE[key] = out
-    while len(_SAFE_BOX_CACHE) > 128:
-        _SAFE_BOX_CACHE.popitem(last=False)
+    with _CACHE_LOCK:
+        _SAFE_BOX_CACHE[key] = out
+        while len(_SAFE_BOX_CACHE) > 128:
+            _SAFE_BOX_CACHE.popitem(last=False)
     return out
 
 
