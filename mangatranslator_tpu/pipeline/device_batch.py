@@ -51,13 +51,14 @@ def detect_pages_batched(
 
     import jax
 
-    batch = jnp.asarray(canvases)  # uint8; normalized on device
     if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
         # shard the stacked page batch over the data mesh axis: a v5e-4 slice
         # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
         from ..runtime import device_put_sharded_pages, make_mesh
 
-        batch = device_put_sharded_pages(np.asarray(batch), make_mesh())
+        batch = device_put_sharded_pages(canvases, make_mesh())
+    else:
+        batch = jnp.asarray(canvases)  # uint8; normalized on device
     det = runner(batch, conf=config.detection.confidence)
     nums, boxes_all, scores_all, masks_all = jax.device_get(
         (det.num, det.boxes, det.scores, det.masks))
