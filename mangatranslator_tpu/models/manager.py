@@ -435,22 +435,25 @@ class ModelManager:
             "flux_kontext": ModelType.FLUX_KONTEXT,
         }.get(method, ModelType.FLUX_KLEIN_4B)
         is_klein = mtype is not ModelType.FLUX_KONTEXT
-        key = (mtype, 0)
+        from .flux.pipeline import DEFAULT_PROMPT, KLEIN_PROMPT
+
+        # Klein models default to the long preservation prompt (reference
+        # inpainting.py:991); Kontext keeps "Remove all text."
+        if prompt in (None, DEFAULT_PROMPT) and is_klein:
+            prompt = KLEIN_PROMPT
+        # sizing semantics and prompt are baked into the pipeline instance,
+        # so they belong in the cache key (a settings flip must not return a
+        # stale runner)
+        key = (mtype, prompt, bool(upscale_small_crops))
         with self._lock:
             if key in self._runners:
                 self._touch(key)
                 return self._runners[key]
             from .flux.pipeline import (
-                DEFAULT_PROMPT,
-                KLEIN_PROMPT,
                 build_converted_inpainter,
                 build_random_inpainter,
             )
 
-            # Klein models default to the long preservation prompt
-            # (reference inpainting.py:991); Kontext keeps "Remove all text."
-            if prompt in (None, DEFAULT_PROMPT) and is_klein:
-                prompt = KLEIN_PROMPT
             dit_vars = self._load_converted(mtype)
             if dit_vars is not None:
                 vae_path = (self.models_dir / "converted"

@@ -110,45 +110,66 @@ def _run_device_batched(images, config, out_dir, root, result,
     from .io import load_image, save_image_with_compression
 
     bs = config.parallel.pages_per_device_batch
+    # pipelined super-chunks bound resident memory (inputs + cleaned copies +
+    # rendered outputs are all held during one process_pages_batched call);
+    # within a super-chunk the device phase of chunk k+1 overlaps chunk k's
+    # host render (device_batch.py)
+    super_chunk = max(bs, 32)
+    done_counter = [0]
 
     def _save_all(paths, outs) -> None:
-        done = 0
         from concurrent.futures import ThreadPoolExecutor
 
         def save_one(args):
+            """Returns (path, error) — save failures are per-page results,
+            not batch aborts."""
             p, (arr_out, _info) = args
-            if out_dir:
-                save_image_with_compression(
-                    Image.fromarray(arr_out),
-                    resolve_output_path(p, out_dir,
-                                        config.output.output_format,
-                                        relative_root=root),
-                    config.output.jpeg_quality,
-                    config.output.png_compression)
-            return p
+            try:
+                if out_dir:
+                    save_image_with_compression(
+                        Image.fromarray(arr_out),
+                        resolve_output_path(p, out_dir,
+                                            config.output.output_format,
+                                            relative_root=root),
+                        config.output.jpeg_quality,
+                        config.output.png_compression)
+                return p, None
+            except Exception as e:  # noqa: BLE001
+                return p, e
 
         with ThreadPoolExecutor(max_workers=4) as pool:
-            for p in pool.map(save_one, zip(paths, outs)):
-                result["success_count"] += 1
-                done += 1
+            for p, err in pool.map(save_one, zip(paths, outs)):
+                if err is None:
+                    result["success_count"] += 1
+                else:
+                    log_message(f"Save failed for {p}: {err}",
+                                always_print=True)
+                    result["error_count"] += 1
+                    result["errors"][str(p)] = str(err)
+                    result["failed_paths"].append(str(p))
+                done_counter[0] += 1
                 if progress_callback:
-                    progress_callback(done, len(images), str(p))
+                    progress_callback(done_counter[0], len(images), str(p))
 
-    outs = None
-    try:
-        # one pipelined call: chunk k+1's device phase (stacked detect +
-        # batched clean) overlaps chunk k's host render (device_batch.py)
-        arrs = [np.asarray(load_image(p).convert("RGB")) for p in images]
-        outs = process_pages_batched(arrs, config, chunk_pages=bs)
-    except Exception as e:
-        log_message(f"Pipelined device batch failed ({e}); retrying "
-                    "per-chunk", always_print=True)
-    if outs is not None:
-        _save_all(images, outs)
+    fallback_from = None
+    for start in range(0, len(images), super_chunk):
+        part = images[start: start + super_chunk]
+        try:
+            arrs = [np.asarray(load_image(p).convert("RGB")) for p in part]
+            outs = process_pages_batched(arrs, config, chunk_pages=bs)
+        except Exception as e:
+            log_message(f"Pipelined device batch failed ({e}); retrying "
+                        f"per-chunk from page {start}", always_print=True)
+            fallback_from = start
+            break
+        _save_all(part, outs)
+    if fallback_from is None:
         return
 
-    done = 0
-    for start in range(0, len(images), bs):
+    # per-chunk fallback for the remaining pages (already-saved super-chunks
+    # keep their bookkeeping)
+    done = done_counter[0]
+    for start in range(fallback_from, len(images), bs):
         chunk = images[start: start + bs]
         arrs = [np.asarray(load_image(p).convert("RGB")) for p in chunk]
         try:

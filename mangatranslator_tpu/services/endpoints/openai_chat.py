@@ -525,12 +525,19 @@ def call_openrouter_models_metadata(api_key: Optional[str] = None,
 
 def _openrouter_is_reasoning_model(model_name: str, api_key: Optional[str],
                                    debug: bool) -> bool:
+    """Reference openrouter.py:38-62: case-insensitive id match; a model is
+    'reasoning' when supported_parameters lists 'include_reasoning'."""
+    if not model_name:
+        return False
     if "models" not in _openrouter_meta_cache:
         _openrouter_meta_cache["models"] = call_openrouter_models_metadata(
             api_key)
+    lm = model_name.lower()
     for entry in _openrouter_meta_cache["models"].get("data", []):
-        if entry.get("id") == model_name:
-            return "reasoning" in (entry.get("supported_parameters") or [])
+        if (entry.get("id") or "").lower() == lm:
+            params = entry.get("supported_parameters")
+            return (isinstance(params, list)
+                    and "include_reasoning" in params)
     return False
 
 

@@ -271,15 +271,20 @@ def _native_draw_layout_rgba(
 
     rgba = np.zeros((H, W, 4), np.uint8)
     if stroke_px > 0:
+        # straight-alpha blend: fill color over the stroke underlay inside
+        # the covered region, alpha = union coverage
         oc = _outline_color(text_rgb)
         rgba[..., 0], rgba[..., 1], rgba[..., 2] = oc
         rgba[..., 3] = np.maximum(stroke, fill)
-    # fill composited over the stroke underlay
-    fa = fill.astype(np.float32) / 255.0
-    for ch in range(3):
-        rgba[..., ch] = (fa * text_rgb[ch]
-                         + (1.0 - fa) * rgba[..., ch]).astype(np.uint8)
-    if stroke_px <= 0:
+        fa = fill.astype(np.float32) / 255.0
+        for ch in range(3):
+            rgba[..., ch] = (fa * text_rgb[ch]
+                             + (1.0 - fa) * rgba[..., ch]).astype(np.uint8)
+    else:
+        # no stroke: constant color with coverage as STRAIGHT alpha —
+        # multiplying the color by coverage too would double-attenuate
+        # anti-aliased edges
+        rgba[..., 0], rgba[..., 1], rgba[..., 2] = text_rgb
         rgba[..., 3] = fill
     canvas = Image.fromarray(rgba, "RGBA")
     patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
@@ -326,7 +331,8 @@ def _cached_expansion_box(cleaned_mask: np.ndarray, padding_pixels: float,
 
     arr = np.asarray(cleaned_mask)
     key = (id(cleaned_mask), arr.shape, float(padding_pixels),
-           int(arr[:: max(1, arr.shape[0] // 32)].sum()))
+           int(arr[:: max(1, arr.shape[0] // 32)].sum()),
+           int(arr[:: max(1, arr.shape[0] // 19)].sum()))
     with _CACHE_LOCK:
         if _SAFE_BOX_CACHE is None:
             _SAFE_BOX_CACHE = OrderedDict()
@@ -381,8 +387,11 @@ def render_text(
     safe_mask = None
     if cleaned_mask is not None and np.any(cleaned_mask):
         arr = np.asarray(cleaned_mask)
+        # id() alone can be reused after GC; two coprime-stride row checksums
+        # make an address+shape+sum collision astronomically unlikely
         mask_key = (id(cleaned_mask), arr.shape,
-                    int(arr[:: max(1, arr.shape[0] // 32)].sum()))
+                    int(arr[:: max(1, arr.shape[0] // 32)].sum()),
+                    int(arr[:: max(1, arr.shape[0] // 19)].sum()))
         try:
             (bx, by, bw, bh), _ = _cached_expansion_box(
                 cleaned_mask, padding_pixels, verbose=verbose

@@ -476,8 +476,11 @@ class WebApp:
                     from urllib.parse import parse_qs, urlparse
 
                     q = parse_qs(urlparse(self.path).query)
-                    data = app.result_bytes(q.get("job", [""])[0],
-                                            int(q.get("index", ["-1"])[0]))
+                    try:
+                        index = int(q.get("index", ["-1"])[0])
+                    except ValueError:
+                        index = -1  # non-numeric → same JSON 404 as missing
+                    data = app.result_bytes(q.get("job", [""])[0], index)
                     if data is None:
                         self._send(404, json.dumps(
                             {"error": "no such result"}).encode())

@@ -15,6 +15,7 @@
 #include <cstdio>
 #include <cstdlib>
 #include <cstring>
+#include <mutex>
 #include <vector>
 
 #include <png.h>
@@ -416,6 +417,11 @@ static void blit(const FT_Bitmap& bm, int x0, int y0,
 }
 }  // namespace ft
 
+static std::mutex& ft_mutex() {
+    static std::mutex m;
+    return m;
+}
+
 // Rasterize a positioned glyph run. Pen positions are 26.6 fixed point
 // relative to the canvas origin with y = the baseline (y grows downward).
 // Fill coverage goes to `canvas` [H*W u8]; when stroke_radius_26_6 > 0 and
@@ -426,6 +432,9 @@ int mtx_ft_render_run(const char* font_path, int px_size,
                       const int32_t* ys, int n,
                       uint8_t* canvas, int W, int H,
                       int stroke_radius_26_6, uint8_t* stroke_canvas) {
+    // FreeType is not thread-safe on a shared FT_Library (face creation and
+    // glyph loading race); page workers render concurrently, so serialize
+    std::lock_guard<std::mutex> guard(ft_mutex());
     if (!ft::load()) return -1;
     ft::FT_FaceRec* face = nullptr;
     if (ft::New_Face(ft::library, font_path, 0, &face) != 0 || !face)
@@ -475,6 +484,7 @@ int mtx_ft_render_run(const char* font_path, int px_size,
 // Face vertical metrics at px_size: ascender/descender/height in 26.6 units.
 int mtx_ft_metrics(const char* font_path, int px_size, long* ascender,
                    long* descender, long* height) {
+    std::lock_guard<std::mutex> guard(ft_mutex());
     if (!ft::load()) return -1;
     ft::FT_FaceRec* face = nullptr;
     if (ft::New_Face(ft::library, font_path, 0, &face) != 0 || !face)
