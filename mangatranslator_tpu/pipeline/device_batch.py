@@ -155,7 +155,7 @@ def process_pages_batched(
     images: List[np.ndarray],
     config: MangaTranslatorConfig,
     translate_texts: Optional[List[List[str]]] = None,
-    host_workers: int = 8,
+    host_workers: int = 0,
     chunk_pages: int = 0,
 ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
     """Detect (one stacked forward) → clean (one batched program) → per-page
@@ -181,6 +181,13 @@ def process_pages_batched(
     timers = get_stage_timers()
     n = len(images)
     chunk = n if chunk_pages <= 0 else max(1, int(chunk_pages))
+    if host_workers <= 0:
+        # render is partly pure-Python (GIL-bound): oversubscribing threads
+        # starves the device thread's own host-side packing work between
+        # chunks — size the pool to the machine
+        import os as _os
+
+        host_workers = min(8, max(2, (_os.cpu_count() or 1)))
 
     per_page_dets: List[List[Dict[str, Any]]] = [None] * n  # type: ignore
     cleaned_pages: List[np.ndarray] = [None] * n  # type: ignore
