@@ -66,3 +66,71 @@ def test_64_page_zip_sharded_over_mesh(batch_manager, tmp_path,  # noqa: F811
     assert shardings, "page batches never went through the sharded path"
     assert all(n == 8 for n in shardings), (
         f"page sharding degraded: device counts {shardings}")
+
+
+def test_save_failure_recorded_not_fatal(batch_manager, tmp_path,  # noqa: F811
+                                         monkeypatch):
+    """A failing save in the pipelined device-batch path records the page in
+    errors/failed_paths and keeps saving the rest (code-review fix)."""
+    import mangatranslator_tpu.pipeline.io as PIO
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    real_save = PIO.save_image_with_compression
+    calls = {"n": 0}
+
+    def flaky_save(image, out_path, *a, **k):
+        calls["n"] += 1
+        if "p2" in str(out_path):
+            raise OSError("disk full")
+        return real_save(image, out_path, *a, **k)
+
+    monkeypatch.setattr(PIO, "save_image_with_compression", flaky_save)
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out)
+    assert result["success_count"] == 3
+    assert result["error_count"] == 1
+    assert len(result["failed_paths"]) == 1 and "p2" in result["failed_paths"][0]
+    assert len(list(out.glob("*_translated.png"))) == 3
+    assert (out / "failed_paths.txt").exists()
+
+
+def test_super_chunk_streaming(batch_manager, tmp_path, monkeypatch):  # noqa: F811
+    """Chapters longer than one super-chunk stream through multiple
+    process_pages_batched calls with bounded page counts."""
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    _SPY_CALLS.clear()
+    monkeypatch.setattr(DB, "process_pages_batched",
+                        _spy_process(DB.process_pages_batched))
+
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(5):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 3
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out)
+    assert result["success_count"] == 5
+    assert len(list(out.glob("*_translated.png"))) == 5
+    # one pipelined call covering all 5 (5 < super_chunk), chunked by 3
+    assert _SPY_CALLS and _SPY_CALLS[0] == (5, 3)
+
+
+_SPY_CALLS = []
+
+
+def _spy_process(real):
+    def wrapper(images, config, *a, **k):
+        _SPY_CALLS.append((len(images), k.get("chunk_pages", 0)))
+        return real(images, config, *a, **k)
+    return wrapper

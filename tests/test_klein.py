@@ -276,3 +276,27 @@ def test_default_steps_guidance_constants():
     assert KLEIN_DEFAULT_STEPS == 4
     assert KLEIN_MAX_STEPS == 12
     assert KLEIN_GUIDANCE_SCALE == 1.0
+
+
+def test_manager_inpainter_cache_key_includes_settings(monkeypatch, tmp_path):
+    """A settings flip (upscale_small_crops / prompt) must rebuild the
+    pipeline, not return a stale cached runner (manager.get_flux_inpainter)."""
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_FLUX_PRESET", "test")
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    from mangatranslator_tpu.models.manager import (get_model_manager,
+                                                    reset_model_manager)
+
+    reset_model_manager()
+    try:
+        mgr = get_model_manager()
+        a = mgr.get_flux_inpainter("flux_klein_4b", upscale_small_crops=True)
+        a2 = mgr.get_flux_inpainter("flux_klein_4b", upscale_small_crops=True)
+        b = mgr.get_flux_inpainter("flux_klein_4b", upscale_small_crops=False)
+        c = mgr.get_flux_inpainter("flux_klein_4b", prompt="Custom prompt.")
+        assert a is a2                      # same settings → cached
+        assert b is not a                   # sizing flip → rebuilt
+        assert not b.upscale_small_crops
+        assert c is not a and c.prompt == "Custom prompt."
+    finally:
+        reset_model_manager()

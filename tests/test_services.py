@@ -311,3 +311,37 @@ def test_openai_compatible_against_live_stub_server():
                                                "content": "sys"}
     finally:
         server.shutdown()
+
+
+class TestOpenRouterReasoningPredicate:
+    """Reference openrouter.py:38-62: case-insensitive id match; reasoning
+    support keys off 'include_reasoning' in supported_parameters."""
+
+    def _probe(self, monkeypatch, metadata, model):
+        from mangatranslator_tpu.services.endpoints import openai_chat as oc
+
+        monkeypatch.setitem(oc._openrouter_meta_cache, "models", metadata)
+        return oc._openrouter_is_reasoning_model(model, api_key=None,
+                                                 debug=False)
+
+    def test_include_reasoning_detected(self, monkeypatch):
+        meta = {"data": [{"id": "moonshotai/kimi-k2",
+                          "supported_parameters": ["include_reasoning",
+                                                   "temperature"]}]}
+        assert self._probe(monkeypatch, meta, "moonshotai/kimi-k2") is True
+
+    def test_case_insensitive_id_match(self, monkeypatch):
+        meta = {"data": [{"id": "moonshotai/kimi-k2",
+                          "supported_parameters": ["include_reasoning"]}]}
+        assert self._probe(monkeypatch, meta, "MoonshotAI/Kimi-K2") is True
+
+    def test_plain_reasoning_param_not_enough(self, monkeypatch):
+        # only 'reasoning' (not 'include_reasoning') → not a reasoning model
+        meta = {"data": [{"id": "x/y", "supported_parameters": ["reasoning"]}]}
+        assert self._probe(monkeypatch, meta, "x/y") is False
+
+    def test_unknown_or_empty_model(self, monkeypatch):
+        meta = {"data": [{"id": "x/y",
+                          "supported_parameters": ["include_reasoning"]}]}
+        assert self._probe(monkeypatch, meta, "a/b") is False
+        assert self._probe(monkeypatch, meta, "") is False
