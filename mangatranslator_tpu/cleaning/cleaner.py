@@ -210,6 +210,9 @@ def clean_speech_bubbles(
     detections: List[Dict[str, Any]],
     config: Optional[CleaningConfig] = None,
     processing_scale: float = 1.0,
+    inpainter: Optional[Any] = None,
+    coordinator: Optional[Any] = None,
+    osb_config: Optional[Any] = None,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, List[CleanedBubble]]:
     """Clean all bubbles of a page in one batched device pass.
@@ -217,10 +220,14 @@ def clean_speech_bubbles(
     image: RGB uint8 [H,W,3]; detections from detect_speech_bubbles (each has
     "bbox" and "mask"). Returns (cleaned image, per-bubble results). Failed
     bubbles degrade to untouched pixels (reference failure fallback,
-    core/pipeline.py:125-130).
+    core/pipeline.py:125-130). ``inpainter`` enables the colored-bubble FLUX
+    path (reference cleaning.py:847-1009) with the flux knobs taken from
+    ``osb_config``.
     """
     cleaned_pages, per_page = clean_pages_bubbles(
-        [image], [detections], config, processing_scale, verbose=verbose)
+        [image], [detections], config, processing_scale,
+        inpainter=inpainter, coordinator=coordinator, osb_config=osb_config,
+        verbose=verbose)
     return cleaned_pages[0], per_page[0]
 
 
@@ -229,6 +236,9 @@ def clean_pages_bubbles(
     per_page_detections: List[List[Dict[str, Any]]],
     config: Optional[CleaningConfig] = None,
     processing_scale: float = 1.0,
+    inpainter: Optional[Any] = None,
+    coordinator: Optional[Any] = None,
+    osb_config: Optional[Any] = None,
     verbose: bool = False,
 ) -> Tuple[List[np.ndarray], List[List[CleanedBubble]]]:
     """Clean EVERY page's bubbles in ONE device program.
@@ -340,6 +350,12 @@ def clean_pages_bubbles(
     min_area = scale_area(MIN_CONTOUR_AREA, processing_scale)
     cleaned_pages = [img.copy() for img in images]
     n_ok = 0
+    # colored-bubble Flux candidates: (page, CleanedBubble, roi-slice, comp)
+    flux_colored: List[Tuple[int, CleanedBubble, Tuple[int, int, int, int],
+                             np.ndarray]] = []
+    flux_enabled = (bool(cfg.inpaint_colored_bubbles) and inpainter is not None
+                    and getattr(osb_config, "inpainting_method", "flux")
+                    not in ("opencv", "none"))
     for i, (pi, _, det, (x1, y1, x2, y2)) in enumerate(items):
         image = images[pi]
         gray_page = gray_pages[pi]
@@ -381,18 +397,123 @@ def clean_pages_bubbles(
             else (roi_gray > thr_eff[i])
         text_mask = (text_px & (comp > 0)).astype(np.uint8)
         text_color = _sample_text_color(image[y1:y2, x1:x2], text_mask)
-        results[pi].append(CleanedBubble(det["bbox"], page_mask, fill_color,
-                                         text_bbox, text_color, is_black,
-                                         True))
-        # bbox-limited fill: boolean-index the ROI view, not the whole page
-        cleaned_pages[pi][y1:y2, x1:x2][comp > 0] = fill_color
+        result = CleanedBubble(det["bbox"], page_mask, fill_color,
+                               text_bbox, text_color, is_black, True)
+        results[pi].append(result)
+        if kind == "colored" and flux_enabled:
+            # defer: FLUX inpaints the text-only mask so the bubble's color
+            # gradient survives (reference cleaning.py:847-1009); the solid
+            # fill below is only the failure fallback
+            flux_colored.append((pi, result, (x1, y1, x2, y2), comp))
+        else:
+            # bbox-limited fill: boolean-index the ROI view, not the page
+            cleaned_pages[pi][y1:y2, x1:x2][comp > 0] = fill_color
         n_ok += 1
+
+    if flux_colored:
+        _inpaint_colored_bubbles(cleaned_pages, flux_colored, inpainter,
+                                 coordinator, osb_config, verbose=verbose)
 
     log_message(
         f"Cleaned {n_ok}/{len(items)} bubbles across {n_pages} page(s)",
         verbose=verbose,
     )
     return cleaned_pages, results
+
+
+def _inpaint_colored_bubbles(
+    cleaned_pages: List[np.ndarray],
+    candidates: List[Tuple[int, CleanedBubble, Tuple[int, int, int, int],
+                           np.ndarray]],
+    inpainter: Any,
+    coordinator: Optional[Any],
+    osb_config: Optional[Any],
+    verbose: bool = False,
+) -> None:
+    """FLUX-inpaint colored bubbles' text masks in conflict-free waves
+    (reference _inpaint_colored_bubbles_with_coordinator cleaning.py:67-157
+    and the sequential path :923-1009). Mutates ``cleaned_pages`` in place;
+    failed jobs degrade to the standard median fill."""
+    from ..pipeline.coordinator import (
+        expanded_mask_bbox,
+        partition_non_overlapping_waves,
+    )
+
+    seed_cfg = int(getattr(osb_config, "seed", 1) or 1)
+    steps = int(getattr(osb_config, "flux_num_inference_steps", 8))
+    guidance = float(getattr(osb_config, "flux_guidance_scale", 2.5))
+    lum_corr = bool(getattr(osb_config, "flux_luminance_correction", True))
+    base_seed = (int(np.random.randint(1, 1_000_000)) if seed_cfg == -1
+                 else max(0, seed_cfg))
+    log_message(f"Inpainting {len(candidates)} colored bubble(s) with Flux",
+                always_print=True)
+
+    by_page: Dict[int, List[int]] = {}
+    for idx, (pi, *_rest) in enumerate(candidates):
+        by_page.setdefault(pi, []).append(idx)
+
+    def fallback_fill(ci: int) -> None:
+        pi, result, (x1, y1, x2, y2), comp = candidates[ci]
+        cleaned_pages[pi][y1:y2, x1:x2][comp > 0] = result.fill_color
+
+    for pi, idxs in by_page.items():
+        page = cleaned_pages[pi]
+        h, w = page.shape[:2]
+        ctxs = []
+        for ci in idxs:
+            mask = candidates[ci][1].fill_mask
+            if hasattr(inpainter, "crop_bbox_for_mask"):
+                ctxs.append(inpainter.crop_bbox_for_mask(mask, w, h))
+            else:
+                ctxs.append(expanded_mask_bbox(mask, (w, h)))
+        valid = [(ci, ctx) for ci, ctx in zip(idxs, ctxs) if ctx is not None]
+        if not valid:
+            continue
+        waves = partition_non_overlapping_waves([ctx for _, ctx in valid])
+        for wave in waves:
+            base = cleaned_pages[pi]
+
+            def make_job(ci, ctx):
+                def job():
+                    region_seed = (base_seed + ci if base_seed > 0
+                                   else base_seed)
+                    try:
+                        res = inpainter.inpaint_mask(
+                            base, candidates[ci][1].fill_mask,
+                            seed=region_seed, num_inference_steps=steps,
+                            guidance_scale=guidance,
+                            luminance_correction=lum_corr)
+                        if res is base:
+                            raise RuntimeError(
+                                "Flux returned original image (no inpaint)")
+                        return ci, ctx, res, None
+                    except Exception as e:
+                        return ci, ctx, None, e
+                return job
+
+            jobs = [make_job(*valid[i]) for i in wave]
+            if coordinator is not None and len(jobs) > 1:
+                outs = coordinator.map_ordered(jobs)
+            else:
+                outs = [j() for j in jobs]
+            for ci, ctx, res, err in outs:
+                pi2, result, _roi, _comp = candidates[ci]
+                if err is not None:
+                    log_message(
+                        f"Flux inpainting failed for bubble {result.bbox}: "
+                        f"{err}; falling back to standard fill",
+                        always_print=True)
+                    fallback_fill(ci)
+                    continue
+                bx0, by0, bx1, by1 = ctx
+                cleaned_pages[pi2][by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
+                # resample the bubble color from the inpainted region so the
+                # renderer's contrast pick tracks reality (reference
+                # _resample_inpainted_bubble_color cleaning.py:50-65)
+                masked = cleaned_pages[pi2][result.fill_mask > 0]
+                if masked.size:
+                    mean_val = int(np.clip(np.mean(masked), 0, 255))
+                    result.fill_color = (mean_val, mean_val, mean_val)
 
 
 def retry_cleaning_with_otsu(

@@ -2,11 +2,14 @@
 
 Counterpart of reference core/outside_text_processor.py:32-1683: per spatial
 group — subtract the dilated bubble-union mask, probe the background (border
-sampling → solid fill beats diffusion; KMeans(2) background/text split for
-color stats), run the FLUX inpainter with per-region seeds (base+i) in
-conflict-free waves, and degrade to a cv2 fill on failure. The prepare/finish
-split lets inpainting overlap the LLM call (reference prepare :210 /
-finish :629; pipeline overlap at core/pipeline.py:836-866).
+sampling → solid fill beats diffusion; LAB contrast thresholding for the
+rendered text color, :1088-1157), then run the FLUX inpainter with per-region
+seeds (base+i) in conflict-free waves executed CONCURRENTLY under the
+BatchRequestCoordinator (:860-939), optionally merged into one grouped
+single-mask Flux call (flux_group_regions, :1399-1604), degrading to a cv2
+fill on failure (:1467-1507). The prepare/finish split lets inpainting overlap
+the LLM call (reference prepare :210 / finish :629; pipeline overlap at
+core/pipeline.py:836-866).
 """
 
 from __future__ import annotations
@@ -19,11 +22,23 @@ import numpy as np
 from ..config import OutsideTextConfig
 from ..detection.osb import OsbGroup, OutsideTextDetector, filter_page_numbers
 from ..logging import log_message
-from ..pipeline.coordinator import partition_non_overlapping_waves
+from ..pipeline.coordinator import (
+    expanded_mask_bbox,
+    partition_non_overlapping_waves,
+)
 from ..scaling import scale_kernel
 
 BORDER_SOLID_STD_MAX = 6.0     # border-pixel spread below this → solid bg
-DARK_TEXT_LUMA_DELTA = 40.0    # KMeans cluster separation for text color
+# reference border-pixel fallback-fill probe (outside_text_processor.py:1160-1172)
+WHITE_BORDER_LEVEL = 250
+BLACK_BORDER_LEVEL = 5
+# reference LAB text-color extraction constants (:1088-1157)
+LAB_CONTRAST_FLOOR = 30.0
+LAB_CONTRAST_P95_FRACTION = 0.6
+MIN_TEXT_COMPONENT_AREA = 4
+MIN_TEXT_PIXELS = 10
+MIN_BORDER_PIXELS = 20
+DESATURATION_SNAP_SAT = 25
 
 
 @dataclass
@@ -34,6 +49,7 @@ class OutsideTextWork:
     results: List[Tuple[List[int], float]] = field(default_factory=list)
     bubble_union_mask: Optional[np.ndarray] = None
     render_infos: List[Dict[str, Any]] = field(default_factory=list)
+    fallback_fill_color: Optional[Tuple[int, int, int]] = None
 
 
 def _bubble_union(detections: List[Dict[str, Any]], h: int, w: int,
@@ -71,24 +87,83 @@ def _border_stats(image: np.ndarray, bbox: Dict[str, int],
     return ring.mean(axis=0), float(ring.std(axis=0).mean())
 
 
-def extract_text_color(image: np.ndarray, group: OsbGroup) -> Tuple[int, int, int]:
-    """KMeans(2) background/text split inside the region; the cluster farther
-    from the border color is the text color (reference :536-578, :1088-1157)."""
-    from sklearn.cluster import KMeans
+def _group_border_pixels(image: np.ndarray, group: OsbGroup,
+                         expansion_px: int = 2) -> Optional[np.ndarray]:
+    """Pixels in the thin frame ringing the raw-box union
+    (reference :1060-1090 border sampling)."""
+    h, w = image.shape[:2]
+    rx0, ry0, rx1, ry1 = group.raw_union
+    sx0, sy0 = max(0, rx0 - expansion_px), max(0, ry0 - expansion_px)
+    sx1, sy1 = min(w, rx1 + expansion_px), min(h, ry1 + expansion_px)
+    if sx1 <= sx0 or sy1 <= sy0:
+        return None
+    local = np.ones((sy1 - sy0, sx1 - sx0), bool)
+    lx0, ly0 = max(0, rx0 - sx0), max(0, ry0 - sy0)
+    lx1 = min(local.shape[1], rx1 - sx0)
+    ly1 = min(local.shape[0], ry1 - sy0)
+    if lx1 > lx0 and ly1 > ly0:
+        local[ly0:ly1, lx0:lx1] = False
+    if np.count_nonzero(local) < MIN_BORDER_PIXELS:
+        return None
+    return image[sy0:sy1, sx0:sx1][local]
 
-    b = group.bbox
-    region = image[b["y"]: b["y"] + b["height"], b["x"]: b["x"] + b["width"]]
-    px = region.reshape(-1, 3).astype(np.float32)
-    if len(px) < 8:
-        return (0, 0, 0)
-    sample = px[np.random.RandomState(0).choice(
-        len(px), min(2000, len(px)), replace=False)]
-    km = KMeans(n_clusters=2, n_init=3, random_state=0).fit(sample)
-    centers = km.cluster_centers_
-    border_color, _ = _border_stats(image, b)
-    dists = np.linalg.norm(centers - border_color, axis=1)
-    text_rgb = centers[int(np.argmax(dists))]
-    return tuple(int(v) for v in np.clip(text_rgb, 0, 255))
+
+def extract_text_color(image: np.ndarray, group: OsbGroup
+                       ) -> Optional[Tuple[int, int, int]]:
+    """LAB contrast-threshold text-color extraction (reference :1088-1157):
+    border median → background LAB → per-pixel LAB distance map → threshold at
+    max(30, p95·0.6) → close/erode morphology → ≥4-px components → median of
+    the surviving text pixels, desaturation-snapped to pure black/white.
+    Returns None when no reliable text pixels exist (renderer picks the
+    contrast default)."""
+    import cv2
+
+    border = _group_border_pixels(image, group)
+    if border is None or border.size == 0:
+        return None
+    rx0, ry0, rx1, ry1 = group.raw_union
+    crop = image[ry0:ry1, rx0:rx1]
+    if crop.size == 0:
+        return None
+
+    bg_rgb = np.median(border, axis=0).astype(np.uint8)
+    bg_lab = cv2.cvtColor(bg_rgb[None, None], cv2.COLOR_RGB2LAB)[0, 0]
+    crop_lab = cv2.cvtColor(crop, cv2.COLOR_RGB2LAB).astype(np.float32)
+    dist = np.linalg.norm(crop_lab - bg_lab.astype(np.float32), axis=2)
+
+    threshold = max(LAB_CONTRAST_FLOOR,
+                    float(np.percentile(dist, 95)) * LAB_CONTRAST_P95_FRACTION)
+    contrast = (dist > threshold).astype(np.uint8) * 255
+    contrast = cv2.morphologyEx(contrast, cv2.MORPH_CLOSE,
+                                np.ones((3, 3), np.uint8))
+    contrast = cv2.erode(contrast, np.ones((2, 2), np.uint8))
+
+    contours, _ = cv2.findContours(contrast, cv2.RETR_EXTERNAL,
+                                   cv2.CHAIN_APPROX_SIMPLE)
+    clean = np.zeros_like(contrast)
+    for cnt in contours:
+        if cv2.contourArea(cnt) >= MIN_TEXT_COMPONENT_AREA:
+            cv2.drawContours(clean, [cnt], -1, 255, cv2.FILLED)
+
+    text_px = crop[clean == 255]
+    if len(text_px) < MIN_TEXT_PIXELS:
+        return None
+    rgb = tuple(int(v) for v in np.median(text_px, axis=0))
+    hsv = cv2.cvtColor(np.uint8([[rgb]]), cv2.COLOR_RGB2HSV)[0, 0]
+    if hsv[1] < DESATURATION_SNAP_SAT:
+        return (0, 0, 0) if hsv[2] < 128 else (255, 255, 255)
+    return rgb
+
+
+def _fallback_fill_from_border(border: Optional[np.ndarray]
+                               ) -> Optional[Tuple[int, int, int]]:
+    """White/black cv2-fallback fill from border pixel ratios
+    (reference :1160-1172)."""
+    if border is None or border.size == 0:
+        return None
+    white = float(np.mean(np.all(border >= WHITE_BORDER_LEVEL, axis=1)))
+    black = float(np.mean(np.all(border <= BLACK_BORDER_LEVEL, axis=1)))
+    return (255, 255, 255) if white >= black else (0, 0, 0)
 
 
 def prepare_outside_text_work(
@@ -98,6 +173,7 @@ def prepare_outside_text_work(
     bubble_detections: Optional[List[Dict[str, Any]]] = None,
     text_free_boxes: Optional[List[List[int]]] = None,
     processing_scale: float = 1.0,
+    ocr_fn=None,
     verbose: bool = False,
 ) -> OutsideTextWork:
     """Detection + grouping + color probes — the LLM-overlappable half."""
@@ -108,7 +184,9 @@ def prepare_outside_text_work(
     if config.enable_page_number_filtering:
         results = filter_page_numbers(results, w, h,
                                       config.page_filter_margin_threshold,
-                                      config.page_filter_min_area_ratio)
+                                      config.page_filter_min_area_ratio,
+                                      image=image, ocr_fn=ocr_fn,
+                                      verbose=verbose)
     if config.min_area_ignore_ratio > 0:
         page_area = h * w
         results = [
@@ -124,11 +202,25 @@ def prepare_outside_text_work(
                                            processing_scale)
     for g in groups:
         g.combined_mask &= work.bubble_union_mask == 0  # subtract bubbles
-        work.render_infos.append({
-            "bbox": g.bbox,
-            "text_color": extract_text_color(image, g),
-        })
+    # groups fully covered by bubbles vanish WITH their render infos — a
+    # region that was never inpainted must never get text rendered over it
     work.groups = [g for g in work.groups if g.combined_mask.any()]
+    for g in work.groups:
+        b = g.bbox
+        border = _group_border_pixels(image, g)
+        fallback = _fallback_fill_from_border(border)
+        if work.fallback_fill_color is None and fallback is not None:
+            work.fallback_fill_color = fallback
+        work.render_infos.append({
+            "bbox": b,
+            "text_color": extract_text_color(image, g),
+            "fallback_color": fallback,
+            # pre-inpaint pixels for the render-failure / unchanged-text
+            # restore chain (reference original_crop_pil,
+            # core/pipeline.py:1567-1586, :1733-1798)
+            "orig_crop": image[b["y"]: b["y"] + b["height"],
+                               b["x"]: b["x"] + b["width"]].copy(),
+        })
     return work
 
 
@@ -137,11 +229,13 @@ def finish_outside_text_work(
     work: OutsideTextWork,
     config: OutsideTextConfig,
     inpainter: Optional[Any] = None,
+    coordinator: Optional[Any] = None,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, List[Dict[str, Any]]]:
     """Inpaint every group. Returns (image, render_infos). Modes:
-    flux_* → FluxInpainter waves; opencv → telea fill; none → flag regions for
-    text-background rendering (reference :1389-1604)."""
+    flux_* → FluxInpainter waves (concurrent under the coordinator);
+    opencv → solid/telea fill; none → flag regions for text-background
+    rendering (reference :1389-1604)."""
     import cv2
 
     out = image.copy()
@@ -154,9 +248,10 @@ def finish_outside_text_work(
             info["needs_text_background"] = True  # reference :1389-1397
         return out, work.render_infos
 
-    boxes = [(g.bbox["x"], g.bbox["y"], g.bbox["x"] + g.bbox["width"],
-              g.bbox["y"] + g.bbox["height"]) for g in work.groups]
-    waves = partition_non_overlapping_waves(boxes)
+    h, w = out.shape[:2]
+    base_seed = (int(np.random.randint(1, 1_000_000)) if config.seed == -1
+                 else max(0, int(config.seed)))
+    work_fallback = work.fallback_fill_color or (255, 255, 255)
 
     def solid_or_cv2_fill(target: np.ndarray, g: OsbGroup) -> None:
         mean_color, spread = _border_stats(target, g.bbox)
@@ -167,29 +262,119 @@ def finish_outside_text_work(
             filled = cv2.inpaint(target, m, 5, cv2.INPAINT_TELEA)
             target[m > 0] = filled[m > 0]
 
-    for wave in waves:
-        for i in wave:
-            g = work.groups[i]
-            mean_color, spread = _border_stats(out, g.bbox)
-            if method == "opencv" or inpainter is None:
-                solid_or_cv2_fill(out, g)
-                continue
-            if spread <= BORDER_SOLID_STD_MAX:
-                # solid background: plain fill beats diffusion (reference :1226)
-                out[g.combined_mask] = np.clip(np.round(mean_color), 0, 255)
-                continue
-            try:
-                seed = config.seed + i if config.seed != -1 else -1
-                out = inpainter.inpaint_mask(
-                    out, g.combined_mask.astype(np.uint8), seed=seed,
-                    num_inference_steps=config.flux_num_inference_steps,
-                    guidance_scale=config.flux_guidance_scale,
-                    luminance_correction=config.flux_luminance_correction,
-                )
-            except Exception as e:  # degradation parity (reference :1493-1507)
-                log_message(f"Flux OSB inpaint failed, cv2 fallback: {e}",
-                            always_print=True)
-                solid_or_cv2_fill(out, g)
+    def context_bbox_for(mask: np.ndarray):
+        if inpainter is not None and hasattr(inpainter, "crop_bbox_for_mask"):
+            return inpainter.crop_bbox_for_mask(mask, w, h)
+        return expanded_mask_bbox(mask, (w, h))
+
+    def run_inpaint(base: np.ndarray, cand: Dict[str, Any]) -> np.ndarray:
+        res = inpainter.inpaint_mask(
+            base, cand["mask"], seed=cand["seed"],
+            num_inference_steps=config.flux_num_inference_steps,
+            guidance_scale=config.flux_guidance_scale,
+            luminance_correction=config.flux_luminance_correction,
+        )
+        if res is base:
+            raise RuntimeError("Flux returned original image (no inpaint)")
+        return res
+
+    pending: List[Dict[str, Any]] = []
+    grouped: List[Dict[str, Any]] = []
+
+    def flush_pending() -> None:
+        """Run queued Flux candidates in conflict-free waves; members of one
+        wave run concurrently under the coordinator and their exact composite
+        rectangles paste back in order (reference flush_pending_flux_candidates
+        :860-939)."""
+        nonlocal out
+        if not pending:
+            return
+        cands = list(pending)
+        pending.clear()
+        waves = partition_non_overlapping_waves(
+            [c["context_bbox"] for c in cands])
+        if len(waves) > 1 or any(len(wv) > 1 for wv in waves):
+            log_message(f"Scheduling OSB Flux in {len(waves)} wave(s)",
+                        verbose=verbose)
+        for wave in waves:
+            base = out
+
+            def make_job(c):
+                def job():
+                    try:
+                        return c, run_inpaint(base, c), None
+                    except Exception as e:
+                        return c, None, e
+                return job
+
+            jobs = [make_job(cands[i]) for i in wave]
+            if coordinator is not None and len(jobs) > 1:
+                results = coordinator.map_ordered(jobs)
+            else:
+                results = [j() for j in jobs]
+            for c, res, err in results:
+                if err is not None:
+                    log_message(
+                        f"Flux failed for OSB region {c['index']} ({err}); "
+                        f"falling back to CV2 fill ({c['fallback_color']})",
+                        always_print=True)
+                    out[c["mask"] > 0] = c["fallback_color"]
+                    continue
+                bx0, by0, bx1, by1 = c["context_bbox"]
+                out[by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
+
+    for i, g in enumerate(work.groups):
+        info = work.render_infos[i] if i < len(work.render_infos) else {}
+        fallback = info.get("fallback_color") or work_fallback
+        mask_u8 = g.combined_mask.astype(np.uint8)
+        if method == "opencv" or inpainter is None:
+            flush_pending()
+            solid_or_cv2_fill(out, g)
+            continue
+        mean_color, spread = _border_stats(out, g.bbox)
+        if spread <= BORDER_SOLID_STD_MAX:
+            # solid background: plain fill beats diffusion (reference :1226);
+            # flush first so this fill lands after earlier composites
+            flush_pending()
+            out[mask_u8 > 0] = np.clip(np.round(mean_color), 0, 255)
+            continue
+        ctx = context_bbox_for(mask_u8)
+        if ctx is None:
+            continue
+        cand = {
+            "index": i + 1,
+            "mask": mask_u8,
+            "seed": base_seed + i if base_seed > 0 else base_seed,
+            "context_bbox": ctx,
+            "fallback_color": fallback,
+        }
+        if config.flux_group_regions:
+            flush_pending()
+            grouped.append(cand)
+        else:
+            pending.append(cand)
+
+    flush_pending()
+
+    if grouped:
+        # one Flux call over the union mask (reference :1544-1604)
+        union = np.zeros((h, w), np.uint8)
+        for c in grouped:
+            union |= c["mask"]
+        log_message(f"Running grouped Flux inpainting for {len(grouped)} "
+                    "OSB regions", verbose=verbose)
+        try:
+            job = {"index": 0, "mask": union, "seed": base_seed,
+                   "context_bbox": None, "fallback_color": work_fallback}
+            if coordinator is not None:
+                out = coordinator.run(lambda: run_inpaint(out, job))
+            else:
+                out = run_inpaint(out, job)
+        except Exception as e:
+            log_message(f"Grouped Flux inpainting failed ({e}); "
+                        "falling back to CV2 fill", always_print=True)
+            for c in grouped:
+                out[c["mask"] > 0] = c["fallback_color"]
     return out, work.render_infos
 
 
@@ -199,6 +384,7 @@ def process_outside_text(
     config: OutsideTextConfig,
     bubble_detections: Optional[List[Dict[str, Any]]] = None,
     inpainter: Optional[Any] = None,
+    coordinator: Optional[Any] = None,
     processing_scale: float = 1.0,
     verbose: bool = False,
 ) -> Tuple[np.ndarray, List[Dict[str, Any]]]:
@@ -207,4 +393,4 @@ def process_outside_text(
                                      processing_scale=processing_scale,
                                      verbose=verbose)
     return finish_outside_text_work(image, work, config, inpainter,
-                                    verbose=verbose)
+                                    coordinator=coordinator, verbose=verbose)

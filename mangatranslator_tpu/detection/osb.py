@@ -86,12 +86,21 @@ class OsbGroup:
 
     combined_mask: np.ndarray            # [H,W] bool
     bbox: Dict[str, int]                 # x/y/width/height of the union
-    boxes: List[Box] = field(default_factory=list)
+    boxes: List[Box] = field(default_factory=list)       # expanded boxes
+    raw_boxes: List[Box] = field(default_factory=list)   # detector boxes
     confidences: List[float] = field(default_factory=list)
 
     @property
     def confidence(self) -> float:
         return float(np.mean(self.confidences)) if self.confidences else 0.0
+
+    @property
+    def raw_union(self) -> Box:
+        """Union bbox of the raw (unexpanded) detector boxes — the reference's
+        text-color sampling rectangle (outside_text_processor.py:1030-1060)."""
+        src = self.raw_boxes or self.boxes
+        return [min(b[0] for b in src), min(b[1] for b in src),
+                max(b[2] for b in src), max(b[3] for b in src)]
 
 
 class OutsideTextDetector:
@@ -108,8 +117,18 @@ class OutsideTextDetector:
         text_free_boxes: Optional[Sequence[Box]] = None,
         verbose: bool = False,
     ) -> List[Tuple[Box, float]]:
-        dets = _run_detector(image, self.runner, self.confidence)
-        results = [(d["bbox"], d["confidence"]) for d in dets]
+        try:
+            dets = _run_detector(image, self.runner, self.confidence)
+            results = [(d["bbox"], d["confidence"]) for d in dets]
+        except Exception as e:
+            # gated/unavailable OSB model → RT-DETR text_free boxes stand in
+            # (reference ocr_detection.py:410-430)
+            log_message(f"OSB text model unavailable: {e}. "
+                        "Using text_free fallback if available.",
+                        always_print=True)
+            if not text_free_boxes:
+                return []
+            results = [([int(v) for v in b], 1.0) for b in text_free_boxes]
         results = filter_nested_detections(results)
         if bubble_boxes:
             kept = []
@@ -168,11 +187,12 @@ class OutsideTextDetector:
         if not results:
             return []
         h, w = image.shape[:2]
-        expanded, confs = [], []
+        expanded, raws, confs = [], [], []
         for box, conf in results:
             e = self._expand(box, bbox_expansion_percent, w, h)
             if e:
                 expanded.append(e)
+                raws.append([int(v) for v in box])
                 confs.append(conf)
         if not expanded:
             return []
@@ -187,7 +207,8 @@ class OutsideTextDetector:
             x1 = max(b[2] for b in gboxes)
             y1 = max(b[3] for b in gboxes)
             if x1 - x0 > MAX_GROUP_DIMENSION or y1 - y0 > MAX_GROUP_DIMENSION:
-                # oversized union: fall back to one group per box (:594-635)
+                # oversized union splits into one group per box — exactly the
+                # reference's behavior (ocr_detection.py:594-635)
                 splits = [[i] for i in idxs]
             else:
                 splits = [idxs]
@@ -205,11 +226,14 @@ class OutsideTextDetector:
                     bbox={"x": sx0, "y": sy0, "width": sx1 - sx0,
                           "height": sy1 - sy0},
                     boxes=sboxes,
-                    confidences=[confs[expanded.index(b)] if b in expanded else 0.0
-                                 for b in sboxes],
+                    raw_boxes=[raws[i] for i in sub],
+                    confidences=[confs[i] for i in sub],
                 ))
         log_message(f"OSB grouping: {len(out)} mask groups", verbose=verbose)
         return out
+
+
+PAGE_NUMBER_RE = r"^\s*(?:page\.?|p\.?)?\s*\d+\s*$"
 
 
 def filter_page_numbers(
@@ -218,18 +242,49 @@ def filter_page_numbers(
     img_h: int,
     margin_threshold: float = 0.1,
     min_area_ratio: float = 0.05,
+    image: Optional[np.ndarray] = None,
+    ocr_fn=None,
+    verbose: bool = False,
 ) -> List[Tuple[Box, float]]:
-    """Heuristic page-number filter (reference outside_text_processor.py:281-341
-    geometric part): small boxes fully inside the top/bottom margin bands are
-    dropped. The OCR verification pass plugs in when local OCR is available."""
+    """Page-number filter (reference outside_text_processor.py:281-341).
+
+    Suspicious boxes (center in a top/bottom margin band AND small area) are
+    OCR-verified when ``ocr_fn`` is available: only confirmed page numbers
+    (digits / "Page 20" / "p. 20") are dropped, everything else is kept. With
+    no OCR available the geometric heuristic alone drops suspicious boxes —
+    the availability-degraded behavior, not parity."""
+    import re
+
+    margin_threshold = max(0.0, min(0.3, margin_threshold))
+    min_area_ratio = max(0.0, min(0.2, min_area_ratio))
     page_area = img_w * img_h
-    kept = []
+    kept, suspicious = [], []
     for box, conf in results:
         x0, y0, x1, y1 = box
-        in_margin = (y1 <= img_h * margin_threshold
-                     or y0 >= img_h * (1 - margin_threshold))
-        small = _area(box) <= page_area * min_area_ratio
+        cy = (y0 + y1) / 2.0
+        in_margin = (cy < img_h * margin_threshold
+                     or cy > img_h * (1 - margin_threshold))
+        small = _area(box) < page_area * min_area_ratio
         if in_margin and small:
-            continue
-        kept.append((box, conf))
+            suspicious.append((box, conf))
+        else:
+            kept.append((box, conf))
+    if not suspicious:
+        return kept
+    if ocr_fn is None or image is None:
+        log_message(f"Dropped {len(suspicious)} suspected page-number box(es) "
+                    "(no OCR verification available)", verbose=verbose)
+        return kept
+    crops = [image[b[1]: b[3], b[0]: b[2]] for b, _ in suspicious]
+    try:
+        texts = ocr_fn(crops)
+    except Exception as e:
+        log_message(f"Page-number OCR verification failed: {e}; "
+                    "dropping suspicious boxes", always_print=True)
+        return kept
+    for (box, conf), text in zip(suspicious, texts):
+        if re.match(PAGE_NUMBER_RE, text or "", re.IGNORECASE):
+            log_message(f"Filtered out page number: '{text}'", verbose=verbose)
+        else:
+            kept.append((box, conf))
     return kept

@@ -382,6 +382,19 @@ class KleinInpainter:
 
     # -- public API ----------------------------------------------------------------
 
+    def crop_bbox_for_mask(self, mask: np.ndarray, img_w: int, img_h: int):
+        """Exact crop rectangle inpaint_mask composites into (wave
+        partitioning + paste-back use this; see FluxInpainter counterpart)."""
+        ys, xs = np.nonzero(mask)
+        if ys.size == 0:
+            return None
+        x1, y1, x2, y2 = klein_crop_bbox(int(xs.min()), int(ys.min()),
+                                         int(xs.max()), int(ys.max()),
+                                         img_w, img_h)
+        if x2 - x1 <= 0 or y2 - y1 <= 0:
+            return None
+        return x1, y1, x2, y2
+
     def inpaint_mask(
         self,
         image: np.ndarray,

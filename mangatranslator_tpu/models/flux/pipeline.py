@@ -239,6 +239,24 @@ class FluxInpainter:
 
     # -- public API ---------------------------------------------------------------
 
+    def crop_bbox_for_mask(self, mask: np.ndarray, img_w: int, img_h: int):
+        """Exact crop/composite rectangle inpaint_mask will touch for this mask
+        — wave partitioning and paste-back use it so concurrent jobs never
+        write overlapping pixels (reference expanded_mask_bbox is a
+        conservative stand-in; the exact bbox is tighter)."""
+        ys, xs = np.nonzero(mask)
+        if ys.size == 0:
+            return None
+        x1, x2 = int(xs.min()), int(xs.max()) + 1
+        y1, y2 = int(ys.min()), int(ys.max()) + 1
+        pad = min(CONTEXT_PAD_CAP, int(max(x2 - x1, y2 - y1) * CONTEXT_PAD_RATIO))
+        x1, y1 = max(0, x1 - pad), max(0, y1 - pad)
+        x2, y2 = min(img_w, x2 + pad), min(img_h, y2 + pad)
+        q = BBOX_QUANT
+        x1, y1 = (x1 // q) * q, (y1 // q) * q
+        x2, y2 = min(img_w, -(-x2 // q) * q), min(img_h, -(-y2 // q) * q)
+        return x1, y1, x2, y2
+
     def inpaint_mask(
         self,
         image: np.ndarray,
@@ -254,19 +272,10 @@ class FluxInpainter:
         import cv2
 
         h, w = image.shape[:2]
-        ys, xs = np.nonzero(mask)
-        if ys.size == 0:
+        bbox = self.crop_bbox_for_mask(mask, w, h)
+        if bbox is None:
             return image
-
-        # context-padded crop bbox, quantized for cache stability
-        x1, x2 = int(xs.min()), int(xs.max()) + 1
-        y1, y2 = int(ys.min()), int(ys.max()) + 1
-        pad = min(CONTEXT_PAD_CAP, int(max(x2 - x1, y2 - y1) * CONTEXT_PAD_RATIO))
-        x1, y1 = max(0, x1 - pad), max(0, y1 - pad)
-        x2, y2 = min(w, x2 + pad), min(h, y2 + pad)
-        q = BBOX_QUANT
-        x1, y1 = (x1 // q) * q, (y1 // q) * q
-        x2, y2 = min(w, -(-x2 // q) * q), min(h, -(-y2 // q) * q)
+        x1, y1, x2, y2 = bbox
 
         cache = get_cache() if use_cache and seed != -1 else None
         cache_key = None

@@ -216,16 +216,36 @@ class MangaOcrRunner:
 
         self._gen = _gen
 
-    def __call__(self, pil_image) -> str:
-        import numpy as np
+    # count buckets: each distinct batch size is one compile; pad to a rung
+    _BATCH_BUCKETS = (1, 2, 4, 8, 16, 32, 64)
 
+    def _preprocess(self, pil_image) -> "np.ndarray":
         img = pil_image.convert("RGB").resize(
             (self.cfg.image_size, self.cfg.image_size))
-        arr = (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
-        ids = np.asarray(self._gen(self._params, jnp.asarray(arr[None])))[0]
+        return (np.asarray(img, np.float32) / 255.0 - 0.5) / 0.5
+
+    def _decode(self, ids: np.ndarray) -> str:
         if self._detok is not None:
             return self._detok(ids)
         return _stub_detokenize(ids, self.cfg)
+
+    def __call__(self, pil_image) -> str:
+        return self.batch([pil_image])[0]
+
+    def batch(self, pil_images) -> "list[str]":
+        """OCR N crops in ONE padded device dispatch (the reference loops one
+        model call per crop, ocr_detection.py:773-846 — each eager call is a
+        full tunnel round trip on remote-attached TPUs)."""
+        if not pil_images:
+            return []
+        n = len(pil_images)
+        n_pad = next((b for b in self._BATCH_BUCKETS if n <= b), n)
+        arr = np.zeros((n_pad, self.cfg.image_size, self.cfg.image_size, 3),
+                       np.float32)
+        for i, im in enumerate(pil_images):
+            arr[i] = self._preprocess(im)
+        ids = np.asarray(self._gen(self._params, jnp.asarray(arr)))
+        return [self._decode(ids[i]) for i in range(n)]
 
 
 _runner: Optional[MangaOcrRunner] = None

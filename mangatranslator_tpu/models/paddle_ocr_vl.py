@@ -219,7 +219,10 @@ class PaddleVLRunner:
                         self.model, params, images, self._prompt, self.cfg))
             return prog
 
-    def __call__(self, pil_image) -> str:
+    _BATCH_BUCKETS = (1, 2, 4, 8, 16, 32)
+
+    def _prep(self, pil_image):
+        """(array, bucket-key, gen-program) for one crop."""
         img = pil_image.convert("RGB")
         if self._navit is not None:
             from .navit import pick_navit_bucket
@@ -227,16 +230,42 @@ class PaddleVLRunner:
             bh, bw = pick_navit_bucket(img.height, img.width)
             arr = (np.asarray(img.resize((bw, bh)), np.float32)
                    / 255.0 - 0.5) / 0.5
-            gen = self._gen_for(bh, bw)
-        else:
-            arr = (np.asarray(
-                img.resize((self.cfg.image_size, self.cfg.image_size)),
-                np.float32) / 255.0 - 0.5) / 0.5
-            gen = self._gen
-        ids = np.asarray(gen(self._params, jnp.asarray(arr[None])))[0]
+            return arr, (bh, bw), self._gen_for(bh, bw)
+        s = self.cfg.image_size
+        arr = (np.asarray(img.resize((s, s)), np.float32) / 255.0 - 0.5) / 0.5
+        return arr, (s, s), self._gen
+
+    def _decode(self, ids: np.ndarray) -> str:
         if self._detok is not None:
             return self._detok(ids)
         return _stub_detokenize(ids, self.cfg)
+
+    def __call__(self, pil_image) -> str:
+        return self.batch([pil_image])[0]
+
+    def batch(self, pil_images) -> "list[str]":
+        """OCR N crops with one padded dispatch per NaViT resolution bucket
+        (vs the reference's one generate() per crop,
+        ocr_detection.py:848-922)."""
+        if not pil_images:
+            return []
+        prepped = [self._prep(im) for im in pil_images]
+        by_bucket: "dict[tuple, list[int]]" = {}
+        for i, (_, key, _g) in enumerate(prepped):
+            by_bucket.setdefault(key, []).append(i)
+        out = [""] * len(pil_images)
+        for key, idxs in by_bucket.items():
+            n = len(idxs)
+            n_pad = next((b for b in self._BATCH_BUCKETS if n <= b), n)
+            h, w = key
+            arr = np.zeros((n_pad, h, w, 3), np.float32)
+            for j, i in enumerate(idxs):
+                arr[j] = prepped[i][0]
+            gen = prepped[idxs[0]][2]
+            ids = np.asarray(gen(self._params, jnp.asarray(arr)))
+            for j, i in enumerate(idxs):
+                out[i] = self._decode(ids[j])
+        return out
 
 
 _runner: Optional[PaddleVLRunner] = None

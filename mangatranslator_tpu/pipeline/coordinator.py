@@ -70,16 +70,56 @@ def _boxes_overlap(a: Box, b: Box) -> bool:
 
 def partition_non_overlapping_waves(boxes: Sequence[Box]) -> List[List[int]]:
     """Greedy wave partition: each wave holds indices of mutually
-    non-overlapping boxes; order within the input is preserved so composites
-    paste back in input order (reference batch_coordinator.py:121-160)."""
+    non-overlapping boxes (reference batch_coordinator.py:121-160).
+
+    Order-safe: if box ``i`` overlaps an earlier box ``j``, ``i`` lands in a
+    strictly later wave than ``j``, so executing waves in order and pasting
+    composites wave-by-wave reproduces the sequential input-order result on
+    every overlapping pixel."""
     waves: List[List[int]] = []
+    wave_of: List[int] = []  # wave index per box
     for i, box in enumerate(boxes):
-        placed = False
-        for wave in waves:
-            if all(not _boxes_overlap(box, boxes[j]) for j in wave):
-                wave.append(i)
-                placed = True
+        min_wave = 0
+        for j in range(i):
+            if _boxes_overlap(box, boxes[j]):
+                min_wave = max(min_wave, wave_of[j] + 1)
+        placed = -1
+        for w in range(min_wave, len(waves)):
+            if all(not _boxes_overlap(box, boxes[j]) for j in waves[w]):
+                placed = w
                 break
-        if not placed:
-            waves.append([i])
+        if placed < 0:
+            waves.append([])
+            placed = len(waves) - 1
+        waves[placed].append(i)
+        wave_of.append(placed)
     return waves
+
+
+def expanded_mask_bbox(
+    mask,
+    image_size: Tuple[int, int],
+    padding_ratio: float = 0.5,
+    max_padding: int = 160,
+    min_padding: int = 64,
+    extra_padding: int = 16,
+) -> Optional[Box]:
+    """Conservative context/composite bbox around a mask's nonzero extent
+    (reference batch_coordinator.py:87-118) — used to partition Flux jobs into
+    conflict-free waves and to paste each job's result region back."""
+    import numpy as np
+
+    m = np.asarray(mask)
+    if m.ndim == 3:
+        m = m[..., 0]
+    ys, xs = np.nonzero(m)
+    if ys.size == 0:
+        return None
+    img_w, img_h = image_size
+    x1, x2 = int(xs.min()), int(xs.max()) + 1
+    y1, y2 = int(ys.min()), int(ys.max()) + 1
+    padding = max(min_padding,
+                  int(min(max(x2 - x1, y2 - y1) * padding_ratio, max_padding)))
+    padding += extra_padding
+    return (max(0, x1 - padding), max(0, y1 - padding),
+            min(img_w, x2 + padding), min(img_h, y2 + padding))

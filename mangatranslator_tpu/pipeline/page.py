@@ -49,6 +49,25 @@ TranslateFn = Callable[[Image.Image, List[Dict[str, Any]], MangaTranslatorConfig
                        List[str]]
 
 
+def _page_number_ocr_fn(config: MangaTranslatorConfig, manager):
+    """Batched manga-ocr verifier for the page-number filter (reference
+    outside_text_processor.py:311-341). Only offered when a CONVERTED
+    manga-ocr checkpoint exists — random-init OCR output would never match
+    the page-number regex, silently disabling the filter."""
+    if not config.outside_text.enable_page_number_filtering:
+        return None
+    try:
+        if not manager.checkpoint_path(ModelType.MANGA_OCR).exists():
+            return None
+        from ..models.ocr import get_manga_ocr_runner
+
+        runner = get_manga_ocr_runner()
+        return lambda crops: runner.batch(
+            [Image.fromarray(c) for c in crops])
+    except Exception:
+        return None
+
+
 def _upscale_pil(img: Image.Image, factor: float, variant: str) -> Image.Image:
     """ESRGAN-style upscale by iterated 2× passes + resize to the exact factor
     (reference image_utils.upscale_image :503)."""
@@ -71,9 +90,10 @@ def _render_one_bubble(
     cleaned_info,
     config: MangaTranslatorConfig,
     processing_scale: float,
+    original_arr: Optional[np.ndarray] = None,
 ) -> Tuple[Image.Image, bool]:
-    """Render with the fallback chain: safe-area mask → padded bbox
-    (reference core/pipeline.py:1817-1953)."""
+    """Render with the full fallback chain: safe-area mask → Otsu re-clean
+    retry → padded bbox (reference core/pipeline.py:1817-1953)."""
     r = config.rendering
     kwargs = dict(
         font_dir=r.font_dir,
@@ -94,14 +114,49 @@ def _render_one_bubble(
         verbose=config.verbose,
     )
     mask = cleaned_info.fill_mask if (cleaned_info and cleaned_info.success) else None
-    for attempt_mask in (mask, None):
+
+    def attempt(img, m) -> Image.Image:
+        out, _ = render_text(img, text, tuple(det["bbox"]), m,
+                             in_place=True, **kwargs)
+        return out
+
+    last_err: Exception = RenderingError("no attempt made")
+    try:
+        return attempt(image, mask), True
+    except Exception as e:
+        last_err = e
+
+    # safe-area failure with a mask → re-clean THIS bubble with Otsu from the
+    # original pixels, re-fill, and retry the render with the fresh mask
+    # (reference render-triggered retry_cleaning_with_otsu,
+    # core/pipeline.py:1817-1857)
+    if (mask is not None and original_arr is not None
+            and not config.cleaning.use_otsu_threshold):
         try:
-            out, _ = render_text(image, text, tuple(det["bbox"]), attempt_mask,
-                                 in_place=True, **kwargs)
-            return out, True
+            retry_img, retried = retry_cleaning_with_otsu(
+                original_arr, [det], config.cleaning, processing_scale)
+            rb = retried[0] if retried else None
+            if rb is not None and rb.success and rb.fill_mask.any():
+                log_message(f"Safe area failed for bubble {det['bbox']}; "
+                            "Otsu mask retry", always_print=True)
+                # paste the re-filled bubble region onto the working page
+                page = np.array(image)
+                sel = rb.fill_mask > 0
+                page[sel] = retry_img[sel]
+                image = Image.fromarray(page)
+                kwargs["bubble_fill_rgb"] = rb.fill_color
+                try:
+                    return attempt(image, rb.fill_mask), True
+                except Exception as e:
+                    last_err = e
         except Exception as e:
-            last_err = e
-            continue
+            log_message(f"Otsu render-retry failed: {e}", verbose=config.verbose)
+
+    try:
+        # padded-bbox last resort (reference :1884-1953)
+        return attempt(image, None), True
+    except Exception as e:
+        last_err = e
     log_message(f"Render failed for bubble {det['bbox']}: {last_err}",
                 always_print=True)
     return image, False
@@ -139,6 +194,18 @@ def _render_osb_text(
         det = dict(det, bbox=[
             int(max(0, cx - hw)), int(max(0, cy - hh)),
             int(min(image.width, cx + hw)), int(min(image.height, cy + hh))])
+    # inpainting_method="none" regions get contrast background rects behind
+    # the text (reference needs_text_background, pipeline.py:1617-1631 +
+    # drawing_engine.py:310-319)
+    text_bg = None
+    if info.get("needs_text_background"):
+        tc = info.get("text_color")
+        if tc is not None:
+            lum = 0.299 * tc[0] + 0.587 * tc[1] + 0.114 * tc[2]
+            text_bg = (255, 255, 255) if lum < 128 else (0, 0, 0)
+        else:
+            text_bg = (255, 255, 255)
+
     kwargs = dict(
         font_dir=font_dir,
         max_font_size=scale_font_size(ot.osb_max_font_size, processing_scale),
@@ -148,6 +215,7 @@ def _render_osb_text(
         supersampling_factor=config.rendering.supersampling_factor,
         output_language=config.translation.output_language,
         text_color_rgb=info.get("text_color"),
+        text_background_rgb=text_bg,
         verbose=config.verbose,
     )
     for auto_vertical in (False, True):
@@ -158,9 +226,26 @@ def _render_osb_text(
             return out, True
         except Exception:
             continue
-    log_message(f"OSB render failed for {det['bbox']}; region left inpainted",
-                always_print=True)
+    # restore the original (pre-inpaint) patch so the untranslated SFX stays
+    # visible instead of a blank inpaint (reference original_crop_pil restore,
+    # core/pipeline.py:1766-1798)
+    restored = _restore_osb_patch(image, info)
+    log_message(
+        f"OSB render failed for {det['bbox']}; "
+        + ("original patch restored" if restored else "region left inpainted"),
+        always_print=True)
     return image, False
+
+
+def _restore_osb_patch(image: Image.Image, info: Dict[str, Any]) -> bool:
+    """Paste the pre-inpaint pixels of an OSB region back (reference
+    core/pipeline.py:1733-1798). Mutates ``image`` in place."""
+    crop = info.get("orig_crop")
+    b = info.get("bbox")
+    if crop is None or b is None:
+        return False
+    image.paste(Image.fromarray(crop), (int(b["x"]), int(b["y"])))
+    return True
 
 
 def translate_and_render(
@@ -291,6 +376,8 @@ def translate_and_render(
                 log_message(f"Panel detection failed: {e}", always_print=True)
 
     # OSB (outside-speech-bubble text removal) --------------------------------
+    # pre-OSB pixels back the render-failure / unchanged-text restore chain
+    orig_arr = arr
     osb_work = None
     osb_infos: List[Dict[str, Any]] = []
     if config.outside_text.enabled:
@@ -307,28 +394,35 @@ def translate_and_render(
                 osb_work = prepare_outside_text_work(
                     arr, osb_detector, config.outside_text, detections,
                     text_free_boxes=text_free_boxes,
-                    processing_scale=scale, verbose=config.verbose)
+                    processing_scale=scale,
+                    ocr_fn=_page_number_ocr_fn(config, manager),
+                    verbose=config.verbose)
             except Exception as e:
                 log_message(f"OSB detection failed: {e}", always_print=True)
                 info["errors"].append(f"osb: {e}")
                 osb_work = None
 
+    def _get_flux_inpainter():
+        method = config.outside_text.inpainting_method
+        if not method.startswith("flux"):
+            return None
+        try:
+            return manager.get_flux_inpainter(
+                method, prompt=config.outside_text.flux_prompt,
+                upscale_small_crops=(
+                    config.outside_text.flux_upscale_small_crops))
+        except Exception as e:
+            log_message(f"Flux unavailable, cv2 fallback: {e}",
+                        always_print=True)
+            return None
+
     def _finish_osb(img_arr):
         from ..cleaning.osb_processor import finish_outside_text_work
 
-        inpainter = None
-        method = config.outside_text.inpainting_method
-        if method.startswith("flux"):
-            try:
-                inpainter = manager.get_flux_inpainter(
-                    method, prompt=config.outside_text.flux_prompt,
-                    upscale_small_crops=(
-                        config.outside_text.flux_upscale_small_crops))
-            except Exception as e:
-                log_message(f"Flux unavailable, cv2 fallback: {e}",
-                            always_print=True)
         return finish_outside_text_work(img_arr, osb_work, config.outside_text,
-                                        inpainter, verbose=config.verbose)
+                                        _get_flux_inpainter(),
+                                        coordinator=config.request_coordinator,
+                                        verbose=config.verbose)
 
     # Without LLM overlap, finish OSB inpainting before cleaning (reference
     # runs the split only when overlap_llm_with_inpaint is set)
@@ -349,8 +443,14 @@ def translate_and_render(
         cancel.check("clean")
         with timers.span("clean"):
             try:
+                colored_inpainter = (_get_flux_inpainter()
+                                     if config.cleaning.inpaint_colored_bubbles
+                                     else None)
                 cleaned_img, cleaned = clean_speech_bubbles(
                     arr, detections, config.cleaning, scale,
+                    inpainter=colored_inpainter,
+                    coordinator=config.request_coordinator,
+                    osb_config=config.outside_text,
                     verbose=config.verbose)
                 cleaned_by_idx = dict(enumerate(cleaned))
                 # Otsu retry for bubbles that failed the fixed threshold
@@ -488,11 +588,22 @@ def translate_and_render(
             if not text or not text.strip():
                 continue
             if det.get("is_outside_text"):
+                # OCR == translation → the region needs no translating;
+                # restore the untouched original pixels instead of rendering
+                # (reference core/pipeline.py:1567-1586)
+                ocr_text = (det.get("ocr_text") or "").strip()
+                if ocr_text and ocr_text == text.strip():
+                    if _restore_osb_patch(image, det.get("render_info", {})):
+                        log_message(
+                            f"Restoring original OSB patch (OCR matches "
+                            f"translation) for {det['bbox']}",
+                            verbose=config.verbose)
+                        continue
                 image, ok = _render_osb_text(image, det, text, config, scale)
             else:
                 c = cleaned_by_idx.get(det["_idx"])
                 image, ok = _render_one_bubble(image, det, text, c, config,
-                                               scale)
+                                               scale, original_arr=orig_arr)
             info["rendered"] += int(ok)
 
     # FINAL UPSCALE -------------------------------------------------------------------

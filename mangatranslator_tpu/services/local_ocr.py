@@ -33,10 +33,20 @@ def run_local_ocr(
     else:
         raise ModelError(f"Local OCR method not available: {method}")
 
-    arr_texts: List[str] = []
+    rgb = image.convert("RGB")
+    crops = []
     for det in ordered_detections:
         x1, y1, x2, y2 = [int(v) for v in det["bbox"]]
-        crop = image.convert("RGB").crop((x1, y1, x2, y2))
+        crops.append(rgb.crop((x1, y1, x2, y2)))
+    # one padded device forward for all crops (runners expose .batch; each
+    # per-crop call would be a blocking tunnel round trip)
+    if hasattr(runner, "batch"):
+        try:
+            return runner.batch(crops)
+        except Exception:
+            return ["[OCR FAILED]"] * len(crops)
+    arr_texts: List[str] = []
+    for crop in crops:
         try:
             arr_texts.append(runner(crop))
         except Exception:

@@ -161,9 +161,13 @@ def draw_layout_rgba(
     outline_width: float = 0.0,
     supersampling: int = 4,
     line_spacing_mult: float = 1.0,
+    background_rgb: Optional[Tuple[int, int, int]] = None,
 ) -> Tuple[Image.Image, Tuple[int, int]]:
     """Rasterize a layout into an RGBA patch at ``supersampling``×, downsampled
     with LANCZOS. Returns (patch, (paste_x, paste_y)) in page coordinates.
+
+    ``background_rgb`` draws a padded opaque rect behind each line (reference
+    drawing_engine.py:310-319 — the inpainting_method="none" OSB path).
 
     MTX_NATIVE_RASTER=1 routes through the native FreeType rasterizer
     (native/mtx_native.cpp — the Skia role in SURVEY §2.9): HarfBuzz-shaped
@@ -173,7 +177,8 @@ def draw_layout_rgba(
 
     if os.environ.get("MTX_NATIVE_RASTER") == "1":
         out = _native_draw_layout_rgba(measurer, layout, box, text_rgb,
-                                       outline_width, supersampling)
+                                       outline_width, supersampling,
+                                       background_rgb=background_rgb)
         if out is not None:
             return out
     ss = max(1, int(supersampling))
@@ -193,6 +198,20 @@ def draw_layout_rgba(
     stroke_fill = _outline_color(text_rgb) if stroke > 0 else None
     size_ss = layout.font_size * ss
     lh_ss = layout.line_height * ss
+
+    if background_rgb is not None:
+        # per-line background rects, padded by 0.1/0.05 font size
+        # (reference drawing_engine.py:310-319)
+        pad_x = layout.font_size * 0.1 * ss
+        pad_y = layout.font_size * 0.05 * ss
+        for i, line in enumerate(layout.lines):
+            ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
+            lx = (cx - px1) * ss - (line.width * ss) / 2.0
+            draw.rectangle(
+                (lx - pad_x, ly - pad_y,
+                 lx + line.width * ss + pad_x, ly + size_ss + pad_y),
+                fill=tuple(background_rgb) + (255,),
+            )
 
     for i, line in enumerate(layout.lines):
         ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
@@ -218,6 +237,7 @@ def _native_draw_layout_rgba(
     text_rgb: Tuple[int, int, int],
     outline_width: float,
     supersampling: int,
+    background_rgb: Optional[Tuple[int, int, int]] = None,
 ) -> Optional[Tuple[Image.Image, Tuple[int, int]]]:
     """FreeType raster backend: same geometry as the PIL path. Returns None
     when the native library / HarfBuzz / FreeType are unavailable so the
@@ -286,6 +306,28 @@ def _native_draw_layout_rgba(
         # anti-aliased edges
         rgba[..., 0], rgba[..., 1], rgba[..., 2] = text_rgb
         rgba[..., 3] = fill
+    if background_rgb is not None:
+        # solid per-line background rects under the glyph layers
+        # (reference drawing_engine.py:310-319)
+        bg = np.zeros((H, W), bool)
+        pad_x = layout.font_size * 0.1 * ss
+        pad_y = layout.font_size * 0.05 * ss
+        for i, line in enumerate(layout.lines):
+            ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
+            lx = (cx - px1) * ss - (line.width * ss) / 2.0
+            y0 = max(0, int(ly - pad_y))
+            y1b = min(H, int(np.ceil(ly + size_ss + pad_y)))
+            x0 = max(0, int(lx - pad_x))
+            x1b = min(W, int(np.ceil(lx + line.width * ss + pad_x)))
+            bg[y0:y1b, x0:x1b] = True
+        ga = rgba[..., 3].astype(np.float32) / 255.0
+        for ch in range(3):
+            rgba[..., ch] = np.where(
+                bg,
+                (ga * rgba[..., ch]
+                 + (1.0 - ga) * background_rgb[ch]).astype(np.uint8),
+                rgba[..., ch])
+        rgba[..., 3] = np.where(bg, 255, rgba[..., 3])
     canvas = Image.fromarray(rgba, "RGBA")
     patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
     return patch, (px1, py1)
@@ -370,6 +412,7 @@ def render_text(
     auto_vertical: bool = False,
     bubble_fill_rgb: Optional[Tuple[int, int, int]] = None,
     text_color_rgb: Optional[Tuple[int, int, int]] = None,
+    text_background_rgb: Optional[Tuple[int, int, int]] = None,
     layout_only: bool = False,
     in_place: bool = False,
     verbose: bool = False,
@@ -452,7 +495,7 @@ def render_text(
     color = pick_text_color(bubble_fill_rgb, text_color_rgb)
     patch, (px, py) = draw_layout_rgba(
         measurer, layout, box, color, outline_width, supersampling_factor,
-        line_spacing_mult,
+        line_spacing_mult, background_rgb=text_background_rgb,
     )
     pos = (max(0, px), max(0, py))
     if image.mode in ("RGB", "RGBA"):
