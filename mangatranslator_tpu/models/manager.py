@@ -47,18 +47,85 @@ class ModelType(enum.Enum):
     FLUX_CLIP_L = "flux_clip_l"              # CLIP-L (Kontext pooled vector)
     FLUX_KLEIN_4B = "flux_klein_4b"
     FLUX_KLEIN_9B = "flux_klein_9b"
+    QWEN3_TEXT_ENCODER = "qwen3_text_encoder"  # Klein prompt embeddings
+    FLUX_VAE = "flux_vae"                    # FLUX.1 ae (Kontext)
+    FLUX2_VAE = "flux2_vae"                  # FLUX.2 vae (Klein)
 
 
-# HF sources for checkpoint download+conversion (reference :172-254); used only
-# when the environment has network access.
-HF_SOURCES: Dict[ModelType, Tuple[str, str]] = {
-    ModelType.UPSCALE_MODEL: ("Kim2091/2x-AnimeSharpV4", "2x-AnimeSharpV4_RCAN.safetensors"),
-    ModelType.UPSCALE_MODEL_LITE: ("Kim2091/2x-AnimeSharpV4", "2x-AnimeSharpV4_Fast_RCAN_PU.safetensors"),
-    ModelType.YOLO_SPEECH_BUBBLE_1: ("kitsumed/yolov8m_seg-speech-bubble", "model.pt"),
-    ModelType.YOLO_SPEECH_BUBBLE_2: ("meangrinch/manga109-segmentation-bubble", "model.pt"),
-    ModelType.RTDETR_CONJOINED: ("ogkalu/comic-text-and-bubble-detector", "model.safetensors"),
-    ModelType.YOLO_OSB_TEXT: ("meangrinch/animetext_yolov12x", "model.pt"),
-    ModelType.YOLO_PANEL: ("deepghs/manga109_yolo", "manga109_v2023.12.07_l_yolov11.pt"),
+# HF sources for checkpoint download+conversion — full parity with the
+# reference's URL/repo tables (core/ml/model_manager.py:147-254). Entries:
+#   repo            HF repo id
+#   filename        single file (hf_hub_download); absent → snapshot_download
+#   revision        optional git revision
+#   allow_patterns  snapshot filter (skip multi-GB components we don't convert)
+#   requires_token  gated repo → HF_TOKEN env must be set
+HF_SOURCES: Dict[ModelType, Dict[str, Any]] = {
+    ModelType.UPSCALE_MODEL: {
+        "repo": "Kim2091/2x-AnimeSharpV4",
+        "filename": "2x-AnimeSharpV4_RCAN.safetensors"},
+    ModelType.UPSCALE_MODEL_LITE: {
+        "repo": "Kim2091/2x-AnimeSharpV4",
+        "filename": "2x-AnimeSharpV4_Fast_RCAN_PU.safetensors"},
+    ModelType.YOLO_SPEECH_BUBBLE_1: {
+        "repo": "kitsumed/yolov8m_seg-speech-bubble", "filename": "model.pt"},
+    ModelType.YOLO_SPEECH_BUBBLE_2: {
+        "repo": "huyvux3005/manga109-segmentation-bubble",
+        "filename": "best.pt"},
+    ModelType.RTDETR_CONJOINED: {
+        "repo": "ogkalu/comic-text-and-bubble-detector"},
+    ModelType.YOLO_OSB_TEXT: {
+        "repo": "deepghs/AnimeText_yolo",
+        "filename": "yolo12x_animetext/model.pt"},
+    ModelType.YOLO_PANEL: {
+        "repo": "deepghs/manga109_yolo",
+        "filename": "v2023.12.07_l_yv11/model.pt"},
+    ModelType.SAM2: {
+        "repo": "facebook/sam2.1-hiera-large"},
+    ModelType.SAM3: {
+        "repo": "facebook/sam3", "requires_token": True},
+    ModelType.MANGA_OCR: {
+        "repo": "kha-white/manga-ocr-base", "revision": "refs/pr/4"},
+    ModelType.PADDLE_OCR_VL: {
+        "repo": "PaddlePaddle/PaddleOCR-VL-1.6"},
+    ModelType.FLUX_KONTEXT: {
+        "repo": "black-forest-labs/FLUX.1-Kontext-dev",
+        "allow_patterns": ["transformer/*", "*.json"],
+        "requires_token": True},
+    ModelType.FLUX_TEXT_ENCODER: {
+        "repo": "comfyanonymous/flux_text_encoders",
+        "filename": "t5xxl_fp16.safetensors"},
+    ModelType.FLUX_CLIP_L: {
+        "repo": "comfyanonymous/flux_text_encoders",
+        "filename": "clip_l.safetensors"},
+    ModelType.FLUX_KLEIN_4B: {
+        "repo": "black-forest-labs/FLUX.2-klein-4B",
+        "allow_patterns": ["transformer/*", "*.json"]},
+    ModelType.FLUX_KLEIN_9B: {
+        "repo": "black-forest-labs/FLUX.2-klein-9B",
+        "allow_patterns": ["transformer/*", "*.json"]},
+    ModelType.QWEN3_TEXT_ENCODER: {
+        "repo": "Qwen/Qwen3-4B",
+        "allow_patterns": ["*.safetensors", "*.json", "*.txt",
+                           "tokenizer*", "merges.txt", "vocab.json"]},
+    ModelType.FLUX_VAE: {
+        "repo": "Comfy-Org/Lumina_Image_2.0_Repackaged",
+        "filename": "split_files/vae/ae.safetensors"},
+    ModelType.FLUX2_VAE: {
+        "repo": "Comfy-Org/flux2-dev",
+        "filename": "split_files/vae/flux2-vae.safetensors"},
+}
+
+# snapshot dirs: which files inside the tree hold the weights to convert
+_SNAPSHOT_WEIGHT_GLOBS: Dict[ModelType, Tuple[str, ...]] = {
+    ModelType.RTDETR_CONJOINED: ("*.safetensors", "*.bin", "*.pt"),
+    ModelType.SAM2: ("*.pt", "*.safetensors"),
+    ModelType.SAM3: ("*.pt", "*.safetensors"),
+    ModelType.MANGA_OCR: ("model.safetensors", "*.safetensors", "*.bin"),
+    ModelType.PADDLE_OCR_VL: ("model*.safetensors", "*.safetensors"),
+    ModelType.FLUX_KONTEXT: ("transformer/*.safetensors",),
+    ModelType.FLUX_KLEIN_4B: ("transformer/*.safetensors",),
+    ModelType.FLUX_KLEIN_9B: ("transformer/*.safetensors",),
+    ModelType.QWEN3_TEXT_ENCODER: ("model*.safetensors", "*.safetensors"),
 }
 
 # Detector architecture table: (arch, scale, classes, seg, imgsz)
@@ -142,19 +209,68 @@ class ModelManager:
         return cls._hub_reachable
 
     def _try_download(self, mtype: ModelType) -> Optional[Path]:
+        """Fetch the checkpoint for ``mtype`` from HF (reference download
+        tables model_manager.py:147-254). Single-file sources return the file
+        path; snapshot sources return the local repo directory."""
         src = HF_SOURCES.get(mtype)
         if src is None or not self._hub_available():
             return None
+        token = os.environ.get("HF_TOKEN") or None
+        if src.get("requires_token") and token is None:
+            log_message(f"{mtype.value} repo is gated; set HF_TOKEN",
+                        always_print=True)
+            return None
+        local_dir = self.models_dir / "hf" / mtype.value
         try:
-            from huggingface_hub import hf_hub_download
+            if src.get("filename"):
+                from huggingface_hub import hf_hub_download
 
-            repo, filename = src
-            path = hf_hub_download(repo, filename,
-                                   local_dir=self.models_dir / "hf" / mtype.value)
+                path = hf_hub_download(src["repo"], src["filename"],
+                                       revision=src.get("revision"),
+                                       token=token, local_dir=local_dir)
+                return Path(path)
+            from huggingface_hub import snapshot_download
+
+            path = snapshot_download(src["repo"],
+                                     revision=src.get("revision"),
+                                     allow_patterns=src.get("allow_patterns"),
+                                     token=token, local_dir=local_dir)
             return Path(path)
         except Exception as e:
             log_message(f"Checkpoint download unavailable for {mtype.value}: {e}")
             return None
+
+    @staticmethod
+    def _find_weight_files(root: Path, mtype: ModelType) -> "list[Path]":
+        """Locate the weight file(s) of a snapshot directory, first matching
+        glob class wins (sharded safetensors merge in name order)."""
+        for pattern in _SNAPSHOT_WEIGHT_GLOBS.get(
+                mtype, ("*.safetensors", "*.bin", "*.pt")):
+            hits = sorted(p for p in root.glob(pattern) if p.is_file())
+            if not hits:
+                hits = sorted(p for p in root.glob("**/" + pattern)
+                              if p.is_file())
+            hits = [p for p in hits if "index" not in p.name]
+            if hits:
+                return hits
+        return []
+
+    def load_checkpoint_tree(self, path: Path,
+                             mtype: ModelType) -> Dict[str, Any]:
+        """Torch state dict from a file OR a snapshot dir (sharded
+        safetensors merged)."""
+        from .convert import load_torch_state_dict
+
+        path = Path(path)
+        if path.is_file():
+            return load_torch_state_dict(str(path))
+        files = self._find_weight_files(path, mtype)
+        if not files:
+            raise ModelError(f"No weight files under {path} for {mtype.value}")
+        sd: Dict[str, Any] = {}
+        for f in files:
+            sd.update(load_torch_state_dict(str(f)))
+        return sd
 
     def _load_converted(self, mtype: ModelType) -> Optional[Dict]:
         p = self.checkpoint_path(mtype)
@@ -168,9 +284,9 @@ class ModelManager:
         """Convert a downloaded torch checkpoint to our Flax tree and persist
         it (one-time; reference loads torch directly every run)."""
         try:
-            from .convert import load_torch_state_dict, save_flax_safetensors
+            from .convert import save_flax_safetensors
 
-            sd = load_torch_state_dict(str(torch_path))
+            sd = self.load_checkpoint_tree(torch_path, mtype)
             if mtype in (ModelType.YOLO_SPEECH_BUBBLE_1,
                          ModelType.YOLO_SPEECH_BUBBLE_2,
                          ModelType.YOLO_OSB_TEXT, ModelType.YOLO_PANEL):
@@ -241,6 +357,14 @@ class ModelManager:
                 from .flux.convert_flux import convert_flux2_dit
 
                 variables = convert_flux2_dit(sd)
+            elif mtype == ModelType.QWEN3_TEXT_ENCODER:
+                from .qwen3 import convert_qwen3
+
+                variables = convert_qwen3(sd)
+            elif mtype in (ModelType.FLUX_VAE, ModelType.FLUX2_VAE):
+                from .flux.convert_flux import convert_flux_vae
+
+                variables, _vae_cfg = convert_flux_vae(sd)
             else:
                 log_message(f"No converter wired yet for {mtype.value}",
                             always_print=True)
@@ -456,13 +580,17 @@ class ModelManager:
 
             dit_vars = self._load_converted(mtype)
             if dit_vars is not None:
-                vae_path = (self.models_dir / "converted"
-                            / "flux_vae.flax.safetensors")
+                # Klein (FLUX.2) prefers its own VAE; Kontext the FLUX.1 ae
+                # (reference FLUX_KLEIN_SDCPP_VAE / FLUX_KONTEXT_SDCPP_VAE,
+                # model_manager.py:158-170)
+                candidates = ([ModelType.FLUX2_VAE, ModelType.FLUX_VAE]
+                              if is_klein
+                              else [ModelType.FLUX_VAE, ModelType.FLUX2_VAE])
                 vae_vars = None
-                if vae_path.exists():
-                    from .convert import load_flax_safetensors
-
-                    vae_vars = load_flax_safetensors(str(vae_path))
+                for vt in candidates:
+                    vae_vars = self._load_converted(vt)
+                    if vae_vars is not None:
+                        break
                 if is_klein:
                     from .flux.klein import build_converted_klein
 

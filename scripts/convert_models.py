@@ -34,8 +34,13 @@ from mangatranslator_tpu.models.manager import (  # noqa: E402
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--models-dir", default="./models")
-    ap.add_argument("--download", action="store_true",
-                    help="Fetch all known checkpoints from HF and convert")
+    ap.add_argument("--download", "--all", dest="download",
+                    action="store_true",
+                    help="One-shot: fetch every checkpoint in HF_SOURCES, "
+                         "convert to Flax, and precompute the fixed prompt "
+                         "embeddings from any converted text encoders")
+    ap.add_argument("--only", nargs="*",
+                    help="Restrict --download to these ModelType values")
     ap.add_argument("--checkpoint",
                     help="Path to any supported torch checkpoint")
     ap.add_argument("--yolo", help="Path to an ultralytics .pt/.safetensors")
@@ -86,18 +91,81 @@ def main() -> int:
         return 0
 
     if args.download:
+        wanted = set(args.only or [])
         for mtype in HF_SOURCES:
+            if wanted and mtype.value not in wanted:
+                continue
+            if mgr.checkpoint_path(mtype).exists():
+                print(f"have {mtype.value}")
+                converted += 1
+                continue
             path = mgr._try_download(mtype)
             if path is None:
                 print(f"skip {mtype.value}: download unavailable")
                 continue
             if mgr.convert_and_store(mtype, path):
                 converted += 1
+                print(f"converted {mtype.value}")
         print(f"converted {converted} checkpoints")
+        embed_prompts_auto(mgr)
         return 0
 
     ap.print_help()
     return 1
+
+
+def embed_prompts_auto(mgr: ModelManager) -> None:
+    """After --download/--all: precompute the fixed prompts' embeddings from
+    whatever text encoders converted, killing the Gaussian stub on networked
+    machines (reference caches prompt embeds at inpainting.py:225)."""
+    from mangatranslator_tpu.models.convert import load_flax_safetensors
+
+    t5_p = mgr.checkpoint_path(ModelType.FLUX_TEXT_ENCODER)
+    clip_p = mgr.checkpoint_path(ModelType.FLUX_CLIP_L)
+    qwen_p = mgr.checkpoint_path(ModelType.QWEN3_TEXT_ENCODER)
+    if t5_p.exists() and clip_p.exists():
+        try:
+            import numpy as np
+            from transformers import AutoTokenizer, CLIPTokenizerFast
+
+            from mangatranslator_tpu.models.flux.pipeline import (
+                DEFAULT_PROMPT, compute_prompt_embeddings, prompt_embed_path)
+
+            t5_tok = AutoTokenizer.from_pretrained("google/t5-v1_1-xxl")
+            clip_tok = CLIPTokenizerFast.from_pretrained(
+                "openai/clip-vit-large-patch14")
+            t5_ids = np.asarray(t5_tok(DEFAULT_PROMPT, padding="max_length",
+                                       max_length=512,
+                                       truncation=True)["input_ids"])
+            clip_ids = np.asarray(clip_tok(DEFAULT_PROMPT,
+                                           padding="max_length", max_length=77,
+                                           truncation=True)["input_ids"])
+            compute_prompt_embeddings(
+                DEFAULT_PROMPT, load_flax_safetensors(str(t5_p)),
+                load_flax_safetensors(str(clip_p)), t5_ids, clip_ids)
+            print(f"embedded Kontext prompt -> {prompt_embed_path(DEFAULT_PROMPT)}")
+        except Exception as e:
+            print(f"Kontext prompt embedding skipped: {e}")
+    if qwen_p.exists():
+        try:
+            import numpy as np
+            from transformers import AutoTokenizer
+
+            from mangatranslator_tpu.models.flux.klein import (
+                compute_klein_prompt_embedding)
+            from mangatranslator_tpu.models.flux.pipeline import (
+                KLEIN_PROMPT, prompt_embed_path)
+
+            tok_dir = mgr.models_dir / "hf" / ModelType.QWEN3_TEXT_ENCODER.value
+            tok = AutoTokenizer.from_pretrained(
+                str(tok_dir) if (tok_dir / "tokenizer_config.json").exists()
+                else HF_SOURCES[ModelType.QWEN3_TEXT_ENCODER]["repo"])
+            ids = np.asarray(tok(KLEIN_PROMPT)["input_ids"])
+            compute_klein_prompt_embedding(
+                KLEIN_PROMPT, load_flax_safetensors(str(qwen_p)), ids)
+            print(f"embedded Klein prompt -> {prompt_embed_path(KLEIN_PROMPT)}")
+        except Exception as e:
+            print(f"Klein prompt embedding skipped: {e}")
 
 
 def embed_prompts(args) -> int:

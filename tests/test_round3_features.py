@@ -373,3 +373,54 @@ class TestLabTextColor:
                      boxes=[[10, 10, 40, 40]], raw_boxes=[[10, 10, 40, 40]],
                      confidences=[0.9])
         assert extract_text_color(img, g) is None
+
+
+class TestModelAcquisition:
+    def test_hf_sources_cover_every_model_type(self):
+        """VERDICT item 6: every ModelType has a download source (reference
+        tables core/ml/model_manager.py:147-254)."""
+        from mangatranslator_tpu.models.manager import HF_SOURCES, ModelType
+
+        missing = [m for m in ModelType if m not in HF_SOURCES]
+        assert missing == []
+        for src in HF_SOURCES.values():
+            assert "repo" in src
+
+    def test_snapshot_dir_weight_discovery(self, tmp_path):
+        import numpy as np
+        from safetensors.numpy import save_file
+
+        from mangatranslator_tpu.models.manager import ModelManager, ModelType
+
+        mgr = ModelManager(tmp_path)
+        d = tmp_path / "snap"
+        (d / "transformer").mkdir(parents=True)
+        save_file({"a": np.zeros(2, np.float32)},
+                  str(d / "transformer" / "diffusion-00001-of-00002.safetensors"))
+        save_file({"b": np.ones(2, np.float32)},
+                  str(d / "transformer" / "diffusion-00002-of-00002.safetensors"))
+        sd = mgr.load_checkpoint_tree(d, ModelType.FLUX_KLEIN_4B)
+        assert set(sd) == {"a", "b"}  # shards merged
+
+    def test_convert_and_store_qwen3_from_dir(self, tmp_path):
+        """A Qwen3 snapshot dir (sharded safetensors) converts and persists
+        through the ModelManager one-shot path."""
+        from safetensors.numpy import save_file
+
+        from mangatranslator_tpu.models.manager import ModelManager, ModelType
+        from tests.test_qwen3 import _torch_model
+
+        tm = _torch_model()
+        sd = {k: v.numpy() for k, v in tm.state_dict().items()}
+        d = tmp_path / "qwen_snap"
+        d.mkdir()
+        keys = sorted(sd)
+        half = len(keys) // 2
+        save_file({k: sd[k] for k in keys[:half]},
+                  str(d / "model-00001-of-00002.safetensors"))
+        save_file({k: sd[k] for k in keys[half:]},
+                  str(d / "model-00002-of-00002.safetensors"))
+        mgr = ModelManager(tmp_path)
+        out = mgr.convert_and_store(ModelType.QWEN3_TEXT_ENCODER, d)
+        assert out is not None
+        assert mgr.checkpoint_path(ModelType.QWEN3_TEXT_ENCODER).exists()
