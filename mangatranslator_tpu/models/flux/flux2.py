@@ -147,3 +147,33 @@ def init_flux2(cfg: Flux2Config, h_tok: int = 8, w_tok: int = 8,
         jnp.asarray(make_txt_ids2(txt_len)),
         jnp.zeros((1,)), jnp.ones((1,)),
     )
+
+
+def init_flux2_fast(cfg: Flux2Config, seed: int = 0):
+    """Random bf16 init of a PRODUCTION-size Flux2 tree in seconds on one
+    host core. Billions of true PRNG normals are minutes-slow (measured:
+    74 s per 200M numpy float32 normals on this box), so leaves tile a 4M
+    pre-generated normal base at per-leaf offsets, fan-in scale, and convert
+    float32→bf16 with the uint32>>16 bit view (a memcpy-speed truncation —
+    rounding noise is irrelevant for random weights). entry()/bench flagship
+    use this; converted checkpoints never touch it."""
+    import ml_dtypes
+    import numpy as np
+
+    shapes = jax.eval_shape(lambda: init_flux2(cfg, 2, 2, 2, seed))
+    rng = np.random.default_rng(seed)
+    base = rng.standard_normal(1 << 22, dtype=np.float32)
+    offset = 0
+
+    def fill(s):
+        nonlocal offset
+        size = int(np.prod(s.shape)) if s.shape else 1
+        fan_in = s.shape[0] if len(s.shape) > 1 else 1
+        rolled = np.roll(base, -offset) if offset else base
+        offset = (offset + 1_000_003) % base.size  # decorrelate leaves
+        arr = np.resize(rolled, size) * np.float32(1.0 / np.sqrt(max(1, fan_in)))
+        bf16 = (arr.view(np.uint32) >> 16).astype(np.uint16).view(
+            ml_dtypes.bfloat16)
+        return jnp.asarray(bf16.reshape(s.shape))
+
+    return jax.tree.map(fill, shapes)

@@ -102,8 +102,10 @@ def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
 
 
 def _run_device_batched(images, config, out_dir, root, result,
-                        progress_callback) -> None:
-    """Stack pages into single device programs (test-mode fast path)."""
+                        progress_callback, translate_page_fn=None) -> None:
+    """Stack pages into single device programs — the production chapter path
+    for both test mode and the real LLM pipeline (chunk k's LLM round trips
+    overlap chunk k+1's device phase inside process_pages_batched)."""
     import numpy as np
 
     from .device_batch import process_pages_batched
@@ -123,7 +125,9 @@ def _run_device_batched(images, config, out_dir, root, result,
         def save_one(args):
             """Returns (path, error) — save failures are per-page results,
             not batch aborts."""
-            p, (arr_out, _info) = args
+            p, (arr_out, info) = args
+            if info.get("error"):
+                return p, RuntimeError(info["error"])
             try:
                 if out_dir:
                     save_image_with_compression(
@@ -156,7 +160,12 @@ def _run_device_batched(images, config, out_dir, root, result,
         part = images[start: start + super_chunk]
         try:
             arrs = [np.asarray(load_image(p).convert("RGB")) for p in part]
-            outs = process_pages_batched(arrs, config, chunk_pages=bs)
+            fn = None
+            if translate_page_fn is not None:
+                fn = (lambda li, img, ordered, cbi, _off=start:
+                      translate_page_fn(_off + li, img, ordered, cbi))
+            outs = process_pages_batched(arrs, config, chunk_pages=bs,
+                                         translate_page_fn=fn)
         except Exception as e:
             log_message(f"Pipelined device batch failed ({e}); retrying "
                         f"per-chunk from page {start}", always_print=True)
@@ -284,13 +293,52 @@ def batch_translate_images(
                     progress_callback(index + 1, n, str(path))
                 return False
 
-        # Device-batched fast path: test-mode pages have no LLM dependency, so
-        # they stack into single detection/clean programs (device_batch.py)
-        use_device_batch = (config.parallel.pages_per_device_batch > 1
-                            and config.test_mode and n > 1)
+        # Device-batched chapter path: pages stack into single detection/clean
+        # programs (device_batch.py) in BOTH test mode and the real LLM
+        # pipeline — chunk k's LLM round trips overlap chunk k+1's device
+        # phase. Falls back to per-page threading for configs the stacked
+        # path doesn't cover (OSB inpainting, pre-upscale, the -only modes).
+        use_device_batch = (
+            config.parallel.pages_per_device_batch > 1 and n > 1
+            and not config.outside_text.enabled
+            and not config.preprocessing.enabled
+            and not config.cleaning_only and not config.upscaling_only)
         if use_device_batch:
-            _run_device_batched(images, config, out_dir, root, result,
-                                progress_callback)
+            def device_translate_fn(gi, img, ordered, cleaned_by_idx):
+                """LLM closure for the stacked path: waits on previous pages'
+                OCR context, calls the service, publishes this page's
+                transcripts (reference Event chain, core/pipeline.py:2324)."""
+                try:
+                    prev_texts = chain.wait_previous(
+                        gi, tcfg.previous_context_text_count, cancel)
+                    prev_imgs = []
+                    for j in range(
+                            max(0, gi - tcfg.previous_context_image_count),
+                            gi):
+                        enc = _encode_context_image(
+                            images[j], tcfg.context_image_max_side_pixels)
+                        if enc:
+                            prev_imgs.append(enc)
+                    if translate_fn is not None:
+                        texts = translate_fn(img, ordered, config)
+                    else:
+                        from ..services.translation import translate_detections
+
+                        texts = translate_detections(
+                            img, ordered, config,
+                            cleaned_by_idx=cleaned_by_idx,
+                            previous_pages_b64=prev_imgs,
+                            previous_context_texts=prev_texts)
+                    chain.publish(gi, [d.get("ocr_text", "") for d in ordered])
+                    return texts
+                except BaseException:
+                    chain.publish(gi, [])
+                    raise
+
+            _run_device_batched(
+                images, config, out_dir, root, result, progress_callback,
+                translate_page_fn=(None if config.test_mode
+                                   else device_translate_fn))
         workers = max(1, int(config.parallel_requests))
         if use_device_batch:
             pass

@@ -103,19 +103,65 @@ def detect_pages_batched(
     return out
 
 
+def detect_panels_batched(
+    images: List[np.ndarray],
+    config: MangaTranslatorConfig,
+) -> List[List[List[int]]]:
+    """One stacked panel-detector forward for all pages → per-page panel
+    boxes (the batched counterpart of detection/bubbles.py detect_panels)."""
+    import jax
+    import jax.numpy as jnp
+
+    manager = get_model_manager()
+    runner = manager.get_detector(ModelType.YOLO_PANEL)
+    metas = []
+    canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3), np.uint8)
+    for i, img in enumerate(images):
+        canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
+        canvases[i] = canvas
+        metas.append((scale, px, py))
+    det = runner(jnp.asarray(canvases), conf=config.detection.panel_confidence)
+    nums, boxes_all = jax.device_get((det.num, det.boxes))
+    out: List[List[List[int]]] = []
+    for i, img in enumerate(images):
+        page_h, page_w = img.shape[:2]
+        scale, px, py = metas[i]
+        boxes = []
+        for k in range(int(nums[i])):
+            bx = boxes_all[i, k].copy()
+            bx[[0, 2]] = np.clip((bx[[0, 2]] - px) / scale, 0, page_w)
+            bx[[1, 3]] = np.clip((bx[[1, 3]] - py) / scale, 0, page_h)
+            if bx[2] - bx[0] >= 2 and bx[3] - bx[1] >= 2:
+                boxes.append([int(v) for v in bx])
+        out.append(boxes)
+    return out
+
+
 def _device_phase(
     images: List[np.ndarray],
     config: MangaTranslatorConfig,
-) -> Tuple[List[List[Dict[str, Any]]], List[np.ndarray], Dict[int, List]]:
-    """The per-chunk device work: one stacked detect forward + one batched
-    clean program per shrink-radius group. Returns (detections, cleaned
-    pages, per-page clean infos)."""
+) -> Tuple[List[List[Dict[str, Any]]], List[np.ndarray], Dict[int, List],
+           List[List[List[int]]]]:
+    """The per-chunk device work: one stacked detect forward (+ one stacked
+    panel forward when panel sorting is on) + one batched clean program per
+    shrink-radius group. Returns (detections, cleaned pages, per-page clean
+    infos, per-page panels)."""
     from ..cleaning.cleaner import clean_pages_bubbles
     from ..scaling import processing_scale_for, scale_length
 
     timers = get_stage_timers()
     with timers.span("batched_detect"):
         per_page_dets = detect_pages_batched(images, config)
+    panels: List[List[List[int]]] = [[] for _ in images]
+    if config.detection.use_panel_sorting and any(per_page_dets):
+        try:
+            with timers.span("batched_panels"):
+                panels = detect_panels_batched(images, config)
+        except Exception as e:
+            from ..logging import log_message
+
+            log_message(f"Batched panel detection failed: {e}",
+                        always_print=True)
 
     for pi, dets in enumerate(per_page_dets):
         for d in dets:
@@ -148,7 +194,7 @@ def _device_phase(
                 for local, pi in enumerate(page_ids):
                     cleaned_pages[pi] = outs[local]
                     cleaned_infos[pi] = infos_pp[local]
-    return per_page_dets, cleaned_pages, cleaned_infos
+    return per_page_dets, cleaned_pages, cleaned_infos, panels
 
 
 def process_pages_batched(
@@ -157,23 +203,28 @@ def process_pages_batched(
     translate_texts: Optional[List[List[str]]] = None,
     host_workers: int = 0,
     chunk_pages: int = 0,
+    translate_page_fn=None,
 ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
     """Detect (one stacked forward) → clean (one batched program) → per-page
     sort/translate/render on host threads.
 
     ``chunk_pages`` > 0 pipelines the batch: chunk k+1's device phase
     (detect + clean dispatch/readback) runs while chunk k's pages are still
-    laying out/rendering on the host pool — the TPU-native double-buffering
-    the reference approximates with thread tricks (SURVEY §2.7). 0 = one
-    batch (device phase for all pages, then render).
+    translating (LLM HTTP) / laying out / rendering on the host pool — the
+    reference's overlap_llm_with_inpaint generalized to chunk granularity
+    (core/pipeline.py:1378-1461, SURVEY §2.7). 0 = one batch.
 
-    Returns per page (final RGB array, info dict). Test-mode/placeholder or
-    caller-provided texts only (the LLM path goes through the threaded batch
-    scheduler, which overlaps network with device work).
+    Text sources, in precedence order: ``translate_texts`` (caller-provided),
+    test-mode placeholders, ``translate_page_fn(local_idx, img, ordered,
+    cleaned_by_idx)`` (the batch scheduler's LLM closure with cross-page
+    context), or the plain translation service. Per-page failures (including
+    critical-token escalation) are isolated: the page's info carries
+    ``error`` and its original pixels pass through.
     """
     from PIL import Image
 
     from ..detection.sorting import sort_bubbles_by_reading_order
+    from ..exceptions import TranslationError
     from ..scaling import processing_scale_for, scale_font_size
     from ..text.placeholders import generate_test_placeholder
     from .page import _render_one_bubble
@@ -184,34 +235,32 @@ def process_pages_batched(
     if host_workers <= 0:
         # render is partly pure-Python (GIL-bound): oversubscribing threads
         # starves the device thread's own host-side packing work between
-        # chunks — size the pool to the machine
+        # chunks — size the pool to the machine; LLM waits release the GIL so
+        # the network path tolerates a deeper pool
         import os as _os
 
         host_workers = min(8, max(2, (_os.cpu_count() or 1)))
+        if not config.test_mode and translate_texts is None:
+            host_workers = max(host_workers,
+                               min(8, int(config.parallel_requests) or 1))
 
     per_page_dets: List[List[Dict[str, Any]]] = [None] * n  # type: ignore
     cleaned_pages: List[np.ndarray] = [None] * n  # type: ignore
     cleaned_infos: Dict[int, List] = {}
+    page_panels: List[List[List[int]]] = [[] for _ in range(n)]
 
-    def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
-        img = Image.fromarray(cleaned_pages[pi])
-        dets = per_page_dets[pi]
-        for i, d in enumerate(dets):
-            d["_idx"] = i
-        scale = processing_scale_for(img.width, img.height)
-        ordered = sort_bubbles_by_reading_order(
-            dets, config.translation.reading_direction, None)
-        infos = cleaned_infos[pi]
-        texts: List[str] = []
+    def run_translate(pi, img, ordered, cleaned_by_idx) -> List[str]:
         if translate_texts is not None:
-            texts = translate_texts[pi]
-        else:
+            return translate_texts[pi]
+        if config.test_mode:
             r = config.rendering
+            scale = processing_scale_for(img.width, img.height)
+            out = []
             for d in ordered:
-                c = infos[d["_idx"]] if d["_idx"] < len(infos) else None
+                c = cleaned_by_idx.get(d["_idx"])
                 # same layout kwargs as the renderer: consistent tier pick +
                 # warm layout-cache hit on the final render (page.py parity)
-                texts.append(generate_test_placeholder(
+                out.append(generate_test_placeholder(
                     img, d["bbox"], c.fill_mask if (c and c.success) else None,
                     r.font_dir,
                     max_font_size=scale_font_size(r.max_font_size, scale),
@@ -225,28 +274,70 @@ def process_pages_batched(
                     output_language=config.translation.output_language,
                     detach_trailing_punctuation=r.detach_trailing_punctuation,
                     auto_vertical=r.auto_vertical_text))
-        rendered = 0
-        for d, text in zip(ordered, texts):
-            if not text:
-                continue
-            c = infos[d["_idx"]] if d["_idx"] < len(infos) else None
-            img, ok = _render_one_bubble(img, d, text, c, config, scale)
-            rendered += int(ok)
-        return np.asarray(img), {"bubbles": len(dets), "rendered": rendered,
-                                 "texts": texts}
+            return out
+        if translate_page_fn is not None:
+            return translate_page_fn(pi, img, ordered, cleaned_by_idx)
+        from ..services.translation import translate_detections
+
+        return translate_detections(img, ordered, config,
+                                    cleaned_by_idx=cleaned_by_idx)
+
+    def finish_page(pi: int) -> Tuple[np.ndarray, Dict[str, Any]]:
+        try:
+            img = Image.fromarray(cleaned_pages[pi])
+            dets = per_page_dets[pi]
+            for i, d in enumerate(dets):
+                d["_idx"] = i
+            scale = processing_scale_for(img.width, img.height)
+            ordered = sort_bubbles_by_reading_order(
+                dets, config.translation.reading_direction,
+                page_panels[pi] if config.detection.use_panel_sorting
+                else None)
+            infos = cleaned_infos[pi]
+            cleaned_by_idx = dict(enumerate(infos))
+            texts = run_translate(pi, img, ordered, cleaned_by_idx)
+            # critical-token escalation: the page fails so batch retry /
+            # failed_paths machinery sees it (reference :1414-1461)
+            critical = ("429", "quota", "rate limit", "unauthorized",
+                        "api key", "authentication", "exhausted")
+            for t in texts:
+                tl = (t or "").lower()
+                if tl.startswith("[") and any(tok in tl for tok in critical):
+                    raise TranslationError(
+                        f"Critical translation failure: {t}")
+            rendered = 0
+            for d, text in zip(ordered, texts):
+                if not text:
+                    continue
+                c = cleaned_by_idx.get(d["_idx"])
+                img, ok = _render_one_bubble(img, d, text, c, config, scale,
+                                             original_arr=images[pi])
+                rendered += int(ok)
+            if config.output.upscale_final_image:
+                from .page import _upscale_pil
+
+                img = _upscale_pil(img, config.output.image_upscale_factor,
+                                   config.output.image_upscale_model)
+            return np.asarray(img), {
+                "bubbles": len(dets), "rendered": rendered, "texts": texts,
+                "ocr_texts": [d.get("ocr_text", "") for d in ordered]}
+        except Exception as e:  # per-page isolation (batch driver books it)
+            return images[pi], {"bubbles": 0, "rendered": 0, "texts": [],
+                                "error": str(e)}
 
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
         futures = []
         for start in range(0, n, chunk):
             ids = list(range(start, min(n, start + chunk)))
-            dets_c, pages_c, infos_c = _device_phase(
+            dets_c, pages_c, infos_c, panels_c = _device_phase(
                 [images[pi] for pi in ids], config)
             for local, pi in enumerate(ids):
                 per_page_dets[pi] = dets_c[local]
                 cleaned_pages[pi] = pages_c[local]
                 cleaned_infos[pi] = infos_c[local]
+                page_panels[pi] = panels_c[local]
             # submit without waiting: the next chunk's device phase runs
-            # while these pages lay out/render on the pool
+            # while these pages translate/lay out/render on the pool
             futures.extend(pool.submit(finish_page, pi) for pi in ids)
         with timers.span("batched_render"):
             results = [f.result() for f in futures]

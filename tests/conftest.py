@@ -55,6 +55,8 @@ _SLOW_TESTS = {
     "test_async_batch_job_progress_and_gallery",  # test_ui, 23s
     "test_sam_seg_model_path",              # test_pipeline_osb, 31s
     "test_flux_path_with_tiny_inpainter",   # test_osb, 22s
+    "test_llm_path_uses_device_batch",      # test_batch_device_mode, ~2min
+    "test_llm_critical_failure_isolated_per_page",  # ~2min
 }
 
 

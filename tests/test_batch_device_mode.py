@@ -134,3 +134,97 @@ def _spy_process(real):
         _SPY_CALLS.append((len(images), k.get("chunk_pages", 0)))
         return real(images, config, *a, **k)
     return wrapper
+
+
+def test_llm_path_uses_device_batch(batch_manager, tmp_path,  # noqa: F811
+                                    monkeypatch):
+    """VERDICT round-2 item 2: the REAL (non-test-mode) chapter path routes
+    through the stacked device-batch programs, with the LLM closure feeding
+    translations and cross-page OCR context chaining."""
+    import mangatranslator_tpu.pipeline.device_batch as db
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    calls = []
+    real = db.process_pages_batched
+
+    def spy(images, config, **kw):
+        calls.append((len(images), kw.get("translate_page_fn") is not None))
+        return real(images, config, **kw)
+
+    monkeypatch.setattr(db, "process_pages_batched", spy)
+
+    llm_pages = []
+
+    def fake_llm(image, ordered, config):
+        llm_pages.append(len(ordered))
+        return [f"T{i}" for i in range(len(ordered))]
+
+    cfg = make_config()          # NOT test mode
+    cfg.parallel.pages_per_device_batch = 2
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out,
+                                    translate_fn=fake_llm)
+    assert result["success_count"] == 4
+    assert result["error_count"] == 0
+    assert calls and calls[0][1], "LLM path bypassed the device-batch closure"
+    assert len(llm_pages) == 4   # every page translated via the closure
+    assert len(list(out.glob("*_translated.png"))) == 4
+
+
+def test_llm_critical_failure_isolated_per_page(batch_manager,  # noqa: F811
+                                                tmp_path):
+    """A 429-style critical failure on one page books that page as failed
+    without aborting the chapter (device-batched real path)."""
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    count = [0]
+
+    def fake_llm(image, ordered, config):
+        count[0] += 1
+        if count[0] == 2:
+            return ["[429 rate limit]"] * len(ordered)
+        return ["ok"] * len(ordered)
+
+    cfg = make_config()
+    cfg.parallel.pages_per_device_batch = 2
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out,
+                                    translate_fn=fake_llm)
+    assert result["success_count"] == 2
+    assert result["error_count"] == 1
+    assert len(result["failed_paths"]) == 1
+
+
+def test_osb_config_falls_back_to_page_path(batch_manager,  # noqa: F811
+                                            tmp_path, monkeypatch):
+    """OSB-enabled configs skip the stacked path (it has no OSB stage) and
+    run the per-page pipeline instead."""
+    import mangatranslator_tpu.pipeline.device_batch as db
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    called = []
+    monkeypatch.setattr(db, "process_pages_batched",
+                        lambda *a, **k: called.append(1) or [])
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2
+    cfg.outside_text.enabled = True
+    cfg.outside_text.inpainting_method = "opencv"
+    cfg.detection.use_osb_text_verification = False
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert not called
+    assert result["success_count"] == 2
