@@ -104,6 +104,9 @@ class FluxDiT(nn.Module):
             vec = vec + MLPEmbedder(cfg.hidden_size, name="guidance_in")(
                 timestep_embedding(g, 256))
         vec = vec + MLPEmbedder(cfg.hidden_size, name="vector_in")(pooled)
+        # keep the modulation vector in the token dtype: an f32 vec would
+        # promote every block's stream to f32 (see flux2.py counterpart)
+        vec = vec.astype(x.dtype)
 
         ids = jnp.concatenate([txt_ids, img_ids], axis=0)
         freqs = rope_freqs(ids, cfg.axes_dim, cfg.theta)  # [S, head_dim/2, 2]

@@ -318,14 +318,27 @@ class KleinInpainter:
                         dq = (dequantize_tree_int4 if self.quant == "int4"
                               else dequantize_tree)
                         dit_params = dq(dit_params)
+                    # trace-time platform pick (cleaner.py pattern): bf16 DiT
+                    # on TPU — f32 streams halve the MXU rate; CPU tests keep
+                    # f32 numerics
+                    cdt = (jnp.bfloat16
+                           if jax.devices()[0].platform == "tpu"
+                           else cond_pad.dtype)
+                    dit_params = jax.tree.map(
+                        lambda a: a.astype(cdt)
+                        if a.dtype == jnp.float32 else a, dit_params)
+                    cond = cond_pad.astype(cdt)
+                    txt = self._txt.astype(cdt)
                     noise = jax.random.normal(rng, cond_pad.shape, jnp.float32)
 
                     def velocity(z, t):
-                        tokens = jnp.concatenate([z, cond_pad], axis=1)
+                        tokens = jnp.concatenate([z.astype(cdt), cond],
+                                                 axis=1)
                         v = self._dit.apply(
-                            dit_params, tokens, img_ids, self._txt,
+                            dit_params, tokens, img_ids, txt,
                             self._txt_ids, t, None, token_mask)
-                        return v[:, :seq_pad]
+                        # flow integration stays f32 for stability
+                        return v[:, :seq_pad].astype(jnp.float32)
 
                     return euler_denoise(velocity, noise, schedule)
 

@@ -211,14 +211,24 @@ class FluxInpainter:
             noise = jax.random.normal(key, cond_tokens.shape, jnp.float32)
             ids = (jnp.concatenate([img_ids, cond_ids], axis=0)
                    if self.use_kontext else img_ids)
+            # trace-time platform pick: bf16 DiT on TPU (f32 streams halve
+            # the MXU rate); CPU tests keep f32 numerics (klein.py pattern)
+            cdt = (jnp.bfloat16 if jax.devices()[0].platform == "tpu"
+                   else cond_tokens.dtype)
+            dit_p = jax.tree.map(
+                lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
+                dit_params)
+            cond = cond_tokens.astype(cdt)
+            txt_c = self._txt.astype(cdt)
+            vec_c = self._vec.astype(cdt)
 
             def velocity(z, t):
-                tokens = (jnp.concatenate([z, cond_tokens], axis=1)
-                          if self.use_kontext else z)
+                tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
+                          if self.use_kontext else z.astype(cdt))
                 v = self._dit.apply(
-                    dit_params, tokens, ids, self._txt, txt_ids, t,
-                    self._vec, jnp.full_like(t, guidance))
-                return v[:, :seq_len]
+                    dit_p, tokens, ids, txt_c, txt_ids, t,
+                    vec_c, jnp.full_like(t, guidance))
+                return v[:, :seq_len].astype(jnp.float32)
 
             schedule = make_schedule(steps, seq_len)
             z = euler_denoise(velocity, noise, schedule)

@@ -217,14 +217,21 @@ def draw_layout_rgba(
         ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
         lx = (cx - px1) * ss - (line.width * ss) / 2.0
         segs = TP.parse_styled_segments(line.text)
-        sx = lx
+        # RTL lines place styled SEGMENTS right-to-left (glyph order inside a
+        # segment is PIL/raqm's bidi job); reference drawing_engine.py:380-434
+        rtl = len(segs) > 1 and TP.is_rtl_script(line.text)
+        sx = lx + line.width * ss if rtl else lx
         for seg, style in segs:
             font = load_pil_font(measurer.font_path(style), int(size_ss))
+            seg_w = measurer.width(seg, int(size_ss), style)
+            if rtl:
+                sx -= seg_w
             draw.text(
                 (sx, ly), seg, font=font, fill=tuple(text_rgb) + (255,),
                 stroke_width=stroke, stroke_fill=stroke_fill,
             )
-            sx += measurer.width(seg, int(size_ss), style)
+            if not rtl:
+                sx += seg_w
 
     patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
     return patch, (px1, py1)
@@ -269,6 +276,10 @@ def _native_draw_layout_rgba(
         ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
         lx = (cx - px1) * ss - (line.width * ss) / 2.0
         segs = TP.parse_styled_segments(line.text)
+        # RTL segment ordering parity with the PIL path (reference
+        # drawing_engine.py:380-434)
+        if len(segs) > 1 and TP.is_rtl_script(line.text):
+            segs = list(reversed(segs))
         sx = lx
         for seg, style in segs:
             font = measurer.font_path(style)
@@ -413,6 +424,7 @@ def render_text(
     bubble_fill_rgb: Optional[Tuple[int, int, int]] = None,
     text_color_rgb: Optional[Tuple[int, int, int]] = None,
     text_background_rgb: Optional[Tuple[int, int, int]] = None,
+    rotation_deg: float = 0.0,
     layout_only: bool = False,
     in_place: bool = False,
     verbose: bool = False,
@@ -497,6 +509,14 @@ def render_text(
         measurer, layout, box, color, outline_width, supersampling_factor,
         line_spacing_mult, background_rgb=text_background_rgb,
     )
+    if abs(rotation_deg) > 1e-3:
+        # rotated OSB rendering: rotate the finished patch around its center
+        # (reference canvas pre-transform, drawing_engine.py:252-263)
+        w0, h0 = patch.size
+        patch = patch.rotate(-rotation_deg, expand=True,
+                             resample=Image.BICUBIC)
+        px -= (patch.width - w0) // 2
+        py -= (patch.height - h0) // 2
     pos = (max(0, px), max(0, py))
     if image.mode in ("RGB", "RGBA"):
         # patch-local composite: no full-page mode conversions, and with

@@ -272,3 +272,75 @@ class TestNativeRaster:
         assert fill.sum() > 0 and stroke.sum() > fill.sum() * 0.5
         asc, desc, _ = native.ft_metrics(font, 24)
         assert asc > 0 > desc
+
+
+class TestRasterBackendDecision:
+    """Round-3 backend decision (VERDICT item 10): PIL (FreeType+raqm) is the
+    DEFAULT rasterizer — raqm gives full BiDi/complex-script shaping in the
+    battle-tested PIL composite path; the native FreeType/HarfBuzz backend
+    (MTX_NATIVE_RASTER=1) exists for PIL-free deployments and is
+    pixel-validated against PIL here so either can serve."""
+
+    TEXT = "Hello WORLD gjpq"
+    BOX = (20.0, 30.0, 280.0, 140.0)
+
+    def _render(self, native: bool):
+        import os
+
+        import numpy as np
+        from PIL import Image
+
+        from mangatranslator_tpu.text.render import render_text
+        from tests.test_pipeline_e2e import FONT_DIR
+
+        img = Image.fromarray(np.full((180, 300, 3), 240, np.uint8))
+        old = os.environ.get("MTX_NATIVE_RASTER")
+        os.environ["MTX_NATIVE_RASTER"] = "1" if native else "0"
+        try:
+            out, info = render_text(img, self.TEXT, self.BOX, None,
+                                    font_dir=FONT_DIR, max_font_size=24,
+                                    min_font_size=8,
+                                    text_color_rgb=(0, 0, 0))
+        finally:
+            if old is None:
+                os.environ.pop("MTX_NATIVE_RASTER", None)
+            else:
+                os.environ["MTX_NATIVE_RASTER"] = old
+        return np.asarray(out), info
+
+    def test_native_matches_pil_within_tolerance(self):
+        import numpy as np
+
+        from mangatranslator_tpu import native
+
+        if not native.ft_raster_available():
+            import pytest
+
+            pytest.skip("native raster library unavailable")
+        pil_arr, pil_info = self._render(native=False)
+        nat_arr, nat_info = self._render(native=True)
+        assert pil_info["font_size"] == nat_info["font_size"]
+        ink_pil = (pil_arr < 128).any(axis=2)
+        ink_nat = (nat_arr < 128).any(axis=2)
+        inter = (ink_pil & ink_nat).sum()
+        union = (ink_pil | ink_nat).sum()
+        assert union > 200  # something was drawn
+        iou = inter / union
+        assert iou > 0.75, f"backend divergence: ink IoU {iou:.3f}"
+
+    def test_default_backend_golden(self):
+        """Pin the default backend's output with raster-stable invariants
+        (exact PNG goldens churn with FreeType versions): ink coverage band,
+        ink bbox centered in the target box, pure-dark text pixels."""
+        import numpy as np
+
+        arr, info = self._render(native=False)
+        ink = (arr < 128).any(axis=2)
+        count = int(ink.sum())
+        assert 400 < count < 6000, count
+        ys, xs = np.nonzero(ink)
+        cx, cy = xs.mean(), ys.mean()
+        bx = (self.BOX[0] + self.BOX[2]) / 2
+        by = (self.BOX[1] + self.BOX[3]) / 2
+        assert abs(cx - bx) < 15 and abs(cy - by) < 15, (cx, cy)
+        assert info["lines"] >= 1 and info["font_size"] >= 8
