@@ -429,8 +429,7 @@ def measure_klein4b(pages, cpu_mode: bool) -> float:
         log(f"cost analysis unavailable: {e}")
     t0 = time.perf_counter()
     jax.block_until_ready(compiled(params, img, txt, t))  # device warm
-    log(f"klein4b first exec (incl. 9.7GB param upload): "
-        f"{time.perf_counter() - t0:.1f}s")
+    log(f"klein4b first exec: {time.perf_counter() - t0:.1f}s")
     reps = 8
     t0 = time.perf_counter()
     for _ in range(reps):

@@ -29,6 +29,7 @@ free-form resolutions would otherwise compile one XLA program per size).
 
 from __future__ import annotations
 
+import math
 from dataclasses import dataclass
 from typing import Optional, Tuple
 
@@ -155,17 +156,43 @@ def init_flux2(cfg: Flux2Config, h_tok: int = 8, w_tok: int = 8,
 
 
 def init_flux2_fast(cfg: Flux2Config, seed: int = 0):
-    """Random bf16 init of a PRODUCTION-size Flux2 tree in seconds on one
-    host core. Billions of true PRNG normals are minutes-slow (measured:
-    74 s per 200M numpy float32 normals on this box), so leaves tile a 4M
-    pre-generated normal base at per-leaf offsets, fan-in scale, and convert
-    float32→bf16 with the uint32>>16 bit view (a memcpy-speed truncation —
-    rounding noise is irrelevant for random weights). entry()/bench flagship
-    use this; converted checkpoints never touch it."""
+    """Random bf16 init of a PRODUCTION-size Flux2 tree, fast.
+
+    On an accelerator the tree is generated ON DEVICE in one jitted program
+    (fan-in-scaled normals per leaf) — zero host→device transfer, which on
+    the remote-attached chip turns a 9.7 GB / ~550 s leaf-by-leaf upload
+    into seconds of on-chip PRNG. On CPU, leaves tile a 4M pre-generated
+    normal base at per-leaf offsets and convert float32→bf16 with the
+    uint32>>16 bit view (billions of true PRNG normals are minutes-slow on
+    one core). entry()/bench flagship use this; converted checkpoints never
+    touch it."""
     import ml_dtypes
     import numpy as np
 
     shapes = jax.eval_shape(lambda: init_flux2(cfg, 2, 2, 2, seed))
+
+    # honor jax.default_device(...) contexts (entry() inits on host CPU so
+    # the driver's compile check doesn't hold 9.7 GB of params on the chip)
+    eff = getattr(jax.config, "jax_default_device", None) or jax.devices()[0]
+    if eff.platform != "cpu":
+        leaves, treedef = jax.tree.flatten(shapes)
+
+        @jax.jit
+        def gen(key):
+            keys = jax.random.split(key, len(leaves))
+            out = []
+            for k, s in zip(keys, leaves):
+                fan_in = s.shape[0] if len(s.shape) > 1 else 1
+                # scale must stay bf16: an f32 scalar would promote the whole
+                # 9.7 GB tree to f32 (19.4 GB — OOMs the chip)
+                scale = jnp.asarray(1.0 / math.sqrt(max(1, fan_in)),
+                                    jnp.bfloat16)
+                out.append(jax.random.normal(k, s.shape, jnp.bfloat16)
+                           * scale)
+            return out
+        vals = gen(jax.random.PRNGKey(seed))
+        jax.block_until_ready(vals)
+        return jax.tree.unflatten(treedef, vals)
     rng = np.random.default_rng(seed)
     base = rng.standard_normal(1 << 22, dtype=np.float32)
     offset = 0

@@ -57,9 +57,11 @@ class TestGraftEntry:
         import __graft_entry__ as g
 
         fn, args = g.entry()
-        # trace-only check (full compile is exercised by the driver / TPU)
+        # trace-only check (full compile is exercised by the driver / TPU);
+        # real Klein-4B geometry: 64×64 = 4096 image tokens, 128 packed
+        # latent channels (32-ch VAE × 2×2 patchify)
         shape = jax.eval_shape(fn, *args)
-        assert shape.shape == (1, 1024, 64)
+        assert shape.shape == (1, 4096, 128)
 
 
 def test_sp_sampler_matches_single_device():
