@@ -11,6 +11,7 @@ single-stream blocks.
 from __future__ import annotations
 
 import math
+import os
 from typing import Sequence, Tuple
 
 import flax.linen as nn
@@ -90,14 +91,56 @@ def apply_rope(x: jnp.ndarray, freqs: jnp.ndarray) -> jnp.ndarray:
     return out.astype(x.dtype)
 
 
+def _flash_block(seq: int) -> "int | None":
+    """Largest MXU-friendly block size dividing ``seq`` (None → no flash)."""
+    for b in (1024, 768, 512, 384, 256, 128):
+        if seq % b == 0:
+            return b
+    return None
+
+
+def _flash_attention(q, k, v, mask):
+    """Pallas TPU flash attention on [B, S, H, D] inputs.
+
+    Joint-sequence DiT attention materializes an S×S f32 logits tensor per
+    block under plain SDPA (1.7 GB at Klein's 4224 tokens); the Pallas kernel
+    streams KV blocks through VMEM with online softmax instead. ``mask``
+    (key-validity [S] bool) maps onto segment ids: valid tokens form segment
+    1, pads segment 0 — valid queries then never attend pad keys, and pad
+    rows' garbage outputs are sliced away by the callers."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention as _fa)
+
+    b, s, h, d = q.shape
+    blk = _flash_block(s)
+    qt, kt, vt = (t.transpose(0, 2, 1, 3) for t in (q, k, v))
+    seg = None
+    if mask is not None:
+        ids = jnp.broadcast_to(mask.astype(jnp.int32)[None], (b, s))
+        seg = SegmentIds(q=ids, kv=ids)
+    sizes = BlockSizes(block_q=blk, block_k_major=blk, block_k=blk,
+                       block_b=1)
+    out = _fa(qt, kt, vt, segment_ids=seg,
+              sm_scale=1.0 / math.sqrt(d), block_sizes=sizes)
+    return out.transpose(0, 2, 1, 3).astype(v.dtype)
+
+
 def attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
               mask: "jnp.ndarray | None" = None) -> jnp.ndarray:
-    """Plain SDPA [B, S, H, D] — XLA fuses this into a flash-style kernel on TPU.
+    """SDPA [B, S, H, D]; on TPU long sequences route to a Pallas flash
+    attention kernel (trace-time platform pick, cleaner.py pattern).
 
     ``mask`` is an optional [S] bool key-validity vector: False keys are
     excluded from every query's softmax (used to pad token counts to bucket
     shapes without changing valid tokens' outputs)."""
-    scale = 1.0 / math.sqrt(q.shape[-1])
+    seq, head_dim = q.shape[1], q.shape[-1]
+    use_flash = (jax.devices()[0].platform == "tpu"
+                 and os.environ.get("MTX_FLASH_ATTN", "1") != "0"
+                 and seq >= 1024 and head_dim in (64, 128, 256)
+                 and _flash_block(seq) is not None)
+    if use_flash:
+        return _flash_attention(q, k, v, mask)
+    scale = 1.0 / math.sqrt(head_dim)
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
     if mask is not None:

@@ -434,3 +434,33 @@ def test_token_mask_padding_equivalence():
                                  jnp.asarray(txt_ids), jnp.asarray(t),
                                  None, jnp.asarray(mask)))
     np.testing.assert_allclose(out[:, :s_img], base, atol=1e-5)
+
+
+def test_flash_block_selection():
+    """TPU flash-attention routing (layers._flash_block): largest MXU block
+    dividing the sequence; None → SDPA fallback. Klein's 4224-token joint
+    sequence (4096 img + 128 txt) must route to flash via block 384."""
+    from mangatranslator_tpu.models.flux.layers import _flash_block
+
+    assert _flash_block(4224) == 384
+    assert _flash_block(4096) == 1024
+    assert _flash_block(1536) == 768
+    assert _flash_block(4600) is None  # not a multiple of 128
+    assert _flash_block(130) is None
+
+
+def test_attention_env_gate_cpu(monkeypatch):
+    """On CPU the flash path must never engage (Pallas TPU kernel), with or
+    without MTX_FLASH_ATTN; SDPA output is returned either way."""
+    import numpy as np
+
+    from mangatranslator_tpu.models.flux import layers
+
+    rs = np.random.RandomState(0)
+    q = jnp.asarray(rs.randn(1, 256, 2, 64), jnp.float32)
+    k = jnp.asarray(rs.randn(1, 256, 2, 64), jnp.float32)
+    v = jnp.asarray(rs.randn(1, 256, 2, 64), jnp.float32)
+    monkeypatch.setenv("MTX_FLASH_ATTN", "1")
+    out = layers.attention(q, k, v)
+    assert out.shape == (1, 256, 2, 64)
+    assert bool(jnp.isfinite(out).all())
