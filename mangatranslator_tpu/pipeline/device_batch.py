@@ -26,13 +26,42 @@ from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
 from ..detection.bubbles import _box_mask, _letterbox_np, _mask_to_page
 
 
-def detect_pages_batched(
-    images: List[np.ndarray],
-    config: MangaTranslatorConfig,
-    runner=None,
-) -> List[List[Dict[str, Any]]]:
-    """One stacked detection forward for all pages → per-page detection dicts
-    (dedup/contained rules applied per page)."""
+_PACK_JIT = None
+
+
+def _pack_det_outputs(num, boxes, scores):
+    """Fold (num, boxes, scores) into ONE [B, md, 6] f32 array on device:
+    each device_get leaf is a full tunnel round trip on the remote-attached
+    chip (0.4-0.9 s in latency-degraded phases), so the whole non-mask
+    detection output downloads as a single leaf. The jitted packer is a
+    module-level singleton — a per-call jit object would miss the trace
+    cache every time."""
+    global _PACK_JIT
+    if _PACK_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def pack(num, boxes, scores):
+            b, md, _ = boxes.shape
+            n_col = jnp.broadcast_to(
+                num.astype(jnp.float32)[:, None, None], (b, md, 1))
+            return jnp.concatenate(
+                [boxes.astype(jnp.float32),
+                 scores.astype(jnp.float32)[..., None], n_col], axis=-1)
+
+        _PACK_JIT = jax.jit(pack)
+    return _PACK_JIT(num, boxes, scores)
+
+
+def _dispatch_detect(images: List[np.ndarray],
+                     config: MangaTranslatorConfig, runner=None):
+    """Upload + stacked detection forward + on-device output packing.
+
+    Returns a handle of device arrays WITHOUT blocking — jax dispatch is
+    async, so the forward runs (and its inputs stream up the tunnel) while
+    the host works on other chunks. ``_collect_detect`` blocks on exactly
+    two transfer leaves (packed boxes/scores/num + bitpacked masks)."""
+    import jax
     import jax.numpy as jnp
 
     manager = get_model_manager()
@@ -49,8 +78,6 @@ def detect_pages_batched(
         canvases[i] = canvas
         metas.append((scale, px, py))
 
-    import jax
-
     if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
         # shard the stacked page batch over the data mesh axis: a v5e-4 slice
         # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
@@ -60,12 +87,23 @@ def detect_pages_batched(
     else:
         batch = jnp.asarray(canvases)  # uint8; normalized on device
     det = runner(batch, conf=config.detection.confidence)
-    nums, boxes_all, scores_all, masks_all = jax.device_get(
-        (det.num, det.boxes, det.scores, det.masks))
+    flat = _pack_det_outputs(det.num, det.boxes, det.scores)
+    return flat, det.masks, metas, runner.imgsz
+
+
+def _collect_detect(handle, images: List[np.ndarray]
+                    ) -> List[List[Dict[str, Any]]]:
+    """Block on a ``_dispatch_detect`` handle → per-page detection dicts
+    (dedup/contained rules applied per page)."""
+    import jax
+
+    flat_d, masks_d, metas, imgsz = handle
+    flat, masks_all = jax.device_get((flat_d, masks_d))
+    boxes_all, scores_all, nums = flat[..., :4], flat[..., 4], flat[:, 0, 5]
     if masks_all is not None:
         from ..detection.bubbles import unpack_detection_masks
 
-        masks_all = unpack_detection_masks(masks_all, runner.imgsz // 4)
+        masks_all = unpack_detection_masks(masks_all, imgsz // 4)
 
     out: List[List[Dict[str, Any]]] = []
     for i, img in enumerate(images):
@@ -85,7 +123,7 @@ def detect_pages_batched(
                 "class": "bubble",
             }
             if masks_all is not None:
-                d["mask"] = _mask_to_page(masks_all[i, k], runner.imgsz, scale,
+                d["mask"] = _mask_to_page(masks_all[i, k], imgsz, scale,
                                           px, py, page_h, page_w)
             dets.append(d)
         if dets:
@@ -103,13 +141,19 @@ def detect_pages_batched(
     return out
 
 
-def detect_panels_batched(
+def detect_pages_batched(
     images: List[np.ndarray],
     config: MangaTranslatorConfig,
-) -> List[List[List[int]]]:
-    """One stacked panel-detector forward for all pages → per-page panel
-    boxes (the batched counterpart of detection/bubbles.py detect_panels)."""
-    import jax
+    runner=None,
+) -> List[List[Dict[str, Any]]]:
+    """One stacked detection forward for all pages → per-page detection
+    dicts (dedup/contained rules applied per page)."""
+    return _collect_detect(_dispatch_detect(images, config, runner), images)
+
+
+def _dispatch_panels(images: List[np.ndarray],
+                     config: MangaTranslatorConfig):
+    """Upload + stacked panel forward + packing; non-blocking handle."""
     import jax.numpy as jnp
 
     manager = get_model_manager()
@@ -121,7 +165,19 @@ def detect_panels_batched(
         canvases[i] = canvas
         metas.append((scale, px, py))
     det = runner(jnp.asarray(canvases), conf=config.detection.panel_confidence)
-    nums, boxes_all = jax.device_get((det.num, det.boxes))
+    flat = _pack_det_outputs(det.num, det.boxes, det.scores)
+    return flat, metas
+
+
+def _collect_panels(handle, images: List[np.ndarray]
+                    ) -> List[List[List[int]]]:
+    """Block on a ``_dispatch_panels`` handle → per-page panel boxes (one
+    transfer leaf)."""
+    import jax
+
+    flat_d, metas = handle
+    flat = jax.device_get(flat_d)
+    boxes_all, nums = flat[..., :4], flat[:, 0, 5]
     out: List[List[List[int]]] = []
     for i, img in enumerate(images):
         page_h, page_w = img.shape[:2]
@@ -137,32 +193,26 @@ def detect_panels_batched(
     return out
 
 
-def _device_phase(
+def detect_panels_batched(
     images: List[np.ndarray],
     config: MangaTranslatorConfig,
-) -> Tuple[List[List[Dict[str, Any]]], List[np.ndarray], Dict[int, List],
-           List[List[List[int]]]]:
-    """The per-chunk device work: one stacked detect forward (+ one stacked
-    panel forward when panel sorting is on) + one batched clean program per
-    shrink-radius group. Returns (detections, cleaned pages, per-page clean
-    infos, per-page panels)."""
+) -> List[List[List[int]]]:
+    """One stacked panel-detector forward for all pages → per-page panel
+    boxes (the batched counterpart of detection/bubbles.py detect_panels)."""
+    return _collect_panels(_dispatch_panels(images, config), images)
+
+
+def _clean_phase(
+    images: List[np.ndarray],
+    per_page_dets: List[List[Dict[str, Any]]],
+    config: MangaTranslatorConfig,
+) -> Tuple[List[np.ndarray], Dict[int, List]]:
+    """The per-chunk clean work: one batched clean program per shrink-radius
+    group. Returns (cleaned pages, per-page clean infos)."""
     from ..cleaning.cleaner import clean_pages_bubbles
     from ..scaling import processing_scale_for, scale_length
 
     timers = get_stage_timers()
-    with timers.span("batched_detect"):
-        per_page_dets = detect_pages_batched(images, config)
-    panels: List[List[List[int]]] = [[] for _ in images]
-    if config.detection.use_panel_sorting and any(per_page_dets):
-        try:
-            with timers.span("batched_panels"):
-                panels = detect_panels_batched(images, config)
-        except Exception as e:
-            from ..logging import log_message
-
-            log_message(f"Batched panel detection failed: {e}",
-                        always_print=True)
-
     for pi, dets in enumerate(per_page_dets):
         for d in dets:
             d["_page"] = pi
@@ -194,7 +244,7 @@ def _device_phase(
                 for local, pi in enumerate(page_ids):
                     cleaned_pages[pi] = outs[local]
                     cleaned_infos[pi] = infos_pp[local]
-    return per_page_dets, cleaned_pages, cleaned_infos, panels
+    return cleaned_pages, cleaned_infos
 
 
 def process_pages_batched(
@@ -325,12 +375,48 @@ def process_pages_batched(
             return images[pi], {"bubbles": 0, "rendered": 0, "texts": [],
                                 "error": str(e)}
 
+    chunks = [list(range(s, min(n, s + chunk))) for s in range(0, n, chunk)]
+    det_h: Dict[int, Any] = {}
+    pan_h: Dict[int, Any] = {}
+
+    def dispatch(k: int) -> None:
+        ids = chunks[k]
+        imgs = [images[pi] for pi in ids]
+        det_h[k] = _dispatch_detect(imgs, config)
+        if config.detection.use_panel_sorting:
+            try:
+                pan_h[k] = _dispatch_panels(imgs, config)
+            except Exception as e:
+                from ..logging import log_message
+
+                log_message(f"Batched panel dispatch failed: {e}",
+                            always_print=True)
+
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
         futures = []
-        for start in range(0, n, chunk):
-            ids = list(range(start, min(n, start + chunk)))
-            dets_c, pages_c, infos_c, panels_c = _device_phase(
-                [images[pi] for pi in ids], config)
+        dispatch(0)
+        for k, ids in enumerate(chunks):
+            # issue chunk k+1's detect/panel forwards BEFORE blocking on
+            # chunk k's downloads: jax dispatch is async, so the chip works
+            # through k+1 while the host collects k and builds its clean
+            # batch — hides the per-leaf tunnel round trips (0.4-0.9 s each
+            # in latency-degraded phases) behind real device compute
+            if k + 1 < len(chunks):
+                dispatch(k + 1)
+            imgs = [images[pi] for pi in ids]
+            with timers.span("batched_detect"):
+                dets_c = _collect_detect(det_h.pop(k), imgs)
+            panels_c: List[List[List[int]]] = [[] for _ in ids]
+            if k in pan_h:
+                try:
+                    with timers.span("batched_panels"):
+                        panels_c = _collect_panels(pan_h.pop(k), imgs)
+                except Exception as e:
+                    from ..logging import log_message
+
+                    log_message(f"Batched panel detection failed: {e}",
+                                always_print=True)
+            pages_c, infos_c = _clean_phase(imgs, dets_c, config)
             for local, pi in enumerate(ids):
                 per_page_dets[pi] = dets_c[local]
                 cleaned_pages[pi] = pages_c[local]
