@@ -434,10 +434,7 @@ def _inpaint_colored_bubbles(
     (reference _inpaint_colored_bubbles_with_coordinator cleaning.py:67-157
     and the sequential path :923-1009). Mutates ``cleaned_pages`` in place;
     failed jobs degrade to the standard median fill."""
-    from ..pipeline.coordinator import (
-        expanded_mask_bbox,
-        partition_non_overlapping_waves,
-    )
+    from ..pipeline.coordinator import expanded_mask_bbox, run_flux_waves
 
     seed_cfg = int(getattr(osb_config, "seed", 1) or 1)
     steps = int(getattr(osb_config, "flux_num_inference_steps", 8))
@@ -469,51 +466,40 @@ def _inpaint_colored_bubbles(
         valid = [(ci, ctx) for ci, ctx in zip(idxs, ctxs) if ctx is not None]
         if not valid:
             continue
-        waves = partition_non_overlapping_waves([ctx for _, ctx in valid])
-        for wave in waves:
-            base = cleaned_pages[pi]
 
-            def make_job(ci, ctx):
-                def job():
-                    region_seed = (base_seed + ci if base_seed > 0
-                                   else base_seed)
-                    try:
-                        res = inpainter.inpaint_mask(
-                            base, candidates[ci][1].fill_mask,
-                            seed=region_seed, num_inference_steps=steps,
-                            guidance_scale=guidance,
-                            luminance_correction=lum_corr)
-                        if res is base:
-                            raise RuntimeError(
-                                "Flux returned original image (no inpaint)")
-                        return ci, ctx, res, None
-                    except Exception as e:
-                        return ci, ctx, None, e
-                return job
+        def run_one(cand):
+            ci, _ctx = cand
+            res = inpainter.inpaint_mask(
+                cleaned_pages[candidates[ci][0]], candidates[ci][1].fill_mask,
+                seed=base_seed + ci if base_seed > 0 else base_seed,
+                num_inference_steps=steps, guidance_scale=guidance,
+                luminance_correction=lum_corr)
+            if res is cleaned_pages[candidates[ci][0]]:
+                raise RuntimeError("Flux returned original image (no inpaint)")
+            return res
 
-            jobs = [make_job(*valid[i]) for i in wave]
-            if coordinator is not None and len(jobs) > 1:
-                outs = coordinator.map_ordered(jobs)
-            else:
-                outs = [j() for j in jobs]
-            for ci, ctx, res, err in outs:
-                pi2, result, _roi, _comp = candidates[ci]
-                if err is not None:
-                    log_message(
-                        f"Flux inpainting failed for bubble {result.bbox}: "
-                        f"{err}; falling back to standard fill",
-                        always_print=True)
-                    fallback_fill(ci)
-                    continue
-                bx0, by0, bx1, by1 = ctx
-                cleaned_pages[pi2][by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
-                # resample the bubble color from the inpainted region so the
-                # renderer's contrast pick tracks reality (reference
-                # _resample_inpainted_bubble_color cleaning.py:50-65)
-                masked = cleaned_pages[pi2][result.fill_mask > 0]
-                if masked.size:
-                    mean_val = int(np.clip(np.mean(masked), 0, 255))
-                    result.fill_color = (mean_val, mean_val, mean_val)
+        def on_result(cand, res, err):
+            ci, ctx = cand
+            pi2, result, _roi, _comp = candidates[ci]
+            if err is not None:
+                log_message(
+                    f"Flux inpainting failed for bubble {result.bbox}: "
+                    f"{err}; falling back to standard fill",
+                    always_print=True)
+                fallback_fill(ci)
+                return
+            bx0, by0, bx1, by1 = ctx
+            cleaned_pages[pi2][by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
+            # resample the bubble color from the inpainted region so the
+            # renderer's contrast pick tracks reality (reference
+            # _resample_inpainted_bubble_color cleaning.py:50-65)
+            masked = cleaned_pages[pi2][result.fill_mask > 0]
+            if masked.size:
+                mean_val = int(np.clip(np.mean(masked), 0, 255))
+                result.fill_color = (mean_val, mean_val, mean_val)
+
+        run_flux_waves(valid, [ctx for _, ctx in valid], run_one, on_result,
+                       coordinator)
 
 
 def retry_cleaning_with_otsu(

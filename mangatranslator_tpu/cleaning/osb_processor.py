@@ -22,10 +22,7 @@ import numpy as np
 from ..config import OutsideTextConfig
 from ..detection.osb import OsbGroup, OutsideTextDetector, filter_page_numbers
 from ..logging import log_message
-from ..pipeline.coordinator import (
-    expanded_mask_bbox,
-    partition_non_overlapping_waves,
-)
+from ..pipeline.coordinator import expanded_mask_bbox, run_flux_waves
 from ..scaling import scale_kernel
 
 BORDER_SOLID_STD_MAX = 6.0     # border-pixel spread below this → solid bg
@@ -291,37 +288,24 @@ def finish_outside_text_work(
             return
         cands = list(pending)
         pending.clear()
-        waves = partition_non_overlapping_waves(
-            [c["context_bbox"] for c in cands])
-        if len(waves) > 1 or any(len(wv) > 1 for wv in waves):
-            log_message(f"Scheduling OSB Flux in {len(waves)} wave(s)",
+
+        def on_result(c, res, err):
+            if err is not None:
+                log_message(
+                    f"Flux failed for OSB region {c['index']} ({err}); "
+                    f"falling back to CV2 fill ({c['fallback_color']})",
+                    always_print=True)
+                out[c["mask"] > 0] = c["fallback_color"]
+                return
+            bx0, by0, bx1, by1 = c["context_bbox"]
+            out[by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
+
+        n_waves = run_flux_waves(
+            cands, [c["context_bbox"] for c in cands],
+            lambda c: run_inpaint(out, c), on_result, coordinator)
+        if n_waves > 1 or len(cands) > 1:
+            log_message(f"Scheduled OSB Flux in {n_waves} wave(s)",
                         verbose=verbose)
-        for wave in waves:
-            base = out
-
-            def make_job(c):
-                def job():
-                    try:
-                        return c, run_inpaint(base, c), None
-                    except Exception as e:
-                        return c, None, e
-                return job
-
-            jobs = [make_job(cands[i]) for i in wave]
-            if coordinator is not None and len(jobs) > 1:
-                results = coordinator.map_ordered(jobs)
-            else:
-                results = [j() for j in jobs]
-            for c, res, err in results:
-                if err is not None:
-                    log_message(
-                        f"Flux failed for OSB region {c['index']} ({err}); "
-                        f"falling back to CV2 fill ({c['fallback_color']})",
-                        always_print=True)
-                    out[c["mask"] > 0] = c["fallback_color"]
-                    continue
-                bx0, by0, bx1, by1 = c["context_bbox"]
-                out[by0:by1, bx0:bx1] = res[by0:by1, bx0:bx1]
 
     for i, g in enumerate(work.groups):
         info = work.render_infos[i] if i < len(work.render_infos) else {}

@@ -484,7 +484,19 @@ def build_converted_klein(dit_vars, vae_vars=None, prompt: str = KLEIN_PROMPT,
         vae_cfg = infer_vae_config_from_variables(vae_vars)
     else:
         vae_cfg = VAE_PRESETS[vae_preset]
+        if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
+            # random-init fallback must match the DiT's packed channel
+            # count (2x2 patchify) or every inpaint shape-errors at trace
+            vae_cfg = next((c for c in VAE_PRESETS.values()
+                            if c.latent_channels * 4 == dit_cfg.in_channels),
+                           vae_cfg)
         vae_vars = init_vae(vae_cfg)
+    if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
+        raise ValueError(
+            f"VAE latent channels {vae_cfg.latent_channels} (→ "
+            f"{vae_cfg.latent_channels * 4} packed) do not match the FLUX.2 "
+            f"DiT's in_channels={dit_cfg.in_channels}; convert the matching "
+            "FLUX2_VAE checkpoint")
     quant = os.environ.get("MTX_FLUX_QUANT") or (
         "int8" if os.environ.get("MTX_FLUX_INT8") == "1" else None)
     return KleinInpainter(dit_cfg, vae_cfg, dit_vars, vae_vars, prompt=prompt,

@@ -372,7 +372,18 @@ def build_converted_inpainter(dit_vars, vae_vars=None,
         vae_cfg = infer_vae_config_from_variables(vae_vars)
     else:
         vae_cfg = VAE_PRESETS[vae_preset]
+        if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
+            # match the DiT's packed channel count (klein.py counterpart)
+            vae_cfg = next((c for c in VAE_PRESETS.values()
+                            if c.latent_channels * 4 == dit_cfg.in_channels),
+                           vae_cfg)
         vae_vars = init_vae(vae_cfg)
+    if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
+        raise ValueError(
+            f"VAE latent channels {vae_cfg.latent_channels} (→ "
+            f"{vae_cfg.latent_channels * 4} packed) do not match the FLUX "
+            f"DiT's in_channels={dit_cfg.in_channels}; convert the matching "
+            "FLUX_VAE checkpoint")
     import os
 
     bundle = FluxPipelineBundle(dit_cfg=dit_cfg, vae_cfg=vae_cfg,

@@ -28,6 +28,10 @@ class VAEConfig:
 
 VAE_PRESETS = {
     "flux": VAEConfig(),
+    # FLUX.2 VAE: 32 latent channels (→ 128 packed, matching Flux2DiT
+    # in_channels). scale/shift are FLUX.1 placeholders for random init —
+    # converted checkpoints infer the real geometry from the tree.
+    "flux2": VAEConfig(latent_channels=32),
     "test": VAEConfig(latent_channels=4, base_channels=16,
                       channel_mults=(1, 2, 2), blocks_per_level=1,
                       scale_factor=1.0, shift_factor=0.0),

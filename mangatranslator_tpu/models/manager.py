@@ -580,17 +580,16 @@ class ModelManager:
 
             dit_vars = self._load_converted(mtype)
             if dit_vars is not None:
-                # Klein (FLUX.2) prefers its own VAE; Kontext the FLUX.1 ae
-                # (reference FLUX_KLEIN_SDCPP_VAE / FLUX_KONTEXT_SDCPP_VAE,
-                # model_manager.py:158-170)
-                candidates = ([ModelType.FLUX2_VAE, ModelType.FLUX_VAE]
-                              if is_klein
-                              else [ModelType.FLUX_VAE, ModelType.FLUX2_VAE])
-                vae_vars = None
-                for vt in candidates:
-                    vae_vars = self._load_converted(vt)
-                    if vae_vars is not None:
-                        break
+                # STRICTLY the matching family's VAE: Klein (FLUX.2) needs the
+                # 32-ch/128-packed FLUX.2 VAE, Kontext the 16-ch/64-packed
+                # FLUX.1 ae (reference FLUX_KLEIN_SDCPP_VAE /
+                # FLUX_KONTEXT_SDCPP_VAE, model_manager.py:158-170). A
+                # cross-family fallback would feed the DiT the wrong packed
+                # channel count and shape-error at trace time; a missing VAE
+                # instead gets a matching-config random init (still produces
+                # plausible fills via the luminance correction).
+                vae_vars = self._load_converted(
+                    ModelType.FLUX2_VAE if is_klein else ModelType.FLUX_VAE)
                 if is_klein:
                     from .flux.klein import build_converted_klein
 

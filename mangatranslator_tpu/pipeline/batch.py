@@ -55,6 +55,12 @@ class _PageContextChain:
             self._texts[index] = texts
         self._events[index].set()
 
+    def publish_if_unset(self, index: int, texts: List[str]) -> None:
+        """Failure-path publish: never clobbers real transcripts already
+        published by the page's translate closure."""
+        if not self._events[index].is_set():
+            self.publish(index, texts)
+
     def wait_previous(self, index: int, count: int,
                       cancel: CancellationManager) -> List[List[str]]:
         """Transcripts of up to ``count`` pages before ``index``, oldest first.
@@ -102,7 +108,8 @@ def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
 
 
 def _run_device_batched(images, config, out_dir, root, result,
-                        progress_callback, translate_page_fn=None) -> None:
+                        progress_callback, translate_page_fn=None,
+                        cancel=None, page_failed_fn=None) -> None:
     """Stack pages into single device programs — the production chapter path
     for both test mode and the real LLM pipeline (chunk k's LLM round trips
     overlap chunk k+1's device phase inside process_pages_batched)."""
@@ -157,6 +164,8 @@ def _run_device_batched(images, config, out_dir, root, result,
 
     fallback_from = None
     for start in range(0, len(images), super_chunk):
+        if cancel is not None:
+            cancel.check(f"device batch super-chunk {start}")
         part = images[start: start + super_chunk]
         try:
             arrs = [np.asarray(load_image(p).convert("RGB")) for p in part]
@@ -164,8 +173,14 @@ def _run_device_batched(images, config, out_dir, root, result,
             if translate_page_fn is not None:
                 fn = (lambda li, img, ordered, cbi, _off=start:
                       translate_page_fn(_off + li, img, ordered, cbi))
+            pf = None
+            if page_failed_fn is not None:
+                pf = lambda li, _off=start: page_failed_fn(_off + li)
             outs = process_pages_batched(arrs, config, chunk_pages=bs,
-                                         translate_page_fn=fn)
+                                         translate_page_fn=fn,
+                                         cancel=cancel, page_failed_fn=pf)
+        except CancellationError:
+            raise  # a cancel must stop the batch, not trigger the fallback
         except Exception as e:
             log_message(f"Pipelined device batch failed ({e}); retrying "
                         f"per-chunk from page {start}", always_print=True)
@@ -179,10 +194,12 @@ def _run_device_batched(images, config, out_dir, root, result,
     # keep their bookkeeping)
     done = done_counter[0]
     for start in range(fallback_from, len(images), bs):
+        if cancel is not None:
+            cancel.check(f"device batch fallback chunk {start}")
         chunk = images[start: start + bs]
         arrs = [np.asarray(load_image(p).convert("RGB")) for p in chunk]
         try:
-            outs = process_pages_batched(arrs, config)
+            outs = process_pages_batched(arrs, config, cancel=cancel)
             for p, (arr_out, _info) in zip(chunk, outs):
                 if out_dir:
                     save_image_with_compression(
@@ -196,6 +213,8 @@ def _run_device_batched(images, config, out_dir, root, result,
                 done += 1
                 if progress_callback:
                     progress_callback(done, len(images), str(p))
+        except CancellationError:
+            raise
         except Exception as e:
             log_message(f"Device batch failed: {e}", always_print=True)
             for p in chunk:
@@ -302,6 +321,7 @@ def batch_translate_images(
             config.parallel.pages_per_device_batch > 1 and n > 1
             and not config.outside_text.enabled
             and not config.preprocessing.enabled
+            and not config.cleaning.inpaint_colored_bubbles
             and not config.cleaning_only and not config.upscaling_only)
         if use_device_batch:
             def device_translate_fn(gi, img, ordered, cleaned_by_idx):
@@ -335,10 +355,16 @@ def batch_translate_images(
                     chain.publish(gi, [])
                     raise
 
-            _run_device_batched(
-                images, config, out_dir, root, result, progress_callback,
-                translate_page_fn=(None if config.test_mode
-                                   else device_translate_fn))
+            try:
+                _run_device_batched(
+                    images, config, out_dir, root, result, progress_callback,
+                    translate_page_fn=(None if config.test_mode
+                                       else device_translate_fn),
+                    cancel=cancel,
+                    page_failed_fn=lambda gi: chain.publish_if_unset(gi, []))
+            except CancellationError:
+                pass  # partial bookkeeping stands; retry pass is gated on
+                # cancel.cancelled below
         workers = max(1, int(config.parallel_requests))
         if use_device_batch:
             pass

@@ -96,6 +96,46 @@ def partition_non_overlapping_waves(boxes: Sequence[Box]) -> List[List[int]]:
     return waves
 
 
+def run_flux_waves(
+    candidates: Sequence[Any],
+    context_bboxes: Sequence[Box],
+    run_one: Callable[[Any], Any],
+    on_result: Callable[[Any, Any, Optional[Exception]], None],
+    coordinator: Optional["BatchRequestCoordinator"] = None,
+) -> int:
+    """Run Flux inpaint jobs in conflict-free waves (reference
+    flush_pending_flux_candidates outside_text_processor.py:860-939 and
+    _inpaint_colored_bubbles_with_coordinator cleaning.py:67-157 — one shared
+    engine here for both the OSB and colored-bubble callers).
+
+    Candidates are partitioned by ``context_bboxes`` so members of one wave
+    never composite onto overlapping regions; each wave's jobs run
+    concurrently under the coordinator (sequentially without one), then
+    ``on_result(cand, result, error)`` fires for every job of the wave in
+    input order — the caller pastes successes / applies fallbacks there, so
+    the next wave's ``run_one`` observes all earlier composites. Returns the
+    number of waves.
+    """
+    waves = partition_non_overlapping_waves(list(context_bboxes))
+    for wave in waves:
+        def make_job(c):
+            def job():
+                try:
+                    return c, run_one(c), None
+                except Exception as e:  # noqa: BLE001 — delivered to caller
+                    return c, None, e
+            return job
+
+        jobs = [make_job(candidates[i]) for i in wave]
+        if coordinator is not None and len(jobs) > 1:
+            outs = coordinator.map_ordered(jobs)
+        else:
+            outs = [j() for j in jobs]
+        for c, res, err in outs:
+            on_result(c, res, err)
+    return len(waves)
+
+
 def expanded_mask_bbox(
     mask,
     image_size: Tuple[int, int],

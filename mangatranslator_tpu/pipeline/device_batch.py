@@ -254,6 +254,8 @@ def process_pages_batched(
     host_workers: int = 0,
     chunk_pages: int = 0,
     translate_page_fn=None,
+    cancel=None,
+    page_failed_fn=None,
 ) -> List[Tuple[np.ndarray, Dict[str, Any]]]:
     """Detect (one stacked forward) → clean (one batched program) → per-page
     sort/translate/render on host threads.
@@ -269,12 +271,17 @@ def process_pages_batched(
     cleaned_by_idx)`` (the batch scheduler's LLM closure with cross-page
     context), or the plain translation service. Per-page failures (including
     critical-token escalation) are isolated: the page's info carries
-    ``error`` and its original pixels pass through.
+    ``error`` and its original pixels pass through. Exceptions to the
+    isolation: ``CancellationError`` propagates (a cancel is not a page
+    error), and ``page_failed_fn(pi)`` fires for any failed page so the
+    batch scheduler can unblock cross-page context waiters
+    (reference core/pipeline.py:2324-2362 Event-chain guarantee).
+    ``cancel`` (a CancellationManager) is polled at chunk boundaries.
     """
     from PIL import Image
 
     from ..detection.sorting import sort_bubbles_by_reading_order
-    from ..exceptions import TranslationError
+    from ..exceptions import CancellationError, TranslationError
     from ..scaling import processing_scale_for, scale_font_size
     from ..text.placeholders import generate_test_placeholder
     from .page import _render_one_bubble
@@ -371,7 +378,18 @@ def process_pages_batched(
             return np.asarray(img), {
                 "bubbles": len(dets), "rendered": rendered, "texts": texts,
                 "ocr_texts": [d.get("ocr_text", "") for d in ordered]}
+        except CancellationError:
+            # a cancel is not a page error: unblock waiters and propagate so
+            # the batch stops instead of booking every page as failed
+            if page_failed_fn is not None:
+                page_failed_fn(pi)
+            raise
         except Exception as e:  # per-page isolation (batch driver books it)
+            # guarantee the context chain is published even when the failure
+            # happened before run_translate (sort/Image.fromarray/render) —
+            # otherwise later pages stall in wait_previous until timeout
+            if page_failed_fn is not None:
+                page_failed_fn(pi)
             return images[pi], {"bubbles": 0, "rendered": 0, "texts": [],
                                 "error": str(e)}
 
@@ -396,6 +414,8 @@ def process_pages_batched(
         futures = []
         dispatch(0)
         for k, ids in enumerate(chunks):
+            if cancel is not None:
+                cancel.check(f"device batch chunk {k}")
             # issue chunk k+1's detect/panel forwards BEFORE blocking on
             # chunk k's downloads: jax dispatch is async, so the chip works
             # through k+1 while the host collects k and builds its clean

@@ -44,7 +44,7 @@ def run_local_ocr(
         try:
             return runner.batch(crops)
         except Exception:
-            return ["[OCR FAILED]"] * len(crops)
+            pass  # fall through to the per-crop loop: isolates the failure
     arr_texts: List[str] = []
     for crop in crops:
         try:

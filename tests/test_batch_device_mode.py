@@ -228,3 +228,94 @@ def test_osb_config_falls_back_to_page_path(batch_manager,  # noqa: F811
     result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
     assert not called
     assert result["success_count"] == 2
+
+
+def test_colored_bubble_config_falls_back_to_page_path(  # noqa: F811
+        batch_manager, tmp_path, monkeypatch):
+    """inpaint_colored_bubbles configs skip the stacked path (its clean phase
+    has no Flux inpainter wired) so colored bubbles keep their Flux route."""
+    import mangatranslator_tpu.pipeline.device_batch as db
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    called = []
+    monkeypatch.setattr(db, "process_pages_batched",
+                        lambda *a, **k: called.append(1) or [])
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2
+    cfg.cleaning.inpaint_colored_bubbles = True
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert not called
+    assert result["success_count"] == 2
+
+
+def test_precancelled_batch_stops_device_path(batch_manager,  # noqa: F811
+                                              tmp_path):
+    """Cancellation stops the device-batched chapter path instead of
+    processing every page to completion (round-3 review finding)."""
+    from mangatranslator_tpu.pipeline.cancellation import CancellationManager
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(4):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    cm = CancellationManager()
+    cm.cancel()
+    out = tmp_path / "out"
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2
+    result = batch_translate_images(pages_dir, cfg, out, cancellation=cm)
+    assert result["success_count"] == 0
+    assert not list(out.glob("*_translated.png"))
+
+
+def test_failed_page_publishes_context_chain(batch_manager,  # noqa: F811
+                                             tmp_path, monkeypatch):
+    """A page that fails BEFORE its translate closure still publishes [] to
+    the context chain, so later pages don't stall in wait_previous until the
+    timeout (round-3 review finding)."""
+    import time
+
+    import mangatranslator_tpu.detection.sorting as sorting
+    import mangatranslator_tpu.pipeline.batch as batch_mod
+
+    mgr, img = batch_manager
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    # a regression (no publish) would stall for the full timeout
+    monkeypatch.setattr(batch_mod, "CONTEXT_WAIT_TIMEOUT_S", 30.0)
+
+    calls = [0]
+    real_sort = sorting.sort_bubbles_by_reading_order
+
+    def failing_sort(*a, **k):
+        calls[0] += 1
+        if calls[0] == 2:  # second page through finish_page
+            raise RuntimeError("injected sort failure")
+        return real_sort(*a, **k)
+
+    monkeypatch.setattr(sorting, "sort_bubbles_by_reading_order", failing_sort)
+
+    def fake_llm(image, ordered, config):
+        return ["ok"] * len(ordered)
+
+    cfg = make_config()  # real LLM path: context chain is live
+    cfg.parallel.pages_per_device_batch = 3
+    cfg.translation.previous_context_text_count = 1
+    t0 = time.monotonic()
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out",
+                                    translate_fn=fake_llm)
+    elapsed = time.monotonic() - t0
+    assert result["success_count"] == 2
+    assert result["error_count"] == 1
+    assert elapsed < 25, f"context-chain stall: {elapsed:.1f}s"

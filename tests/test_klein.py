@@ -226,8 +226,8 @@ def test_manager_builds_klein_from_converted_flux2(monkeypatch, tmp_path):
         out = mgr.checkpoint_path(ModelType.FLUX_KLEIN_4B)
         out.parent.mkdir(parents=True, exist_ok=True)
         save_flax_safetensors(dit, str(out))
-        save_flax_safetensors(vae, str(out.parent /
-                                       "flux_vae.flax.safetensors"))
+        # strictly the matching family's VAE: Klein loads FLUX2_VAE only
+        save_flax_safetensors(vae, str(mgr.checkpoint_path(ModelType.FLUX2_VAE)))
         inp = mgr.get_flux_inpainter("flux_klein_4b")
         assert isinstance(inp, KleinInpainter)
         assert inp.dit_cfg.hidden_size == cfg.hidden_size

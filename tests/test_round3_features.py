@@ -424,3 +424,70 @@ class TestModelAcquisition:
         out = mgr.convert_and_store(ModelType.QWEN3_TEXT_ENCODER, d)
         assert out is not None
         assert mgr.checkpoint_path(ModelType.QWEN3_TEXT_ENCODER).exists()
+
+
+class TestBatchedOcrFallback:
+    def test_batch_failure_falls_back_per_crop(self, monkeypatch):
+        """runner.batch raising must not wholesale-fail the page: the
+        per-crop loop isolates the failure (round-3 review finding)."""
+        from mangatranslator_tpu.services.local_ocr import run_local_ocr
+
+        class FlakyRunner:
+            def batch(self, crops):
+                raise RuntimeError("fresh-bucket compile failure")
+
+            def __call__(self, crop):
+                return "text"
+
+        import mangatranslator_tpu.models.ocr as ocr_mod
+
+        monkeypatch.setattr(ocr_mod, "get_manga_ocr_runner",
+                            lambda: FlakyRunner())
+        img = Image.fromarray(
+            np.full((64, 64, 3), 255, np.uint8))
+        dets = [{"bbox": [0, 0, 32, 32]}, {"bbox": [32, 0, 64, 32]}]
+        assert run_local_ocr(img, dets, "manga-ocr") == ["text", "text"]
+
+    def test_per_crop_failure_isolated(self, monkeypatch):
+        from mangatranslator_tpu.services.local_ocr import run_local_ocr
+
+        class HalfBroken:
+            def __init__(self):
+                self.n = 0
+
+            def batch(self, crops):
+                raise RuntimeError("no batch today")
+
+            def __call__(self, crop):
+                self.n += 1
+                if self.n == 1:
+                    raise RuntimeError("bad crop")
+                return "ok"
+
+        import mangatranslator_tpu.models.ocr as ocr_mod
+
+        monkeypatch.setattr(ocr_mod, "get_manga_ocr_runner",
+                            lambda: HalfBroken())
+        img = Image.fromarray(np.full((64, 64, 3), 255, np.uint8))
+        dets = [{"bbox": [0, 0, 32, 32]}, {"bbox": [32, 0, 64, 32]}]
+        assert run_local_ocr(img, dets, "manga-ocr") == ["[OCR FAILED]", "ok"]
+
+
+class TestFluxVaeFamilyMatch:
+    def test_random_init_picks_matching_preset(self):
+        """build_converted_klein with no VAE must random-init a VAE whose
+        packed channels match the DiT, not the default preset's
+        (round-3 review finding: cross-family fallback shape-errors)."""
+        import jax
+
+        from mangatranslator_tpu.models.flux.flux2 import (
+            FLUX2_PRESETS,
+            init_flux2,
+        )
+        from mangatranslator_tpu.models.flux.klein import build_converted_klein
+
+        dit = jax.tree.map(np.asarray, init_flux2(FLUX2_PRESETS["test"]))
+        inp = build_converted_klein(dit, vae_vars=None, vae_preset="flux")
+        # test DiT packs 16 channels = 4-latent VAE x 2x2; the 'flux' preset
+        # (16 latents -> 64 packed) must be rejected in favor of a match
+        assert inp.vae_cfg.latent_channels * 4 == inp.dit_cfg.in_channels
