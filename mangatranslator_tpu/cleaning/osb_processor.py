@@ -232,7 +232,14 @@ def finish_outside_text_work(
     """Inpaint every group. Returns (image, render_infos). Modes:
     flux_* → FluxInpainter waves (concurrent under the coordinator);
     opencv → solid/telea fill; none → flag regions for text-background
-    rendering (reference :1389-1604)."""
+    rendering (reference :1389-1604).
+
+    Note on the reference's temp-PNG memory spills (:1511-1538): it saves
+    each intermediate PIL image to disk and reloads it because its sequential
+    region loop accumulates full-page PIL copies. Here every wave composites
+    its context rect directly into the single ``out`` ndarray, so peak memory
+    is one page regardless of region count and the spill is unnecessary by
+    construction."""
     import cv2
 
     out = image.copy()
