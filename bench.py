@@ -182,6 +182,8 @@ def run_pipeline(pages, tmp_out: Path) -> float:
         Image.fromarray(page).save(in_dir / f"page_{i:03d}.png")
     cfg.parallel.pages_per_device_batch = int(
         os.environ.get("MTX_BENCH_DEVICE_BS", "4"))
+    cfg.parallel.device_streams = int(
+        os.environ.get("MTX_BENCH_DEVICE_STREAMS", "3"))
     reps = 1 if cpu_mode else 3
     times = []
     for r in range(reps + 1):  # first run warms the batched programs

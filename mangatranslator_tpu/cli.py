@@ -47,6 +47,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--pages-per-device-batch", type=int, default=1,
                    help="Stack N pages into one detection/clean program "
                         "(batch mode; shards over the mesh's data axis)")
+    p.add_argument("--device-streams", type=int, default=3,
+                   help="Concurrent in-flight device chunks (hides remote "
+                        "collect latency; 1 = fully sequential chunks)")
 
     d = p.add_argument_group("detection")
     d.add_argument("--confidence", type=float, default=0.6)
@@ -293,6 +296,7 @@ def args_to_config(args: argparse.Namespace) -> MangaTranslatorConfig:
     t.special_instructions = args.special_instructions
     t.ocr_method = args.ocr_method
     cfg.parallel.pages_per_device_batch = max(1, args.pages_per_device_batch)
+    cfg.parallel.device_streams = max(1, args.device_streams)
 
     r = cfg.rendering
     r.font_dir = args.font_dir

@@ -214,6 +214,11 @@ class ParallelConfig:
     shard_pages_over_mesh: bool = True  # shard the page batch over the 'data' axis
     host_io_workers: int = 8  # decode/encode thread pool
     double_buffer_llm: bool = True  # overlap LLM HTTP with device compute
+    # concurrent in-flight device chunks: each chunk's dispatch→collect chain
+    # blocks on remote round trips (0.4-0.9 s each on a remote-attached
+    # chip), so 2-3 overlapped streams hide collect latency behind the other
+    # streams' device compute while keeping the batched programs
+    device_streams: int = 3
 
 
 @dataclass

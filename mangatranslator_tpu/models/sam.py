@@ -228,18 +228,30 @@ class SamRefiner:
 
     MAX_PROMPTS = 16
 
-    def __init__(self, cfg: SamConfig, params):
+    def __init__(self, cfg: SamConfig, params, compute_dtype=None):
         self.cfg = cfg
         self.model = SamModel(cfg)
-        self._params = params
+        if compute_dtype is None:
+            # bf16 on TPU (MXU peak; the reference runs SAM in fp16/bf16 on
+            # GPU via get_best_dtype, core/device.py:34); CPU stays f32 so
+            # tests/goldens are unchanged
+            compute_dtype = (jnp.bfloat16
+                             if jax.devices()[0].platform == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self._params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
         @jax.jit
         def _run(params, image, boxes01):
             if image.dtype == jnp.uint8:
                 # uint8 upload (4× fewer tunnel bytes), normalized on device
                 image = image.astype(jnp.float32) / 255.0
-            logits = self.model.apply(params, image, boxes01)
-            return jax.nn.sigmoid(logits)
+            logits = self.model.apply(params, image.astype(compute_dtype),
+                                      boxes01)
+            # sigmoid + 0.5-threshold comparison in f32
+            return jax.nn.sigmoid(logits.astype(jnp.float32))
 
         self._run = _run
 

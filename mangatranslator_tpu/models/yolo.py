@@ -385,12 +385,23 @@ class YoloRunner:
     the reference's per-model lazy loads but with compile-once semantics.
     """
 
-    def __init__(self, cfg: YoloConfig, params, imgsz: int, max_det: int = 64):
+    def __init__(self, cfg: YoloConfig, params, imgsz: int, max_det: int = 64,
+                 compute_dtype=None):
         self.cfg = cfg
         self.imgsz = imgsz
         self.max_det = max_det
         self.model = YoloModel(cfg)
-        self._params = params
+        if compute_dtype is None:
+            # bf16 trunk on TPU (MXU peak; mirrors the reference's fp16/bf16
+            # GPU default via get_best_dtype, core/device.py:34); CPU stays
+            # f32 so conversion goldens/tests remain bit-identical
+            compute_dtype = (jnp.bfloat16
+                             if jax.devices()[0].platform == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self._params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, images, conf, iou):
@@ -398,7 +409,10 @@ class YoloRunner:
                 # hosts upload uint8 letterbox canvases (4× fewer bytes over
                 # a remote-attached tunnel); normalize on device
                 images = images.astype(jnp.float32) / 255.0
-            raw = self.model.apply(params, images)
+            raw = self.model.apply(params, images.astype(compute_dtype))
+            # decode/NMS in f32: box regression and score comparisons keep
+            # full precision regardless of the trunk dtype
+            raw = jax.tree.map(lambda t: t.astype(jnp.float32), raw)
             return postprocess(raw, imgsz, conf, iou, max_det, cfg.seg)
 
         self._run = _run

@@ -394,57 +394,83 @@ def process_pages_batched(
                                 "error": str(e)}
 
     chunks = [list(range(s, min(n, s + chunk))) for s in range(0, n, chunk)]
-    det_h: Dict[int, Any] = {}
-    pan_h: Dict[int, Any] = {}
+    streams = max(1, int(getattr(config.parallel, "device_streams", 1) or 1))
+    streams = min(streams, len(chunks))
 
-    def dispatch(k: int) -> None:
+    import threading
+
+    submit_lock = threading.Lock()
+    ready_chunks: Dict[int, List[int]] = {}
+    next_submit = [0]
+    futures: List[Any] = []  # page futures, strictly in page-index order
+
+    def store_chunk(k: int, ids, dets_c, pages_c, infos_c, panels_c,
+                    pool) -> None:
+        """Deposit a finished chunk and submit finish_page jobs for every
+        consecutive ready chunk IN PAGE ORDER — the host pool executes FIFO,
+        so earlier pages always reach the LLM context chain before later
+        pages block in wait_previous (out-of-order submission could park
+        every pool worker on waiters whose producers sit behind them in the
+        queue)."""
+        for local, pi in enumerate(ids):
+            per_page_dets[pi] = dets_c[local]
+            cleaned_pages[pi] = pages_c[local]
+            cleaned_infos[pi] = infos_c[local]
+            page_panels[pi] = panels_c[local]
+        with submit_lock:
+            ready_chunks[k] = ids
+            while next_submit[0] in ready_chunks:
+                for pi in ready_chunks.pop(next_submit[0]):
+                    futures.append(pool.submit(finish_page, pi))
+                next_submit[0] += 1
+
+    def chunk_chain(k: int, pool) -> None:
+        """One chunk's full device chain: dispatch detect/panels → collect →
+        clean → deposit. With ``streams`` of these running concurrently the
+        blocking collect round trips (0.4-0.9 s each on a remote-attached
+        chip in latency-degraded phases) hide behind the other streams'
+        device compute, while every program stays batched."""
         ids = chunks[k]
+        if cancel is not None:
+            cancel.check(f"device batch chunk {k}")
         imgs = [images[pi] for pi in ids]
-        det_h[k] = _dispatch_detect(imgs, config)
+        det_h = _dispatch_detect(imgs, config)
+        pan_h = None
         if config.detection.use_panel_sorting:
             try:
-                pan_h[k] = _dispatch_panels(imgs, config)
+                pan_h = _dispatch_panels(imgs, config)
             except Exception as e:
                 from ..logging import log_message
 
                 log_message(f"Batched panel dispatch failed: {e}",
                             always_print=True)
+        with timers.span("batched_detect"):
+            dets_c = _collect_detect(det_h, imgs)
+        panels_c: List[List[List[int]]] = [[] for _ in ids]
+        if pan_h is not None:
+            try:
+                with timers.span("batched_panels"):
+                    panels_c = _collect_panels(pan_h, imgs)
+            except Exception as e:
+                from ..logging import log_message
+
+                log_message(f"Batched panel detection failed: {e}",
+                            always_print=True)
+        pages_c, infos_c = _clean_phase(imgs, dets_c, config)
+        store_chunk(k, ids, dets_c, pages_c, infos_c, panels_c, pool)
 
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
-        futures = []
-        dispatch(0)
-        for k, ids in enumerate(chunks):
-            if cancel is not None:
-                cancel.check(f"device batch chunk {k}")
-            # issue chunk k+1's detect/panel forwards BEFORE blocking on
-            # chunk k's downloads: jax dispatch is async, so the chip works
-            # through k+1 while the host collects k and builds its clean
-            # batch — hides the per-leaf tunnel round trips (0.4-0.9 s each
-            # in latency-degraded phases) behind real device compute
-            if k + 1 < len(chunks):
-                dispatch(k + 1)
-            imgs = [images[pi] for pi in ids]
-            with timers.span("batched_detect"):
-                dets_c = _collect_detect(det_h.pop(k), imgs)
-            panels_c: List[List[List[int]]] = [[] for _ in ids]
-            if k in pan_h:
-                try:
-                    with timers.span("batched_panels"):
-                        panels_c = _collect_panels(pan_h.pop(k), imgs)
-                except Exception as e:
-                    from ..logging import log_message
-
-                    log_message(f"Batched panel detection failed: {e}",
-                                always_print=True)
-            pages_c, infos_c = _clean_phase(imgs, dets_c, config)
-            for local, pi in enumerate(ids):
-                per_page_dets[pi] = dets_c[local]
-                cleaned_pages[pi] = pages_c[local]
-                cleaned_infos[pi] = infos_c[local]
-                page_panels[pi] = panels_c[local]
-            # submit without waiting: the next chunk's device phase runs
-            # while these pages translate/lay out/render on the pool
-            futures.extend(pool.submit(finish_page, pi) for pi in ids)
+        if streams <= 1:
+            for k in range(len(chunks)):
+                chunk_chain(k, pool)
+        else:
+            with ThreadPoolExecutor(max_workers=streams) as dpool:
+                chain_futs = [dpool.submit(chunk_chain, k, pool)
+                              for k in range(len(chunks))]
+                # earliest chunk's failure propagates first so the caller's
+                # per-chunk fallback restarts from the right page
+                for f in chain_futs:
+                    f.result()
         with timers.span("batched_render"):
             results = [f.result() for f in futures]
     return results

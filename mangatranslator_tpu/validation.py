@@ -105,6 +105,7 @@ _C: Dict[str, Constraint] = {
         1.0, 8.0, (("output", "image_upscale_factor"), ("preprocessing", "factor"))
     ),
     "parallel_requests": Constraint(1, 20, (("parallel_requests",),)),
+    "device_streams": Constraint(1, 8, (("parallel", "device_streams"),)),
 }
 
 SETTING_CONSTRAINTS: Dict[str, Tuple[float, float]] = {k: (c.lo, c.hi) for k, c in _C.items()}

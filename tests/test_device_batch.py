@@ -91,3 +91,49 @@ def test_batched_detect_sharded_over_mesh(batch_manager):
     dets = detect_pages_batched([img] * 8, cfg)
     assert len(dets) == 8
     assert all(len(d) == 2 for d in dets)
+
+
+def test_device_streams_match_sequential(batch_manager):
+    """Concurrent chunk streams (device_streams=3) must yield byte-identical
+    pages and identical infos to the fully sequential path (streams=1), in
+    the same page order."""
+    mgr, img = batch_manager
+    pages = [img.copy() for _ in range(6)]
+
+    cfg_seq = make_config(test_mode=True)
+    cfg_seq.parallel.device_streams = 1
+    seq = process_pages_batched(pages, cfg_seq, chunk_pages=2)
+
+    cfg_par = make_config(test_mode=True)
+    cfg_par.parallel.device_streams = 3
+    par = process_pages_batched(pages, cfg_par, chunk_pages=2)
+
+    assert len(seq) == len(par) == 6
+    for (a_seq, i_seq), (a_par, i_par) in zip(seq, par):
+        assert np.array_equal(a_seq, a_par)
+        assert i_seq["bubbles"] == i_par["bubbles"]
+        assert i_seq["rendered"] == i_par["rendered"]
+        assert i_seq["texts"] == i_par["texts"]
+
+
+def test_device_streams_chunk_failure_propagates(batch_manager, monkeypatch):
+    """A chunk-chain failure under concurrent streams surfaces to the caller
+    (so the batch driver's per-chunk fallback can take over)."""
+    import mangatranslator_tpu.pipeline.device_batch as db
+
+    mgr, img = batch_manager
+    real = db._collect_detect
+    calls = [0]
+
+    def flaky(handle, images):
+        calls[0] += 1
+        if calls[0] == 1:
+            raise RuntimeError("injected collect failure")
+        return real(handle, images)
+
+    monkeypatch.setattr(db, "_collect_detect", flaky)
+    cfg = make_config(test_mode=True)
+    cfg.parallel.device_streams = 3
+    with pytest.raises(RuntimeError, match="injected collect failure"):
+        process_pages_batched([img.copy() for _ in range(4)], cfg,
+                              chunk_pages=2)
