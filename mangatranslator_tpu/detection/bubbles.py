@@ -45,6 +45,88 @@ def _letterbox_np(image: np.ndarray, target: int):
     return canvas, scale, px, py
 
 
+_PAD_BUCKET = 128
+_PAD_PROGRAMS: Dict[tuple, Any] = {}
+
+
+def _tight_letterbox_np(image: np.ndarray, target: int):
+    """Letterbox whose constant padding bands are added ON DEVICE.
+
+    Returns a tight [nh_b, nw_b, 3] canvas (dims bucketed to multiples of
+    128 so compiled pad programs are bounded) holding the resized page at
+    exactly the offset the full centered letterbox would use, plus the same
+    (scale, px, py) as ``_letterbox_np`` and the bucket's static placement
+    offsets. Uploading the tight canvas instead of the full target² one cuts
+    the dominant chapter-path transfer by the padding-band fraction (~25-30%
+    for portrait pages on a 1600² detector input); the device-side pad
+    reproduces the full canvas byte-for-byte, so detection is bitwise
+    unchanged."""
+    import cv2
+
+    h, w = image.shape[:2]
+    scale = min(target / h, target / w)
+    nh, nw = int(round(h * scale)), int(round(w * scale))
+    nh_b = min(target, -(-nh // _PAD_BUCKET) * _PAD_BUCKET)
+    nw_b = min(target, -(-nw // _PAD_BUCKET) * _PAD_BUCKET)
+    py, px = (target - nh) // 2, (target - nw) // 2
+    py0, px0 = (target - nh_b) // 2, (target - nw_b) // 2
+    tight = np.full((nh_b, nw_b, 3), 114, np.uint8)
+    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    tight[py - py0: py - py0 + nh, px - px0: px - px0 + nw] = resized
+    return tight, scale, px, py, (py0, px0)
+
+
+def _pad_program(nh_b: int, nw_b: int, target: int, py0: int, px0: int):
+    """Jitted 114-fill pad to [B, target, target, 3]; one program per
+    (bucket dims, target) — static offsets, so the padded canvas is
+    byte-identical to the host letterbox."""
+    key = (nh_b, nw_b, target, py0, px0)
+    fn = _PAD_PROGRAMS.get(key)
+    if fn is None:
+        import jax
+        import jax.numpy as jnp
+
+        @jax.jit
+        def fn(tight):
+            b = tight.shape[0]
+            canvas = jnp.full((b, target, target, 3), 114, jnp.uint8)
+            return jax.lax.dynamic_update_slice(canvas, tight,
+                                                (0, py0, px0, 0))
+
+        _PAD_PROGRAMS[key] = fn
+    return fn
+
+
+def letterbox_to_device(images: List[np.ndarray], target: int):
+    """Upload same-shaped pages as ONE tight canvas batch, pad on device.
+
+    Returns (device_batch [B, target, target, 3] u8, [(scale, px, py)]).
+    Mixed page shapes fall back to full host letterboxing (one canvas per
+    page), which is upload-heavier but always correct."""
+    import jax.numpy as jnp
+
+    shapes = {img.shape[:2] for img in images}
+    if len(shapes) != 1:
+        canvases = np.zeros((len(images), target, target, 3), np.uint8)
+        metas = []
+        for i, img in enumerate(images):
+            canvas, scale, px, py = _letterbox_np(img, target)
+            canvases[i] = canvas
+            metas.append((scale, px, py))
+        return jnp.asarray(canvases), metas
+    tights, metas = [], []
+    py0 = px0 = 0
+    for img in images:
+        tight, scale, px, py, (py0, px0) = _tight_letterbox_np(img, target)
+        tights.append(tight)
+        metas.append((scale, px, py))
+    batch = jnp.asarray(np.stack(tights))
+    nh_b, nw_b = tights[0].shape[:2]
+    if (nh_b, nw_b) == (target, target):
+        return batch, metas
+    return _pad_program(nh_b, nw_b, target, py0, px0)(batch), metas
+
+
 def unpack_detection_masks(masks: np.ndarray, proto_w: int) -> np.ndarray:
     """Undo device bitpacking when present ([..., W/8] uint8 → [..., W] 0/1).
     Unpacked (test-double) masks pass through."""
@@ -80,13 +162,12 @@ def _run_detector(
     image: np.ndarray, runner: DetectionRunner, conf: float
 ) -> List[Dict[str, Any]]:
     """Forward + host unpacking to page-coordinate detection dicts."""
-    import jax.numpy as jnp
-
     import jax
 
     page_h, page_w = image.shape[:2]
-    canvas, scale, px, py = _letterbox_np(image, runner.imgsz)
-    batch = jnp.asarray(canvas[None])  # uint8; normalized on device
+    # tight upload + device pad (byte-identical to the host letterbox)
+    batch, metas = letterbox_to_device([image], runner.imgsz)
+    scale, px, py = metas[0]
     det = runner(batch, conf=conf)
     # ONE batched device_get: each separate readback pays a tunnel round trip
     fetched = jax.device_get((det.num, det.boxes, det.scores, det.classes,

@@ -256,19 +256,30 @@ class RTDetrRunner:
     CLASS_NAMES = ("bubble", "text_bubble", "text_free")
 
     def __init__(self, cfg, params, imgsz: int = 640,
-                 max_det: int = 64, model=None):
+                 max_det: int = 64, model=None, compute_dtype=None):
         self.cfg = cfg
         self.imgsz = imgsz
         self.max_det = max_det
         self.model = model if model is not None else RTDetrModel(cfg)
-        self._params = params
+        if compute_dtype is None:
+            # bf16 trunk on TPU, f32 on CPU (goldens/tests) — the shared
+            # runner dtype discipline (yolo.py/sam.py/rcan.py)
+            compute_dtype = (jnp.bfloat16
+                             if jax.devices()[0].platform == "tpu"
+                             else jnp.float32)
+        self.compute_dtype = compute_dtype
+        self._params = jax.tree.map(
+            lambda x: x.astype(compute_dtype)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
 
         @jax.jit
         def _run(params, images, conf, iou):
             if images.dtype == jnp.uint8:
                 # uint8 letterbox upload, normalized on device (tunnel bytes)
                 images = images.astype(jnp.float32) / 255.0
-            out = self.model.apply(params, images)
+            out = self.model.apply(params, images.astype(compute_dtype))
+            # score/box decode in f32 (comparison + NMS precision)
+            out = jax.tree.map(lambda t: t.astype(jnp.float32), out)
             probs = jax.nn.sigmoid(out["logits"])
             scores = jnp.max(probs, axis=-1)
             classes = jnp.argmax(probs, axis=-1).astype(jnp.int32)

@@ -23,7 +23,12 @@ from ..config import MangaTranslatorConfig
 from ..logging import get_stage_timers
 from ..models.manager import ModelType, get_model_manager
 from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
-from ..detection.bubbles import _box_mask, _letterbox_np, _mask_to_page
+from ..detection.bubbles import (
+    _box_mask,
+    _letterbox_np,
+    _mask_to_page,
+    letterbox_to_device,
+)
 
 
 _PACK_JIT = None
@@ -62,7 +67,6 @@ def _dispatch_detect(images: List[np.ndarray],
     the host works on other chunks. ``_collect_detect`` blocks on exactly
     two transfer leaves (packed boxes/scores/num + bitpacked masks)."""
     import jax
-    import jax.numpy as jnp
 
     manager = get_model_manager()
     if runner is None:
@@ -71,21 +75,23 @@ def _dispatch_detect(images: List[np.ndarray],
                        else ModelType.YOLO_SPEECH_BUBBLE_1)
         runner = manager.get_detector(bubble_type)
 
-    metas = []
-    canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3), np.uint8)
-    for i, img in enumerate(images):
-        canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
-        canvases[i] = canvas
-        metas.append((scale, px, py))
-
     if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
         # shard the stacked page batch over the data mesh axis: a v5e-4 slice
         # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
         from ..runtime import device_put_sharded_pages, make_mesh
 
+        metas = []
+        canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3),
+                            np.uint8)
+        for i, img in enumerate(images):
+            canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
+            canvases[i] = canvas
+            metas.append((scale, px, py))
         batch = device_put_sharded_pages(canvases, make_mesh())
     else:
-        batch = jnp.asarray(canvases)  # uint8; normalized on device
+        # tight upload + device pad (byte-identical to the host letterbox;
+        # ~25-30% fewer bytes for portrait pages)
+        batch, metas = letterbox_to_device(images, runner.imgsz)
     det = runner(batch, conf=config.detection.confidence)
     flat = _pack_det_outputs(det.num, det.boxes, det.scores)
     return flat, det.masks, metas, runner.imgsz
@@ -154,17 +160,10 @@ def detect_pages_batched(
 def _dispatch_panels(images: List[np.ndarray],
                      config: MangaTranslatorConfig):
     """Upload + stacked panel forward + packing; non-blocking handle."""
-    import jax.numpy as jnp
-
     manager = get_model_manager()
     runner = manager.get_detector(ModelType.YOLO_PANEL)
-    metas = []
-    canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3), np.uint8)
-    for i, img in enumerate(images):
-        canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
-        canvases[i] = canvas
-        metas.append((scale, px, py))
-    det = runner(jnp.asarray(canvases), conf=config.detection.panel_confidence)
+    batch, metas = letterbox_to_device(images, runner.imgsz)
+    det = runner(batch, conf=config.detection.panel_confidence)
     flat = _pack_det_outputs(det.num, det.boxes, det.scores)
     return flat, metas
 

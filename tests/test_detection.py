@@ -196,3 +196,45 @@ class TestGeometry:
         np.testing.assert_array_equal((total > 0).astype(np.uint8), parent)
         # left child owns left core, right child right core
         assert children[0][30, 20] == 1 and children[1][30, 80] == 1
+
+
+def test_tight_letterbox_byte_identical():
+    """letterbox_to_device (tight upload + device pad) must reproduce the
+    host letterbox canvas byte-for-byte and return identical metas, for
+    portrait, landscape, and square pages."""
+    import numpy as np
+
+    from mangatranslator_tpu.detection.bubbles import (
+        _letterbox_np,
+        letterbox_to_device,
+    )
+
+    rng = np.random.default_rng(0)
+    for h, w in ((500, 353), (353, 500), (256, 256), (512, 120)):
+        img = rng.integers(0, 255, (h, w, 3), np.uint8)
+        ref, scale, px, py = _letterbox_np(img, 256)
+        batch, metas = letterbox_to_device([img, img], 256)
+        got = np.asarray(batch)
+        assert metas == [(scale, px, py)] * 2
+        assert got.shape == (2, 256, 256, 3)
+        assert np.array_equal(got[0], ref), (h, w)
+        assert np.array_equal(got[1], ref)
+
+
+def test_tight_letterbox_mixed_shapes_fallback():
+    import numpy as np
+
+    from mangatranslator_tpu.detection.bubbles import (
+        _letterbox_np,
+        letterbox_to_device,
+    )
+
+    rng = np.random.default_rng(1)
+    a = rng.integers(0, 255, (300, 200, 3), np.uint8)
+    b = rng.integers(0, 255, (200, 300, 3), np.uint8)
+    batch, metas = letterbox_to_device([a, b], 256)
+    got = np.asarray(batch)
+    for i, img in enumerate((a, b)):
+        ref, scale, px, py = _letterbox_np(img, 256)
+        assert metas[i] == (scale, px, py)
+        assert np.array_equal(got[i], ref)
