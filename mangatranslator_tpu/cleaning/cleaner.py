@@ -202,7 +202,13 @@ def _clean_device_program(gray_u8, mask_packed, use_otsu: bool,
     planes.append(bitpack_mask(validity))
     packed = jnp.stack(planes)
     scalars = jnp.stack([inverts.astype(jnp.float32), thr_eff])
-    return packed, scalars
+    # ONE output leaf: mask planes + scalar bytes concatenated, because every
+    # device_get leaf is a separate tunnel round trip
+    import jax
+
+    return jnp.concatenate(
+        [packed.reshape(-1),
+         jax.lax.bitcast_convert_type(scalars, jnp.uint8).reshape(-1)])
 
 
 def clean_speech_bubbles(
@@ -295,7 +301,7 @@ def clean_pages_bubbles(
     use_pallas = jax.devices()[0].platform == "tpu"
     junction_px = max(1, int(round(1.0 * processing_scale)))
     need_light = any(it[2].get("conjoined_siblings") for it in items)
-    packed_d, scalars_d = _clean_device_program(
+    blob_d = _clean_device_program(
         jnp.asarray(gray_b), jnp.asarray(np.packbits(mask_b, axis=-1)),
         use_otsu=bool(cfg.use_otsu_threshold),
         fixed_thresh=float(cfg.thresholding_value),
@@ -303,8 +309,14 @@ def clean_pages_bubbles(
         junction_radius=junction_px, need_light=need_light)
     from ..ops.masks import bitunpack_mask_np
 
-    # TWO transfers total: each device_get leaf is a full tunnel round trip
-    packed, scalars = jax.device_get((packed_d, scalars_d))
+    # ONE transfer total: the program folds mask planes + scalars into a
+    # single uint8 leaf (each device_get leaf is a full tunnel round trip)
+    blob = np.asarray(jax.device_get(blob_d))
+    n_planes = 3 if need_light else 2
+    psize = n_planes * n_pad * bh * (bw // 8)
+    packed = blob[:psize].reshape(n_planes, n_pad, bh, bw // 8)
+    scalars = np.ascontiguousarray(blob[psize:]).view(
+        np.float32).reshape(2, n_pad)
     inverts = scalars[0].astype(np.int32)
     thr_eff = scalars[1]
     cand = bitunpack_mask_np(packed[0], bw).astype(np.float32)

@@ -27,35 +27,10 @@ from ..detection.bubbles import (
     _box_mask,
     _letterbox_np,
     _mask_to_page,
+    fold_detections,
     letterbox_to_device,
+    unfold_detections,
 )
-
-
-_PACK_JIT = None
-
-
-def _pack_det_outputs(num, boxes, scores):
-    """Fold (num, boxes, scores) into ONE [B, md, 6] f32 array on device:
-    each device_get leaf is a full tunnel round trip on the remote-attached
-    chip (0.4-0.9 s in latency-degraded phases), so the whole non-mask
-    detection output downloads as a single leaf. The jitted packer is a
-    module-level singleton — a per-call jit object would miss the trace
-    cache every time."""
-    global _PACK_JIT
-    if _PACK_JIT is None:
-        import jax
-        import jax.numpy as jnp
-
-        def pack(num, boxes, scores):
-            b, md, _ = boxes.shape
-            n_col = jnp.broadcast_to(
-                num.astype(jnp.float32)[:, None, None], (b, md, 1))
-            return jnp.concatenate(
-                [boxes.astype(jnp.float32),
-                 scores.astype(jnp.float32)[..., None], n_col], axis=-1)
-
-        _PACK_JIT = jax.jit(pack)
-    return _PACK_JIT(num, boxes, scores)
 
 
 def _dispatch_detect(images: List[np.ndarray],
@@ -65,7 +40,7 @@ def _dispatch_detect(images: List[np.ndarray],
     Returns a handle of device arrays WITHOUT blocking — jax dispatch is
     async, so the forward runs (and its inputs stream up the tunnel) while
     the host works on other chunks. ``_collect_detect`` blocks on exactly
-    two transfer leaves (packed boxes/scores/num + bitpacked masks)."""
+    ONE transfer leaf (folded header + bitpacked masks)."""
     import jax
 
     manager = get_model_manager()
@@ -93,19 +68,18 @@ def _dispatch_detect(images: List[np.ndarray],
         # ~25-30% fewer bytes for portrait pages)
         batch, metas = letterbox_to_device(images, runner.imgsz)
     det = runner(batch, conf=config.detection.confidence)
-    flat = _pack_det_outputs(det.num, det.boxes, det.scores)
-    return flat, det.masks, metas, runner.imgsz
+    # fold the whole output into ONE device leaf (bubbles.fold_detections):
+    # one collect round trip instead of one per leaf
+    return fold_detections(det), metas, runner.imgsz
 
 
 def _collect_detect(handle, images: List[np.ndarray]
                     ) -> List[List[Dict[str, Any]]]:
     """Block on a ``_dispatch_detect`` handle → per-page detection dicts
     (dedup/contained rules applied per page)."""
-    import jax
-
-    flat_d, masks_d, metas, imgsz = handle
-    flat, masks_all = jax.device_get((flat_d, masks_d))
-    boxes_all, scores_all, nums = flat[..., :4], flat[..., 4], flat[:, 0, 5]
+    fold_handle, metas, imgsz = handle
+    nums, boxes_all, scores_all, _classes, masks_all = unfold_detections(
+        fold_handle)
     if masks_all is not None:
         from ..detection.bubbles import unpack_detection_masks
 
@@ -164,19 +138,16 @@ def _dispatch_panels(images: List[np.ndarray],
     runner = manager.get_detector(ModelType.YOLO_PANEL)
     batch, metas = letterbox_to_device(images, runner.imgsz)
     det = runner(batch, conf=config.detection.panel_confidence)
-    flat = _pack_det_outputs(det.num, det.boxes, det.scores)
-    return flat, metas
+    return fold_detections(det), metas
 
 
 def _collect_panels(handle, images: List[np.ndarray]
                     ) -> List[List[List[int]]]:
     """Block on a ``_dispatch_panels`` handle → per-page panel boxes (one
     transfer leaf)."""
-    import jax
-
-    flat_d, metas = handle
-    flat = jax.device_get(flat_d)
-    boxes_all, nums = flat[..., :4], flat[:, 0, 5]
+    fold_handle, metas = handle
+    nums, boxes_all, _scores, _classes, _masks = unfold_detections(
+        fold_handle)
     out: List[List[List[int]]] = []
     for i, img in enumerate(images):
         page_h, page_w = img.shape[:2]
