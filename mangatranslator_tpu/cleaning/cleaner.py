@@ -141,10 +141,11 @@ def _clean_device_program(gray_u8, mask_packed, use_otsu: bool,
     chain of eager ops (each eager op costs a host↔device round trip).
 
     Gray arrives uint8 (4× cheaper host→device upload), the bubble masks
-    arrive bitpacked (8 px/byte, unpacked on device) and the three output
-    masks leave as ONE stacked bitpacked array + one scalar pair — every
-    separate device_get leaf pays a full tunnel round trip on remote-attached
-    TPUs, so transfer count matters as much as bytes."""
+    arrive bitpacked (8 px/byte, unpacked on device) and the whole output —
+    stacked bitpacked mask planes plus the scalar pair bitcast to bytes —
+    leaves as ONE uint8 blob: every separate device_get leaf pays a full
+    tunnel round trip on remote-attached TPUs, so transfer count matters as
+    much as bytes."""
     import jax.numpy as jnp
 
     from ..ops.masks import bitunpack_mask
@@ -204,8 +205,6 @@ def _clean_device_program(gray_u8, mask_packed, use_otsu: bool,
     scalars = jnp.stack([inverts.astype(jnp.float32), thr_eff])
     # ONE output leaf: mask planes + scalar bytes concatenated, because every
     # device_get leaf is a separate tunnel round trip
-    import jax
-
     return jnp.concatenate(
         [packed.reshape(-1),
          jax.lax.bitcast_convert_type(scalars, jnp.uint8).reshape(-1)])

@@ -47,6 +47,11 @@ def _letterbox_np(image: np.ndarray, target: int):
 
 _PAD_BUCKET = 128
 _PAD_PROGRAMS: Dict[tuple, Any] = {}
+# guards lazy check-and-set of the module jit caches: concurrent device
+# streams (pipeline/device_batch.py) hit them from several threads, and two
+# threads building distinct jit objects for the same key would both pay the
+# multi-minute cold tunnel compile
+_JIT_LOCK = __import__("threading").Lock()
 
 
 def _tight_letterbox_np(image: np.ndarray, target: int):
@@ -81,19 +86,20 @@ def _pad_program(nh_b: int, nw_b: int, target: int, py0: int, px0: int):
     (bucket dims, target) — static offsets, so the padded canvas is
     byte-identical to the host letterbox."""
     key = (nh_b, nw_b, target, py0, px0)
-    fn = _PAD_PROGRAMS.get(key)
-    if fn is None:
-        import jax
-        import jax.numpy as jnp
+    with _JIT_LOCK:
+        fn = _PAD_PROGRAMS.get(key)
+        if fn is None:
+            import jax
+            import jax.numpy as jnp
 
-        @jax.jit
-        def fn(tight):
-            b = tight.shape[0]
-            canvas = jnp.full((b, target, target, 3), 114, jnp.uint8)
-            return jax.lax.dynamic_update_slice(canvas, tight,
-                                                (0, py0, px0, 0))
+            @jax.jit
+            def fn(tight):
+                b = tight.shape[0]
+                canvas = jnp.full((b, target, target, 3), 114, jnp.uint8)
+                return jax.lax.dynamic_update_slice(canvas, tight,
+                                                    (0, py0, px0, 0))
 
-        _PAD_PROGRAMS[key] = fn
+            _PAD_PROGRAMS[key] = fn
     return fn
 
 
@@ -118,36 +124,31 @@ def fold_detections(det):
                   and masks.dtype == jnp.uint8)
     if masks is not None and not has_packed:
         return ("raw", det, None)
-    fn = _FOLD_JIT.get(has_packed)
-    if fn is None:
-        if has_packed:
-            @jax.jit
-            def fn(num, boxes, scores, classes, m):
-                b, md, _ = boxes.shape
-                hdr = jnp.concatenate(
-                    [boxes.astype(jnp.float32),
-                     scores.astype(jnp.float32)[..., None],
-                     classes.astype(jnp.float32)[..., None],
-                     jnp.broadcast_to(
-                         num.astype(jnp.float32)[:, None, None],
-                         (b, md, 1))], axis=-1)
-                hdr8 = jax.lax.bitcast_convert_type(
-                    hdr, jnp.uint8).reshape(b, -1)
-                return jnp.concatenate([hdr8, m.reshape(b, -1)], axis=-1)
-        else:
-            @jax.jit
-            def fn(num, boxes, scores, classes):
-                b, md, _ = boxes.shape
-                hdr = jnp.concatenate(
-                    [boxes.astype(jnp.float32),
-                     scores.astype(jnp.float32)[..., None],
-                     classes.astype(jnp.float32)[..., None],
-                     jnp.broadcast_to(
-                         num.astype(jnp.float32)[:, None, None],
-                         (b, md, 1))], axis=-1)
-                return jax.lax.bitcast_convert_type(
-                    hdr, jnp.uint8).reshape(b, -1)
-        _FOLD_JIT[has_packed] = fn
+    def _hdr8(num, boxes, scores, classes):
+        # 7-field f32 header per slot (boxes4+score+class+num) bitcast to
+        # bytes — unfold_detections parses this exact 28-byte layout
+        b, md, _ = boxes.shape
+        hdr = jnp.concatenate(
+            [boxes.astype(jnp.float32),
+             scores.astype(jnp.float32)[..., None],
+             classes.astype(jnp.float32)[..., None],
+             jnp.broadcast_to(
+                 num.astype(jnp.float32)[:, None, None],
+                 (b, md, 1))], axis=-1)
+        return jax.lax.bitcast_convert_type(hdr, jnp.uint8).reshape(b, -1)
+
+    with _JIT_LOCK:
+        fn = _FOLD_JIT.get(has_packed)
+        if fn is None:
+            if has_packed:
+                @jax.jit
+                def fn(num, boxes, scores, classes, m):
+                    return jnp.concatenate(
+                        [_hdr8(num, boxes, scores, classes),
+                         m.reshape(m.shape[0], -1)], axis=-1)
+            else:
+                fn = jax.jit(_hdr8)
+            _FOLD_JIT[has_packed] = fn
     if has_packed:
         blob = fn(det.num, det.boxes, det.scores, det.classes, masks)
         return ("blob", blob, tuple(masks.shape))

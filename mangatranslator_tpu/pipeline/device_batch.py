@@ -364,7 +364,7 @@ def process_pages_batched(
                                 "error": str(e)}
 
     chunks = [list(range(s, min(n, s + chunk))) for s in range(0, n, chunk)]
-    streams = max(1, int(getattr(config.parallel, "device_streams", 1) or 1))
+    streams = max(1, int(getattr(config.parallel, "device_streams", 3) or 1))
     streams = min(streams, len(chunks))
 
     import threading
@@ -394,15 +394,10 @@ def process_pages_batched(
                     futures.append(pool.submit(finish_page, pi))
                 next_submit[0] += 1
 
-    def chunk_chain(k: int, pool) -> None:
-        """One chunk's full device chain: dispatch detect/panels → collect →
-        clean → deposit. With ``streams`` of these running concurrently the
-        blocking collect round trips (0.4-0.9 s each on a remote-attached
-        chip in latency-degraded phases) hide behind the other streams'
-        device compute, while every program stays batched."""
+    def dispatch_chunk(k: int):
+        """Issue chunk k's detect/panel forwards WITHOUT blocking (jax
+        dispatch is async)."""
         ids = chunks[k]
-        if cancel is not None:
-            cancel.check(f"device batch chunk {k}")
         imgs = [images[pi] for pi in ids]
         det_h = _dispatch_detect(imgs, config)
         pan_h = None
@@ -414,6 +409,20 @@ def process_pages_batched(
 
                 log_message(f"Batched panel dispatch failed: {e}",
                             always_print=True)
+        return imgs, det_h, pan_h
+
+    def chunk_chain(k: int, pool, pre=None) -> None:
+        """One chunk's full device chain: dispatch detect/panels → collect →
+        clean → deposit. With ``streams`` of these running concurrently the
+        blocking collect round trips (0.4-0.9 s each on a remote-attached
+        chip in latency-degraded phases) hide behind the other streams'
+        device compute, while every program stays batched. (Timer spans
+        overlap across streams — the per-stage breakdown for concurrent runs
+        sums concurrent wall-clock.)"""
+        ids = chunks[k]
+        if cancel is not None:
+            cancel.check(f"device batch chunk {k}")
+        imgs, det_h, pan_h = pre if pre is not None else dispatch_chunk(k)
         with timers.span("batched_detect"):
             dets_c = _collect_detect(det_h, imgs)
         panels_c: List[List[List[int]]] = [[] for _ in ids]
@@ -431,16 +440,33 @@ def process_pages_batched(
 
     with ThreadPoolExecutor(max_workers=host_workers) as pool:
         if streams <= 1:
+            # sequential chunks still prefetch: chunk k+1's forwards are
+            # issued BEFORE blocking on chunk k's collects, hiding the
+            # round trips behind real device compute
+            pre = dispatch_chunk(0) if chunks else None
             for k in range(len(chunks)):
-                chunk_chain(k, pool)
+                nxt = dispatch_chunk(k + 1) if k + 1 < len(chunks) else None
+                chunk_chain(k, pool, pre=pre)
+                pre = nxt
         else:
             with ThreadPoolExecutor(max_workers=streams) as dpool:
                 chain_futs = [dpool.submit(chunk_chain, k, pool)
                               for k in range(len(chunks))]
                 # earliest chunk's failure propagates first so the caller's
-                # per-chunk fallback restarts from the right page
+                # per-chunk fallback restarts from the right page; queued
+                # chunks are cancelled so the fallback isn't stuck behind
+                # device work whose results would be discarded anyway
+                err = None
                 for f in chain_futs:
-                    f.result()
+                    if err is None:
+                        try:
+                            f.result()
+                        except BaseException as e:  # noqa: BLE001
+                            err = e
+                            for g in chain_futs:
+                                g.cancel()
+                if err is not None:
+                    raise err
         with timers.span("batched_render"):
             results = [f.result() for f in futures]
     return results
