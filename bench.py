@@ -155,7 +155,6 @@ def run_pipeline(pages, tmp_out: Path) -> float:
 
     from mangatranslator_tpu.logging import get_stage_timers
     from mangatranslator_tpu.pipeline import translate_and_render
-    from mangatranslator_tpu.pipeline.batch import batch_translate_images
 
     cfg = _bench_config()
     cpu_mode = os.environ.get("MTX_BENCH_CPU") == "1"

@@ -13,6 +13,7 @@ YoloRunner protocol so tests can inject planted detections.
 
 from __future__ import annotations
 
+import threading
 from typing import Any, Dict, List, Optional, Protocol, Sequence
 
 import numpy as np
@@ -51,7 +52,7 @@ _PAD_PROGRAMS: Dict[tuple, Any] = {}
 # streams (pipeline/device_batch.py) hit them from several threads, and two
 # threads building distinct jit objects for the same key would both pay the
 # multi-minute cold tunnel compile
-_JIT_LOCK = __import__("threading").Lock()
+_JIT_LOCK = threading.Lock()
 
 
 def _tight_letterbox_np(image: np.ndarray, target: int):

@@ -476,27 +476,12 @@ def build_converted_klein(dit_vars, vae_vars=None, prompt: str = KLEIN_PROMPT,
     from the trees, like build_converted_inpainter)."""
     import os
 
-    from .convert_flux import infer_flux2_config, infer_vae_config_from_variables
-    from .vae import VAE_PRESETS, init_vae
+    from .convert_flux import infer_flux2_config
+    from .vae import resolve_vae_for_dit
 
     dit_cfg = infer_flux2_config(dit_vars)
-    if vae_vars is not None:
-        vae_cfg = infer_vae_config_from_variables(vae_vars)
-    else:
-        vae_cfg = VAE_PRESETS[vae_preset]
-        if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
-            # random-init fallback must match the DiT's packed channel
-            # count (2x2 patchify) or every inpaint shape-errors at trace
-            vae_cfg = next((c for c in VAE_PRESETS.values()
-                            if c.latent_channels * 4 == dit_cfg.in_channels),
-                           vae_cfg)
-        vae_vars = init_vae(vae_cfg)
-    if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
-        raise ValueError(
-            f"VAE latent channels {vae_cfg.latent_channels} (→ "
-            f"{vae_cfg.latent_channels * 4} packed) do not match the FLUX.2 "
-            f"DiT's in_channels={dit_cfg.in_channels}; convert the matching "
-            "FLUX2_VAE checkpoint")
+    vae_cfg, vae_vars = resolve_vae_for_dit(vae_vars, vae_preset,
+                                            dit_cfg.in_channels, "FLUX.2")
     quant = os.environ.get("MTX_FLUX_QUANT") or (
         "int8" if os.environ.get("MTX_FLUX_INT8") == "1" else None)
     return KleinInpainter(dit_cfg, vae_cfg, dit_vars, vae_vars, prompt=prompt,

@@ -364,26 +364,12 @@ def build_converted_inpainter(dit_vars, vae_vars=None,
     """Pipeline from converted checkpoints: DiT config inferred from the
     tree; VAE from its converted tree when present, else random-init at the
     production config."""
-    from .convert_flux import infer_flux_config, infer_vae_config_from_variables
-    from .vae import VAE_PRESETS, init_vae
+    from .convert_flux import infer_flux_config
+    from .vae import resolve_vae_for_dit
 
     dit_cfg = infer_flux_config(dit_vars)
-    if vae_vars is not None:
-        vae_cfg = infer_vae_config_from_variables(vae_vars)
-    else:
-        vae_cfg = VAE_PRESETS[vae_preset]
-        if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
-            # match the DiT's packed channel count (klein.py counterpart)
-            vae_cfg = next((c for c in VAE_PRESETS.values()
-                            if c.latent_channels * 4 == dit_cfg.in_channels),
-                           vae_cfg)
-        vae_vars = init_vae(vae_cfg)
-    if vae_cfg.latent_channels * 4 != dit_cfg.in_channels:
-        raise ValueError(
-            f"VAE latent channels {vae_cfg.latent_channels} (→ "
-            f"{vae_cfg.latent_channels * 4} packed) do not match the FLUX "
-            f"DiT's in_channels={dit_cfg.in_channels}; convert the matching "
-            "FLUX_VAE checkpoint")
+    vae_cfg, vae_vars = resolve_vae_for_dit(vae_vars, vae_preset,
+                                            dit_cfg.in_channels, "FLUX")
     import os
 
     bundle = FluxPipelineBundle(dit_cfg=dit_cfg, vae_cfg=vae_cfg,

@@ -148,3 +148,37 @@ def init_vae(cfg: VAEConfig, size: int = 32, seed: int = 0):
     model = FluxVAE(cfg)
     return model.init(jax.random.PRNGKey(seed),
                       jnp.zeros((1, size, size, 3)))
+
+
+def resolve_vae_for_dit(vae_vars, vae_preset: str, dit_in_channels: int,
+                        family: str):
+    """Pick the VAE config/params matching a DiT's packed channel count.
+
+    Shared by the FLUX.1 (pipeline.py) and FLUX.2 Klein (klein.py) builders:
+    a converted VAE tree wins; otherwise the preset is used, swapped for any
+    preset whose ``latent_channels * 4`` (2×2 patchify packing) matches the
+    DiT's ``in_channels`` so random-init fallbacks never shape-error at
+    trace. A converted tree from the WRONG family (Klein=FLUX.2 32ch vs
+    Kontext=FLUX.1 16ch) is a hard error — silent channel mismatch would
+    produce garbage latents.
+
+    Returns ``(vae_cfg, vae_vars)``.
+    """
+    from .convert_flux import infer_vae_config_from_variables
+
+    if vae_vars is not None:
+        vae_cfg = infer_vae_config_from_variables(vae_vars)
+    else:
+        vae_cfg = VAE_PRESETS[vae_preset]
+        if vae_cfg.latent_channels * 4 != dit_in_channels:
+            vae_cfg = next((c for c in VAE_PRESETS.values()
+                            if c.latent_channels * 4 == dit_in_channels),
+                           vae_cfg)
+        vae_vars = init_vae(vae_cfg)
+    if vae_cfg.latent_channels * 4 != dit_in_channels:
+        raise ValueError(
+            f"VAE latent channels {vae_cfg.latent_channels} (→ "
+            f"{vae_cfg.latent_channels * 4} packed) do not match the "
+            f"{family} DiT's in_channels={dit_in_channels}; convert the "
+            "matching VAE checkpoint")
+    return vae_cfg, vae_vars

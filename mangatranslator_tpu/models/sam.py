@@ -239,17 +239,19 @@ class SamRefiner:
                              if jax.devices()[0].platform == "tpu"
                              else jnp.float32)
         self.compute_dtype = compute_dtype
-        self._params = jax.tree.map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        from ..runtime import cast_f32_tree
+        self._params = cast_f32_tree(params, compute_dtype)
 
         @jax.jit
         def _run(params, image, boxes01):
             if image.dtype == jnp.uint8:
                 # uint8 upload (4× fewer tunnel bytes), normalized on device
                 image = image.astype(jnp.float32) / 255.0
+            # prompt boxes must enter at the trunk dtype too: an f32 prompt
+            # embedding would silently promote every decoder cross-attention
+            # matmul back to f32 (the bf16-stream leak trap)
             logits = self.model.apply(params, image.astype(compute_dtype),
-                                      boxes01)
+                                      boxes01.astype(compute_dtype))
             # sigmoid + 0.5-threshold comparison in f32
             return jax.nn.sigmoid(logits.astype(jnp.float32))
 

@@ -399,9 +399,8 @@ class YoloRunner:
                              if jax.devices()[0].platform == "tpu"
                              else jnp.float32)
         self.compute_dtype = compute_dtype
-        self._params = jax.tree.map(
-            lambda x: x.astype(compute_dtype)
-            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x, params)
+        from ..runtime import cast_f32_tree
+        self._params = cast_f32_tree(params, compute_dtype)
 
         @functools.partial(jax.jit, static_argnames=())
         def _run(params, images, conf, iou):

@@ -191,8 +191,9 @@ def _run_device_batched(images, config, out_dir, root, result,
         return
 
     # per-chunk fallback for the remaining pages (already-saved super-chunks
-    # keep their bookkeeping)
-    done = done_counter[0]
+    # keep their bookkeeping); _save_all books per-page errors identically to
+    # the primary path (a page that failed inside process_pages_batched must
+    # land in failed_paths, not be saved untranslated as a success)
     for start in range(fallback_from, len(images), bs):
         if cancel is not None:
             cancel.check(f"device batch fallback chunk {start}")
@@ -200,19 +201,7 @@ def _run_device_batched(images, config, out_dir, root, result,
         arrs = [np.asarray(load_image(p).convert("RGB")) for p in chunk]
         try:
             outs = process_pages_batched(arrs, config, cancel=cancel)
-            for p, (arr_out, _info) in zip(chunk, outs):
-                if out_dir:
-                    save_image_with_compression(
-                        Image.fromarray(arr_out),
-                        resolve_output_path(p, out_dir,
-                                            config.output.output_format,
-                                            relative_root=root),
-                        config.output.jpeg_quality,
-                        config.output.png_compression)
-                result["success_count"] += 1
-                done += 1
-                if progress_callback:
-                    progress_callback(done, len(images), str(p))
+            _save_all(chunk, outs)
         except CancellationError:
             raise
         except Exception as e:
@@ -221,6 +210,9 @@ def _run_device_batched(images, config, out_dir, root, result,
                 result["error_count"] += 1
                 result["errors"][str(p)] = str(e)
                 result["failed_paths"].append(str(p))
+                done_counter[0] += 1
+                if progress_callback:
+                    progress_callback(done_counter[0], len(images), str(p))
 
 
 def batch_translate_images(

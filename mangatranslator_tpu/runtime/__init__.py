@@ -1,5 +1,6 @@
 from .device import (  # noqa: F401
     best_platform,
+    cast_f32_tree,
     data_sharding,
     device_put_sharded_pages,
     empty_cache,

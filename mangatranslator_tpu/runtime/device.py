@@ -49,6 +49,28 @@ def get_best_dtype(device: Optional[jax.Device] = None) -> jnp.dtype:
     return jnp.bfloat16 if dev.platform in ("tpu", "gpu") else jnp.float32
 
 
+def cast_f32_tree(params, dtype):
+    """Cast every f32 leaf of a param tree to ``dtype``.
+
+    Device-resident trees (random-init params live on the chip) go through
+    ONE jitted whole-tree program — a per-leaf eager ``astype`` is one tunnel
+    dispatch per leaf on a remote-attached chip, which for a few hundred
+    leaves costs minutes in latency-degraded phases. Host (numpy) trees cast
+    on host so they upload at the narrow dtype.
+    """
+    if dtype == jnp.float32:
+        return params
+    f32 = (jnp.float32, np.float32)
+
+    def leaf_cast(x):
+        return (x.astype(dtype)
+                if hasattr(x, "dtype") and x.dtype in f32 else x)
+
+    if any(isinstance(x, jax.Array) for x in jax.tree.leaves(params)):
+        return jax.jit(lambda t: jax.tree.map(leaf_cast, t))(params)
+    return jax.tree.map(leaf_cast, params)
+
+
 def empty_cache() -> None:
     """No-op under XLA (reference core/device.py:81 frees torch caches)."""
 

@@ -319,3 +319,39 @@ def test_failed_page_publishes_context_chain(batch_manager,  # noqa: F811
     assert result["success_count"] == 2
     assert result["error_count"] == 1
     assert elapsed < 25, f"context-chain stall: {elapsed:.1f}s"
+
+
+def test_fallback_books_per_page_errors(batch_manager, tmp_path,  # noqa: F811
+                                        monkeypatch):
+    """When the pipelined path dies and the per-chunk fallback takes over, a
+    page whose info carries an error must land in failed_paths — not be saved
+    untranslated and counted a success (regression: fallback ignored info)."""
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    real = DB.process_pages_batched
+
+    def wrapper(images, config, *a, **k):
+        if "chunk_pages" in k:  # the pipelined super-chunk call
+            raise RuntimeError("injected pipelined failure")
+        outs = real(images, config, *a, **k)
+        # fallback chunk: poison the first page's info
+        arr0, info0 = outs[0]
+        info0 = dict(info0)
+        info0["error"] = "injected page failure"
+        return [(arr0, info0)] + list(outs[1:])
+
+    monkeypatch.setattr(DB, "process_pages_batched", wrapper)
+
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(2):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 2
+    out = tmp_path / "out"
+    result = batch_translate_images(pages_dir, cfg, out)
+    assert result["error_count"] == 1
+    assert result["success_count"] == 1
+    assert any(p.endswith("p1.png") for p in result["failed_paths"])
