@@ -250,9 +250,16 @@ class KleinInpainter:
                                              SEQ_BUCKET))
         self.quant = quant
         if self.quant:
+            import functools
+
             from ...ops.quant import quantize_tree, quantize_tree_int4
 
-            qfn = quantize_tree_int4 if self.quant == "int4" else quantize_tree
+            # int4 uses SVDQuant-style low-rank compensation by default
+            # (the reference's Nunchaku backend design); rank 0 disables
+            qfn = (functools.partial(
+                       quantize_tree_int4,
+                       lowrank=int(os.environ.get("MTX_FLUX_INT4_RANK", "32")))
+                   if self.quant == "int4" else quantize_tree)
             dit_params = qfn(dit_params)
         self.dit_cfg = dit_cfg
         self.vae_cfg = vae_cfg

@@ -161,9 +161,16 @@ class FluxInpainter:
         role). int8_weights=True is shorthand for quant='int8'."""
         self.quant = quant or ("int8" if int8_weights else None)
         if self.quant:
+            import functools
+            import os
+
             from ...ops.quant import quantize_tree, quantize_tree_int4
 
-            qfn = quantize_tree_int4 if self.quant == "int4" else quantize_tree
+            # int4 carries SVDQuant low-rank compensation (klein.py same)
+            qfn = (functools.partial(
+                       quantize_tree_int4,
+                       lowrank=int(os.environ.get("MTX_FLUX_INT4_RANK", "32")))
+                   if self.quant == "int4" else quantize_tree)
             bundle = FluxPipelineBundle(
                 dit_cfg=bundle.dit_cfg, vae_cfg=bundle.vae_cfg,
                 dit_params=qfn(bundle.dit_params),

@@ -1,10 +1,14 @@
-"""Int8 quantized matmul (Pallas) + weight quantization helpers.
+"""Int8/int4 quantized matmuls (Pallas) + weight quantization helpers.
 
 TPU-native replacement for the reference's quantized FLUX backends (SURVEY.md
-§2.9: Nunchaku SVDQuant int4 / SDNQ uint4+Triton int8). Weights store as int8
-with per-output-channel scales; the Pallas kernel runs the int8×int8 matmul on
-the MXU with int32 accumulation and fuses the dequant scale into the epilogue —
-halving HBM weight traffic vs bf16.
+§2.9: Nunchaku SVDQuant int4 / SDNQ uint4+Triton int8). Weights store as
+int8 — or int4 packed two-per-byte — with per-output-channel scales; the
+Pallas kernels run int8×int8 matmuls on the MXU with int32 accumulation and
+fuse the dequant scale into the epilogue, so weights cross HBM at 1 (int8) or
+0.5 (int4) bytes/element vs 2 for bf16. The int4 tree quantizer optionally
+carries SVDQuant-style low-rank compensation (quantize_tree_int4(lowrank=r)):
+the outlier-heavy top singular directions stay bf16 and only the residual is
+4-bit, mirroring the reference's Nunchaku design.
 """
 
 from __future__ import annotations
@@ -105,6 +109,111 @@ def q8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray,
     return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]
 
 
+def quantize_weights_int4(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """[K, N] float → (packed uint8 [Kp/2, N], per-column scales [N]).
+
+    Half-split layout built for the matmul kernel: with K zero-padded to even
+    Kp, byte row r holds original row ``r`` in the LOW nibble and row
+    ``r + Kp/2`` in the HIGH nibble, so the kernel unpacks each half into a
+    contiguous [Kp/2, N] int8 operand and runs two MXU dots — no interleave
+    shuffles in VMEM. (quantize_tree_int4 uses a different, adjacent-row
+    packing for storage; this layout is the compute path.)"""
+    k, n = w.shape
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
+    if k % 2:
+        q = jnp.concatenate([q, jnp.zeros((1, n), jnp.int8)])
+    kh = q.shape[0] // 2
+    lo = q[:kh] & 0x0F
+    hi = (q[kh:] & 0x0F) << 4
+    return (lo | hi).astype(jnp.uint8), scale
+
+
+def _unpack_halves(packed):
+    """uint8 [Kh, N] → sign-extended int8 halves (low rows, high rows)."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0x0F
+    hi = (p >> 4) & 0x0F
+    sign = lambda v: jnp.where(v >= 8, v - 16, v).astype(jnp.int8)
+    return sign(lo), sign(hi)
+
+
+def _q4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref):
+    # packed int4 weights stream from HBM at 0.5 byte/element (4× less than
+    # bf16); unpack in VMEM, then two int8 MXU dots with int32 accumulation
+    x = x_ref[:]
+    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    x_scale = x_absmax / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    w_lo, w_hi = _unpack_halves(wp_ref[:])
+    kh = w_lo.shape[0]
+    dims = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(xq[:, :kh], w_lo, dimension_numbers=dims,
+                              preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(xq[:, kh:], w_hi, dimension_numbers=dims,
+                                    preferred_element_type=jnp.int32)
+    out_ref[:] = acc.astype(jnp.float32) * (x_scale * scale_ref[:])[None, :]
+
+
+@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+def q4_matmul(
+    x: jnp.ndarray,
+    w_packed: jnp.ndarray,
+    w_scale: jnp.ndarray,
+    block_m: int = 256,
+    block_n: int = 256,
+) -> jnp.ndarray:
+    """x [M, K] float × half-split int4 weights [Kp/2, N] (+ scales [N]) →
+    [M, N] float32. Same grid tiling as q8_matmul; weights cross HBM packed."""
+    m, k = x.shape
+    kh, n = w_packed.shape
+    kp = kh * 2
+    assert k in (kp, kp - 1), (k, kp)
+    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
+    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, kp - k)))
+    wp = jnp.pad(w_packed, ((0, 0), (0, np_ - n)))
+    sp = jnp.pad(w_scale, (0, np_ - n))
+
+    grid = (mp // block_m, np_ // block_n)
+    out = pl.pallas_call(
+        _q4_matmul_kernel,
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        grid_spec=pl.GridSpec(
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((block_m, kp), lambda i, j: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kh, block_n), lambda i, j: (0, j),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_n,), lambda i, j: (j,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+                                   memory_space=pltpu.VMEM),
+        ),
+    )(xp, wp, sp)
+    return out[:m, :n]
+
+
+def q4_matmul_xla(x: jnp.ndarray, w_packed: jnp.ndarray,
+                  w_scale: jnp.ndarray) -> jnp.ndarray:
+    """XLA fallback with the same semantics as the q4 Pallas kernel."""
+    m, k = x.shape
+    kh = w_packed.shape[0]
+    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, kh * 2 - k)))
+    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
+    x_scale = x_absmax / 127.0
+    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    w_lo, w_hi = _unpack_halves(w_packed)
+    dims = (((1,), (0,)), ((), ()))
+    acc = jax.lax.dot_general(xq[:, :kh], w_lo, dimension_numbers=dims,
+                              preferred_element_type=jnp.int32)
+    acc = acc + jax.lax.dot_general(xq[:, kh:], w_hi, dimension_numbers=dims,
+                                    preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * (x_scale * w_scale)[None, :]
+
+
 _Q8_KEY = "__q8__"
 
 
@@ -150,16 +259,35 @@ _Q4_KEY = "__q4__"        # packed rows, original K even
 _Q4_ODD_KEY = "__q4_odd__"  # original K odd (last unpacked row is padding)
 
 
-def quantize_tree_int4(params, min_elems: int = 1 << 14):
+def quantize_tree_int4(params, min_elems: int = 1 << 14, lowrank: int = 0):
     """int4 variant of quantize_tree (the reference's Nunchaku/SVDQuant
     4-bit option): values in [-7, 7] with per-column scales, packed two per
-    byte along the (even-padded) K axis."""
+    byte along the (even-padded) K axis.
+
+    ``lowrank > 0`` enables SVDQuant-style compensation (the core Nunchaku
+    trick): the top-r singular directions — which carry the outliers that
+    force a coarse absmax grid — are split off into bf16 factors ``u @ v``
+    and only the residual is quantized, so its absmax (and hence the 4-bit
+    step) shrinks. Storage overhead is r·(K+N) bf16 per kernel (~8% at
+    r=32 on a 3072² kernel) for a several-fold error reduction."""
     import numpy as np
 
     def visit(leaf):
         arr = leaf
         if hasattr(arr, "ndim") and arr.ndim == 2 and arr.size >= min_elems:
             w = np.asarray(arr, np.float32)
+            node = {}
+            if lowrank > 0 and min(w.shape) > 2 * lowrank:
+                u_f, s_f, vt_f = np.linalg.svd(w, full_matrices=False)
+                r = lowrank
+                u = (u_f[:, :r] * s_f[:r]).astype(np.float32)
+                vt = vt_f[:r].astype(np.float32)
+                node["u"] = u.astype(jnp.bfloat16)
+                node["v"] = vt.astype(jnp.bfloat16)
+                # quantize the residual after the bf16-roundtripped factors
+                # so dequant (which adds the bf16 u@v) lands on w exactly
+                w = w - node["u"].astype(np.float32) @ \
+                    node["v"].astype(np.float32)
             absmax = np.abs(w).max(axis=0)
             scale = np.maximum(absmax / 7.0, 1e-8).astype(np.float32)
             q = np.clip(np.round(w / scale), -7, 7).astype(np.int8)
@@ -170,7 +298,9 @@ def quantize_tree_int4(params, min_elems: int = 1 << 14):
             hi = (q[1::2] & 0x0F) << 4
             packed = (lo | hi).astype(np.uint8)
             key = _Q4_KEY if k % 2 == 0 else _Q4_ODD_KEY
-            return {key: packed, "scale": scale}
+            node[key] = packed
+            node["scale"] = scale
+            return node
         return leaf
 
     def walk(node):
@@ -195,16 +325,23 @@ def _unpack_int4(packed: jnp.ndarray, k: int) -> jnp.ndarray:
 
 def dequantize_tree_int4(params):
     """Inverse of quantize_tree_int4 (also passes through int8 leaves) —
-    call inside jit so unpack + scale fuse into the consumer matmul."""
+    call inside jit so unpack + scale (+ the SVDQuant low-rank add-back,
+    when present) fuse into the consumer matmul."""
+    def finish(node, w):
+        if "u" in node:
+            w = w + node["u"].astype(jnp.float32) @ \
+                node["v"].astype(jnp.float32)
+        return w
+
     def walk(node):
         if isinstance(node, dict):
             if _Q4_KEY in node:
                 q = _unpack_int4(node[_Q4_KEY], node[_Q4_KEY].shape[0] * 2)
-                return q.astype(jnp.float32) * node["scale"]
+                return finish(node, q.astype(jnp.float32) * node["scale"])
             if _Q4_ODD_KEY in node:
                 q = _unpack_int4(node[_Q4_ODD_KEY],
                                  node[_Q4_ODD_KEY].shape[0] * 2 - 1)
-                return q.astype(jnp.float32) * node["scale"]
+                return finish(node, q.astype(jnp.float32) * node["scale"])
             if _Q8_KEY in node:
                 return node[_Q8_KEY].astype(jnp.float32) * node["scale"]
             return {k: walk(v) for k, v in node.items()}

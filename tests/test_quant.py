@@ -114,3 +114,118 @@ def test_int4_tree_roundtrip():
         assert d[k]["kernel"].shape == arr.shape and rel < 0.08
     np.testing.assert_array_equal(np.asarray(d["b"]["bias"]),
                                   tree["b"]["bias"])
+
+
+def test_q4_weight_packing_roundtrip(rng):
+    """Half-split packed int4 weights dequantize back within 4-bit error."""
+    from mangatranslator_tpu.ops.quant import (_unpack_halves,
+                                               quantize_weights_int4)
+
+    for k in (64, 63):  # even and odd K
+        w = jnp.asarray(rng.standard_normal((k, 32)).astype(np.float32))
+        packed, scale = quantize_weights_int4(w)
+        assert packed.dtype == jnp.uint8 and packed.shape == ((k + 1) // 2, 32)
+        lo, hi = _unpack_halves(packed)
+        full = np.concatenate([np.asarray(lo), np.asarray(hi)])[:k]
+        back = full.astype(np.float32) * np.asarray(scale)
+        # unpack must reproduce the exact quantization grid: |err| ≤ step/2
+        step = np.asarray(scale)[None, :]
+        assert np.all(np.abs(back - np.asarray(w)) <= step / 2 + 1e-6)
+
+
+def test_q4_matmul_xla_accuracy(rng):
+    from mangatranslator_tpu.ops.quant import q4_matmul_xla, quantize_weights_int4
+
+    from mangatranslator_tpu.ops.quant import _unpack_halves
+
+    for k in (64, 63):
+        x = jnp.asarray(rng.standard_normal((16, k)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 48)).astype(np.float32))
+        packed, s = quantize_weights_int4(w)
+        # exact reference = matmul against the dequantized int4 grid; the
+        # only extra kernel error is int8 activation quantization (<2%).
+        # (naive absmax int4 weight error vs FLOAT is ~10% on Gaussians —
+        # the reference's SVDQuant compensates with a low-rank branch.)
+        lo, hi = _unpack_halves(packed)
+        wq = np.concatenate([np.asarray(lo), np.asarray(hi)])[:k] \
+            .astype(np.float32) * np.asarray(s)
+        ref_q = np.asarray(x) @ wq
+        out = np.asarray(q4_matmul_xla(x, packed, s))
+        assert np.abs(out - ref_q).mean() / np.abs(ref_q).mean() < 0.02
+        ref = np.asarray(x @ w)
+        assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.2
+
+
+def test_q4_matmul_pallas_interpret(rng, monkeypatch):
+    """The int4 Pallas kernel (interpreter mode) matches the XLA fallback
+    bit-for-bit and the float reference within 4-bit error."""
+    import jax.experimental.pallas as pl
+
+    from mangatranslator_tpu.ops import quant as Q
+
+    orig_call = pl.pallas_call
+
+    def interp_call(*args, **kwargs):
+        kwargs.setdefault("interpret", True)
+        return orig_call(*args, **kwargs)
+
+    monkeypatch.setattr(Q.pl, "pallas_call", interp_call)
+    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    packed, s = Q.quantize_weights_int4(w)
+    out = np.asarray(Q.q4_matmul(x, packed, s, block_m=64, block_n=64))
+    ref = np.asarray(x @ w)
+    assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.2
+    out_x = np.asarray(Q.q4_matmul_xla(x, packed, s))
+    np.testing.assert_allclose(out, out_x, rtol=1e-6, atol=1e-4)
+
+
+def test_int4_lowrank_compensation_cuts_error():
+    """SVDQuant-style low-rank branch: dequant reproduces outlier-heavy
+    weights several times more accurately than plain int4."""
+    import jax
+
+    from mangatranslator_tpu.ops.quant import (dequantize_tree_int4,
+                                               quantize_tree_int4)
+
+    rs = np.random.RandomState(1)
+    w = rs.randn(256, 128).astype(np.float32)
+    # outliers along a few directions — the regime SVDQuant targets
+    w += 8.0 * rs.randn(256, 4).astype(np.float32) @ \
+        rs.randn(4, 128).astype(np.float32)
+    tree = {"kernel": w}
+
+    def err(q):
+        d = jax.jit(dequantize_tree_int4)(jax.tree.map(jnp.asarray, q))
+        return float(np.abs(np.asarray(d["kernel"]) - w).mean())
+
+    e_plain = err(quantize_tree_int4(tree, min_elems=1))
+    e_lr = err(quantize_tree_int4(tree, min_elems=1, lowrank=16))
+    assert e_lr < e_plain / 3, (e_plain, e_lr)
+
+
+def test_flux_int4_pipeline_runs(monkeypatch):
+    """quant='int4' on the inpainter: packed uint8 + SVDQuant u/v leaves in
+    the stored tree, and the traced dequant still inpaints correctly."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.pipeline import (FluxInpainter,
+                                                          build_random_inpainter)
+
+    monkeypatch.setenv("MTX_FLUX_INT4_RANK", "4")  # tiny-preset kernels
+    inp = build_random_inpainter(preset="test", vae_preset="test",
+                                 buckets=[(64, 64)])
+    q = FluxInpainter(inp.bundle, buckets=[(64, 64)], quant="int4")
+    leaves = jax.tree.leaves(q.bundle.dit_params)
+    assert any(x.dtype == np.uint8 for x in leaves)  # packed int4
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)  # u/v factors
+
+    img = (np.random.RandomState(0).rand(96, 128, 3) * 255).astype(np.uint8)
+    mask = np.zeros((96, 128), np.uint8)
+    mask[24:72, 30:100] = 1
+    a = inp.inpaint_mask(img, mask, num_inference_steps=1,
+                         luminance_correction=False)
+    b = q.inpaint_mask(img, mask, num_inference_steps=1,
+                       luminance_correction=False)
+    diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
+    assert diff.mean() < 16.0
