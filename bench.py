@@ -501,6 +501,33 @@ def _ratio(value, base):
     return round(value / base, 2)
 
 
+LAST_TPU_FILE = REPO / "BENCH_LAST_TPU.json"
+
+
+def _probe_tpu(timeout_s: float) -> str:
+    """Run a trivial device op in a SUBPROCESS with a hard timeout and
+    return the platform it landed on ('timeout' if the tunnel hangs).
+
+    The remote-attached chip's tunnel has real outages (backend init
+    UNAVAILABLE, or an RPC that blocks indefinitely); probing in-process
+    would hang this whole benchmark for hours."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp;"
+            "x = jnp.ones((8, 8), jnp.bfloat16);"
+            "(x @ x).block_until_ready();"
+            "print('PROBE_PLATFORM', jax.devices()[0].platform)")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                           text=True, timeout=timeout_s, cwd=REPO)
+    except subprocess.TimeoutExpired:
+        return "timeout"
+    for line in r.stdout.splitlines():
+        if line.startswith("PROBE_PLATFORM"):
+            return line.split()[1]
+    return "error"
+
+
 def main() -> None:
     if "--cpu-baseline" in sys.argv:
         import jax
@@ -510,6 +537,22 @@ def main() -> None:
         pps = measure("cpu", extras)
         print(json.dumps({"cpu_pages_per_sec": pps, "extras": extras}))
         return
+
+    if os.environ.get("MTX_BENCH_SKIP_PROBE") != "1":
+        probed = _probe_tpu(float(os.environ.get("MTX_BENCH_PROBE_TIMEOUT_S",
+                                                 "900")))
+        log(f"device probe: {probed}")
+        if probed != "tpu" and LAST_TPU_FILE.exists():
+            # tunnel outage (hang or backend-unavailable): surface the last
+            # REAL-chip result, clearly flagged, instead of hanging forever
+            # or silently measuring the CPU fallback as if it were the TPU
+            stale = json.loads(LAST_TPU_FILE.read_text())
+            stale["stale_note"] = (
+                f"TPU tunnel unreachable at measurement time (probe: "
+                f"{probed}); this is the last recorded real-chip result "
+                f"from {stale.get('recorded_at', 'an earlier run')}")
+            print(json.dumps(stale))
+            return
 
     import jax
 
@@ -540,15 +583,23 @@ def main() -> None:
         # baseline shares the pipeline code and speeds up with it.
         "vs_round1_baseline": _ratio(pps, 0.0591),
         "methodology": METHODOLOGY,
+        "platform": platform,
         "baseline_note": ("NORTH STAR judged vs the same pipeline on XLA-CPU "
                           "at the identical config (reference-default 1600px "
-                          "detector, device-batched chapter, median of 3 "
+                          "detector, threaded page workers, median of 3 "
                           "runs). Tunnel weather detail in the run log."),
     }
     if _KLEIN4B_MFU[0] is not None:
         out["extras"]["klein4b_mfu"] = {
             "value": _KLEIN4B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
             "vs_baseline": None}
+    if platform == "tpu":
+        import datetime
+
+        cached = dict(out)
+        cached["recorded_at"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        LAST_TPU_FILE.write_text(json.dumps(cached, indent=1))
     print(json.dumps(out))
 
 
