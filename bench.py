@@ -186,6 +186,7 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     for i, page in enumerate(pages):
         Image.fromarray(page).save(in_dir / f"page_{i:03d}.png")
     cfg.parallel_requests = int(os.environ.get("MTX_BENCH_WORKERS", "4"))
+    cfg.parallel.scheduler = "threaded"  # pin: auto would probe and may flip
     reps = 1 if cpu_mode else 3
     dt = _run_chapter(pages, in_dir, tmp_out, cfg, reps,
                       f"threaded-{cfg.parallel_requests}-workers")
@@ -227,6 +228,7 @@ def measure_device_batched(pages, cpu_mode: bool) -> float:
     from PIL import Image
 
     cfg = _bench_config()
+    cfg.parallel.scheduler = "device"
     cfg.parallel.pages_per_device_batch = int(
         os.environ.get("MTX_BENCH_DEVICE_BS", "4"))
     cfg.parallel.device_streams = int(

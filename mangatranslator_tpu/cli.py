@@ -50,6 +50,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device-streams", type=int, default=3,
                    help="Concurrent in-flight device chunks (hides remote "
                         "collect latency; 1 = fully sequential chunks)")
+    p.add_argument("--scheduler", choices=["auto", "threaded", "device"],
+                   default="auto",
+                   help="Chapter scheduler: threaded page workers, stacked "
+                        "device-batched chunks, or auto (probe the link "
+                        "weather at chapter start and pick)")
 
     d = p.add_argument_group("detection")
     d.add_argument("--confidence", type=float, default=0.6)
@@ -297,6 +302,7 @@ def args_to_config(args: argparse.Namespace) -> MangaTranslatorConfig:
     t.ocr_method = args.ocr_method
     cfg.parallel.pages_per_device_batch = max(1, args.pages_per_device_batch)
     cfg.parallel.device_streams = max(1, args.device_streams)
+    cfg.parallel.scheduler = args.scheduler
 
     r = cfg.rendering
     r.font_dir = args.font_dir

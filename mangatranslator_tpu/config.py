@@ -219,6 +219,12 @@ class ParallelConfig:
     # chip), so 2-3 overlapped streams hide collect latency behind the other
     # streams' device compute while keeping the batched programs
     device_streams: int = 3
+    # chapter scheduler: "threaded" = per-page workers (many small
+    # overlapped transfers — never catastrophic under degraded tunnel
+    # weather), "device" = stacked device-batched chunks (fewer, larger
+    # transfers — wins calm/latency-degraded phases), "auto" = probe the
+    # link at chapter start on TPU and pick (CPU always resolves threaded)
+    scheduler: str = "auto"
 
 
 @dataclass

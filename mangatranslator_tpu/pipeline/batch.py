@@ -107,9 +107,76 @@ def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
     return read_failed_paths(input_path)
 
 
+def probe_link_weather():
+    """Measure the host↔device link: (blocking RPC latency s, upload MB/s).
+
+    Tunnel weather on a remote-attached chip is bimodal — latency-degraded
+    phases (each blocking round trip 0.4-0.9 s, bandwidth fine) and
+    bandwidth-degraded phases (uploads crawl to ~1-2 MB/s, RPCs OK) — and it
+    decides which chapter scheduler wins. One tiny jitted op times the RPC
+    floor; one ~2 MB upload + reduce times bandwidth. Probe programs hit the
+    persistent compile cache after the first ever run. CPU (local) backends
+    report a perfect link."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    if jax.devices()[0].platform != "tpu":
+        return 0.0, float("inf")
+    tiny = jax.jit(lambda x: x * 2 + 1)
+    t = jnp.zeros((8, 128), jnp.float32)
+    tiny(t).block_until_ready()  # compile / prime
+    t0 = time.perf_counter()
+    tiny(t).block_until_ready()
+    latency = time.perf_counter() - t0
+
+    reduce = jax.jit(lambda x: jnp.sum(x, dtype=jnp.uint32))
+    mb = 2
+    buf = np.zeros((mb << 20,), np.uint8)
+    t0 = time.perf_counter()
+    reduce(buf).block_until_ready()  # upload + compile-or-cached reduce
+    warm = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    reduce(buf).block_until_ready()
+    dt = min(warm, time.perf_counter() - t0)  # first run may pay compile
+    bandwidth = mb / max(dt - latency, 1e-3)
+    return latency, bandwidth
+
+
+def _auto_prefers_device_batch(config) -> bool:
+    """auto-scheduler decision: stacked device chunks need healthy upload
+    bandwidth (each chunk ships pages_per_device_batch letterbox+ROI
+    canvases in a few large transfers); threaded page workers degrade
+    gracefully in every phase, so they are the fallback."""
+    import os
+
+    import jax
+
+    if jax.devices()[0].platform != "tpu":
+        # CPU backend: no tunnel to hide, and the stacked programs measured
+        # SLOWER than threaded workers there (bench_baseline.json extras)
+        return False
+    try:
+        latency, bandwidth = probe_link_weather()
+    except Exception as e:  # pragma: no cover - device failure path
+        log_message(f"link probe failed ({e}); using threaded scheduler",
+                    verbose=config.verbose)
+        return False
+    threshold = float(os.environ.get("MTX_SCHED_BW_MB_S", "6"))
+    pick = bandwidth >= threshold
+    log_message(
+        f"link probe: rpc {latency * 1e3:.0f} ms, upload {bandwidth:.1f} "
+        f"MB/s → {'device-batched' if pick else 'threaded'} scheduler",
+        always_print=True)
+    return pick
+
+
 def _run_device_batched(images, config, out_dir, root, result,
                         progress_callback, translate_page_fn=None,
-                        cancel=None, page_failed_fn=None) -> None:
+                        cancel=None, page_failed_fn=None,
+                        bs_override=None) -> None:
     """Stack pages into single device programs — the production chapter path
     for both test mode and the real LLM pipeline (chunk k's LLM round trips
     overlap chunk k+1's device phase inside process_pages_batched)."""
@@ -118,7 +185,7 @@ def _run_device_batched(images, config, out_dir, root, result,
     from .device_batch import process_pages_batched
     from .io import load_image, save_image_with_compression
 
-    bs = config.parallel.pages_per_device_batch
+    bs = bs_override or config.parallel.pages_per_device_batch
     # pipelined super-chunks bound resident memory (inputs + cleaned copies +
     # rendered outputs are all held during one process_pages_batched call);
     # within a super-chunk the device phase of chunk k+1 overlaps chunk k's
@@ -309,12 +376,31 @@ def batch_translate_images(
         # pipeline — chunk k's LLM round trips overlap chunk k+1's device
         # phase. Falls back to per-page threading for configs the stacked
         # path doesn't cover (OSB inpainting, pre-upscale, the -only modes).
-        use_device_batch = (
-            config.parallel.pages_per_device_batch > 1 and n > 1
+        # Scheduler choice (config.parallel.scheduler): "threaded"/"device"
+        # force a mode; "auto" honors an explicit pages_per_device_batch > 1,
+        # otherwise probes the link weather (≥8-page chapters on TPU only —
+        # bandwidth-degraded tunnel phases punish the stacked chunks' large
+        # uploads, so threaded is the never-catastrophic fallback).
+        eligible = (
+            n > 1
             and not config.outside_text.enabled
             and not config.preprocessing.enabled
             and not config.cleaning.inpaint_colored_bubbles
             and not config.cleaning_only and not config.upscaling_only)
+        sched = getattr(config.parallel, "scheduler", "auto")
+        bs_override = None
+        if sched == "threaded":
+            use_device_batch = False
+        elif sched == "device":
+            use_device_batch = eligible
+            if config.parallel.pages_per_device_batch < 2:
+                bs_override = 4
+        elif config.parallel.pages_per_device_batch > 1:
+            use_device_batch = eligible
+        else:
+            use_device_batch = (eligible and n >= 8
+                                and _auto_prefers_device_batch(config))
+            bs_override = 4
         if use_device_batch:
             def device_translate_fn(gi, img, ordered, cleaned_by_idx):
                 """LLM closure for the stacked path: waits on previous pages'
@@ -353,7 +439,8 @@ def batch_translate_images(
                     translate_page_fn=(None if config.test_mode
                                        else device_translate_fn),
                     cancel=cancel,
-                    page_failed_fn=lambda gi: chain.publish_if_unset(gi, []))
+                    page_failed_fn=lambda gi: chain.publish_if_unset(gi, []),
+                    bs_override=bs_override)
             except CancellationError:
                 pass  # partial bookkeeping stands; retry pass is gated on
                 # cancel.cancelled below

@@ -355,3 +355,127 @@ def test_fallback_books_per_page_errors(batch_manager, tmp_path,  # noqa: F811
     assert result["error_count"] == 1
     assert result["success_count"] == 1
     assert any(p.endswith("p1.png") for p in result["failed_paths"])
+
+
+def test_scheduler_threaded_forces_page_workers(batch_manager, tmp_path,
+                                                monkeypatch):  # noqa: F811
+    """scheduler='threaded' must bypass the stacked path even when
+    pages_per_device_batch > 1."""
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    calls = []
+    real = DB.process_pages_batched
+    monkeypatch.setattr(DB, "process_pages_batched",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(3):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+    cfg = make_config(test_mode=True)
+    cfg.parallel.pages_per_device_batch = 3
+    cfg.parallel.scheduler = "threaded"
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert result["success_count"] == 3
+    assert not calls
+
+
+def test_scheduler_device_defaults_chunk_size(batch_manager, tmp_path,
+                                              monkeypatch):  # noqa: F811
+    """scheduler='device' with the default pages_per_device_batch=1 stacks
+    with the fallback chunk size instead of degenerating to 1-page chunks."""
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    calls = []
+    real = DB.process_pages_batched
+
+    def spy(images, config, *a, **k):
+        calls.append((len(images), k.get("chunk_pages")))
+        return real(images, config, *a, **k)
+
+    monkeypatch.setattr(DB, "process_pages_batched", spy)
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(5):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+    cfg = make_config(test_mode=True)
+    cfg.parallel.scheduler = "device"
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert result["success_count"] == 5
+    assert calls and calls[0] == (5, 4)
+
+
+def test_scheduler_auto_stays_threaded_on_cpu(batch_manager, tmp_path,
+                                              monkeypatch):  # noqa: F811
+    """auto on the CPU backend must resolve to threaded workers without
+    probing (device-batching measured slower on CPU)."""
+    import mangatranslator_tpu.pipeline.batch as batch_mod
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    monkeypatch.setattr(batch_mod, "probe_link_weather",
+                        lambda: (_ for _ in ()).throw(
+                            AssertionError("must not probe on CPU")))
+    calls = []
+    real = DB.process_pages_batched
+    monkeypatch.setattr(DB, "process_pages_batched",
+                        lambda *a, **k: calls.append(1) or real(*a, **k))
+
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(9):  # ≥ 8 pages: the auto probe gate would be reached
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+    cfg = make_config(test_mode=True)
+    assert cfg.parallel.scheduler == "auto"
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert result["success_count"] == 9
+    assert not calls
+
+
+def test_scheduler_auto_picks_device_on_good_link(batch_manager, tmp_path,
+                                                  monkeypatch):  # noqa: F811
+    """auto with a healthy probed link routes through the stacked path."""
+    import mangatranslator_tpu.pipeline.batch as batch_mod
+    import mangatranslator_tpu.pipeline.device_batch as DB
+
+    mgr, img = batch_manager
+    monkeypatch.setattr(batch_mod, "_auto_prefers_device_batch",
+                        lambda config: True)
+    calls = []
+    real = DB.process_pages_batched
+
+    def spy(images, config, *a, **k):
+        calls.append((len(images), k.get("chunk_pages")))
+        return real(images, config, *a, **k)
+
+    monkeypatch.setattr(DB, "process_pages_batched", spy)
+    pages_dir = tmp_path / "ch"
+    pages_dir.mkdir()
+    for i in range(9):
+        Image.fromarray(img).save(pages_dir / f"p{i + 1}.png")
+    cfg = make_config(test_mode=True)
+    result = batch_translate_images(pages_dir, cfg, tmp_path / "out")
+    assert result["success_count"] == 9
+    assert calls and calls[0] == (9, 4)
+
+
+def test_auto_probe_threshold(monkeypatch):
+    """Bandwidth threshold decides: healthy link → device, degraded link →
+    threaded (probe numbers stubbed; platform stubbed to TPU)."""
+    import types
+
+    import mangatranslator_tpu.pipeline.batch as batch_mod
+
+    monkeypatch.setattr("jax.devices",
+                        lambda *a: [types.SimpleNamespace(platform="tpu")])
+    cfg = make_config(test_mode=True)
+    monkeypatch.setattr(batch_mod, "probe_link_weather", lambda: (0.05, 40.0))
+    assert batch_mod._auto_prefers_device_batch(cfg) is True
+    monkeypatch.setattr(batch_mod, "probe_link_weather", lambda: (0.9, 1.5))
+    assert batch_mod._auto_prefers_device_batch(cfg) is False
+    # probe blowing up degrades safely to threaded
+    monkeypatch.setattr(batch_mod, "probe_link_weather",
+                        lambda: (_ for _ in ()).throw(RuntimeError("down")))
+    assert batch_mod._auto_prefers_device_batch(cfg) is False
