@@ -39,61 +39,82 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _q8_matmul_kernel(x_ref, w_ref, scale_ref, out_ref):
-    # int8 weights feed the MXU with int32 accumulation; activations arrive
-    # bf16 and are quantized per-tile to int8 with a dynamic scale
-    x = x_ref[:]
+def _quantize_activations(x: jnp.ndarray):
+    """Whole-tensor dynamic int8 activation quantization (XLA, outside the
+    kernel): one global scale keeps the Pallas kernels bit-identical to the
+    XLA fallbacks regardless of tiling, and int8 activations halve their
+    VMEM footprint vs f32."""
+    x = x.astype(jnp.float32)
     x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
     x_scale = x_absmax / 127.0
     xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    return xq, x_scale
+
+
+def _q8_matmul_kernel(xq_ref, w_ref, out_ref):
+    # int8 × int8 on the MXU with int32 accumulation, K-tiled: the output
+    # block stays resident across the (minor) k grid dimension and
+    # accumulates partial products — VMEM never holds more than one
+    # (block_m × block_k) + (block_k × block_n) operand pair
     acc = jax.lax.dot_general(
-        xq, w_ref[:],
+        xq_ref[:], w_ref[:],
         dimension_numbers=(((1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32,
     )
-    out_ref[:] = acc.astype(jnp.float32) * (x_scale * scale_ref[:])[None, :]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k"))
 def q8_matmul(
     x: jnp.ndarray,
     w_q: jnp.ndarray,
     w_scale: jnp.ndarray,
     block_m: int = 256,
     block_n: int = 256,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """x [M, K] float × int8 weights [K, N] (+ scales [N]) → [M, N] float32.
 
-    Grid-tiled Pallas kernel: per-tile dynamic activation quantization, int8
-    MXU matmul, fused dequant epilogue.
-    """
+    Grid-tiled Pallas kernel (M × N × K grid, int32 accumulation over the
+    K tiles); activation quantization and the dequant scale run in XLA
+    around it, so the kernel matches q8_matmul_xla bit-for-bit."""
     m, k = x.shape
     k2, n = w_q.shape
     assert k == k2, (k, k2)
-    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
-    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, 0)))
-    wp = jnp.pad(w_q, ((0, 0), (0, np_ - n)))
-    sp = jnp.pad(w_scale, (0, np_ - n))
+    xq, x_scale = _quantize_activations(x)
+    mp = _round_up(m, block_m)
+    np_ = _round_up(n, block_n)
+    kp = _round_up(k, block_k)
+    xp = jnp.pad(xq, ((0, mp - m), (0, kp - k)))
+    wp = jnp.pad(w_q, ((0, kp - k), (0, np_ - n)))
 
-    grid = (mp // block_m, np_ // block_n)
-    out = pl.pallas_call(
+    grid = (mp // block_m, np_ // block_n, kp // block_k)
+    acc = pl.pallas_call(
         _q8_matmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_m, k), lambda i, j: (i, 0),
+                pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((k, block_n), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_n,), lambda i, j: (j,),
+                pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kk: (i, j),
                                    memory_space=pltpu.VMEM),
         ),
-    )(xp, wp, sp)
-    return out[:m, :n]
+    )(xp, wp)
+    return acc[:m, :n].astype(jnp.float32) * (x_scale * w_scale)[None, :]
 
 
 def q8_matmul_xla(x: jnp.ndarray, w_q: jnp.ndarray,
@@ -139,61 +160,76 @@ def _unpack_halves(packed):
     return sign(lo), sign(hi)
 
 
-def _q4_matmul_kernel(x_ref, wp_ref, scale_ref, out_ref):
+def _q4_matmul_kernel(xlo_ref, xhi_ref, wp_ref, out_ref):
     # packed int4 weights stream from HBM at 0.5 byte/element (4× less than
-    # bf16); unpack in VMEM, then two int8 MXU dots with int32 accumulation
-    x = x_ref[:]
-    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
-    x_scale = x_absmax / 127.0
-    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    # bf16); unpack the K-tile in VMEM, two int8 MXU dots (low/high halves
+    # of the half-split layout), int32 accumulation across the k grid dim
     w_lo, w_hi = _unpack_halves(wp_ref[:])
-    kh = w_lo.shape[0]
     dims = (((1,), (0,)), ((), ()))
-    acc = jax.lax.dot_general(xq[:, :kh], w_lo, dimension_numbers=dims,
+    acc = jax.lax.dot_general(xlo_ref[:], w_lo, dimension_numbers=dims,
                               preferred_element_type=jnp.int32)
-    acc = acc + jax.lax.dot_general(xq[:, kh:], w_hi, dimension_numbers=dims,
+    acc = acc + jax.lax.dot_general(xhi_ref[:], w_hi, dimension_numbers=dims,
                                     preferred_element_type=jnp.int32)
-    out_ref[:] = acc.astype(jnp.float32) * (x_scale * scale_ref[:])[None, :]
+    k = pl.program_id(2)
+
+    @pl.when(k == 0)
+    def _init():
+        out_ref[:] = acc
+
+    @pl.when(k != 0)
+    def _acc():
+        out_ref[:] += acc
 
 
-@functools.partial(jax.jit, static_argnames=("block_m", "block_n"))
+@functools.partial(jax.jit,
+                   static_argnames=("block_m", "block_n", "block_k"))
 def q4_matmul(
     x: jnp.ndarray,
     w_packed: jnp.ndarray,
     w_scale: jnp.ndarray,
     block_m: int = 256,
     block_n: int = 256,
+    block_k: int = 512,
 ) -> jnp.ndarray:
     """x [M, K] float × half-split int4 weights [Kp/2, N] (+ scales [N]) →
-    [M, N] float32. Same grid tiling as q8_matmul; weights cross HBM packed."""
+    [M, N] float32.
+
+    M × N × K grid like q8_matmul (block_k packed rows per step = 2·block_k
+    weight elements); the activation halves matching the packed layout are
+    split in XLA so each K step reads two contiguous int8 tiles."""
     m, k = x.shape
     kh, n = w_packed.shape
     kp = kh * 2
     assert k in (kp, kp - 1), (k, kp)
-    mp, np_ = _round_up(m, block_m), _round_up(n, block_n)
-    xp = jnp.pad(x.astype(jnp.float32), ((0, mp - m), (0, kp - k)))
-    wp = jnp.pad(w_packed, ((0, 0), (0, np_ - n)))
-    sp = jnp.pad(w_scale, (0, np_ - n))
+    xq, x_scale = _quantize_activations(
+        jnp.pad(x.astype(jnp.float32), ((0, 0), (0, kp - k))))
+    mp = _round_up(m, block_m)
+    np_ = _round_up(n, block_n)
+    khp = _round_up(kh, block_k)
+    xlo = jnp.pad(xq[:, :kh], ((0, mp - m), (0, khp - kh)))
+    xhi = jnp.pad(xq[:, kh:], ((0, mp - m), (0, khp - kh)))
+    wp = jnp.pad(w_packed, ((0, khp - kh), (0, np_ - n)))
 
-    grid = (mp // block_m, np_ // block_n)
-    out = pl.pallas_call(
+    grid = (mp // block_m, np_ // block_n, khp // block_k)
+    xspec = pl.BlockSpec((block_m, block_k), lambda i, j, kk: (i, kk),
+                         memory_space=pltpu.VMEM)
+    acc = pl.pallas_call(
         _q4_matmul_kernel,
-        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((mp, np_), jnp.int32),
         grid_spec=pl.GridSpec(
             grid=grid,
             in_specs=[
-                pl.BlockSpec((block_m, kp), lambda i, j: (i, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((kh, block_n), lambda i, j: (0, j),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((block_n,), lambda i, j: (j,),
+                xspec,
+                xspec,
+                pl.BlockSpec((block_k, block_n), lambda i, j, kk: (kk, j),
                              memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec((block_m, block_n), lambda i, j: (i, j),
+            out_specs=pl.BlockSpec((block_m, block_n),
+                                   lambda i, j, kk: (i, j),
                                    memory_space=pltpu.VMEM),
         ),
-    )(xp, wp, sp)
-    return out[:m, :n]
+    )(xlo, xhi, wp)
+    return acc[:m, :n].astype(jnp.float32) * (x_scale * w_scale)[None, :]
 
 
 def q4_matmul_xla(x: jnp.ndarray, w_packed: jnp.ndarray,

@@ -53,12 +53,17 @@ def test_q8_matmul_pallas_interpret(rng, monkeypatch):
         return orig_call(*args, **kwargs)
 
     monkeypatch.setattr(Q.pl, "pallas_call", interp_call)
-    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((64, 150)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((150, 64)).astype(np.float32))
     q, s = quantize_weights_int8(w)
-    out = np.asarray(Q.q8_matmul(x, q, s, block_m=64, block_n=64))
+    # block_k=64 < K=150 exercises the K-tiled int32 accumulation (3 steps,
+    # last one padded)
+    out = np.asarray(Q.q8_matmul(x, q, s, block_m=64, block_n=64,
+                                 block_k=64))
     ref = np.asarray(x @ w)
     assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.03
+    out_x = np.asarray(Q.q8_matmul_xla(x, q, s))
+    np.testing.assert_allclose(out, out_x, rtol=1e-6, atol=1e-4)
 
 
 def test_flux_int8_pipeline_close_to_full_precision():
@@ -170,14 +175,16 @@ def test_q4_matmul_pallas_interpret(rng, monkeypatch):
         return orig_call(*args, **kwargs)
 
     monkeypatch.setattr(Q.pl, "pallas_call", interp_call)
-    x = jnp.asarray(rng.standard_normal((64, 128)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((128, 64)).astype(np.float32))
-    packed, s = Q.quantize_weights_int4(w)
-    out = np.asarray(Q.q4_matmul(x, packed, s, block_m=64, block_n=64))
-    ref = np.asarray(x @ w)
-    assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.2
-    out_x = np.asarray(Q.q4_matmul_xla(x, packed, s))
-    np.testing.assert_allclose(out, out_x, rtol=1e-6, atol=1e-4)
+    for k in (128, 127):  # even/odd K; kh=64 with block_k=24 → 3 k-steps
+        x = jnp.asarray(rng.standard_normal((64, k)).astype(np.float32))
+        w = jnp.asarray(rng.standard_normal((k, 64)).astype(np.float32))
+        packed, s = Q.quantize_weights_int4(w)
+        out = np.asarray(Q.q4_matmul(x, packed, s, block_m=64, block_n=64,
+                                     block_k=24))
+        ref = np.asarray(x @ w)
+        assert np.abs(out - ref).mean() / np.abs(ref).mean() < 0.2
+        out_x = np.asarray(Q.q4_matmul_xla(x, packed, s))
+        np.testing.assert_allclose(out, out_x, rtol=1e-6, atol=1e-4)
 
 
 def test_int4_lowrank_compensation_cuts_error():
