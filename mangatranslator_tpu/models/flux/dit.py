@@ -25,6 +25,7 @@ from .layers import (
     DoubleStreamBlock,
     FinalLayer,
     MLPEmbedder,
+    QDense,
     SingleStreamBlock,
     rope_freqs,
     timestep_embedding,
@@ -94,8 +95,8 @@ class FluxDiT(nn.Module):
         guidance: Optional[jnp.ndarray] = None,  # [B]
     ) -> jnp.ndarray:
         cfg = self.cfg
-        x = nn.Dense(cfg.hidden_size, name="img_in")(img)
-        c = nn.Dense(cfg.hidden_size, name="txt_in")(txt)
+        x = QDense(cfg.hidden_size, name="img_in")(img)
+        c = QDense(cfg.hidden_size, name="txt_in")(txt)
 
         vec = MLPEmbedder(cfg.hidden_size, name="time_in")(
             timestep_embedding(t, 256))

@@ -42,6 +42,7 @@ from .layers import (
     DoubleStreamBlock,
     FinalLayer,
     MLPEmbedder,
+    QDense,
     SingleStreamBlock,
     rope_freqs,
     timestep_embedding,
@@ -108,8 +109,8 @@ class Flux2DiT(nn.Module):
         token_mask: Optional[jnp.ndarray] = None,  # [S_txt+S_img] key validity
     ) -> jnp.ndarray:
         cfg = self.cfg
-        x = nn.Dense(cfg.hidden_size, name="img_in")(img)
-        c = nn.Dense(cfg.hidden_size, name="txt_in")(txt)
+        x = QDense(cfg.hidden_size, name="img_in")(img)
+        c = QDense(cfg.hidden_size, name="txt_in")(txt)
 
         # no pooled text vector in FLUX.2 — modulation from time (+ guidance)
         vec = MLPEmbedder(cfg.hidden_size, name="time_in")(

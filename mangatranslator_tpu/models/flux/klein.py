@@ -318,13 +318,10 @@ class KleinInpainter:
                 @jax.jit
                 def run(dit_params, cond_pad, img_ids, token_mask, schedule,
                         rng):
-                    if self.quant:
-                        from ...ops.quant import (dequantize_tree,
-                                                  dequantize_tree_int4)
-
-                        dq = (dequantize_tree_int4 if self.quant == "int4"
-                              else dequantize_tree)
-                        dit_params = dq(dit_params)
+                    # quantized storage nodes pass through: QDense dequantizes
+                    # at each use site so HBM keeps only the packed bytes
+                    # (a whole-tree dequant here pinned a dense copy for the
+                    # scan's lifetime — Klein-9B couldn't fit)
                     # trace-time platform pick (cleaner.py pattern): bf16 DiT
                     # on TPU — f32 streams halve the MXU rate; CPU tests keep
                     # f32 numerics

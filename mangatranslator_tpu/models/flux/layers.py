@@ -25,6 +25,43 @@ def rms_norm(x: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
                                       keepdims=True) + eps).astype(x.dtype)
 
 
+class QDense(nn.Module):
+    """``nn.Dense`` drop-in whose kernel may be a quantized storage node
+    (ops.quant: int8 / packed-int4 values + per-column scale, optionally
+    SVDQuant ``u``/``v`` factors).
+
+    Dequantization happens at the USE SITE inside the layer, so a quantized
+    DiT streams packed bytes from HBM and XLA materializes at most one
+    layer's dense weights transiently. (Dequantizing the whole tree before a
+    denoise scan pins a full bf16 copy of every weight next to the packed
+    one for the scan's lifetime — Klein-9B bf16 alone overflows a 16 GB
+    v5e, which is exactly the deployment the reference's 4-bit backends
+    enable on 8 GB GPUs.) Param names, shapes and initializers match
+    ``nn.Dense``, so converted checkpoints, the quantize_tree walks and the
+    tp PartitionSpecs apply unchanged; with a plain array kernel the math
+    is identical to ``nn.Dense``."""
+
+    features: int
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ...ops.quant import dequantize_leaf, is_quantized_leaf
+
+        kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                            (x.shape[-1], self.features))
+        if is_quantized_leaf(kernel):
+            kernel = dequantize_leaf(kernel, x.dtype)
+        y = jax.lax.dot_general(
+            x, kernel.astype(x.dtype),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros_init(),
+                              (self.features,))
+            y = y + bias.astype(x.dtype)
+        return y
+
+
 class RMSNorm(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -57,8 +94,8 @@ class MLPEmbedder(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.Dense(self.hidden, name="in")(x)
-        return nn.Dense(self.hidden, name="out")(nn.silu(x))
+        x = QDense(self.hidden, name="in")(x)
+        return QDense(self.hidden, name="out")(nn.silu(x))
 
 
 def rope_freqs(ids: jnp.ndarray, axes_dim: Sequence[int],
@@ -158,7 +195,7 @@ class Modulation(nn.Module):
     @nn.compact
     def __call__(self, vec: jnp.ndarray):
         n = 6 if self.double else 3
-        out = nn.Dense(n * self.dim, name="lin")(nn.silu(vec))
+        out = QDense(n * self.dim, name="lin")(nn.silu(vec))
         chunks = jnp.split(out[:, None, :], n, axis=-1)
         first = (chunks[0], chunks[1], chunks[2])
         second = (chunks[3], chunks[4], chunks[5]) if self.double else None
@@ -189,7 +226,7 @@ class DoubleStreamBlock(nn.Module):
                                                       name="txt_mod")(vec)
 
         def qkv(x, prefix):
-            out = nn.Dense(3 * self.hidden, name=f"{prefix}_qkv")(x)
+            out = QDense(3 * self.hidden, name=f"{prefix}_qkv")(x)
             q, k, v = jnp.split(out, 3, axis=-1)
             shape = x.shape[:-1] + (h, d)
             q, k, v = (t.reshape(shape) for t in (q, k, v))
@@ -213,18 +250,18 @@ class DoubleStreamBlock(nn.Module):
             q.shape[0], q.shape[1], self.hidden)
         txt_attn, img_attn = attn[:, : txt.shape[1]], attn[:, txt.shape[1]:]
 
-        img = img + ig1 * nn.Dense(self.hidden, name="img_proj")(img_attn)
-        txt = txt + tg1 * nn.Dense(self.hidden, name="txt_proj")(txt_attn)
+        img = img + ig1 * QDense(self.hidden, name="img_proj")(img_attn)
+        txt = txt + tg1 * QDense(self.hidden, name="txt_proj")(txt_attn)
 
         mlp_dim = int(self.hidden * self.mlp_ratio)
         img_m = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
                                       name="img_ln2")(img), im2, is2)
-        img = img + ig2 * nn.Dense(self.hidden, name="img_mlp_out")(
-            nn.gelu(nn.Dense(mlp_dim, name="img_mlp_in")(img_m), approximate=True))
+        img = img + ig2 * QDense(self.hidden, name="img_mlp_out")(
+            nn.gelu(QDense(mlp_dim, name="img_mlp_in")(img_m), approximate=True))
         txt_m = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
                                       name="txt_ln2")(txt), tm2, ts2)
-        txt = txt + tg2 * nn.Dense(self.hidden, name="txt_mlp_out")(
-            nn.gelu(nn.Dense(mlp_dim, name="txt_mlp_in")(txt_m), approximate=True))
+        txt = txt + tg2 * QDense(self.hidden, name="txt_mlp_out")(
+            nn.gelu(QDense(mlp_dim, name="txt_mlp_in")(txt_m), approximate=True))
         return img, txt
 
 
@@ -245,7 +282,7 @@ class SingleStreamBlock(nn.Module):
         (m1, s1, g1), _ = Modulation(self.hidden, False, name="mod")(vec)
         x_n = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
                                     name="ln")(x), m1, s1)
-        qkv_mlp = nn.Dense(3 * self.hidden + mlp_dim, name="lin1")(x_n)
+        qkv_mlp = QDense(3 * self.hidden + mlp_dim, name="lin1")(x_n)
         qkv, mlp = jnp.split(qkv_mlp, [3 * self.hidden], axis=-1)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         shape = x.shape[:-1] + (h, d)
@@ -255,7 +292,7 @@ class SingleStreamBlock(nn.Module):
         k = apply_rope(k, freqs)
         attn = attention(q, k, v, token_mask).reshape(
             x.shape[0], x.shape[1], self.hidden)
-        out = nn.Dense(self.hidden, name="lin2")(
+        out = QDense(self.hidden, name="lin2")(
             jnp.concatenate([attn, nn.gelu(mlp, approximate=True)], axis=-1))
         return x + g1 * out
 
@@ -265,8 +302,8 @@ class FinalLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
-        mods = nn.Dense(2 * x.shape[-1], name="mod")(nn.silu(vec))
+        mods = QDense(2 * x.shape[-1], name="mod")(nn.silu(vec))
         shift, scale = jnp.split(mods[:, None, :], 2, axis=-1)
         x = modulate(nn.LayerNorm(use_scale=False, use_bias=False,
                                   name="ln")(x), shift, scale)
-        return nn.Dense(self.out_dim, name="proj")(x)
+        return QDense(self.out_dim, name="proj")(x)

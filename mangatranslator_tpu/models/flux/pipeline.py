@@ -205,13 +205,10 @@ class FluxInpainter:
             if image01.dtype == jnp.uint8:
                 # uint8 crop upload, normalized on device
                 image01 = image01.astype(jnp.float32) / 255.0
-            if self.quant:
-                from ...ops.quant import (dequantize_tree,
-                                          dequantize_tree_int4)
-
-                dq = (dequantize_tree_int4 if self.quant == "int4"
-                      else dequantize_tree)
-                dit_params = dq(dit_params)
+            # quantized storage nodes pass through untouched: QDense
+            # (layers.py) dequantizes each kernel at its use site, so HBM
+            # holds only the packed bytes — a whole-tree dequant here would
+            # pin a full dense copy for the scan's lifetime
             x = image01 * 2.0 - 1.0
             lat = self._vae.apply(vae_params, x[None], method=FluxVAE.encode)
             cond_tokens = pack_latents(lat)

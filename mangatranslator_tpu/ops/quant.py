@@ -359,6 +359,37 @@ def _unpack_int4(packed: jnp.ndarray, k: int) -> jnp.ndarray:
     return full[:k]
 
 
+def is_quantized_leaf(node) -> bool:
+    """True for a quantize_tree / quantize_tree_int4 storage node."""
+    return isinstance(node, dict) and (
+        _Q8_KEY in node or _Q4_KEY in node or _Q4_ODD_KEY in node)
+
+
+def dequantize_leaf(node, dtype=jnp.float32):
+    """Dequantize ONE storage node to a dense array in ``dtype``.
+
+    This is the use-site path (models/flux/layers.py:QDense): calling it
+    inside each layer keeps the packed bytes as the only HBM-resident copy —
+    dequantizing a whole tree before a denoise scan would pin a full
+    bf16/f32 copy of every weight next to the packed one for the scan's
+    lifetime."""
+    scale = node["scale"].astype(dtype)
+    if _Q8_KEY in node:
+        w = node[_Q8_KEY].astype(dtype) * scale
+    elif _Q4_KEY in node:
+        w = _unpack_int4(node[_Q4_KEY],
+                         node[_Q4_KEY].shape[0] * 2).astype(dtype) * scale
+    elif _Q4_ODD_KEY in node:
+        w = _unpack_int4(node[_Q4_ODD_KEY],
+                         node[_Q4_ODD_KEY].shape[0] * 2 - 1).astype(dtype) \
+            * scale
+    else:  # pragma: no cover - guarded by is_quantized_leaf
+        raise ValueError(f"not a quantized node: {list(node)}")
+    if "u" in node:  # SVDQuant low-rank compensation
+        w = w + node["u"].astype(dtype) @ node["v"].astype(dtype)
+    return w
+
+
 def dequantize_tree_int4(params):
     """Inverse of quantize_tree_int4 (also passes through int8 leaves) —
     call inside jit so unpack + scale (+ the SVDQuant low-rank add-back,
