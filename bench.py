@@ -293,7 +293,8 @@ def measure(platform_label: str, extras: dict) -> float:
                      ("sam_batch8", measure_sam_batch),
                      ("rcan_upscale", measure_rcan),
                      ("flux_klein_steps", measure_flux_steps),
-                     ("klein4b_dit", measure_klein4b)):
+                     ("klein4b_dit", measure_klein4b),
+                     ("klein9b_int4_dit", measure_klein9b_int4)):
         try:
             t0 = time.perf_counter()
             extras[name] = fn(pages, cpu_mode)
@@ -467,6 +468,63 @@ def measure_klein4b(pages, cpu_mode: bool) -> float:
     return rate
 
 
+def measure_klein9b_int4(pages, cpu_mode: bool) -> float:
+    """Klein-9B-class DiT step rate at int4 (gated: MTX_BENCH_KLEIN9B=1 —
+    adds several cold-compile minutes, so the driver's default run skips
+    it). The dense bf16 tree (~18 GB) cannot fit a 16 GB v5e at all; the
+    on-device QUANTIZED init (init_flux2_quantized: generate + pack inside
+    one program, dense copies only transient) plus QDense use-site dequant
+    make single-chip 9B inference possible — the TPU counterpart of the
+    reference running Klein 9B SDNQ 4-bit on 8 GB GPUs."""
+    if cpu_mode or os.environ.get("MTX_BENCH_KLEIN9B") != "1":
+        raise RuntimeError("gated (set MTX_BENCH_KLEIN9B=1)")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mangatranslator_tpu.models.flux.flux2 import (
+        FLUX2_PRESETS,
+        Flux2DiT,
+        init_flux2_quantized,
+        make_img_ids2,
+        make_txt_ids2,
+    )
+
+    cfg = FLUX2_PRESETS["klein_9b"]
+    model = Flux2DiT(cfg)
+    h_tok = w_tok = 64
+    txt_len = 128
+    t0 = time.perf_counter()
+    params = init_flux2_quantized(cfg)
+    packed = sum(x.size for x in jax.tree.leaves(params)
+                 if x.dtype == jnp.uint8)
+    log(f"klein9b int4 init: {time.perf_counter() - t0:.1f}s "
+        f"({packed * 2 / 1e9:.2f}B packed int4 weights)")
+    img_ids = jnp.asarray(make_img_ids2(h_tok, w_tok))
+    txt_ids = jnp.asarray(make_txt_ids2(txt_len))
+
+    @jax.jit
+    def forward(params, img_tokens, txt, t):
+        return model.apply(params, img_tokens, img_ids, txt, txt_ids, t)
+
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(1, h_tok * w_tok, cfg.in_channels),
+                      jnp.bfloat16)
+    txt = jnp.asarray(rs.randn(1, txt_len, cfg.ctx_dim), jnp.bfloat16)
+    t = jnp.asarray([0.5], jnp.float32)
+    t0 = time.perf_counter()
+    jax.block_until_ready(forward(params, img, txt, t))
+    log(f"klein9b compile+first exec: {time.perf_counter() - t0:.1f}s")
+    reps = 4
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = forward(params, img, txt, t)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / reps
+    log(f"klein9b int4 DiT: {dt * 1e3:.1f}ms/step")
+    return 1.0 / dt
+
+
 METHODOLOGY = ("r3b: default-1600 detector, threaded page workers (CLI-default scheduler), median-of-3; device-batched chapter as extra")
 
 
@@ -568,7 +626,8 @@ def main() -> None:
     base = cpu_baseline()
     base_extras = base.get("extras", {})
     vs = _ratio(pps, base.get("cpu_pages_per_sec"))
-    units = {"flux_klein_steps": "steps/sec", "klein4b_dit": "steps/sec"}
+    units = {"flux_klein_steps": "steps/sec", "klein4b_dit": "steps/sec",
+             "klein9b_int4_dit": "steps/sec"}
     out = {
         "metric": "e2e_pages_per_sec_default1600_2000px",
         "value": round(pps, 4),

@@ -210,3 +210,41 @@ def init_flux2_fast(cfg: Flux2Config, seed: int = 0):
         return jnp.asarray(bf16.reshape(s.shape))
 
     return jax.tree.map(fill, shapes)
+
+
+def init_flux2_quantized(cfg: Flux2Config, seed: int = 0,
+                         min_elems: int = 1 << 14):
+    """Random init that comes out of the device ALREADY int4-quantized.
+
+    One jitted program generates each leaf (fan-in-scaled bf16 normals, as
+    init_flux2_fast) and immediately packs every large 2D kernel into the
+    int4 tree-storage format (adjacent-row packed uint8 + per-column f32
+    scales) — the dense copy of each kernel exists only transiently inside
+    the program, so a Klein-9B-class tree (18 GB dense bf16) never
+    materializes in HBM; the resident footprint is ~0.25 byte/element plus
+    the small unquantized leaves. Feed the result to KleinInpainter with
+    quant='int4' (its quantize walk passes pre-quantized nodes through and
+    QDense dequantizes per use)."""
+    from ...ops.quant import q4_node, quantize_weights_int4_storage
+
+    shapes = jax.eval_shape(lambda: init_flux2(cfg, 2, 2, 2, seed))
+    leaves, treedef = jax.tree.flatten(shapes)
+    quantized = [len(s.shape) == 2 and s.size >= min_elems for s in leaves]
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        for k, s, q in zip(keys, leaves, quantized):
+            fan_in = s.shape[0] if len(s.shape) > 1 else 1
+            scale = jnp.asarray(1.0 / math.sqrt(max(1, fan_in)),
+                                jnp.bfloat16)
+            w = jax.random.normal(k, s.shape, jnp.bfloat16) * scale
+            out.append(quantize_weights_int4_storage(w) if q else w)
+        return out
+
+    vals = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(vals)
+    nodes = [q4_node(v[0], v[1], k_odd=s.shape[0] % 2 == 1) if q else v
+             for v, s, q in zip(vals, leaves, quantized)]
+    return jax.tree.unflatten(treedef, nodes)

@@ -48,10 +48,18 @@ class QDense(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         from ...ops.quant import dequantize_leaf, is_quantized_leaf
 
-        kernel = self.param("kernel", nn.initializers.lecun_normal(),
-                            (x.shape[-1], self.features))
-        if is_quantized_leaf(kernel):
-            kernel = dequantize_leaf(kernel, x.dtype)
+        kernel = None
+        if not self.is_initializing() and self.has_variable("params",
+                                                            "kernel"):
+            stored = self.scope.get_variable("params", "kernel")
+            if is_quantized_leaf(stored):
+                # a storage node (packed values + scale) can't go through
+                # self.param — flax would shape-check it against the dense
+                # initializer (int4 packing halves the K axis)
+                kernel = dequantize_leaf(stored, x.dtype)
+        if kernel is None:
+            kernel = self.param("kernel", nn.initializers.lecun_normal(),
+                                (x.shape[-1], self.features))
         y = jax.lax.dot_general(
             x, kernel.astype(x.dtype),
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())))

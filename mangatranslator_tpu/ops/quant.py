@@ -359,6 +359,34 @@ def _unpack_int4(packed: jnp.ndarray, k: int) -> jnp.ndarray:
     return full[:k]
 
 
+def quantize_weights_int4_storage(w: jnp.ndarray):
+    """jnp-traceable int4 quantizer in the TREE-storage layout (adjacent-row
+    packing, matching quantize_tree_int4 / dequantize_leaf) — usable INSIDE
+    a jitted program, e.g. on-device quantized random init where the dense
+    tree must never materialize. Returns (packed uint8 [ceil(K/2), N],
+    scales f32 [N]); pass K's parity to q4_node."""
+    k, n = w.shape
+    w = w.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(w), axis=0)
+    scale = jnp.maximum(absmax / 7.0, 1e-8).astype(jnp.float32)
+    q = jnp.clip(jnp.round(w / scale), -7, 7).astype(jnp.int8)
+    if k % 2:
+        q = jnp.concatenate([q, jnp.zeros((1, n), jnp.int8)])
+    lo = q[0::2] & 0x0F
+    hi = (q[1::2] & 0x0F) << 4
+    return (lo | hi).astype(jnp.uint8), scale
+
+
+def q4_node(packed, scale, k_odd: bool):
+    """Build a quantize_tree_int4-format storage node from already-packed
+    values (used by on-device quantized init, flux2.py)."""
+    return {(_Q4_ODD_KEY if k_odd else _Q4_KEY): packed, "scale": scale}
+
+
+def q8_node(values, scale):
+    return {_Q8_KEY: values, "scale": scale}
+
+
 def is_quantized_leaf(node) -> bool:
     """True for a quantize_tree / quantize_tree_int4 storage node."""
     return isinstance(node, dict) and (

@@ -236,3 +236,35 @@ def test_flux_int4_pipeline_runs(monkeypatch):
                        luminance_correction=False)
     diff = np.abs(a.astype(np.int32) - b.astype(np.int32))
     assert diff.mean() < 16.0
+
+
+def test_init_flux2_quantized_matches_dequantized_apply():
+    """On-device quantized init: the DiT applied with packed storage nodes
+    (QDense use-site dequant) matches applying the dequantized tree exactly;
+    big 2D kernels are packed uint8, small leaves stay bf16."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.flux2 import (Flux2Config, Flux2DiT,
+                                                       init_flux2_quantized,
+                                                       make_img_ids2,
+                                                       make_txt_ids2)
+    from mangatranslator_tpu.ops.quant import dequantize_tree_int4
+
+    cfg = Flux2Config(in_channels=16, hidden_size=64, num_heads=2,
+                      depth_double=1, depth_single=1, mlp_ratio=2.0,
+                      ctx_dim=32, axes_dim=(8, 12, 12), guidance_embed=False)
+    params = init_flux2_quantized(cfg, min_elems=1024)
+    leaves = jax.tree.leaves(params)
+    assert any(x.dtype == np.uint8 for x in leaves)
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)
+
+    model = Flux2DiT(cfg)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(1, 16, cfg.in_channels), jnp.float32)
+    txt = jnp.asarray(rs.randn(1, 4, cfg.ctx_dim), jnp.float32)
+    args = (img, jnp.asarray(make_img_ids2(4, 4)), txt,
+            jnp.asarray(make_txt_ids2(4)), jnp.asarray([0.5], jnp.float32))
+    out_q = model.apply(params, *args)
+    out_d = model.apply(jax.jit(dequantize_tree_int4)(params), *args)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-5)
