@@ -574,6 +574,10 @@ def _probe_tpu(timeout_s: float) -> str:
     import subprocess
 
     code = ("import jax, jax.numpy as jnp;"
+            f"jax.config.update('jax_compilation_cache_dir', "
+            f"{str(REPO / '.jax_cache')!r});"
+            "jax.config.update("
+            "'jax_persistent_cache_min_compile_time_secs', 1.0);"
             "x = jnp.ones((8, 8), jnp.bfloat16);"
             "(x @ x).block_until_ready();"
             "print('PROBE_PLATFORM', jax.devices()[0].platform)")
@@ -602,16 +606,23 @@ def main() -> None:
         probed = _probe_tpu(float(os.environ.get("MTX_BENCH_PROBE_TIMEOUT_S",
                                                  "900")))
         log(f"device probe: {probed}")
-        if probed != "tpu" and LAST_TPU_FILE.exists():
+        if probed != "tpu":
             # tunnel outage (hang or backend-unavailable): surface the last
             # REAL-chip result, clearly flagged, instead of hanging forever
             # or silently measuring the CPU fallback as if it were the TPU
-            stale = json.loads(LAST_TPU_FILE.read_text())
-            stale["stale_note"] = (
-                f"TPU tunnel unreachable at measurement time (probe: "
-                f"{probed}); this is the last recorded real-chip result "
-                f"from {stale.get('recorded_at', 'an earlier run')}")
-            print(json.dumps(stale))
+            if LAST_TPU_FILE.exists():
+                stale = json.loads(LAST_TPU_FILE.read_text())
+                stale["stale_note"] = (
+                    f"TPU tunnel unreachable at measurement time (probe: "
+                    f"{probed}); this is the last recorded real-chip result "
+                    f"from {stale.get('recorded_at', 'an earlier run')}")
+                print(json.dumps(stale))
+            else:
+                print(json.dumps({
+                    "metric": "e2e_pages_per_sec_default1600_2000px",
+                    "value": 0.0, "unit": "pages/sec", "vs_baseline": None,
+                    "error_note": (f"TPU unreachable (probe: {probed}) and "
+                                   "no prior real-chip result recorded")}))
             return
 
     import jax

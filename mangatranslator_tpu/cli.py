@@ -385,6 +385,9 @@ def main(argv: Optional[List[str]] = None) -> int:
 
     cfg = args_to_config(args)
     validate_config(cfg)
+    from .runtime import enable_persistent_cache
+
+    enable_persistent_cache(cfg.runtime.persistent_compilation_cache)
 
     input_path = Path(args.input)
     if not input_path.exists():

@@ -235,12 +235,24 @@ def init_flux2_quantized(cfg: Flux2Config, seed: int = 0,
     def gen(key):
         keys = jax.random.split(key, len(leaves))
         out = []
+        # the leaves are data-independent, so without an explicit chain the
+        # XLA scheduler MAY co-schedule several dense bf16 kernels live and
+        # blow past HBM before their packers run; threading each leaf's key
+        # through an optimization_barrier on the previous leaf's output
+        # forces sequential generate→pack order (peak = one dense leaf)
+        prev = jnp.zeros((1,), jnp.uint8)
         for k, s, q in zip(keys, leaves, quantized):
+            k, _ = jax.lax.optimization_barrier((k, prev))
             fan_in = s.shape[0] if len(s.shape) > 1 else 1
             scale = jnp.asarray(1.0 / math.sqrt(max(1, fan_in)),
                                 jnp.bfloat16)
             w = jax.random.normal(k, s.shape, jnp.bfloat16) * scale
-            out.append(quantize_weights_int4_storage(w) if q else w)
+            if q:
+                packed, wscale = quantize_weights_int4_storage(w)
+                out.append((packed, wscale))
+                prev = packed.ravel()[:1]
+            else:
+                out.append(w)
         return out
 
     vals = gen(jax.random.PRNGKey(seed))

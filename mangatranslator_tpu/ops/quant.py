@@ -237,10 +237,8 @@ def q4_matmul_xla(x: jnp.ndarray, w_packed: jnp.ndarray,
     """XLA fallback with the same semantics as the q4 Pallas kernel."""
     m, k = x.shape
     kh = w_packed.shape[0]
-    x = jnp.pad(x.astype(jnp.float32), ((0, 0), (0, kh * 2 - k)))
-    x_absmax = jnp.maximum(jnp.max(jnp.abs(x)), 1e-6)
-    x_scale = x_absmax / 127.0
-    xq = jnp.clip(jnp.round(x / x_scale), -127, 127).astype(jnp.int8)
+    xq, x_scale = _quantize_activations(
+        jnp.pad(x.astype(jnp.float32), ((0, 0), (0, kh * 2 - k))))
     w_lo, w_hi = _unpack_halves(w_packed)
     dims = (((1,), (0,)), ((), ()))
     acc = jax.lax.dot_general(xq[:, :kh], w_lo, dimension_numbers=dims,
@@ -295,6 +293,26 @@ _Q4_KEY = "__q4__"        # packed rows, original K even
 _Q4_ODD_KEY = "__q4_odd__"  # original K odd (last unpacked row is padding)
 
 
+def _topk_svd(w: "np.ndarray", r: int, seed: int = 0, iters: int = 2):
+    """Randomized truncated SVD (Halko et al. 2011) of the top-r directions.
+
+    SVDQuant compensation only needs the top r≈32 singular vectors; a full
+    LAPACK SVD of a 4096×16384 kernel is ~TFLOPs on one host core (minutes
+    per kernel, dozens of kernels per tree) while the randomized sketch is
+    a few matmuls (~GFLOPs). Two power iterations with re-orthogonalization
+    give machine-precision accuracy on the fast-decaying spectra this is
+    used for."""
+    rs = np.random.RandomState(seed)
+    y = w @ rs.standard_normal((w.shape[1], r + 8)).astype(np.float32)
+    for _ in range(iters):
+        y, _ = np.linalg.qr(y)
+        y = w @ (w.T @ y)
+    q, _ = np.linalg.qr(y)
+    ub, s, vt = np.linalg.svd(q.T @ w, full_matrices=False)
+    u = q @ ub
+    return u[:, :r], s[:r], vt[:r]
+
+
 def quantize_tree_int4(params, min_elems: int = 1 << 14, lowrank: int = 0):
     """int4 variant of quantize_tree (the reference's Nunchaku/SVDQuant
     4-bit option): values in [-7, 7] with per-column scales, packed two per
@@ -314,10 +332,9 @@ def quantize_tree_int4(params, min_elems: int = 1 << 14, lowrank: int = 0):
             w = np.asarray(arr, np.float32)
             node = {}
             if lowrank > 0 and min(w.shape) > 2 * lowrank:
-                u_f, s_f, vt_f = np.linalg.svd(w, full_matrices=False)
-                r = lowrank
-                u = (u_f[:, :r] * s_f[:r]).astype(np.float32)
-                vt = vt_f[:r].astype(np.float32)
+                u_f, s_f, vt_f = _topk_svd(w, lowrank)
+                u = (u_f * s_f).astype(np.float32)
+                vt = vt_f.astype(np.float32)
                 node["u"] = u.astype(jnp.bfloat16)
                 node["v"] = vt.astype(jnp.bfloat16)
                 # quantize the residual after the bf16-roundtripped factors

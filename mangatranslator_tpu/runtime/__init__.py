@@ -4,6 +4,7 @@ from .device import (  # noqa: F401
     data_sharding,
     device_put_sharded_pages,
     empty_cache,
+    enable_persistent_cache,
     get_best_device,
     get_best_dtype,
     get_device_info,

@@ -49,6 +49,30 @@ def get_best_dtype(device: Optional[jax.Device] = None) -> jnp.dtype:
     return jnp.bfloat16 if dev.platform in ("tpu", "gpu") else jnp.float32
 
 
+def enable_persistent_cache(path: Optional[str] = None) -> str:
+    """Point XLA's persistent compile cache at a durable directory.
+
+    Cold compiles on a remote-attached chip cost ~40 s for a trivial op and
+    minutes for model programs; the persistent cache survives processes, so
+    every entry point (CLI, web app, bench, graft) must enable it. Priority:
+    explicit arg (TpuRuntimeConfig.persistent_compilation_cache) >
+    MTX_JAX_CACHE_DIR > the repo's committed .jax_cache when running from a
+    checkout > ~/.cache/mangatranslator_tpu/jax_cache.
+    """
+    import os
+    from pathlib import Path
+
+    p = path or os.environ.get("MTX_JAX_CACHE_DIR")
+    if not p:
+        repo_cache = Path(__file__).resolve().parents[2] / ".jax_cache"
+        p = str(repo_cache) if repo_cache.is_dir() else str(
+            Path.home() / ".cache" / "mangatranslator_tpu" / "jax_cache")
+    Path(p).mkdir(parents=True, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", str(p))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    return str(p)
+
+
 def cast_f32_tree(params, dtype):
     """Cast every f32 leaf of a param tree to ``dtype``.
 

@@ -516,6 +516,9 @@ class WebApp:
 
     def serve_forever(self, host: str = "127.0.0.1",
                       port: int = DEFAULT_PORT) -> None:
+        from ..runtime import enable_persistent_cache
+
+        enable_persistent_cache()  # cold remote compiles cost minutes
         server = self.make_server(host, port)
         log_message(f"MangaTranslator TPU web UI on http://{host}:{port}",
                     always_print=True)
