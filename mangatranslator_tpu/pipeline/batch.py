@@ -107,8 +107,14 @@ def _stage_inputs(input_path: Path, temp_dir: Path) -> List[Path]:
     return read_failed_paths(input_path)
 
 
+_PROBE_CACHE: "list" = [0.0, None]  # (monotonic stamp, result)
+_PROBE_TTL_S = 90.0  # tunnel weather shifts minute-to-minute
+
+
 def probe_link_weather():
     """Measure the host↔device link: (blocking RPC latency s, upload MB/s).
+    Results are cached for ~90 s so back-to-back chapters don't re-pay the
+    probe round trips.
 
     Tunnel weather on a remote-attached chip is bimodal — latency-degraded
     phases (each blocking round trip 0.4-0.9 s, bandwidth fine) and
@@ -125,6 +131,9 @@ def probe_link_weather():
 
     if jax.devices()[0].platform != "tpu":
         return 0.0, float("inf")
+    now = time.monotonic()
+    if _PROBE_CACHE[1] is not None and now - _PROBE_CACHE[0] < _PROBE_TTL_S:
+        return _PROBE_CACHE[1]
     tiny = jax.jit(lambda x: x * 2 + 1)
     t = jnp.zeros((8, 128), jnp.float32)
     tiny(t).block_until_ready()  # compile / prime
@@ -142,6 +151,8 @@ def probe_link_weather():
     reduce(buf).block_until_ready()
     dt = min(warm, time.perf_counter() - t0)  # first run may pay compile
     bandwidth = mb / max(dt - latency, 1e-3)
+    _PROBE_CACHE[0] = now
+    _PROBE_CACHE[1] = (latency, bandwidth)
     return latency, bandwidth
 
 
