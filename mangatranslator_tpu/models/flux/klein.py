@@ -335,16 +335,20 @@ class KleinInpainter:
                     txt = self._txt.astype(cdt)
                     noise = jax.random.normal(rng, cond_pad.shape, jnp.float32)
 
-                    def velocity(z, t):
+                    def velocity(z, t, p=dit_params):
                         tokens = jnp.concatenate([z.astype(cdt), cond],
                                                  axis=1)
                         v = self._dit.apply(
-                            dit_params, tokens, img_ids, txt,
+                            p, tokens, img_ids, txt,
                             self._txt_ids, t, None, token_mask)
                         # flow integration stays f32 for stability
                         return v[:, :seq_pad].astype(jnp.float32)
 
-                    return euler_denoise(velocity, noise, schedule)
+                    # quantized params ride the loop carry (barrier) so LICM
+                    # can't hoist the per-layer dequants out of the scan
+                    return euler_denoise(
+                        velocity, noise, schedule,
+                        loop_variant=dit_params if self.quant else None)
 
                 prog = self._denoise_progs[key] = run
             return prog

@@ -55,7 +55,19 @@ class QDense(nn.Module):
             if is_quantized_leaf(stored):
                 # a storage node (packed values + scale) can't go through
                 # self.param — flax would shape-check it against the dense
-                # initializer (int4 packing halves the K axis)
+                # initializer (int4 packing halves the K axis).
+                # Barrier-tie the packed bytes to THIS layer's activation:
+                # dequants have no data dependency on earlier layers, so the
+                # scheduler may otherwise materialize every dense kernel up
+                # front (and LICM may hoist them out of a denoise scan
+                # entirely). CAVEAT: CPU XLA strips opt-barrier in its
+                # pipeline (measured temp ≈ full dense tree there); the TPU
+                # backend honors barriers and additionally schedules under
+                # the HBM limit with its memory-aware latency-hiding
+                # scheduler, which is what the Klein-9B-int4 single-chip
+                # claim rests on (validated by the gated klein9b_int4_dit
+                # bench extra on real hardware).
+                stored, x = jax.lax.optimization_barrier((stored, x))
                 kernel = dequantize_leaf(stored, x.dtype)
         if kernel is None:
             kernel = self.param("kernel", nn.initializers.lecun_normal(),

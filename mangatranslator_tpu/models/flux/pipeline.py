@@ -226,16 +226,19 @@ class FluxInpainter:
             txt_c = self._txt.astype(cdt)
             vec_c = self._vec.astype(cdt)
 
-            def velocity(z, t):
+            def velocity(z, t, p=dit_p):
                 tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
                           if self.use_kontext else z.astype(cdt))
                 v = self._dit.apply(
-                    dit_p, tokens, ids, txt_c, txt_ids, t,
+                    p, tokens, ids, txt_c, txt_ids, t,
                     vec_c, jnp.full_like(t, guidance))
                 return v[:, :seq_len].astype(jnp.float32)
 
             schedule = make_schedule(steps, seq_len)
-            z = euler_denoise(velocity, noise, schedule)
+            # quantized params ride the loop carry (barrier) so LICM can't
+            # hoist the per-layer dequants out of the scan (sampler.py)
+            z = euler_denoise(velocity, noise, schedule,
+                              loop_variant=dit_p if self.quant else None)
             out = self._vae.apply(vae_params, unpack_latents(z, lh, lw),
                                   method=FluxVAE.decode)
             # uint8 patch download (4x fewer tunnel bytes than float32)

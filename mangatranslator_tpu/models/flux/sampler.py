@@ -39,15 +39,30 @@ def make_schedule(num_steps: int, seq_len: int, shift: bool = True) -> jnp.ndarr
 
 
 def euler_denoise(
-    velocity_fn: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray],
+    velocity_fn: Callable[..., jnp.ndarray],
     noise: jnp.ndarray,
     schedule: jnp.ndarray,
+    loop_variant=None,
 ) -> jnp.ndarray:
     """Integrate the flow from t=1 (noise) to t=0 via lax.scan — one compiled
-    program regardless of step count."""
+    program regardless of step count.
+
+    ``loop_variant``: an optional pytree (quantized DiT params) re-tied to
+    the loop carry through ``lax.optimization_barrier`` every step, so
+    XLA's while-loop invariant code motion cannot hoist its size-inflating
+    dequantization out of the scan — hoisting materializes every dense
+    kernel for the loop's lifetime, exactly the HBM blow-up use-site
+    dequant exists to prevent (measured: int4 temp ≈ full dense tree on
+    the CPU backend without the barrier). When given, ``velocity_fn`` is
+    called as ``velocity_fn(z, t, loop_variant)``."""
     def step(z, ts):
         t_cur, t_next = ts
-        v = velocity_fn(z, jnp.full((z.shape[0],), t_cur, z.dtype))
+        t = jnp.full((z.shape[0],), t_cur, z.dtype)
+        if loop_variant is not None:
+            lv, z = jax.lax.optimization_barrier((loop_variant, z))
+            v = velocity_fn(z, t, lv)
+        else:
+            v = velocity_fn(z, t)
         return z + (t_next - t_cur) * v, None
 
     pairs = jnp.stack([schedule[:-1], schedule[1:]], axis=1)
