@@ -231,3 +231,23 @@ class TestDeviceRuntime:
         info = get_device_info()
         assert info["num_devices"] == 8
         assert info["platform"] == "cpu"
+
+
+def test_enable_persistent_cache_resolution(tmp_path, monkeypatch):
+    """Priority: explicit arg > MTX_JAX_CACHE_DIR > repo .jax_cache."""
+    import jax
+
+    from mangatranslator_tpu.runtime import enable_persistent_cache
+
+    explicit = tmp_path / "explicit"
+    assert enable_persistent_cache(str(explicit)) == str(explicit)
+    assert explicit.is_dir()
+    assert jax.config.jax_compilation_cache_dir == str(explicit)
+
+    envdir = tmp_path / "envdir"
+    monkeypatch.setenv("MTX_JAX_CACHE_DIR", str(envdir))
+    assert enable_persistent_cache() == str(envdir)
+
+    monkeypatch.delenv("MTX_JAX_CACHE_DIR")
+    p = enable_persistent_cache()  # repo checkout fallback
+    assert p.endswith(".jax_cache")
