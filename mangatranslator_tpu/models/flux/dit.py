@@ -9,6 +9,15 @@ conditioning on (timestep, guidance, pooled text).
 Kontext-style image conditioning: reference-image latent tokens are
 concatenated along the image sequence with a distinct position-id plane, so
 text removal sees the original page crop while denoising the clean target.
+
+The forward is split into ``probe`` (input embeds + the first Fn double
+blocks) / ``tail`` (remaining blocks) / ``final`` methods so the sampler's
+residual-diff step cache (sampler.euler_denoise_cached — the TPU counterpart
+of the reference's nunchaku apply_cache_on_pipe and sd.cpp
+cache-dit/dbcache modes, reference core/ml/model_manager.py:1160-1162 and
+core/ml/sdcpp_server.py:418-477) can skip ``tail`` on steps whose probe
+residual barely moved. ``__call__`` composes them and is bit-identical to
+the pre-split monolithic forward.
 """
 
 from __future__ import annotations
@@ -83,7 +92,86 @@ def make_txt_ids(seq_len: int) -> np.ndarray:
 class FluxDiT(nn.Module):
     cfg: FluxConfig
 
-    @nn.compact
+    def setup(self):
+        cfg = self.cfg
+        self.img_in = QDense(cfg.hidden_size)
+        self.txt_in = QDense(cfg.hidden_size)
+        self.time_in = MLPEmbedder(cfg.hidden_size)
+        if cfg.guidance_embed:
+            self.guidance_in = MLPEmbedder(cfg.hidden_size)
+        self.vector_in = MLPEmbedder(cfg.hidden_size)
+        self.double = [DoubleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                         cfg.mlp_ratio)
+                       for _ in range(cfg.depth_double)]
+        self.single = [SingleStreamBlock(cfg.hidden_size, cfg.num_heads,
+                                         cfg.mlp_ratio)
+                       for _ in range(cfg.depth_single)]
+        self.final = FinalLayer(cfg.in_channels)
+
+    def _freqs(self, img_ids: jnp.ndarray, txt_ids: jnp.ndarray) -> jnp.ndarray:
+        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
+        return rope_freqs(ids, self.cfg.axes_dim, self.cfg.theta)
+
+    def _embed(self, img, txt, t, pooled, guidance):
+        cfg = self.cfg
+        x = self.img_in(img)
+        c = self.txt_in(txt)
+        vec = self.time_in(timestep_embedding(t, 256))
+        if cfg.guidance_embed:
+            g = guidance if guidance is not None else jnp.ones_like(t)
+            vec = vec + self.guidance_in(timestep_embedding(g, 256))
+        vec = vec + self.vector_in(pooled)
+        # keep the modulation vector in the token dtype: an f32 vec would
+        # promote every block's stream to f32 (see flux2.py counterpart)
+        return x, c, vec.astype(x.dtype)
+
+    def probe(
+        self,
+        img: jnp.ndarray,        # [B, S_img, in_channels] packed latent tokens
+        img_ids: jnp.ndarray,    # [S_img, 3]
+        txt: jnp.ndarray,        # [B, S_txt, ctx_dim]
+        txt_ids: jnp.ndarray,    # [S_txt, 3]
+        t: jnp.ndarray,          # [B] flow time in [0, 1]
+        pooled: jnp.ndarray,     # [B, vec_dim]
+        guidance: Optional[jnp.ndarray] = None,  # [B]
+        fn_blocks: int = 1,
+    ):
+        """Input embeds + the first ``fn_blocks`` double blocks. Returns
+        (x, c, vec, resid) where ``resid`` is the image-stream residual the
+        step cache's relative-L1 metric compares across steps (the Fn-block
+        residual of cache-dit/dbcache; Fn=1 ≡ nunchaku's first-block cache)."""
+        fn = max(1, min(int(fn_blocks), self.cfg.depth_double))
+        x, c, vec = self._embed(img, txt, t, pooled, guidance)
+        freqs = self._freqs(img_ids, txt_ids)
+        x0 = x
+        for blk in self.double[:fn]:
+            x, c = blk(x, c, vec, freqs)
+        return x, c, vec, x - x0
+
+    def tail(
+        self,
+        x: jnp.ndarray,          # [B, S_img, hidden] probe image stream
+        c: jnp.ndarray,          # [B, S_txt, hidden] probe text stream
+        vec: jnp.ndarray,        # [B, hidden]
+        img_ids: jnp.ndarray,
+        txt_ids: jnp.ndarray,
+        fn_blocks: int = 1,
+    ) -> jnp.ndarray:
+        """Remaining double blocks + all single blocks; returns the final
+        image-stream hidden (pre-final-layer) — what the step cache stores
+        as ``probe + delta``."""
+        fn = max(1, min(int(fn_blocks), self.cfg.depth_double))
+        freqs = self._freqs(img_ids, txt_ids)
+        for blk in self.double[fn:]:
+            x, c = blk(x, c, vec, freqs)
+        seq = jnp.concatenate([c, x], axis=1)
+        for blk in self.single:
+            seq = blk(seq, vec, freqs)
+        return seq[:, c.shape[1]:]
+
+    def final_layer(self, x: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
+        return self.final(x, vec)
+
     def __call__(
         self,
         img: jnp.ndarray,        # [B, S_img, in_channels] packed latent tokens
@@ -94,35 +182,10 @@ class FluxDiT(nn.Module):
         pooled: jnp.ndarray,     # [B, vec_dim]
         guidance: Optional[jnp.ndarray] = None,  # [B]
     ) -> jnp.ndarray:
-        cfg = self.cfg
-        x = QDense(cfg.hidden_size, name="img_in")(img)
-        c = QDense(cfg.hidden_size, name="txt_in")(txt)
-
-        vec = MLPEmbedder(cfg.hidden_size, name="time_in")(
-            timestep_embedding(t, 256))
-        if cfg.guidance_embed:
-            g = guidance if guidance is not None else jnp.ones_like(t)
-            vec = vec + MLPEmbedder(cfg.hidden_size, name="guidance_in")(
-                timestep_embedding(g, 256))
-        vec = vec + MLPEmbedder(cfg.hidden_size, name="vector_in")(pooled)
-        # keep the modulation vector in the token dtype: an f32 vec would
-        # promote every block's stream to f32 (see flux2.py counterpart)
-        vec = vec.astype(x.dtype)
-
-        ids = jnp.concatenate([txt_ids, img_ids], axis=0)
-        freqs = rope_freqs(ids, cfg.axes_dim, cfg.theta)  # [S, head_dim/2, 2]
-
-        for i in range(cfg.depth_double):
-            x, c = DoubleStreamBlock(cfg.hidden_size, cfg.num_heads,
-                                     cfg.mlp_ratio,
-                                     name=f"double_{i}")(x, c, vec, freqs)
-        seq = jnp.concatenate([c, x], axis=1)
-        for i in range(cfg.depth_single):
-            seq = SingleStreamBlock(cfg.hidden_size, cfg.num_heads,
-                                    cfg.mlp_ratio,
-                                    name=f"single_{i}")(seq, vec, freqs)
-        x = seq[:, txt.shape[1]:]
-        return FinalLayer(cfg.in_channels, name="final")(x, vec)
+        x, c, vec, _ = self.probe(img, img_ids, txt, txt_ids, t, pooled,
+                                  guidance, fn_blocks=1)
+        x = self.tail(x, c, vec, img_ids, txt_ids, fn_blocks=1)
+        return self.final(x, vec)
 
 
 def pack_latents(lat: jnp.ndarray) -> jnp.ndarray:

@@ -37,7 +37,12 @@ from .dit import (
     pack_latents,
     unpack_latents,
 )
-from .sampler import euler_denoise, make_schedule
+from .sampler import (
+    euler_denoise,
+    euler_denoise_cached,
+    make_schedule,
+    resolve_cache_policy,
+)
 from .vae import FluxVAE, VAEConfig, downsample_factor
 
 # 17 preferred Kontext resolutions ≈1MP (reference inpainting.py:139-157)
@@ -154,11 +159,20 @@ class FluxInpainter:
                  buckets=KONTEXT_AR_BUCKETS,
                  use_kontext_conditioning: bool = True,
                  int8_weights: bool = False,
-                 quant: "Optional[str]" = None):
+                 quant: "Optional[str]" = None,
+                 cache_mode: str = "none",
+                 residual_diff_threshold: float = 0.0):
         """quant ('int8' | 'int4' | None): store the DiT tree quantized with
         per-column scales; dequantization is traced into each bucket program
         so HBM holds the 4x/8x-smaller buffers (reference Nunchaku/SDNQ
-        role). int8_weights=True is shorthand for quant='int8'."""
+        role). int8_weights=True is shorthand for quant='int8'.
+
+        cache_mode / residual_diff_threshold: the diffusion step cache
+        (sampler.resolve_cache_policy) — skips the DiT tail on steps whose
+        probe residual barely moved, the TPU counterpart of the reference's
+        nunchaku apply_cache_on_pipe + sd.cpp cache modes (reference
+        core/ml/model_manager.py:1160-1162, core/ml/sdcpp_server.py:418-477).
+        threshold 0 with mode "none" disables caching."""
         self.quant = quant or ("int8" if int8_weights else None)
         if self.quant:
             import functools
@@ -178,6 +192,11 @@ class FluxInpainter:
         self.bundle = bundle
         self.buckets = buckets
         self.use_kontext = use_kontext_conditioning
+        self.cache_mode = cache_mode
+        self.residual_diff_threshold = float(residual_diff_threshold)
+        # cache-hit count of the last run — a lazy device scalar
+        # (diagnostics/tests int() it; eager int() would cost a tunnel RPC)
+        self.last_cache_hits = None
         self._dit = FluxDiT(bundle.dit_cfg)
         self._vae = FluxVAE(bundle.vae_cfg)
         self._jitted: Dict[Tuple[int, int, int, float], callable] = {}
@@ -226,24 +245,53 @@ class FluxInpainter:
             txt_c = self._txt.astype(cdt)
             vec_c = self._vec.astype(cdt)
 
-            def velocity(z, t, p=dit_p):
-                tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
-                          if self.use_kontext else z.astype(cdt))
-                v = self._dit.apply(
-                    p, tokens, ids, txt_c, txt_ids, t,
-                    vec_c, jnp.full_like(t, guidance))
-                return v[:, :seq_len].astype(jnp.float32)
-
             schedule = make_schedule(steps, seq_len)
-            # quantized params ride the loop carry (barrier) so LICM can't
-            # hoist the per-layer dequants out of the scan (sampler.py)
-            z = euler_denoise(velocity, noise, schedule,
-                              loop_variant=dit_p if self.quant else None)
+            lv = dit_p if self.quant else None
+            policy = resolve_cache_policy(self.cache_mode,
+                                          self.residual_diff_threshold, steps)
+            if policy is not None:
+                fn = policy.fn_blocks
+
+                def probe(z, t, p):
+                    p = p if p is not None else dit_p
+                    tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
+                              if self.use_kontext else z.astype(cdt))
+                    return self._dit.apply(
+                        p, tokens, ids, txt_c, txt_ids, t,
+                        vec_c, jnp.full_like(t, guidance),
+                        fn_blocks=fn, method=FluxDiT.probe)
+
+                def tail(x, c, vec, p):
+                    p = p if p is not None else dit_p
+                    return self._dit.apply(p, x, c, vec, ids, txt_ids,
+                                           fn_blocks=fn, method=FluxDiT.tail)
+
+                def final(x_h, vec):
+                    v = self._dit.apply(dit_p, x_h, vec,
+                                        method=FluxDiT.final_layer)
+                    return v[:, :seq_len].astype(jnp.float32)
+
+                z, hits = euler_denoise_cached(probe, tail, final, noise,
+                                               schedule, policy,
+                                               loop_variant=lv)
+            else:
+                def velocity(z, t, p=dit_p):
+                    tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
+                              if self.use_kontext else z.astype(cdt))
+                    v = self._dit.apply(
+                        p, tokens, ids, txt_c, txt_ids, t,
+                        vec_c, jnp.full_like(t, guidance))
+                    return v[:, :seq_len].astype(jnp.float32)
+
+                # quantized params ride the loop carry (barrier) so LICM can't
+                # hoist the per-layer dequants out of the scan (sampler.py)
+                z = euler_denoise(velocity, noise, schedule, loop_variant=lv)
+                hits = jnp.zeros((), jnp.int32)
             out = self._vae.apply(vae_params, unpack_latents(z, lh, lw),
                                   method=FluxVAE.decode)
             # uint8 patch download (4x fewer tunnel bytes than float32)
             p01 = jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
-            return jnp.round(p01 * 255.0).astype(jnp.uint8)
+            return jnp.round(p01 * 255.0).astype(jnp.uint8), hits
 
         return run
 
@@ -314,8 +362,11 @@ class FluxInpainter:
                                     float(guidance_scale))
         key = jax.random.PRNGKey(seed if seed != -1 else
                                  np.random.randint(0, 2**31 - 1))
-        out_u8 = program(self.bundle.dit_params, self.bundle.vae_params,
-                         jnp.asarray(crop_rs), key)  # uint8 both ways
+        out_u8, hits = program(self.bundle.dit_params, self.bundle.vae_params,
+                               jnp.asarray(crop_rs), key)  # uint8 both ways
+        # device scalar kept lazy: int()-ing here would cost one extra tunnel
+        # round trip per region; tests/diagnostics materialize it on read
+        self.last_cache_hits = hits
         patch = cv2.resize(np.asarray(out_u8), (x2 - x1, y2 - y1),
                            interpolation=cv2.INTER_LANCZOS4)
         if cache is not None:
@@ -367,7 +418,10 @@ def composite_patch(image: np.ndarray, patch: np.ndarray,
 def build_converted_inpainter(dit_vars, vae_vars=None,
                               prompt: str = DEFAULT_PROMPT,
                               vae_preset: str = "flux",
-                              buckets=None) -> "FluxInpainter":
+                              buckets=None,
+                              cache_mode: str = "none",
+                              residual_diff_threshold: float = 0.0,
+                              ) -> "FluxInpainter":
     """Pipeline from converted checkpoints: DiT config inferred from the
     tree; VAE from its converted tree when present, else random-init at the
     production config."""
@@ -385,12 +439,16 @@ def build_converted_inpainter(dit_vars, vae_vars=None,
     quant = os.environ.get("MTX_FLUX_QUANT") or (
         "int8" if os.environ.get("MTX_FLUX_INT8") == "1" else None)
     return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS,
-                         quant=quant)
+                         quant=quant, cache_mode=cache_mode,
+                         residual_diff_threshold=residual_diff_threshold)
 
 
 def build_random_inpainter(preset: str = "test", vae_preset: str = "test",
                            prompt: str = DEFAULT_PROMPT,
-                           buckets=None) -> FluxInpainter:
+                           buckets=None,
+                           cache_mode: str = "none",
+                           residual_diff_threshold: float = 0.0,
+                           ) -> FluxInpainter:
     """Random-init pipeline (zero-egress environments; real checkpoints swap in
     via models/convert.py)."""
     from .dit import FLUX_PRESETS, init_flux
@@ -403,4 +461,6 @@ def build_random_inpainter(preset: str = "test", vae_preset: str = "test",
         dit_params=init_flux(dit_cfg), vae_params=init_vae(vae_cfg),
         prompt=prompt,
     )
-    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS)
+    return FluxInpainter(bundle, buckets=buckets or KONTEXT_AR_BUCKETS,
+                         cache_mode=cache_mode,
+                         residual_diff_threshold=residual_diff_threshold)

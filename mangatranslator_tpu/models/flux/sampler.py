@@ -10,7 +10,8 @@ guidance-distilled at ~2.5 (reference core/image/inpainting.py:166-169,
 
 from __future__ import annotations
 
-from typing import Callable
+from dataclasses import dataclass
+from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp
@@ -68,3 +69,140 @@ def euler_denoise(
     pairs = jnp.stack([schedule[:-1], schedule[1:]], axis=1)
     z, _ = jax.lax.scan(step, noise, pairs)
     return z
+
+
+@dataclass(frozen=True)
+class StepCachePolicy:
+    """Residual-diff step-cache parameters — the TPU counterpart of the
+    reference's diffusion accelerators: nunchaku ``apply_cache_on_pipe``
+    (first-block cache driven by ``flux_residual_diff_threshold``, reference
+    core/ml/model_manager.py:1160-1162) and the sd.cpp cache modes
+    (``Fn=…,Bn=0,threshold=…,warmup=…`` — reference
+    core/ml/sdcpp_server.py:418-477).
+
+    Each denoise step always computes the input embeds plus the first
+    ``fn_blocks`` double blocks (the probe). If the probe residual's
+    relative-L1 distance to the previous step's is below ``threshold``, the
+    remaining blocks are SKIPPED and the cached tail delta (final hidden −
+    probe hidden, from the last fully-computed step) is reused — XLA lowers
+    the branch to a real TPU conditional, so a cache hit pays only the probe.
+    ``taylor`` additionally extrapolates the delta first-order in t
+    (TaylorSeer); ``stop_frac`` disables caching for the final
+    (1 − stop_frac) of steps (spectrum's ``stop=0.8``)."""
+
+    threshold: float
+    fn_blocks: int = 1
+    warmup: int = 1
+    taylor: bool = False
+    stop_frac: float = 1.0
+
+
+def resolve_cache_policy(cache_mode: str, residual_diff_threshold: float,
+                         num_steps: int) -> Optional[StepCachePolicy]:
+    """Map the reference's knobs onto a StepCachePolicy (constants from
+    reference core/ml/sdcpp_server.py:422-477; warmup = max(1, ⌈steps/4⌉)).
+
+    ``cache_mode="none"`` falls back to the nunchaku-parity first-block
+    cache when ``residual_diff_threshold`` > 0 (the reference applies it
+    unconditionally on the Kontext pipeline); threshold 0 disables caching
+    entirely. Unknown modes raise ValueError."""
+    mode = (cache_mode or "none").lower()
+    warmup = max(1, (num_steps + 3) // 4)
+    th = float(residual_diff_threshold or 0.0)
+    if mode == "none":
+        return StepCachePolicy(th, 1, warmup) if th > 0 else None
+    if mode == "cache-dit":   # Fn=4,Bn=0,threshold=0.10 (ref :443-455)
+        return StepCachePolicy(0.10, 4, warmup)
+    if mode == "taylorseer":  # Fn=4,Bn=0 (ref :456-467)
+        return StepCachePolicy(th if th > 0 else 0.10, 4, warmup, taylor=True)
+    if mode == "dbcache":     # Fn=8,Bn=0,threshold=0.08 (ref :468-477)
+        return StepCachePolicy(0.08, 8, warmup)
+    if mode == "spectrum":    # warmup=…,window=2,stop=0.8 (ref :427-441)
+        return StepCachePolicy(th if th > 0 else 0.10, 4, warmup,
+                               stop_frac=0.8)
+    raise ValueError(f"Unknown flux cache mode: {cache_mode!r}")
+
+
+def euler_denoise_cached(
+    probe_fn: Callable,
+    tail_fn: Callable,
+    final_fn: Callable,
+    noise: jnp.ndarray,
+    schedule: jnp.ndarray,
+    policy: StepCachePolicy,
+    loop_variant=None,
+):
+    """Euler flow integration with the residual-diff step cache.
+
+    ``probe_fn(z, t, lv) -> (x, c, vec, resid)`` — embeds + first Fn double
+    blocks; ``tail_fn(x, c, vec, lv) -> x_hidden`` — the skippable remainder;
+    ``final_fn(x_hidden, vec) -> v`` — final layer + slicing to velocity.
+    Returns ``(z, hits)`` where hits counts cache-hit steps. Step 0 always
+    computes fully (it seeds the carry); the scan then runs steps 1…N−1 with
+    a lax.cond choosing probe-only vs full compute. ``loop_variant`` is the
+    quantized-params barrier tie of euler_denoise."""
+    import math
+
+    num_steps = int(schedule.shape[0]) - 1
+    eps = 1e-6
+    stop_at = (int(math.ceil(policy.stop_frac * num_steps))
+               if policy.stop_frac < 1.0 else num_steps)
+
+    def _step0(z):
+        t = jnp.full((z.shape[0],), schedule[0], z.dtype)
+        lv = loop_variant
+        x, c, vec, resid = probe_fn(z, t, lv)
+        x_h = tail_fn(x, c, vec, lv)
+        v = final_fn(x_h, vec)
+        z1 = z + (schedule[1] - schedule[0]) * v
+        delta = x_h - x
+        return z1, resid, delta
+
+    z1, resid0, delta0 = _step0(noise)
+    if num_steps == 1:
+        return z1, jnp.zeros((), jnp.int32)
+
+    def step(carry, inp):
+        z, prev_resid, delta, delta_prev, t_last, t_prev, n_comp = carry
+        i, t_cur, t_next = inp
+        if loop_variant is not None:
+            lv, z = jax.lax.optimization_barrier((loop_variant, z))
+        else:
+            lv = None
+        t = jnp.full((z.shape[0],), t_cur, z.dtype)
+        x, c, vec, resid = probe_fn(z, t, lv)
+        num = jnp.mean(jnp.abs((resid - prev_resid).astype(jnp.float32)))
+        den = jnp.mean(jnp.abs(prev_resid.astype(jnp.float32))) + eps
+        rel = num / den
+        use = ((rel < policy.threshold)
+               & (i >= policy.warmup) & (i < stop_at))
+
+        def hit(_):
+            d = delta
+            if policy.taylor:
+                # first-order extrapolation of the tail delta in t
+                slope_ok = (n_comp >= 2) & (jnp.abs(t_last - t_prev) > eps)
+                scale = jnp.where(slope_ok,
+                                  (t_cur - t_last) / (t_last - t_prev + eps),
+                                  0.0).astype(d.dtype)
+                d = d + (delta - delta_prev) * scale
+            return x + d, delta, delta_prev, t_last, t_prev, n_comp
+
+        def miss(_):
+            x_h = tail_fn(x, c, vec, lv)
+            return (x_h, x_h - x, delta, t_cur.astype(t_last.dtype), t_last,
+                    n_comp + 1)
+
+        x_h, delta_n, delta_p, t_l, t_p, n_c = jax.lax.cond(use, hit, miss,
+                                                            None)
+        v = final_fn(x_h, vec)
+        z_next = z + (t_next - t_cur) * v
+        return (z_next, resid, delta_n, delta_p, t_l, t_p, n_c), \
+            use.astype(jnp.int32)
+
+    idx = jnp.arange(1, num_steps, dtype=jnp.int32)
+    xs = (idx, schedule[1:-1], schedule[2:])
+    t0 = schedule[0].astype(jnp.float32)
+    carry0 = (z1, resid0, delta0, delta0, t0, t0, jnp.asarray(1, jnp.int32))
+    (z, *_), used = jax.lax.scan(step, carry0, xs)
+    return z, jnp.sum(used)

@@ -28,6 +28,52 @@ from .rcan import RCAN_PRESETS, UpscalerRunner, init_rcan
 from .yolo import YoloRunner, init_yolo, yolo_config
 
 
+_warned_knobs: set = set()
+_warned_lock = threading.Lock()
+
+
+def _warn_once(key: str, message: str) -> None:
+    """Log a config-compat notice once per process (inert-knob audit)."""
+    with _warned_lock:
+        if key in _warned_knobs:
+            return
+        _warned_knobs.add(key)
+    log_message(message, always_print=True)
+
+
+def warn_inert_flux_knobs(ot) -> None:
+    """One-time notices for reference config knobs that are accepted for
+    parity but cannot do anything on the TPU pipeline — a user porting a
+    reference config gets an explicit signal instead of silence.
+
+    ``ot`` is an OutsideTextConfig (config.py). The sd.cpp/nunchaku backend
+    selectors (reference core/config.py:130-147) all map onto the native
+    JAX pipeline; their quantization strings map onto MTX_FLUX_QUANT."""
+    backend = getattr(ot, "flux_backend", "jax")
+    if backend and backend != "jax":
+        _warn_once(
+            f"flux_backend:{backend}",
+            f"flux_backend={backend!r} accepted for config parity; the TPU "
+            "pipeline always runs the native JAX/XLA backend (quantized "
+            "storage via MTX_FLUX_QUANT=int8|int4 covers the "
+            "SDNQ/Nunchaku/sd.cpp quantization role)")
+    if getattr(ot, "flux_low_vram", False):
+        _warn_once(
+            "flux_low_vram",
+            "flux_low_vram accepted for config parity; no-op on TPU (no CPU "
+            "offload — HBM pressure is handled by quantized weight storage "
+            "and the ModelManager HBM-budget LRU)")
+    quant = getattr(ot, "flux_sdcpp_diffusion_quant", "")
+    te_quant = getattr(ot, "flux_sdcpp_text_encoder_quant", "")
+    if (quant and quant != "Q4_K_M") or te_quant:
+        _warn_once(
+            "flux_sdcpp_quant",
+            "flux_sdcpp_*_quant strings accepted for config parity; GGML "
+            "quant formats do not apply to the TPU pipeline — use "
+            "MTX_FLUX_QUANT=int8|int4 (per-column scales + SVDQuant "
+            "low-rank compensation)")
+
+
 class ModelType(enum.Enum):
     """Parity with reference ModelType (core/ml/model_manager.py:31-54)."""
 
@@ -548,11 +594,19 @@ class ModelManager:
 
     def get_flux_inpainter(self, method: str = "flux_klein_4b",
                            prompt: Optional[str] = None,
-                           upscale_small_crops: bool = True):
+                           upscale_small_crops: bool = True,
+                           cache_mode: str = "none",
+                           residual_diff_threshold: float = 0.0):
         """Klein methods get the FLUX.2 pipeline with Klein sizing semantics
         (16-px-quantized [64,2048] dims, ≤4MP, ~1MP small-crop upscale,
         4-step CFG 1.0 — reference inpainting.py:988-1003,1258-1313);
-        Kontext keeps the 17-AR-bucket FLUX.1 pipeline (:139-157)."""
+        Kontext keeps the 17-AR-bucket FLUX.1 pipeline (:139-157).
+
+        cache_mode / residual_diff_threshold drive the diffusion step cache
+        on the Kontext many-step path (sampler.resolve_cache_policy — the
+        reference's nunchaku apply_cache_on_pipe / sd.cpp cache modes).
+        Klein is 4-step distilled; caching there is explicitly ignored with
+        a one-time notice."""
         mtype = {
             "flux_klein_4b": ModelType.FLUX_KLEIN_4B,
             "flux_klein_9b": ModelType.FLUX_KLEIN_9B,
@@ -561,14 +615,24 @@ class ModelManager:
         is_klein = mtype is not ModelType.FLUX_KONTEXT
         from .flux.pipeline import DEFAULT_PROMPT, KLEIN_PROMPT
 
+        if is_klein and (residual_diff_threshold > 0
+                         or (cache_mode or "none") != "none"):
+            _warn_once(
+                "flux_step_cache_klein",
+                "Diffusion step caching (cache_mode/"
+                "flux_residual_diff_threshold) only applies to the many-step "
+                "Kontext path; Klein is 4-step distilled — ignoring")
+            cache_mode, residual_diff_threshold = "none", 0.0
+
         # Klein models default to the long preservation prompt (reference
         # inpainting.py:991); Kontext keeps "Remove all text."
         if prompt in (None, DEFAULT_PROMPT) and is_klein:
             prompt = KLEIN_PROMPT
-        # sizing semantics and prompt are baked into the pipeline instance,
-        # so they belong in the cache key (a settings flip must not return a
-        # stale runner)
-        key = (mtype, prompt, bool(upscale_small_crops))
+        # sizing semantics, prompt and cache policy are baked into the
+        # pipeline instance, so they belong in the cache key (a settings
+        # flip must not return a stale runner)
+        key = (mtype, prompt, bool(upscale_small_crops),
+               cache_mode or "none", float(residual_diff_threshold))
         with self._lock:
             if key in self._runners:
                 self._touch(key)
@@ -598,7 +662,9 @@ class ModelManager:
                         upscale_small_crops=upscale_small_crops)
                 else:
                     inpainter = build_converted_inpainter(
-                        dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT)
+                        dit_vars, vae_vars, prompt=prompt or DEFAULT_PROMPT,
+                        cache_mode=cache_mode or "none",
+                        residual_diff_threshold=residual_diff_threshold)
                 self._runners[key] = inpainter
                 self._touch(key)
                 return inpainter
@@ -619,7 +685,9 @@ class ModelManager:
             else:
                 inpainter = build_random_inpainter(
                     preset=preset, vae_preset=vae_preset,
-                    prompt=prompt or DEFAULT_PROMPT)
+                    prompt=prompt or DEFAULT_PROMPT,
+                    cache_mode=cache_mode or "none",
+                    residual_diff_threshold=residual_diff_threshold)
             self._runners[key] = inpainter
             self._touch(key)
             return inpainter

@@ -3,8 +3,10 @@
 Counterpart of reference core/image/image_utils.py:59 (save_image_with_compression),
 :598 (convert_image_to_target_mode) and core/pipeline.py:2004
 (_resolve_output_path) / :133 (_natural_path_sort_key). The reference shells out
-to oxipng (Rust) for PNG optimization; PNG encoding here goes through PIL's
-zlib path now, with the native C++ encoder (libpng+zlib) planned in native/.
+to oxipng (Rust) for PNG optimization; PNG saves here default to the native
+C++ libpng encoder (native/mtx_native.cpp, bound via ctypes in
+mangatranslator_tpu/native.py) and fall back to PIL's zlib path when the
+shared library isn't built.
 """
 
 from __future__ import annotations

@@ -407,10 +407,16 @@ def translate_and_render(
         if not method.startswith("flux"):
             return None
         try:
+            from ..models.manager import warn_inert_flux_knobs
+
+            warn_inert_flux_knobs(config.outside_text)
             return manager.get_flux_inpainter(
                 method, prompt=config.outside_text.flux_prompt,
                 upscale_small_crops=(
-                    config.outside_text.flux_upscale_small_crops))
+                    config.outside_text.flux_upscale_small_crops),
+                cache_mode=config.outside_text.flux_sdcpp_cache_mode,
+                residual_diff_threshold=(
+                    config.outside_text.flux_residual_diff_threshold))
         except Exception as e:
             log_message(f"Flux unavailable, cv2 fallback: {e}",
                         always_print=True)

@@ -1,0 +1,190 @@
+"""Diffusion step cache (sampler.euler_denoise_cached) + inert-knob audit.
+
+The step cache is the TPU counterpart of the reference's diffusion
+accelerators: nunchaku apply_cache_on_pipe driven by
+flux_residual_diff_threshold (reference core/ml/model_manager.py:1160-1162)
+and the sd.cpp cache modes (reference core/ml/sdcpp_server.py:418-477).
+"""
+
+import logging
+
+import numpy as np
+import pytest
+
+from mangatranslator_tpu.models.flux.pipeline import build_random_inpainter
+from mangatranslator_tpu.models.flux.sampler import (
+    StepCachePolicy,
+    resolve_cache_policy,
+)
+
+BUCKETS = ((64, 64),)
+
+
+def _page():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (80, 80, 3), np.uint8)
+    mask = np.zeros((80, 80), np.uint8)
+    mask[20:60, 20:60] = 1
+    return img, mask
+
+
+class TestPolicyResolution:
+    def test_none_mode_uses_threshold(self):
+        p = resolve_cache_policy("none", 0.15, 8)
+        assert p == StepCachePolicy(0.15, 1, 2)
+
+    def test_none_mode_zero_threshold_disables(self):
+        assert resolve_cache_policy("none", 0.0, 8) is None
+        assert resolve_cache_policy("", 0.0, 8) is None
+
+    def test_sdcpp_mode_constants(self):
+        # reference core/ml/sdcpp_server.py:443-477
+        assert resolve_cache_policy("cache-dit", 0.0, 8) == StepCachePolicy(
+            0.10, 4, 2)
+        assert resolve_cache_policy("dbcache", 0.0, 8) == StepCachePolicy(
+            0.08, 8, 2)
+        t = resolve_cache_policy("taylorseer", 0.0, 8)
+        assert t.taylor and t.fn_blocks == 4
+        s = resolve_cache_policy("spectrum", 0.2, 12)
+        assert s.stop_frac == 0.8 and s.threshold == 0.2 and s.warmup == 3
+
+    def test_warmup_rule(self):
+        # warmup = max(1, ceil(steps/4)) (reference :421)
+        assert resolve_cache_policy("dbcache", 0, 1).warmup == 1
+        assert resolve_cache_policy("dbcache", 0, 4).warmup == 1
+        assert resolve_cache_policy("dbcache", 0, 5).warmup == 2
+
+    def test_unknown_mode_raises(self):
+        with pytest.raises(ValueError):
+            resolve_cache_policy("turbo", 0.1, 8)
+
+
+class TestCachedDenoise:
+    def test_tiny_threshold_matches_uncached(self):
+        """threshold→0 must never hit, and the probe/tail split must
+        reproduce the monolithic forward numerics."""
+        img, mask = _page()
+        base = build_random_inpainter(buckets=BUCKETS)
+        cached = build_random_inpainter(buckets=BUCKETS,
+                                        residual_diff_threshold=1e-9)
+        out_a = base.inpaint_mask(img, mask, seed=3, num_inference_steps=4,
+                                  use_cache=False)
+        out_b = cached.inpaint_mask(img, mask, seed=3, num_inference_steps=4,
+                                    use_cache=False)
+        assert int(cached.last_cache_hits) == 0
+        np.testing.assert_allclose(out_a.astype(np.int16),
+                                   out_b.astype(np.int16), atol=1)
+
+    def test_high_threshold_hits_and_bounded_delta(self):
+        img, mask = _page()
+        base = build_random_inpainter(buckets=BUCKETS)
+        cached = build_random_inpainter(buckets=BUCKETS,
+                                        residual_diff_threshold=1e9)
+        steps = 8
+        out_a = base.inpaint_mask(img, mask, seed=3,
+                                  num_inference_steps=steps, use_cache=False)
+        out_b = cached.inpaint_mask(img, mask, seed=3,
+                                    num_inference_steps=steps, use_cache=False)
+        hits = int(cached.last_cache_hits)
+        # step 0 runs outside the scan; of the scan's steps 1..7 only
+        # i >= warmup(=2) may hit ⇒ 6 hits, all taken at this threshold
+        assert hits == steps - 2
+        delta = np.abs(out_a.astype(np.float32) - out_b.astype(np.float32))
+        assert delta.mean() < 40.0  # approximation, not garbage
+
+    @pytest.mark.parametrize("mode", ["dbcache", "cache-dit", "taylorseer",
+                                      "spectrum"])
+    def test_sdcpp_modes_run(self, mode):
+        img, mask = _page()
+        inp = build_random_inpainter(buckets=BUCKETS, cache_mode=mode,
+                                     residual_diff_threshold=0.15)
+        out = inp.inpaint_mask(img, mask, seed=3, num_inference_steps=8,
+                               use_cache=False)
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert int(inp.last_cache_hits) >= 0
+
+    def test_deterministic_with_cache(self):
+        img, mask = _page()
+        inp = build_random_inpainter(buckets=BUCKETS,
+                                     residual_diff_threshold=1e9)
+        a = inp.inpaint_mask(img, mask, seed=5, num_inference_steps=4,
+                             use_cache=False)
+        b = inp.inpaint_mask(img, mask, seed=5, num_inference_steps=4,
+                             use_cache=False)
+        np.testing.assert_array_equal(a, b)
+
+
+class TestInertKnobWarnings:
+    def _fresh_warned(self, monkeypatch):
+        from mangatranslator_tpu.logging import get_logger
+        from mangatranslator_tpu.models import manager as mgr
+
+        monkeypatch.setattr(mgr, "_warned_knobs", set())
+        # the package logger doesn't propagate to root (it owns its stderr
+        # handler); let caplog see records for the duration of the test
+        monkeypatch.setattr(get_logger(), "propagate", True)
+        return mgr
+
+    def test_backend_and_lowvram_warn(self, monkeypatch, caplog):
+        mgr = self._fresh_warned(monkeypatch)
+        from mangatranslator_tpu.config import OutsideTextConfig
+
+        ot = OutsideTextConfig(flux_backend="nunchaku", flux_low_vram=True,
+                               flux_sdcpp_text_encoder_quant="Q8_0")
+        with caplog.at_level(logging.INFO, logger="mangatranslator_tpu"):
+            mgr.warn_inert_flux_knobs(ot)
+        text = caplog.text
+        assert "flux_backend='nunchaku'" in text
+        assert "flux_low_vram" in text
+        assert "flux_sdcpp_*_quant" in text
+        # second call is silent (once per process)
+        caplog.clear()
+        with caplog.at_level(logging.INFO, logger="mangatranslator_tpu"):
+            mgr.warn_inert_flux_knobs(ot)
+        assert caplog.text == ""
+
+    def test_default_config_is_silent(self, monkeypatch, caplog):
+        mgr = self._fresh_warned(monkeypatch)
+        from mangatranslator_tpu.config import OutsideTextConfig
+
+        with caplog.at_level(logging.INFO, logger="mangatranslator_tpu"):
+            mgr.warn_inert_flux_knobs(OutsideTextConfig())
+        assert caplog.text == ""
+
+    def test_klein_cache_request_warns_and_disables(self, monkeypatch,
+                                                    caplog):
+        mgr = self._fresh_warned(monkeypatch)
+        from mangatranslator_tpu.models.manager import reset_model_manager
+
+        reset_model_manager()
+        try:
+            m = mgr.get_model_manager()
+            with caplog.at_level(logging.INFO,
+                                 logger="mangatranslator_tpu"):
+                inp = m.get_flux_inpainter("flux_klein_4b",
+                                           cache_mode="dbcache",
+                                           residual_diff_threshold=0.15)
+            assert "4-step distilled" in caplog.text
+            assert inp is not None
+        finally:
+            reset_model_manager()
+
+    def test_kontext_cache_threads_through(self, monkeypatch):
+        self._fresh_warned(monkeypatch)
+        from mangatranslator_tpu.models.manager import (
+            get_model_manager,
+            reset_model_manager,
+        )
+
+        reset_model_manager()
+        try:
+            m = get_model_manager()
+            inp = m.get_flux_inpainter("flux_kontext",
+                                       residual_diff_threshold=0.15)
+            assert inp.residual_diff_threshold == 0.15
+            # distinct policy ⇒ distinct runner (cache-key discipline)
+            inp2 = m.get_flux_inpainter("flux_kontext",
+                                        residual_diff_threshold=0.0)
+            assert inp2 is not inp
+        finally:
+            reset_model_manager()
