@@ -231,6 +231,35 @@ def compute_klein_prompt_embedding(prompt: str, qwen3_vars,
     return txt
 
 
+def compute_fixture_prompt_embedding(prompt: str, ctx_dim: int,
+                                     seed: int = 0,
+                                     num_layers: int = 2) -> np.ndarray:
+    """Deterministic prompt-embedding ARTIFACT from a seeded tiny Qwen3.
+
+    Not real conditioning (zero-egress environments have no converted
+    Qwen3 checkpoint) — but unlike the loud Gaussian stub it flows through
+    the REAL artifact machinery: a seeded shallow Qwen3 at the production
+    ``ctx_dim`` encodes the prompt's UTF-8 bytes as token ids, and the
+    hidden states are persisted via compute_klein_prompt_embedding, so
+    every downstream consumer exercises the precomputed-.npz load path
+    exactly as it would with a converted encoder
+    (scripts/convert_models.py --embed-prompt --fixture; VERDICT r3 #8)."""
+    from ..qwen3 import Qwen3Config, Qwen3Encoder, init_qwen3
+
+    cfg = Qwen3Config(vocab_size=256, hidden_size=ctx_dim,
+                      intermediate_size=max(64, ctx_dim // 4),
+                      num_layers=num_layers, num_heads=4, num_kv_heads=2,
+                      head_dim=64)
+    tokens = np.frombuffer(prompt.encode("utf-8"), np.uint8).astype(np.int32)
+    qvars = init_qwen3(cfg, seq=len(tokens), seed=seed)
+    txt = np.asarray(Qwen3Encoder(cfg).apply(
+        qvars, jnp.asarray(tokens[None], jnp.int32)))
+    out = prompt_embed_path(prompt)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    np.savez(out, txt=txt, fixture=np.asarray(True))
+    return txt
+
+
 class KleinInpainter:
     """Bucketed-sequence FLUX.2 Klein text-removal inpainter.
 

@@ -257,6 +257,65 @@ class SamRefiner:
 
         self._run = _run
 
+        @jax.jit
+        def _run_batch(params, images, boxes01):
+            """[B,S,S,3] uint8 + [B,P,4] → quantized probs [B,P,4Hf,4Wf] u8.
+
+            One program for the whole page batch (vmapped encoder+decoder)
+            and ONE uint8 leaf to download — replaces B blocking forwards
+            with one dispatch + one transfer (the per-page-RPC pattern the
+            transfer discipline forbids on the remote chip)."""
+            def one(image, b01):
+                if image.dtype == jnp.uint8:
+                    image = image.astype(jnp.float32) / 255.0
+                logits = self.model.apply(params, image[None].astype(
+                    compute_dtype), b01.astype(compute_dtype))
+                return jax.nn.sigmoid(logits.astype(jnp.float32))
+
+            probs = jax.vmap(one, in_axes=(0, 0))(images, boxes01)
+            return jnp.round(probs * 255.0).astype(jnp.uint8)
+
+        self._run_batch = _run_batch
+
+    def refine_batch(self, images, boxes_list):
+        """Batched counterpart of ``__call__``: ``images`` is a list of RGB
+        uint8 pages, ``boxes_list`` a per-page [N,4] xyxy array. Returns a
+        list (per page) of lists of page-res uint8 masks.
+
+        The whole batch runs as ONE jitted program (reference batches its
+        SAM box prompts the same way, detection.py:475-511); probs come back
+        quantized to uint8 (1/255 ≪ the 0.5 threshold margin) so the
+        download is a single B×P×(S/4)²-byte leaf."""
+        import cv2
+
+        size = self.cfg.img_size
+        b = len(images)
+        if b == 0:
+            return []
+        stack = np.stack([cv2.resize(img, (size, size)) for img in images])
+        boxes01 = np.zeros((b, self.MAX_PROMPTS, 4), np.float32)
+        counts = []
+        for i, (img, boxes) in enumerate(zip(images, boxes_list)):
+            h, w = img.shape[:2]
+            n = min(len(boxes), self.MAX_PROMPTS)
+            counts.append(n)
+            if n:
+                norm = np.array([w, h, w, h], np.float32)
+                boxes01[i, :n] = np.asarray(boxes, np.float32)[:n] / norm
+        probs_u8 = np.asarray(self._run_batch(
+            self._params, jnp.asarray(stack), jnp.asarray(boxes01)))
+        thresh = int(round(self.cfg.mask_threshold * 255))
+        out = []
+        for i, (img, n) in enumerate(zip(images, counts)):
+            h, w = img.shape[:2]
+            masks = []
+            for j in range(n):
+                m = cv2.resize(probs_u8[i, j], (w, h),
+                               interpolation=cv2.INTER_LINEAR)
+                masks.append((m > thresh).astype(np.uint8))
+            out.append(masks)
+        return out
+
     def __call__(self, image: np.ndarray, boxes: np.ndarray):
         """image RGB uint8 [H,W,3]; boxes [N,4] page xyxy → list of page-res
         uint8 masks (one batched forward, reference detection.py:475-511)."""

@@ -1,10 +1,12 @@
 """ctypes bindings for the native host kernels (native/libmtx_native.so).
 
 Provides: PNG encoding (libpng+zlib — the oxipng role, reference
-image_utils.py:140-163), connected components with stats + hole fill (the cv2
-contour role on the clean path), and exact HarfBuzz 26.6 shaping widths (the
-uharfbuzz role feeding the layout DP). Every entry point has a pure-Python
-fallback so the framework runs without the compiled library.
+image_utils.py:140-163) and connected components with stats + hole fill (the
+cv2 contour role on the clean path). Every entry point has a pure-Python
+fallback so the framework runs without the compiled library. (A HarfBuzz+
+FreeType glyph rasterizer lived here through r3; the r4 A/B measured it
+pixel-close but no faster than PIL's FreeType+raqm C path, so the text
+backend is PIL — see text/render.py:draw_layout_rgba.)
 """
 
 from __future__ import annotations
@@ -53,29 +55,6 @@ def _load() -> Optional[ctypes.CDLL]:
                 lib.mtx_fill_holes.argtypes = [
                     ctypes.POINTER(ctypes.c_uint8), ctypes.c_int, ctypes.c_int]
                 lib.mtx_fill_holes.restype = ctypes.c_int
-                lib.mtx_hb_shape_width.argtypes = [
-                    ctypes.c_char_p, ctypes.c_char_p, ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_int32),
-                    ctypes.POINTER(ctypes.c_int32),
-                    ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                    ctypes.POINTER(ctypes.c_int)]
-                lib.mtx_hb_shape_width.restype = ctypes.c_longlong
-                if hasattr(lib, "mtx_ft_render_run"):
-                    lib.mtx_ft_render_run.argtypes = [
-                        ctypes.c_char_p, ctypes.c_int,
-                        ctypes.POINTER(ctypes.c_int32),
-                        ctypes.POINTER(ctypes.c_int32),
-                        ctypes.POINTER(ctypes.c_int32), ctypes.c_int,
-                        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int,
-                        ctypes.c_int, ctypes.c_int,
-                        ctypes.POINTER(ctypes.c_uint8)]
-                    lib.mtx_ft_render_run.restype = ctypes.c_int
-                    lib.mtx_ft_metrics.argtypes = [
-                        ctypes.c_char_p, ctypes.c_int,
-                        ctypes.POINTER(ctypes.c_long),
-                        ctypes.POINTER(ctypes.c_long),
-                        ctypes.POINTER(ctypes.c_long)]
-                    lib.mtx_ft_metrics.restype = ctypes.c_int
                 _lib = lib
                 return _lib
         _load_failed = True
@@ -146,94 +125,3 @@ def fill_holes(mask: np.ndarray) -> Optional[np.ndarray]:
     lib.mtx_fill_holes(m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
                        m.shape[0], m.shape[1])
     return m
-
-
-def hb_shape_width(font_path: str, text: str, px_size: int
-                   ) -> Optional[float]:
-    """Exact HarfBuzz-shaped advance width in pixels (26.6 fixed point ÷ 64).
-    None when the shim or libharfbuzz is unavailable."""
-    lib = _load()
-    if lib is None:
-        return None
-    total = lib.mtx_hb_shape_width(str(font_path).encode(),
-                                   text.encode("utf-8"), int(px_size),
-                                   None, None, None, 0, None)
-    if total < 0:
-        return None
-    return total / 64.0
-
-
-def hb_shape_glyphs(font_path: str, text: str, px_size: int,
-                    max_glyphs: int = 512
-                    ) -> Optional[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
-    """(glyph_ids, clusters, advances_px) from HarfBuzz, or None."""
-    lib = _load()
-    if lib is None:
-        return None
-    gids = np.zeros(max_glyphs, np.int32)
-    clus = np.zeros(max_glyphs, np.int32)
-    adv = np.zeros(max_glyphs, np.int32)
-    n = ctypes.c_int(0)
-    total = lib.mtx_hb_shape_width(
-        str(font_path).encode(), text.encode("utf-8"), int(px_size),
-        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        clus.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        adv.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), max_glyphs,
-        ctypes.byref(n))
-    if total < 0:
-        return None
-    k = n.value
-    return gids[:k], clus[:k], adv[:k] / 64.0
-
-
-def ft_metrics(font_path: str, px_size: int
-               ) -> Optional[Tuple[float, float, float]]:
-    """(ascender, descender, height) in pixels from FreeType, or None."""
-    lib = _load()
-    if lib is None or not hasattr(lib, "mtx_ft_metrics"):
-        return None
-    asc = ctypes.c_long(0)
-    desc = ctypes.c_long(0)
-    hgt = ctypes.c_long(0)
-    rc = lib.mtx_ft_metrics(str(font_path).encode(), int(px_size),
-                            ctypes.byref(asc), ctypes.byref(desc),
-                            ctypes.byref(hgt))
-    if rc != 0:
-        return None
-    return asc.value / 64.0, desc.value / 64.0, hgt.value / 64.0
-
-
-def ft_render_run(font_path: str, px_size: int, glyph_ids: np.ndarray,
-                  xs_px: np.ndarray, ys_px: np.ndarray, width: int,
-                  height: int, stroke_px: float = 0.0
-                  ) -> Optional[Tuple[np.ndarray, Optional[np.ndarray]]]:
-    """Rasterize a positioned glyph run with FreeType (the native Skia-role
-    raster path, SURVEY §2.9): returns (fill_alpha [H,W] u8, stroke_alpha or
-    None). Pen positions are pixels with y = baseline."""
-    lib = _load()
-    if lib is None or not hasattr(lib, "mtx_ft_render_run"):
-        return None
-    n = len(glyph_ids)
-    gids = np.ascontiguousarray(glyph_ids, np.int32)
-    xs = np.ascontiguousarray(np.round(np.asarray(xs_px) * 64), np.int32)
-    ys = np.ascontiguousarray(np.round(np.asarray(ys_px) * 64), np.int32)
-    canvas = np.zeros((height, width), np.uint8)
-    stroke_r = int(round(stroke_px * 64))
-    stroke = np.zeros((height, width), np.uint8) if stroke_r > 0 else None
-    rc = lib.mtx_ft_render_run(
-        str(font_path).encode(), int(px_size),
-        gids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        xs.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        ys.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), n,
-        canvas.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-        width, height, stroke_r,
-        stroke.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
-        if stroke is not None else None)
-    if rc != 0:
-        return None
-    return canvas, stroke
-
-
-def ft_raster_available() -> bool:
-    lib = _load()
-    return lib is not None and hasattr(lib, "mtx_ft_render_run")

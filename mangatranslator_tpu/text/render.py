@@ -169,18 +169,13 @@ def draw_layout_rgba(
     ``background_rgb`` draws a padded opaque rect behind each line (reference
     drawing_engine.py:310-319 — the inpainting_method="none" OSB path).
 
-    MTX_NATIVE_RASTER=1 routes through the native FreeType rasterizer
-    (native/mtx_native.cpp — the Skia role in SURVEY §2.9): HarfBuzz-shaped
-    glyph runs, native coverage + stroked-outline canvases, colorized here.
-    PIL (FreeType+raqm) remains the default backend."""
-    import os
-
-    if os.environ.get("MTX_NATIVE_RASTER") == "1":
-        out = _native_draw_layout_rgba(measurer, layout, box, text_rgb,
-                                       outline_width, supersampling,
-                                       background_rgb=background_rgb)
-        if out is not None:
-            return out
+    Backend decision (r4, measured): PIL (FreeType+raqm) IS the raster
+    backend. A native HarfBuzz+FreeType rasterizer was built and A/B'd on
+    representative layouts — pixel-close (mean |Δ| ≈ 1.8/255, edge-only)
+    but 0.6–1.06× the speed of PIL's C path while lacking raqm's
+    complex-script bidi shaping, so it was deleted rather than shipped as
+    an env-var-only code path (tests/test_text_render.py pins this
+    backend's output with golden images)."""
     ss = max(1, int(supersampling))
     x1, y1, x2, y2 = box
     cx = (x1 + x2) / 2.0
@@ -233,113 +228,6 @@ def draw_layout_rgba(
             if not rtl:
                 sx += seg_w
 
-    patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
-    return patch, (px1, py1)
-
-
-def _native_draw_layout_rgba(
-    measurer: TextMeasurer,
-    layout: LayoutResult,
-    box: Tuple[float, float, float, float],
-    text_rgb: Tuple[int, int, int],
-    outline_width: float,
-    supersampling: int,
-    background_rgb: Optional[Tuple[int, int, int]] = None,
-) -> Optional[Tuple[Image.Image, Tuple[int, int]]]:
-    """FreeType raster backend: same geometry as the PIL path. Returns None
-    when the native library / HarfBuzz / FreeType are unavailable so the
-    caller falls back silently."""
-    from .. import native
-
-    if not native.ft_raster_available():
-        return None
-
-    ss = max(1, int(supersampling))
-    x1, y1, x2, y2 = box
-    cx = (x1 + x2) / 2.0
-    top = (y1 + y2) / 2.0 - layout.block_height / 2.0
-
-    margin = max(4.0, outline_width * 2 + 2)
-    px1 = int(np.floor(cx - layout.block_width / 2.0 - margin))
-    py1 = int(np.floor(top - margin))
-    pw = int(np.ceil(layout.block_width + 2 * margin))
-    ph = int(np.ceil(layout.block_height + 2 * margin))
-    W, H = pw * ss, ph * ss
-
-    fill = np.zeros((H, W), np.uint8)
-    stroke = np.zeros((H, W), np.uint8)
-    stroke_px = outline_width * ss
-    size_ss = int(layout.font_size * ss)
-    lh_ss = layout.line_height * ss
-
-    for i, line in enumerate(layout.lines):
-        ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
-        lx = (cx - px1) * ss - (line.width * ss) / 2.0
-        segs = TP.parse_styled_segments(line.text)
-        # RTL segment ordering parity with the PIL path (reference
-        # drawing_engine.py:380-434)
-        if len(segs) > 1 and TP.is_rtl_script(line.text):
-            segs = list(reversed(segs))
-        sx = lx
-        for seg, style in segs:
-            font = measurer.font_path(style)
-            shaped = native.hb_shape_glyphs(font, seg, size_ss)
-            metrics = native.ft_metrics(font, size_ss)
-            if shaped is None or metrics is None:
-                return None
-            gids, _, adv = shaped
-            ascent = metrics[0]
-            xs = sx + np.concatenate([[0.0], np.cumsum(adv)[:-1]])
-            ys = np.full(len(gids), ly + ascent)
-            out = native.ft_render_run(font, size_ss, gids, xs, ys, W, H,
-                                       stroke_px=stroke_px)
-            if out is None:
-                return None
-            fill = np.maximum(fill, out[0])
-            if out[1] is not None:
-                stroke = np.maximum(stroke, out[1])
-            sx += measurer.width(seg, size_ss, style)
-
-    rgba = np.zeros((H, W, 4), np.uint8)
-    if stroke_px > 0:
-        # straight-alpha blend: fill color over the stroke underlay inside
-        # the covered region, alpha = union coverage
-        oc = _outline_color(text_rgb)
-        rgba[..., 0], rgba[..., 1], rgba[..., 2] = oc
-        rgba[..., 3] = np.maximum(stroke, fill)
-        fa = fill.astype(np.float32) / 255.0
-        for ch in range(3):
-            rgba[..., ch] = (fa * text_rgb[ch]
-                             + (1.0 - fa) * rgba[..., ch]).astype(np.uint8)
-    else:
-        # no stroke: constant color with coverage as STRAIGHT alpha —
-        # multiplying the color by coverage too would double-attenuate
-        # anti-aliased edges
-        rgba[..., 0], rgba[..., 1], rgba[..., 2] = text_rgb
-        rgba[..., 3] = fill
-    if background_rgb is not None:
-        # solid per-line background rects under the glyph layers
-        # (reference drawing_engine.py:310-319)
-        bg = np.zeros((H, W), bool)
-        pad_x = layout.font_size * 0.1 * ss
-        pad_y = layout.font_size * 0.05 * ss
-        for i, line in enumerate(layout.lines):
-            ly = (margin + (top - py1 - margin)) * ss + i * lh_ss
-            lx = (cx - px1) * ss - (line.width * ss) / 2.0
-            y0 = max(0, int(ly - pad_y))
-            y1b = min(H, int(np.ceil(ly + size_ss + pad_y)))
-            x0 = max(0, int(lx - pad_x))
-            x1b = min(W, int(np.ceil(lx + line.width * ss + pad_x)))
-            bg[y0:y1b, x0:x1b] = True
-        ga = rgba[..., 3].astype(np.float32) / 255.0
-        for ch in range(3):
-            rgba[..., ch] = np.where(
-                bg,
-                (ga * rgba[..., ch]
-                 + (1.0 - ga) * background_rgb[ch]).astype(np.uint8),
-                rgba[..., ch])
-        rgba[..., 3] = np.where(bg, 255, rgba[..., 3])
-    canvas = Image.fromarray(rgba, "RGBA")
     patch = canvas.resize((pw, ph), Image.LANCZOS) if ss > 1 else canvas
     return patch, (px1, py1)
 

@@ -2,11 +2,11 @@
 //
 // Replaces the reference's native dependencies on the host path (SURVEY.md
 // §2.9): oxipng (Rust) → libpng+zlib encoder here; cv2 contour/component
-// extraction → two-pass union-find CCL with stats + border flood hole fill;
-// uharfbuzz shaping → a dlopen shim over libharfbuzz (26.6 fixed-point
-// advances feeding the Knuth-Plass layout); the Skia raster role →
-// a dlopen FreeType glyph rasterizer (coverage + stroked outlines
-// composited into alpha canvases, mtx_ft_render_run below).
+// extraction → two-pass union-find CCL with stats + border flood hole fill.
+// (A HarfBuzz shaping shim + FreeType glyph rasterizer lived here through
+// r3 for the Skia raster role; the r4 A/B measured it pixel-close to but
+// no faster than PIL's FreeType+raqm C path, so the text backend is PIL —
+// see mangatranslator_tpu/text/render.py:draw_layout_rgba.)
 //
 // Exposed via a plain C ABI consumed from Python with ctypes
 // (mangatranslator_tpu/native.py).
@@ -20,7 +20,6 @@
 
 #include <png.h>
 #include <zlib.h>
-#include <dlfcn.h>
 
 extern "C" {
 
@@ -174,327 +173,4 @@ int mtx_fill_holes(uint8_t* mask, int h, int w) {
         if (!mask[i] && !reach[i]) mask[i] = 1;
     return 0;
 }
-
-// ---------------------------------------------------------------------------
-// HarfBuzz shaping shim (dlopen — no headers needed at build time)
-// ---------------------------------------------------------------------------
-
-namespace hb {
-typedef void hb_blob_t;
-typedef void hb_face_t;
-typedef void hb_font_t;
-typedef void hb_buffer_t;
-struct glyph_info_t { uint32_t codepoint; uint32_t mask; uint32_t cluster;
-                      uint32_t var1, var2; };
-struct glyph_position_t { int32_t x_advance, y_advance, x_offset, y_offset;
-                          uint32_t var; };
-
-static void* lib = nullptr;
-static hb_blob_t* (*blob_from_file)(const char*);
-static hb_face_t* (*face_create)(hb_blob_t*, unsigned);
-static hb_font_t* (*font_create)(hb_face_t*);
-static void (*font_set_scale)(hb_font_t*, int, int);
-static hb_buffer_t* (*buffer_create)();
-static void (*buffer_add_utf8)(hb_buffer_t*, const char*, int, unsigned, int);
-static void (*buffer_guess)(hb_buffer_t*);
-static void (*shape)(hb_font_t*, hb_buffer_t*, const void*, unsigned);
-static glyph_info_t* (*get_infos)(hb_buffer_t*, unsigned*);
-static glyph_position_t* (*get_positions)(hb_buffer_t*, unsigned*);
-static void (*buffer_destroy)(hb_buffer_t*);
-static void (*font_destroy)(hb_font_t*);
-static void (*face_destroy)(hb_face_t*);
-static void (*blob_destroy)(hb_blob_t*);
-
-static bool load() {
-    if (lib) return true;
-    lib = dlopen("libharfbuzz.so.0", RTLD_LAZY);
-    if (!lib) lib = dlopen("libharfbuzz.so", RTLD_LAZY);
-    if (!lib) return false;
-#define SYM(var, name) *(void**)(&var) = dlsym(lib, name); if (!var) return false
-    SYM(blob_from_file, "hb_blob_create_from_file");
-    SYM(face_create, "hb_face_create");
-    SYM(font_create, "hb_font_create");
-    SYM(font_set_scale, "hb_font_set_scale");
-    SYM(buffer_create, "hb_buffer_create");
-    SYM(buffer_add_utf8, "hb_buffer_add_utf8");
-    SYM(buffer_guess, "hb_buffer_guess_segment_properties");
-    SYM(shape, "hb_shape");
-    SYM(get_infos, "hb_buffer_get_glyph_infos");
-    SYM(get_positions, "hb_buffer_get_glyph_positions");
-    SYM(buffer_destroy, "hb_buffer_destroy");
-    SYM(font_destroy, "hb_font_destroy");
-    SYM(face_destroy, "hb_face_destroy");
-    SYM(blob_destroy, "hb_blob_destroy");
-#undef SYM
-    return true;
-}
-}  // namespace hb
-
-// Shape UTF-8 text; returns total advance width in 26.6 fixed point (÷64 for
-// px) and writes up to max_glyphs (glyph_id, cluster, x_advance) triples.
-// Returns -1 when HarfBuzz is unavailable.
-long long mtx_hb_shape_width(const char* font_path, const char* utf8_text,
-                             int px_size, int32_t* glyph_ids,
-                             int32_t* clusters, int32_t* advances,
-                             int max_glyphs, int* n_glyphs) {
-    if (!hb::load()) return -1;
-    hb::hb_blob_t* blob = hb::blob_from_file(font_path);
-    if (!blob) return -2;
-    hb::hb_face_t* face = hb::face_create(blob, 0);
-    hb::hb_font_t* font = hb::font_create(face);
-    hb::font_set_scale(font, px_size * 64, px_size * 64);
-    hb::hb_buffer_t* buf = hb::buffer_create();
-    hb::buffer_add_utf8(buf, utf8_text, -1, 0, -1);
-    hb::buffer_guess(buf);
-    hb::shape(font, buf, nullptr, 0);
-    unsigned n = 0;
-    hb::glyph_info_t* infos = hb::get_infos(buf, &n);
-    unsigned np = 0;
-    hb::glyph_position_t* pos = hb::get_positions(buf, &np);
-    long long total = 0;
-    int count = (int)n;
-    if (count > max_glyphs) count = max_glyphs;
-    for (int i = 0; i < (int)n; ++i) {
-        total += pos[i].x_advance;
-        if (i < count) {
-            if (glyph_ids) glyph_ids[i] = (int32_t)infos[i].codepoint;
-            if (clusters) clusters[i] = (int32_t)infos[i].cluster;
-            if (advances) advances[i] = pos[i].x_advance;
-        }
-    }
-    if (n_glyphs) *n_glyphs = count;
-    hb::buffer_destroy(buf);
-    hb::font_destroy(font);
-    hb::face_destroy(face);
-    hb::blob_destroy(blob);
-    return total;
-}
-
-// ---------------------------------------------------------------------------
-// FreeType glyph rasterizer shim (dlopen — no headers needed at build time).
-// Mirrors of the public, ABI-stable FreeType structs (LP64): only the fields
-// up to the ones we read are declared, padding/alignment matches the real
-// headers because the declarations are field-for-field identical prefixes.
-// ---------------------------------------------------------------------------
-
-namespace ft {
-typedef long FT_Pos;
-typedef long FT_Fixed;
-struct FT_Vector { FT_Pos x, y; };
-struct FT_BBox { FT_Pos xMin, yMin, xMax, yMax; };
-struct FT_Generic { void* data; void* finalizer; };
-struct FT_Bitmap {
-    unsigned int rows, width;
-    int pitch;
-    unsigned char* buffer;
-    unsigned short num_grays;
-    unsigned char pixel_mode, palette_mode;
-    void* palette;
-};
-struct FT_Glyph_Metrics {
-    FT_Pos width, height;
-    FT_Pos horiBearingX, horiBearingY, horiAdvance;
-    FT_Pos vertBearingX, vertBearingY, vertAdvance;
-};
-struct FT_Size_Metrics {
-    unsigned short x_ppem, y_ppem;
-    FT_Fixed x_scale, y_scale;
-    FT_Pos ascender, descender, height, max_advance;
-};
-struct FT_SizeRec {
-    void* face;
-    FT_Generic generic;
-    FT_Size_Metrics metrics;
-    void* internal;
-};
-struct FT_GlyphSlotRec {
-    void* library;
-    void* face;
-    void* next;
-    unsigned int glyph_index;
-    FT_Generic generic;
-    FT_Glyph_Metrics metrics;
-    FT_Fixed linearHoriAdvance, linearVertAdvance;
-    FT_Vector advance;
-    int format;                      // FT_Glyph_Format enum
-    FT_Bitmap bitmap;
-    int bitmap_left, bitmap_top;
-    // outline etc. follow — not accessed
-};
-struct FT_FaceRec {
-    long num_faces, face_index, face_flags, style_flags, num_glyphs;
-    char* family_name;
-    char* style_name;
-    int num_fixed_sizes;
-    void* available_sizes;
-    int num_charmaps;
-    void* charmaps;
-    FT_Generic generic;
-    FT_BBox bbox;
-    unsigned short units_per_EM;
-    short ascender, descender, height;
-    short max_advance_width, max_advance_height;
-    short underline_position, underline_thickness;
-    FT_GlyphSlotRec* glyph;
-    FT_SizeRec* size;
-    // charmap etc. follow — not accessed
-};
-// FT_Glyph family (for stroked outlines)
-struct FT_GlyphRec {
-    void* library;
-    const void* clazz;
-    int format;
-    FT_Vector advance;
-};
-struct FT_BitmapGlyphRec {
-    FT_GlyphRec root;
-    int left, top;
-    FT_Bitmap bitmap;
-};
-
-static void* lib = nullptr;
-static int (*Init_FreeType)(void**);
-static int (*New_Face)(void*, const char*, long, FT_FaceRec**);
-static int (*Set_Pixel_Sizes)(FT_FaceRec*, unsigned, unsigned);
-static int (*Load_Glyph)(FT_FaceRec*, unsigned, int);
-static int (*Done_Face)(FT_FaceRec*);
-static int (*Get_Glyph)(FT_GlyphSlotRec*, FT_GlyphRec**);
-static int (*Glyph_To_Bitmap)(FT_GlyphRec**, int, FT_Vector*, unsigned char);
-static void (*Done_Glyph)(FT_GlyphRec*);
-static int (*Stroker_New)(void*, void**);
-static void (*Stroker_Set)(void*, FT_Fixed, int, int, FT_Fixed);
-static int (*Glyph_StrokeBorder)(FT_GlyphRec**, void*, unsigned char, unsigned char);
-static void (*Stroker_Done)(void*);
-
-static void* library = nullptr;
-
-static bool load() {
-    if (library) return true;
-    if (!lib) {
-        lib = dlopen("libfreetype.so.6", RTLD_LAZY);
-        if (!lib) lib = dlopen("libfreetype.so", RTLD_LAZY);
-        if (!lib) return false;
-    }
-#define FSYM(var, name) *(void**)(&var) = dlsym(lib, name); if (!var) return false
-    FSYM(Init_FreeType, "FT_Init_FreeType");
-    FSYM(New_Face, "FT_New_Face");
-    FSYM(Set_Pixel_Sizes, "FT_Set_Pixel_Sizes");
-    FSYM(Load_Glyph, "FT_Load_Glyph");
-    FSYM(Done_Face, "FT_Done_Face");
-    FSYM(Get_Glyph, "FT_Get_Glyph");
-    FSYM(Glyph_To_Bitmap, "FT_Glyph_To_Bitmap");
-    FSYM(Done_Glyph, "FT_Done_Glyph");
-    FSYM(Stroker_New, "FT_Stroker_New");
-    FSYM(Stroker_Set, "FT_Stroker_Set");
-    FSYM(Glyph_StrokeBorder, "FT_Glyph_StrokeBorder");
-    FSYM(Stroker_Done, "FT_Stroker_Done");
-#undef FSYM
-    return Init_FreeType(&library) == 0;
-}
-
-static const int LOAD_RENDER = 0x4;          // FT_LOAD_RENDER
-static const int LOAD_NO_BITMAP = 0x8;       // FT_LOAD_NO_BITMAP (outline path)
-static const int RENDER_MODE_NORMAL = 0;     // FT_RENDER_MODE_NORMAL (8-bit aa)
-static const int STROKER_LINECAP_ROUND = 1;
-static const int STROKER_LINEJOIN_ROUND = 0;
-
-// max-blend one 8-bit coverage bitmap into the canvas at (x0, y0)
-static void blit(const FT_Bitmap& bm, int x0, int y0,
-                 uint8_t* canvas, int W, int H) {
-    if (bm.pixel_mode != 2 /* FT_PIXEL_MODE_GRAY */ || !bm.buffer) return;
-    for (unsigned r = 0; r < bm.rows; ++r) {
-        int y = y0 + (int)r;
-        if (y < 0 || y >= H) continue;
-        const unsigned char* src = bm.buffer + (long)r * bm.pitch;
-        for (unsigned c = 0; c < bm.width; ++c) {
-            int x = x0 + (int)c;
-            if (x < 0 || x >= W) continue;
-            uint8_t v = src[c];
-            uint8_t& dst = canvas[(long)y * W + x];
-            if (v > dst) dst = v;
-        }
-    }
-}
-}  // namespace ft
-
-static std::mutex& ft_mutex() {
-    static std::mutex m;
-    return m;
-}
-
-// Rasterize a positioned glyph run. Pen positions are 26.6 fixed point
-// relative to the canvas origin with y = the baseline (y grows downward).
-// Fill coverage goes to `canvas` [H*W u8]; when stroke_radius_26_6 > 0 and
-// stroke_canvas is non-null, stroked-outline coverage goes there too.
-// Returns 0 on success, -1 if FreeType is unavailable, -2 on face error.
-int mtx_ft_render_run(const char* font_path, int px_size,
-                      const int32_t* glyph_ids, const int32_t* xs,
-                      const int32_t* ys, int n,
-                      uint8_t* canvas, int W, int H,
-                      int stroke_radius_26_6, uint8_t* stroke_canvas) {
-    // FreeType is not thread-safe on a shared FT_Library (face creation and
-    // glyph loading race); page workers render concurrently, so serialize
-    std::lock_guard<std::mutex> guard(ft_mutex());
-    if (!ft::load()) return -1;
-    ft::FT_FaceRec* face = nullptr;
-    if (ft::New_Face(ft::library, font_path, 0, &face) != 0 || !face)
-        return -2;
-    ft::Set_Pixel_Sizes(face, 0, (unsigned)px_size);
-
-    void* stroker = nullptr;
-    if (stroke_radius_26_6 > 0 && stroke_canvas) {
-        if (ft::Stroker_New(ft::library, &stroker) != 0) stroker = nullptr;
-        if (stroker)
-            ft::Stroker_Set(stroker, stroke_radius_26_6,
-                            ft::STROKER_LINECAP_ROUND,
-                            ft::STROKER_LINEJOIN_ROUND, 0);
-    }
-
-    for (int i = 0; i < n; ++i) {
-        int pen_x = xs[i] >> 6;
-        int pen_y = ys[i] >> 6;
-        if (stroker) {
-            // stroked border first (outline load, stroke, then rasterize)
-            if (ft::Load_Glyph(face, (unsigned)glyph_ids[i],
-                               ft::LOAD_NO_BITMAP) == 0) {
-                ft::FT_GlyphRec* g = nullptr;
-                if (ft::Get_Glyph(face->glyph, &g) == 0 && g) {
-                    if (ft::Glyph_StrokeBorder(&g, stroker, 0, 1) == 0 &&
-                        ft::Glyph_To_Bitmap(&g, ft::RENDER_MODE_NORMAL,
-                                            nullptr, 1) == 0) {
-                        auto* bg = (ft::FT_BitmapGlyphRec*)g;
-                        ft::blit(bg->bitmap, pen_x + bg->left,
-                                 pen_y - bg->top, stroke_canvas, W, H);
-                    }
-                    ft::Done_Glyph(g);
-                }
-            }
-        }
-        if (ft::Load_Glyph(face, (unsigned)glyph_ids[i],
-                           ft::LOAD_RENDER) != 0)
-            continue;
-        ft::blit(face->glyph->bitmap, pen_x + face->glyph->bitmap_left,
-                 pen_y - face->glyph->bitmap_top, canvas, W, H);
-    }
-    if (stroker) ft::Stroker_Done(stroker);
-    ft::Done_Face(face);
-    return 0;
-}
-
-// Face vertical metrics at px_size: ascender/descender/height in 26.6 units.
-int mtx_ft_metrics(const char* font_path, int px_size, long* ascender,
-                   long* descender, long* height) {
-    std::lock_guard<std::mutex> guard(ft_mutex());
-    if (!ft::load()) return -1;
-    ft::FT_FaceRec* face = nullptr;
-    if (ft::New_Face(ft::library, font_path, 0, &face) != 0 || !face)
-        return -2;
-    ft::Set_Pixel_Sizes(face, 0, (unsigned)px_size);
-    if (ascender) *ascender = face->size->metrics.ascender;
-    if (descender) *descender = face->size->metrics.descender;
-    if (height) *height = face->size->metrics.height;
-    ft::Done_Face(face);
-    return 0;
-}
-
 }  // extern "C"

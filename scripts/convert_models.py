@@ -57,6 +57,15 @@ def main() -> int:
     ap.add_argument("--tokenizer", help="Local HF tokenizer dir (T5/Qwen3); "
                                         "CLIP uses --clip-tokenizer")
     ap.add_argument("--clip-tokenizer", help="Local HF CLIP tokenizer dir")
+    ap.add_argument("--fixture", action="store_true",
+                    help="With --embed-prompt: emit a DETERMINISTIC "
+                         "tiny-Qwen3 artifact (no checkpoint/tokenizer "
+                         "needed) so zero-egress environments exercise the "
+                         "precomputed-embedding load path instead of the "
+                         "Gaussian stub; not real conditioning")
+    ap.add_argument("--ctx-dim", type=int, default=2560,
+                    help="Text-feature dim for --fixture (2560 = Klein 4B "
+                         "Qwen3, 4096 = Klein 9B)")
     args = ap.parse_args()
 
     mgr = ModelManager(Path(args.models_dir))
@@ -181,6 +190,17 @@ def embed_prompts(args) -> int:
         prompt_embed_path)
 
     did = 0
+    if getattr(args, "fixture", False):
+        from mangatranslator_tpu.models.flux.klein import (
+            compute_fixture_prompt_embedding)
+
+        prompt = args.prompt or KLEIN_PROMPT
+        compute_fixture_prompt_embedding(prompt, args.ctx_dim)
+        print(f"embedded (tiny-Qwen3 FIXTURE, ctx_dim={args.ctx_dim}) -> "
+              f"{prompt_embed_path(prompt)} — deterministic artifact, NOT "
+              "real conditioning; re-run with --qwen3 once a converted "
+              "encoder exists")
+        did += 1
     if args.t5 and args.clip:
         from transformers import AutoTokenizer, CLIPTokenizerFast
 

@@ -268,6 +268,42 @@ def test_klein_prompt_embedding_prefers_precomputed(tmp_path, monkeypatch):
     np.testing.assert_array_equal(np.asarray(inp._txt), txt)
 
 
+def test_fixture_embedding_drives_inpaint_e2e(tmp_path, monkeypatch, caplog):
+    """The deterministic tiny-Qwen3 fixture (scripts/convert_models.py
+    --embed-prompt --fixture) must route the FULL inpaint through the
+    precomputed-.npz branch — the Gaussian-stub log line must not fire
+    (VERDICT r3 #8: e2e test of the precomputed-embedding load path)."""
+    import logging
+
+    from mangatranslator_tpu.logging import get_logger
+    from mangatranslator_tpu.models.flux.klein import (
+        build_random_klein,
+        compute_fixture_prompt_embedding,
+    )
+    from mangatranslator_tpu.models.flux.pipeline import KLEIN_PROMPT
+
+    monkeypatch.setenv("MANGATRANSLATOR_MODELS_DIR", str(tmp_path))
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    # FLUX2 test preset has ctx_dim 64; the fixture is emitted at the same
+    # dim the pipeline conditions on (production: 2560 for Klein 4B)
+    txt = compute_fixture_prompt_embedding(KLEIN_PROMPT, ctx_dim=64)
+    # deterministic: same seed → same artifact
+    again = compute_fixture_prompt_embedding(KLEIN_PROMPT, ctx_dim=64)
+    np.testing.assert_array_equal(txt, again)
+
+    monkeypatch.setattr(get_logger(), "propagate", True)
+    with caplog.at_level(logging.INFO, logger="mangatranslator_tpu"):
+        inp = build_random_klein(upscale_small_crops=False)
+        np.testing.assert_array_equal(np.asarray(inp._txt), txt)
+        img = np.full((96, 96, 3), 200, np.uint8)
+        mask = np.zeros((96, 96), np.uint8)
+        mask[30:70, 30:70] = 1
+        out = inp.inpaint_mask(img, mask, seed=2, num_inference_steps=2,
+                               use_cache=False)
+    assert out.shape == img.shape
+    assert "Gaussian STUB" not in caplog.text
+
+
 def test_default_steps_guidance_constants():
     # reference inpainting.py:988-990
     from mangatranslator_tpu.models.flux.klein import (KLEIN_GUIDANCE_SCALE,

@@ -64,33 +64,3 @@ class TestCCL:
         filled = native.fill_holes(mask)
         assert filled[20, 20] == 1
         assert filled[0, 0] == 0
-
-
-class TestHarfBuzz:
-    FONT = "/usr/share/fonts/truetype/dejavu/DejaVuSans.ttf"
-
-    def test_width_positive_and_scales(self):
-        w16 = native.hb_shape_width(self.FONT, "Hello world", 16)
-        if w16 is None:
-            pytest.skip("libharfbuzz unavailable")
-        w32 = native.hb_shape_width(self.FONT, "Hello world", 32)
-        assert w16 > 20
-        assert abs(w32 - 2 * w16) < 2.0
-
-    def test_close_to_pil_measurement(self):
-        w = native.hb_shape_width(self.FONT, "Hello world", 24)
-        if w is None:
-            pytest.skip("libharfbuzz unavailable")
-        from PIL import ImageFont
-
-        pil_w = ImageFont.truetype(self.FONT, 24).getlength("Hello world")
-        assert abs(w - pil_w) / pil_w < 0.05
-
-    def test_glyph_output(self):
-        out = native.hb_shape_glyphs(self.FONT, "AVA", 20)
-        if out is None:
-            pytest.skip("libharfbuzz unavailable")
-        gids, clusters, advances = out
-        assert len(gids) == 3
-        assert (advances > 0).all()
-        assert list(clusters) == [0, 1, 2]

@@ -52,6 +52,51 @@ def test_refiner_batched_interface(sam_params):
         assert m.shape == (200, 300) and m.dtype == np.uint8
 
 
+def test_refine_batch_matches_single_calls(sam_params):
+    """The one-program batched path must reproduce the per-page forwards
+    (uint8 prob quantization only moves boundary pixels)."""
+    refiner = SamRefiner(CFG, sam_params)
+    rng = np.random.RandomState(3)
+    images = [rng.randint(0, 255, (160, 240, 3), np.uint8) for _ in range(3)]
+    boxes = [np.array([[20, 20, 120, 120], [130, 40, 230, 150]], np.float32),
+             np.array([[10, 10, 100, 100]], np.float32),
+             np.array([[50, 30, 200, 140], [5, 5, 80, 90],
+                       [100, 80, 220, 155]], np.float32)]
+    batched = refiner.refine_batch(images, boxes)
+    assert [len(b) for b in batched] == [2, 1, 3]
+    for b in batched:
+        for m in b:
+            assert m.shape == (160, 240) and m.dtype == np.uint8
+    # program equivalence: the vmapped batch forward must reproduce the
+    # single-page forward's probabilities (random-init probs sit near the
+    # 0.5 threshold, so compare pre-threshold probs, not flipped pixels)
+    import cv2
+    import jax.numpy as jnp
+
+    size = CFG.img_size
+    stack = np.stack([cv2.resize(im, (size, size)) for im in images])
+    boxes01 = np.zeros((3, refiner.MAX_PROMPTS, 4), np.float32)
+    for i, (im, bxs) in enumerate(zip(images, boxes)):
+        h, w = im.shape[:2]
+        boxes01[i, :len(bxs)] = bxs / np.array([w, h, w, h], np.float32)
+    probs_u8 = np.asarray(refiner._run_batch(
+        refiner._params, jnp.asarray(stack), jnp.asarray(boxes01)))
+    for i in range(3):
+        single = np.asarray(refiner._run(
+            refiner._params, jnp.asarray(stack[i][None]),
+            jnp.asarray(boxes01[i])))
+        np.testing.assert_allclose(probs_u8[i] / 255.0, single,
+                                   atol=1.5 / 255)
+
+
+def test_refine_batch_empty_and_zero_boxes(sam_params):
+    refiner = SamRefiner(CFG, sam_params)
+    assert refiner.refine_batch([], []) == []
+    img = np.full((100, 100, 3), 128, np.uint8)
+    out = refiner.refine_batch([img], [np.zeros((0, 4), np.float32)])
+    assert out == [[]]
+
+
 def test_refiner_through_detection(sam_params):
     from mangatranslator_tpu.config import DetectionConfig
     from mangatranslator_tpu.detection.bubbles import detect_speech_bubbles

@@ -1,5 +1,7 @@
 """Layout engine + renderer tests with the system DejaVu font pack."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 import cv2
@@ -194,147 +196,50 @@ class TestPlaceholders:
         assert text.startswith("Lorem ipsum")
 
 
-class TestNativeRaster:
-    """FreeType raster backend (native/mtx_native.cpp mtx_ft_render_run —
-    the Skia-role native module, SURVEY §2.9)."""
-
-    def page(self):
-        img = Image.new("RGB", (300, 200), (240, 240, 240))
-        mask = np.zeros((200, 300), np.uint8)
-        cv2.ellipse(mask, (150, 100), (120, 80), 0, 0, 360, 255, -1)
-        return img, mask
-
-    def test_native_backend_renders_ink(self, monkeypatch):
-        from mangatranslator_tpu import native
-
-        if not native.ft_raster_available():
-            pytest.skip("native library not built")
-        monkeypatch.setenv("MTX_NATIVE_RASTER", "1")
-        img, mask = self.page()
-        out, info = render_text(
-            img, "Hello world!", (30, 20, 270, 180), mask, FONT_DIR,
-            max_font_size=30, min_font_size=8, outline_width=1.5,
-        )
-        a, b = np.asarray(img), np.asarray(out)
-        assert (a != b).any()
-        assert b.min() < 50  # dark glyph cores present
-
-    def test_native_matches_pil_geometry(self, measurer, monkeypatch):
-        """Same layout renders with ink in (almost) the same bounding box on
-        both backends — the native raster is a drop-in, not a re-layout."""
-        from mangatranslator_tpu import native
-
-        if not native.ft_raster_available():
-            pytest.skip("native library not built")
-        from mangatranslator_tpu.text.layout import find_optimal_layout
-        from mangatranslator_tpu.text.render import draw_layout_rgba
-
-        box = (20.0, 20.0, 280.0, 170.0)
-        layout = find_optimal_layout(measurer, "Hello world again",
-                                     box, max_font_size=28, min_font_size=8)
-        assert layout is not None
-
-        pil_patch, pil_origin = draw_layout_rgba(
-            measurer, layout, box, (0, 0, 0), supersampling=2)
-        monkeypatch.setenv("MTX_NATIVE_RASTER", "1")
-        nat_patch, nat_origin = draw_layout_rgba(
-            measurer, layout, box, (0, 0, 0), supersampling=2)
-        assert nat_origin == pil_origin
-        assert nat_patch.size == pil_patch.size
-
-        def ink_bbox(patch):
-            a = np.asarray(patch)[..., 3]
-            ys, xs = np.nonzero(a > 32)
-            return xs.min(), xs.max(), ys.min(), ys.max()
-
-        nx1, nx2, ny1, ny2 = ink_bbox(nat_patch)
-        px1, px2, py1, py2 = ink_bbox(pil_patch)
-        for n, p in ((nx1, px1), (nx2, px2), (ny1, py1), (ny2, py2)):
-            assert abs(int(n) - int(p)) <= 4, (
-                f"ink bbox drifted: native {ink_bbox(nat_patch)} "
-                f"vs PIL {ink_bbox(pil_patch)}")
-
-    def test_ft_render_run_binding(self):
-        from mangatranslator_tpu import native
-
-        if not native.ft_raster_available():
-            pytest.skip("native library not built")
-        font = FONT_DIR + "/DejaVuSans.ttf"
-        shaped = native.hb_shape_glyphs(font, "Ag", 24)
-        assert shaped is not None
-        gids, _, adv = shaped
-        xs = 4 + np.concatenate([[0.0], np.cumsum(adv)[:-1]])
-        out = native.ft_render_run(font, 24, gids, xs,
-                                   np.full(len(gids), 30.0), 70, 40,
-                                   stroke_px=1.0)
-        assert out is not None
-        fill, stroke = out
-        assert fill.sum() > 0 and stroke.sum() > fill.sum() * 0.5
-        asc, desc, _ = native.ft_metrics(font, 24)
-        assert asc > 0 > desc
-
-
 class TestRasterBackendDecision:
-    """Round-3 backend decision (VERDICT item 10): PIL (FreeType+raqm) is the
-    DEFAULT rasterizer — raqm gives full BiDi/complex-script shaping in the
-    battle-tested PIL composite path; the native FreeType/HarfBuzz backend
-    (MTX_NATIVE_RASTER=1) exists for PIL-free deployments and is
-    pixel-validated against PIL here so either can serve."""
+    """Round-4 backend decision (VERDICT r3 #6), measured: PIL
+    (FreeType+raqm) IS the rasterizer. The native HarfBuzz+FreeType backend
+    was A/B'd on representative layouts — pixel-close (mean |delta| ~1.8/255,
+    glyph edges only) but 0.6-1.06x PIL's speed with no raqm BiDi shaping —
+    and deleted; there is no env-var code path left. The default backend's
+    output is pinned by a committed golden image + raster invariants."""
 
     TEXT = "Hello WORLD gjpq"
     BOX = (20.0, 30.0, 280.0, 140.0)
+    GOLDEN = Path(__file__).parent / "goldens" / "render_default_backend.png"
 
-    def _render(self, native: bool):
-        import os
-
-        import numpy as np
-        from PIL import Image
-
+    def _render(self):
         from mangatranslator_tpu.text.render import render_text
         from tests.test_pipeline_e2e import FONT_DIR
 
         img = Image.fromarray(np.full((180, 300, 3), 240, np.uint8))
-        old = os.environ.get("MTX_NATIVE_RASTER")
-        os.environ["MTX_NATIVE_RASTER"] = "1" if native else "0"
-        try:
-            out, info = render_text(img, self.TEXT, self.BOX, None,
-                                    font_dir=FONT_DIR, max_font_size=24,
-                                    min_font_size=8,
-                                    text_color_rgb=(0, 0, 0))
-        finally:
-            if old is None:
-                os.environ.pop("MTX_NATIVE_RASTER", None)
-            else:
-                os.environ["MTX_NATIVE_RASTER"] = old
+        out, info = render_text(img, self.TEXT, self.BOX, None,
+                                font_dir=FONT_DIR, max_font_size=24,
+                                min_font_size=8,
+                                text_color_rgb=(0, 0, 0))
         return np.asarray(out), info
 
-    def test_native_matches_pil_within_tolerance(self):
-        import numpy as np
+    def test_default_backend_golden_image(self):
+        """Byte-tolerant comparison against the committed golden rendered by
+        the PIL backend (regenerate with
+        ``python -m tests.test_text_render`` after an intentional change)."""
+        arr, _ = self._render()
+        assert self.GOLDEN.exists(), (
+            f"golden missing — run: python -m tests.test_text_render")
+        want = np.asarray(Image.open(self.GOLDEN).convert("RGB"),
+                          dtype=np.int16)
+        assert want.shape == arr.shape
+        diff = np.abs(want - arr.astype(np.int16))
+        # identical FreeType → 0; a minor FreeType/raqm bump moves only
+        # anti-aliased glyph edges (the r4 A/B measured cross-rasterizer
+        # mean |delta| 1.8) — a backend swap or layout drift blows past this
+        assert diff.mean() < 2.0, f"mean |delta| {diff.mean():.2f}"
+        assert (diff > 64).mean() < 0.01, "structural divergence"
 
-        from mangatranslator_tpu import native
-
-        if not native.ft_raster_available():
-            import pytest
-
-            pytest.skip("native raster library unavailable")
-        pil_arr, pil_info = self._render(native=False)
-        nat_arr, nat_info = self._render(native=True)
-        assert pil_info["font_size"] == nat_info["font_size"]
-        ink_pil = (pil_arr < 128).any(axis=2)
-        ink_nat = (nat_arr < 128).any(axis=2)
-        inter = (ink_pil & ink_nat).sum()
-        union = (ink_pil | ink_nat).sum()
-        assert union > 200  # something was drawn
-        iou = inter / union
-        assert iou > 0.75, f"backend divergence: ink IoU {iou:.3f}"
-
-    def test_default_backend_golden(self):
-        """Pin the default backend's output with raster-stable invariants
-        (exact PNG goldens churn with FreeType versions): ink coverage band,
-        ink bbox centered in the target box, pure-dark text pixels."""
-        import numpy as np
-
-        arr, info = self._render(native=False)
+    def test_default_backend_invariants(self):
+        """Raster-stable invariants: ink coverage band, ink centered in the
+        target box, at least one line laid out."""
+        arr, info = self._render()
         ink = (arr < 128).any(axis=2)
         count = int(ink.sum())
         assert 400 < count < 6000, count
@@ -344,3 +249,12 @@ class TestRasterBackendDecision:
         by = (self.BOX[1] + self.BOX[3]) / 2
         assert abs(cx - bx) < 15 and abs(cy - by) < 15, (cx, cy)
         assert info["lines"] >= 1 and info["font_size"] >= 8
+
+
+if __name__ == "__main__":
+    # regenerate the default-backend golden (intentional changes only)
+    t = TestRasterBackendDecision()
+    arr, _ = t._render()
+    t.GOLDEN.parent.mkdir(exist_ok=True)
+    Image.fromarray(arr).save(t.GOLDEN)
+    print(f"wrote {t.GOLDEN}")
