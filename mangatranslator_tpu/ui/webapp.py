@@ -85,6 +85,9 @@ border:none;border-radius:6px;cursor:pointer;font-size:15px}
 (no LLM)</label>
 <button class="go" id="run">Translate</button>
 <button class="go" id="cancel" style="background:#a33">Cancel</button>
+<details style="margin-top:12px"><summary style="cursor:pointer;color:#aab">
+Per-run settings overrides (full config surface; not persisted)</summary>
+<div id="ovr_t" class="ovr"></div></details>
 <div id="status"></div></div>
 <div class="col"><img id="preview" class="preview"></div></div></div>
 <div id="batch" class="tab">
@@ -93,6 +96,9 @@ border:none;border-radius:6px;cursor:pointer;font-size:15px}
 <label>Parallel page workers</label><input id="parallel" type="number" value="1">
 <button class="go" id="run_batch">Run batch</button>
 <button class="go" id="cancel_batch" style="background:#a33">Cancel</button>
+<details style="margin-top:12px"><summary style="cursor:pointer;color:#aab">
+Per-run settings overrides (full config surface; not persisted)</summary>
+<div id="ovr_b" class="ovr"></div></details>
 <div id="progress_wrap" style="display:none;margin-top:12px">
 <div style="background:#20232b;border-radius:6px;height:18px">
 <div id="progress_bar" style="background:#36a855;height:18px;width:0;
@@ -187,7 +193,36 @@ function widgetHTML(w){
  }
  return '<div class="widget"><label>'+w.key+'</label>'+inner+'</div>';
 }
+// ---- per-run override panels (Translator/Batch tabs) ----------------------
+// The reference UI exposes ~120 per-click setting overrides on its
+// Translator/Batch tabs (reference ui/callbacks.py:92); here the SAME
+// schema-driven widget set renders inside each tab, and only fields the
+// user actually edits are sent with the request (merged server-side by
+// _merged_settings over the saved config, never persisted).
+function buildOverridePanel(id){
+ $(id).innerHTML=SCHEMA.sections.map(s=>
+  '<fieldset style="border:1px solid #333;border-radius:8px;margin:8px 0">'+
+  '<legend>'+s.title+'</legend>'+s.widgets.map(widgetHTML).join('')+
+  '</fieldset>').join('');
+ // mark every widget as an override field and record its baseline value
+ $(id).querySelectorAll('[data-key]').forEach(el=>{
+  el.dataset.okey=el.dataset.key;delete el.dataset.key;
+  el.dataset.base=el.type==='checkbox'?String(el.checked):el.value;});
+}
+function collectOverrides(id){
+ const out={};
+ $(id).querySelectorAll('[data-okey]').forEach(el=>{
+  const cur=el.type==='checkbox'?String(el.checked):el.value;
+  if(cur===el.dataset.base)return;      // untouched → use saved setting
+  const k=el.dataset.okey;
+  if(el.type==='checkbox'){out[k]=el.checked;return;}
+  let v=el.value;
+  if(el.type==='number')v=v===''?null:+v;
+  out[k]=v;});
+ return out;
+}
 function buildConfigForm(){
+ buildOverridePanel('ovr_t');buildOverridePanel('ovr_b');
  $('cfg_nav').innerHTML=SCHEMA.sections.map(s=>
   '<button data-sec="'+s.id+'" style="display:block;width:100%;margin:3px 0;'+
   'padding:7px;background:#2a2e38;color:#dde;border:none;border-radius:5px;'+
@@ -228,7 +263,7 @@ $('run').onclick=async()=>{
  $('status').textContent='processing…';
  const b64=await new Promise(res=>{const r=new FileReader();
   r.onload=()=>res(r.result.split(',')[1]);r.readAsDataURL(f);});
- const s={...SETTINGS,provider:$('provider').value,
+ const s={...SETTINGS,...collectOverrides('ovr_t'),provider:$('provider').value,
   model_name:$('model_name').value,output_language:$('output_language').value,
   test_mode:$('test_mode').checked,font_pack:$('font_pack').value||null};
  const resp=await fetch('/api/translate',{method:'POST',
@@ -248,7 +283,8 @@ $('run_batch').onclick=async()=>{
  const resp=await fetch('/api/batch',{method:'POST',body:JSON.stringify({
   input_path:$('batch_input').value,output_dir:$('batch_output').value,
   async_mode:true,
-  settings:{...SETTINGS,batch_parallel_requests:+$('parallel').value}})});
+  settings:{...SETTINGS,...collectOverrides('ovr_b'),
+   batch_parallel_requests:+$('parallel').value}})});
  const d=await resp.json();
  if(d.error){$('batch_status').textContent='error: '+d.error;return}
  const job=d.job;let shown=0;

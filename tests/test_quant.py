@@ -268,3 +268,48 @@ def test_init_flux2_quantized_matches_dequantized_apply():
     out_d = model.apply(jax.jit(dequantize_tree_int4)(params), *args)
     np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_flux2_int4_dit_step_cosine_vs_bf16():
+    """int4-vs-bf16 accuracy of the QUANTIZED DiT step (VERDICT r3 #3):
+    the packed-int4 + SVDQuant-compensated Flux2 velocity must stay
+    directionally faithful to the full-precision forward — cosine similarity
+    of the flattened outputs > 0.98, and low-rank compensation must beat
+    rank-0 plain int4."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.flux2 import (Flux2Config, Flux2DiT,
+                                                       init_flux2,
+                                                       make_img_ids2,
+                                                       make_txt_ids2)
+    from mangatranslator_tpu.ops.quant import quantize_tree_int4
+
+    cfg = Flux2Config(in_channels=16, hidden_size=64, num_heads=2,
+                      depth_double=2, depth_single=2, mlp_ratio=2.0,
+                      ctx_dim=32, axes_dim=(8, 12, 12), guidance_embed=False)
+    params = init_flux2(cfg, h_tok=4, w_tok=4, txt_len=4)
+    model = Flux2DiT(cfg)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(1, 16, cfg.in_channels), jnp.float32)
+    txt = jnp.asarray(rs.randn(1, 4, cfg.ctx_dim), jnp.float32)
+    args = (img, jnp.asarray(make_img_ids2(4, 4)), txt,
+            jnp.asarray(make_txt_ids2(4)), jnp.asarray([0.5], jnp.float32))
+
+    def cos(a, b):
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    ref = model.apply(params, *args)
+    q_comp = model.apply(quantize_tree_int4(params, min_elems=1024,
+                                            lowrank=16), *args)
+    q_plain = model.apply(quantize_tree_int4(params, min_elems=1024,
+                                             lowrank=0), *args)
+    c_comp = cos(ref, q_comp)
+    c_plain = cos(ref, q_plain)
+    assert c_comp > 0.98, f"int4+SVDQuant cosine {c_comp:.4f}"
+    assert c_comp >= c_plain - 1e-6, (c_comp, c_plain)
+    # and the error magnitude stays bounded
+    rel = (np.abs(np.asarray(q_comp) - np.asarray(ref)).mean()
+           / (np.abs(np.asarray(ref)).mean() + 1e-12))
+    assert rel < 0.25, f"relative L1 {rel:.3f}"
