@@ -295,7 +295,9 @@ def measure(platform_label: str, extras: dict) -> float:
                      ("flux_klein_steps", measure_flux_steps),
                      ("flux_inpaint_e2e", measure_flux_inpaint_e2e),
                      ("klein4b_dit", measure_klein4b),
-                     ("klein9b_int4_dit", measure_klein9b_int4)):
+                     ("klein9b_int4_dit", measure_klein9b_int4),
+                     ("kontext_int4_e2e", measure_kontext_e2e),
+                     ("kontext_cache_speedup", measure_kontext_cache)):
         try:
             t0 = time.perf_counter()
             extras[name] = fn(pages, cpu_mode)
@@ -596,6 +598,114 @@ def measure_flux_inpaint_e2e(pages, cpu_mode: bool) -> float:
     dt = (time.perf_counter() - t0) / reps
     log(f"flux inpaint e2e: {dt:.3f}s/region (Klein-4B, 4 steps, ~1MP)")
     return 1.0 / dt
+
+
+_KONTEXT_STATE: dict = {}  # shared by the two kontext extras (init once)
+
+
+def _kontext_int4_inpainter(cache_mode: str, threshold: float):
+    """Real-geometry FLUX.1 Kontext (12B params — 24 GB dense bf16, which
+    cannot fit a 16 GB v5e at all) served int4-packed (~6 GB resident,
+    QDense use-site dequant): the TPU counterpart of the reference running
+    Kontext as a Q4 GGUF through sd.cpp (core/ml/sdcpp_server.py:200-260).
+    The DiT tree and VAE init once and are shared across cache variants."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.dit import (
+        FLUX_PRESETS,
+        init_flux_quantized,
+    )
+    from mangatranslator_tpu.models.flux.pipeline import (
+        FluxInpainter,
+        FluxPipelineBundle,
+    )
+    from mangatranslator_tpu.models.flux.vae import VAE_PRESETS, FluxVAE
+
+    if "bundle" not in _KONTEXT_STATE:
+        dit_cfg = FLUX_PRESETS["kontext"]
+        vae_cfg = VAE_PRESETS["flux"]
+        t0 = time.perf_counter()
+        dit_params = init_flux_quantized(dit_cfg)
+        vae_model = FluxVAE(vae_cfg)
+        vae_params = jax.jit(lambda k: vae_model.init(
+            k, jax.numpy.zeros((1, 32, 32, 3))))(jax.random.PRNGKey(0))
+        jax.block_until_ready(vae_params)
+        packed = sum(x.size for x in jax.tree.leaves(dit_params)
+                     if hasattr(x, "dtype") and x.dtype == jax.numpy.uint8)
+        log(f"kontext int4 init: {time.perf_counter() - t0:.1f}s "
+            f"({packed * 2 / 1e9:.2f}B packed int4 weights)")
+        _KONTEXT_STATE["bundle"] = FluxPipelineBundle(
+            dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+            dit_params=dit_params, vae_params=vae_params)
+    return FluxInpainter(_KONTEXT_STATE["bundle"], quant="int4",
+                         cache_mode=cache_mode,
+                         residual_diff_threshold=threshold)
+
+
+def _kontext_region(pages):
+    """A ~560 px square masked region → context pad → 1024×1024 AR bucket
+    (Kontext inpaints at ~1MP buckets, reference inpainting.py:701-744)."""
+    import numpy as np
+
+    page = pages[0]
+    h, w = page.shape[:2]
+    mask = np.zeros((h, w), np.uint8)
+    mask[700:1260, 420:980] = 1
+    return page, mask
+
+
+def _time_kontext(inp, page, mask, steps: int, label: str, reps: int = 2):
+    t0 = time.perf_counter()
+    inp.inpaint_mask(page, mask, seed=1, num_inference_steps=steps,
+                     use_cache=False)  # compile + warm
+    log(f"kontext {label} compile+warm: {time.perf_counter() - t0:.1f}s")
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        inp.inpaint_mask(page, mask, seed=1, num_inference_steps=steps,
+                         use_cache=False)
+    dt = (time.perf_counter() - t0) / reps
+    log(f"kontext {label}: {dt:.3f}s/region ({steps} steps, 1024px bucket)")
+    return dt
+
+
+def measure_kontext_e2e(pages, cpu_mode: bool) -> float:
+    """Full FluxInpainter.inpaint_mask at REAL Kontext geometry, int4,
+    8-step guidance-distilled, 1024×1024 bucket → regions/sec (reference
+    loop core/image/inpainting.py:636-978 behind the sd.cpp Q4 sidecar).
+    Skippable: MTX_BENCH_KONTEXT=0."""
+    if cpu_mode or os.environ.get("MTX_BENCH_KONTEXT", "1") == "0":
+        raise RuntimeError("gated off (MTX_BENCH_KONTEXT=0 or CPU)")
+    page, mask = _kontext_region(pages)
+    inp = _kontext_int4_inpainter("none", 0.0)
+    dt = _time_kontext(inp, page, mask, 8, "int4 uncached")
+    _KONTEXT_STATE["uncached_dt"] = dt
+    return 1.0 / dt
+
+
+def measure_kontext_cache(pages, cpu_mode: bool) -> float:
+    """Wall-clock win of the residual-diff step cache (VERDICT r3 #5's
+    measurement): the same 8-step int4 Kontext region with dbcache
+    (Fn=8, threshold 0.08 — reference sdcpp_server.py:468-477) vs the
+    uncached run from measure_kontext_e2e. Returns cached/uncached speedup;
+    hits are logged (random-init weights are cache-adversarial — converted
+    weights' smooth features hit more, so this is a lower bound)."""
+    if cpu_mode or os.environ.get("MTX_BENCH_KONTEXT", "1") == "0":
+        raise RuntimeError("gated off (MTX_BENCH_KONTEXT=0 or CPU)")
+    try:
+        page, mask = _kontext_region(pages)
+        base_dt = _KONTEXT_STATE.get("uncached_dt")
+        if base_dt is None:
+            inp0 = _kontext_int4_inpainter("none", 0.0)
+            base_dt = _time_kontext(inp0, page, mask, 8, "int4 uncached")
+        inp = _kontext_int4_inpainter("dbcache", 0.0)
+        dt = _time_kontext(inp, page, mask, 8, "int4 dbcache")
+        hits = int(inp.last_cache_hits)
+        speedup = base_dt / dt
+        log(f"kontext step cache: {hits}/7 cached steps, "
+            f"{base_dt:.3f}s → {dt:.3f}s/region ({speedup:.2f}x)")
+        return speedup
+    finally:
+        _KONTEXT_STATE.clear()  # release the 6 GB packed tree
 
 
 METHODOLOGY = ("r4: TRUE reference-default detection stack (conjoined + "

@@ -215,3 +215,20 @@ def init_flux(cfg: FluxConfig, h_tok: int = 8, w_tok: int = 8,
         jnp.zeros((1, txt_len, cfg.ctx_dim)), jnp.asarray(make_txt_ids(txt_len)),
         jnp.zeros((1,)), jnp.zeros((1, cfg.vec_dim)), jnp.ones((1,)),
     )
+
+
+def init_flux_quantized(cfg: FluxConfig, seed: int = 0,
+                        min_elems: int = 1 << 14):
+    """Random FLUX.1 init emitted ALREADY int4-packed on device.
+
+    The full Kontext tree is 12B params — 24 GB dense bf16, which cannot fit
+    a 16 GB v5e at all; int4 storage (~6 GB packed + small leaves) makes
+    real-geometry single-chip Kontext possible, the TPU counterpart of the
+    reference serving Kontext as a Q4 GGUF through sd.cpp
+    (reference core/ml/sdcpp_server.py:200-260). Feed the result to
+    FluxInpainter with quant='int4' (pre-quantized nodes pass through its
+    quantize walk; QDense dequantizes at each use site)."""
+    from .init_fast import quantized_init_from_shapes
+
+    shapes = jax.eval_shape(lambda: init_flux(cfg, 2, 2, 2, seed))
+    return quantized_init_from_shapes(shapes, seed=seed, min_elems=min_elems)

@@ -224,39 +224,9 @@ def init_flux2_quantized(cfg: Flux2Config, seed: int = 0,
     materializes in HBM; the resident footprint is ~0.25 byte/element plus
     the small unquantized leaves. Feed the result to KleinInpainter with
     quant='int4' (its quantize walk passes pre-quantized nodes through and
-    QDense dequantizes per use)."""
-    from ...ops.quant import q4_node, quantize_weights_int4_storage
+    QDense dequantizes per use). Generation order is barrier-chained so the
+    scheduler keeps at most one dense leaf live (init_fast.py)."""
+    from .init_fast import quantized_init_from_shapes
 
     shapes = jax.eval_shape(lambda: init_flux2(cfg, 2, 2, 2, seed))
-    leaves, treedef = jax.tree.flatten(shapes)
-    quantized = [len(s.shape) == 2 and s.size >= min_elems for s in leaves]
-
-    @jax.jit
-    def gen(key):
-        keys = jax.random.split(key, len(leaves))
-        out = []
-        # the leaves are data-independent, so without an explicit chain the
-        # XLA scheduler MAY co-schedule several dense bf16 kernels live and
-        # blow past HBM before their packers run; threading each leaf's key
-        # through an optimization_barrier on the previous leaf's output
-        # forces sequential generate→pack order (peak = one dense leaf)
-        prev = jnp.zeros((1,), jnp.uint8)
-        for k, s, q in zip(keys, leaves, quantized):
-            k, _ = jax.lax.optimization_barrier((k, prev))
-            fan_in = s.shape[0] if len(s.shape) > 1 else 1
-            scale = jnp.asarray(1.0 / math.sqrt(max(1, fan_in)),
-                                jnp.bfloat16)
-            w = jax.random.normal(k, s.shape, jnp.bfloat16) * scale
-            if q:
-                packed, wscale = quantize_weights_int4_storage(w)
-                out.append((packed, wscale))
-                prev = packed.ravel()[:1]
-            else:
-                out.append(w)
-        return out
-
-    vals = gen(jax.random.PRNGKey(seed))
-    jax.block_until_ready(vals)
-    nodes = [q4_node(v[0], v[1], k_odd=s.shape[0] % 2 == 1) if q else v
-             for v, s, q in zip(vals, leaves, quantized)]
-    return jax.tree.unflatten(treedef, nodes)
+    return quantized_init_from_shapes(shapes, seed=seed, min_elems=min_elems)

@@ -1,0 +1,66 @@
+"""On-device quantized random init, shared by both FLUX DiT generations.
+
+A production-size random tree must never exist dense on the chip or cross
+the tunnel: FLUX.1 Kontext is 12B params (24 GB bf16 — cannot fit a 16 GB
+v5e at all) and Klein-9B is 18 GB dense. One jitted program generates each
+leaf (fan-in-scaled bf16 normals) and immediately packs every large 2D
+kernel into the int4 tree-storage format (adjacent-row packed uint8 +
+per-column f32 scales, ops/quant.py), so the dense copy of each kernel is
+transient inside the program and the resident footprint is ~0.25
+byte/element. This is the TPU counterpart of the reference running Kontext
+as a Q4 GGUF through sd.cpp (reference core/ml/sdcpp_server.py:200-260) and
+Klein-9B SDNQ 4-bit (reference docs/HARDWARE_REQUIREMENTS.md:19) — the
+random-init stand-in for zero-egress boxes; converted checkpoints go
+through ops/quant.quantize_tree_int4 instead (which adds SVDQuant low-rank
+compensation).
+"""
+
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+
+def quantized_init_from_shapes(shapes, seed: int = 0,
+                               min_elems: int = 1 << 14):
+    """Generate a random parameter tree matching ``shapes`` (a pytree of
+    jax.ShapeDtypeStruct, e.g. from jax.eval_shape over a flax init) with
+    every large 2D kernel emitted ALREADY int4-packed.
+
+    Leaves are generated sequentially (each leaf's PRNG key is barrier-tied
+    to the previous leaf's output) so the XLA scheduler cannot co-schedule
+    several dense bf16 kernels live and blow past HBM before their packers
+    run — peak extra memory is one dense leaf."""
+    from ...ops.quant import q4_node, quantize_weights_int4_storage
+
+    leaves, treedef = jax.tree.flatten(shapes)
+    quantized = [len(s.shape) == 2 and s.size >= min_elems for s in leaves]
+
+    @jax.jit
+    def gen(key):
+        keys = jax.random.split(key, len(leaves))
+        out = []
+        prev = jnp.zeros((1,), jnp.uint8)
+        for k, s, q in zip(keys, leaves, quantized):
+            k, _ = jax.lax.optimization_barrier((k, prev))
+            fan_in = s.shape[0] if len(s.shape) > 1 else 1
+            # scale must stay bf16: an f32 scalar would promote the whole
+            # tree to f32 and double the transient footprint
+            scale = jnp.asarray(1.0 / math.sqrt(max(1, fan_in)),
+                                jnp.bfloat16)
+            w = jax.random.normal(k, s.shape, jnp.bfloat16) * scale
+            if q:
+                packed, wscale = quantize_weights_int4_storage(w)
+                out.append((packed, wscale))
+                prev = packed.ravel()[:1]
+            else:
+                out.append(w)
+        return out
+
+    vals = gen(jax.random.PRNGKey(seed))
+    jax.block_until_ready(vals)
+    nodes = [q4_node(v[0], v[1], k_odd=s.shape[0] % 2 == 1) if q else v
+             for v, s, q in zip(vals, leaves, quantized)]
+    return jax.tree.unflatten(treedef, nodes)

@@ -313,3 +313,66 @@ def test_flux2_int4_dit_step_cosine_vs_bf16():
     rel = (np.abs(np.asarray(q_comp) - np.asarray(ref)).mean()
            / (np.abs(np.asarray(ref)).mean() + 1e-12))
     assert rel < 0.25, f"relative L1 {rel:.3f}"
+
+
+def test_init_flux_quantized_matches_dequantized_apply():
+    """FLUX.1 on-device quantized init (the real-geometry int4 Kontext
+    path, bench kontext_int4_e2e): packed storage nodes applied via QDense
+    match the dequantized tree exactly, as the Flux2 variant does."""
+    import jax
+
+    from mangatranslator_tpu.models.flux.dit import (FluxConfig, FluxDiT,
+                                                     init_flux_quantized,
+                                                     make_img_ids,
+                                                     make_txt_ids)
+    from mangatranslator_tpu.ops.quant import dequantize_tree_int4
+
+    cfg = FluxConfig(in_channels=16, hidden_size=64, num_heads=2,
+                     depth_double=1, depth_single=1, mlp_ratio=2.0,
+                     ctx_dim=32, vec_dim=16, axes_dim=(8, 12, 12),
+                     guidance_embed=True)
+    params = init_flux_quantized(cfg, min_elems=1024)
+    leaves = jax.tree.leaves(params)
+    assert any(x.dtype == np.uint8 for x in leaves)
+    assert any(x.dtype == jnp.bfloat16 for x in leaves)
+
+    model = FluxDiT(cfg)
+    rs = np.random.RandomState(0)
+    img = jnp.asarray(rs.randn(1, 16, cfg.in_channels), jnp.float32)
+    txt = jnp.asarray(rs.randn(1, 4, cfg.ctx_dim), jnp.float32)
+    vec = jnp.asarray(rs.randn(1, cfg.vec_dim), jnp.float32)
+    args = (img, jnp.asarray(make_img_ids(4, 4)), txt,
+            jnp.asarray(make_txt_ids(4)), jnp.asarray([0.5], jnp.float32),
+            vec, jnp.asarray([2.5], jnp.float32))
+    out_q = model.apply(params, *args)
+    out_d = model.apply(jax.jit(dequantize_tree_int4)(params), *args)
+    np.testing.assert_allclose(np.asarray(out_q), np.asarray(out_d),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_prequantized_bundle_through_flux_inpainter_cached():
+    """A pre-quantized (init_flux_quantized) tree must pass through
+    FluxInpainter's quant='int4' walk untouched and run the CACHED denoise
+    program end-to-end — the bench kontext_cache_speedup wiring."""
+    from mangatranslator_tpu.models.flux.dit import (FLUX_PRESETS,
+                                                     init_flux_quantized)
+    from mangatranslator_tpu.models.flux.pipeline import (FluxInpainter,
+                                                          FluxPipelineBundle)
+    from mangatranslator_tpu.models.flux.vae import (VAE_PRESETS, FluxVAE,
+                                                     init_vae)
+
+    dit_cfg = FLUX_PRESETS["test"]
+    vae_cfg = VAE_PRESETS["test"]
+    bundle = FluxPipelineBundle(
+        dit_cfg=dit_cfg, vae_cfg=vae_cfg,
+        dit_params=init_flux_quantized(dit_cfg, min_elems=1024),
+        vae_params=init_vae(vae_cfg))
+    inp = FluxInpainter(bundle, buckets=((64, 64),), quant="int4",
+                        cache_mode="dbcache")
+    rs = np.random.RandomState(0)
+    img = rs.randint(0, 255, (96, 96, 3), np.uint8)
+    mask = np.zeros((96, 96), np.uint8)
+    mask[30:60, 30:60] = 1
+    out = inp.inpaint_mask(img, mask, num_inference_steps=8, use_cache=False)
+    assert out.shape == img.shape and out.dtype == np.uint8
+    assert int(inp.last_cache_hits) >= 0  # cached program ran
