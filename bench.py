@@ -412,6 +412,7 @@ def measure_flux_steps(pages, cpu_mode: bool) -> float:
 
 
 _KLEIN4B_MFU = [None]  # set by measure_klein4b, read by main()
+_KLEIN9B_MFU = [None]  # set by measure_klein9b_int4, read by main()
 
 
 def measure_klein4b(pages, cpu_mode: bool) -> float:
@@ -531,15 +532,34 @@ def measure_klein9b_int4(pages, cpu_mode: bool) -> float:
     txt = jnp.asarray(rs.randn(1, txt_len, cfg.ctx_dim), jnp.bfloat16)
     t = jnp.asarray([0.5], jnp.float32)
     t0 = time.perf_counter()
-    jax.block_until_ready(forward(params, img, txt, t))
-    log(f"klein9b compile+first exec: {time.perf_counter() - t0:.1f}s")
+    compiled = forward.lower(params, img, txt, t).compile()
+    log(f"klein9b compile: {time.perf_counter() - t0:.1f}s")
+    flops = None
+    try:
+        ca = compiled.cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        flops = float(ca.get("flops", 0.0)) or None
+    except Exception as e:
+        log(f"cost analysis unavailable: {e}")
+    t0 = time.perf_counter()
+    jax.block_until_ready(compiled(params, img, txt, t))
+    log(f"klein9b first exec: {time.perf_counter() - t0:.1f}s")
     reps = 4
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = forward(params, img, txt, t)
+        out = compiled(params, img, txt, t)
     jax.block_until_ready(out)
     dt = (time.perf_counter() - t0) / reps
-    log(f"klein9b int4 DiT: {dt * 1e3:.1f}ms/step")
+    if flops:
+        # MFU vs the bf16 peak (int8 MXU peak is 2x this, so the int4
+        # path's headroom is larger than the fraction suggests)
+        mfu = flops * (1.0 / dt) / V5E_PEAK_BF16_FLOPS
+        _KLEIN9B_MFU[0] = round(mfu, 4)
+        log(f"klein9b int4 DiT: {dt * 1e3:.1f}ms/step, "
+            f"{flops / 1e12:.2f} TFLOP/step → {flops / dt / 1e12:.1f} "
+            f"TFLOP/s, MFU {mfu:.1%} of v5e bf16 peak")
+    else:
+        log(f"klein9b int4 DiT: {dt * 1e3:.1f}ms/step")
     return 1.0 / dt
 
 
@@ -805,6 +825,10 @@ def main() -> None:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
+        # persistent cache for the CPU backend too: a full-default baseline
+        # regen pays multi-minute XLA-CPU model compiles otherwise
+        jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
         extras: dict = {}
         pps = measure("cpu", extras)
         print(json.dumps({"cpu_pages_per_sec": pps, "extras": extras}))
@@ -875,6 +899,10 @@ def main() -> None:
     if _KLEIN4B_MFU[0] is not None:
         out["extras"]["klein4b_mfu"] = {
             "value": _KLEIN4B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
+            "vs_baseline": None}
+    if _KLEIN9B_MFU[0] is not None:
+        out["extras"]["klein9b_int4_mfu"] = {
+            "value": _KLEIN9B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
             "vs_baseline": None}
     if platform == "tpu":
         import datetime
