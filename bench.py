@@ -306,7 +306,27 @@ def measure(platform_label: str, extras: dict) -> float:
         except Exception as e:
             log(f"extra {name} skipped: {e}")
             extras[name] = None
+        _free_device_memory(name)
     return 1.0 / sec_per_page
+
+
+def _free_device_memory(label: str) -> None:
+    """Collect the reference CYCLES the heavy extras leave behind (e.g.
+    KleinInpainter → program dict → jitted closure → KleinInpainter keeps a
+    ~10 GB param tree alive until a gc pass — refcounting alone cannot free
+    it) so each extra starts with a clean HBM; without this, flux_inpaint_e2e
+    + klein4b + klein9b trees stack up and the later extras die with
+    RESOURCE_EXHAUSTED on the 16 GB chip."""
+    import gc
+
+    gc.collect()
+    try:
+        import jax
+
+        live = sum(x.nbytes for x in jax.live_arrays())
+        log(f"[{label}] live device bytes after gc: {live / 1e9:.2f} GB")
+    except Exception:
+        pass
 
 
 def _bench_config():
@@ -904,7 +924,9 @@ def main() -> None:
         out["extras"]["klein9b_int4_mfu"] = {
             "value": _KLEIN9B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
             "vs_baseline": None}
-    if platform == "tpu":
+    if platform == "tpu" and os.environ.get("MTX_BENCH_PRIMARY_ONLY") != "1":
+        # primary-only A/B probes must not clobber the last FULL record —
+        # it is the stale-fallback the driver reads during tunnel outages
         import datetime
 
         cached = dict(out)
