@@ -304,8 +304,13 @@ class KleinInpainter:
         self._decode_progs: Dict[Tuple[int, int, int], callable] = {}
         self._lock = threading.Lock()
         txt = klein_prompt_embeddings(prompt, dit_cfg.ctx_dim, txt_len)
-        self._txt = jnp.asarray(txt)
-        self._txt_ids = jnp.asarray(make_txt_ids2(txt.shape[1]))
+        # Keep the prompt constants HOST-resident (numpy): closure-captured
+        # DEVICE arrays force jit lowering to download them through the
+        # tunnel to embed as MLIR constants (array.py:_value) — measured at
+        # 200-450 s per denoise-bucket lower() in degraded tunnel phases.
+        # Numpy constants embed directly with zero device traffic.
+        self._txt = np.asarray(txt)
+        self._txt_ids = np.asarray(make_txt_ids2(txt.shape[1]))
 
     # -- compiled programs -------------------------------------------------------
 
@@ -361,7 +366,7 @@ class KleinInpainter:
                         lambda a: a.astype(cdt)
                         if a.dtype == jnp.float32 else a, dit_params)
                     cond = cond_pad.astype(cdt)
-                    txt = self._txt.astype(cdt)
+                    txt = jnp.asarray(self._txt, cdt)
                     noise = jax.random.normal(rng, cond_pad.shape, jnp.float32)
 
                     def velocity(z, t, p=dit_params):

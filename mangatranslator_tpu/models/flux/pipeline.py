@@ -203,8 +203,11 @@ class FluxInpainter:
         self._lock = threading.Lock()
         txt, vec = prompt_embeddings(bundle.prompt, bundle.dit_cfg.ctx_dim,
                                      bundle.dit_cfg.vec_dim)
-        self._txt = jnp.asarray(txt)
-        self._vec = jnp.asarray(vec)
+        # host numpy, NOT device arrays: closure-captured device constants
+        # make every program lower() pay a blocking device→host download to
+        # embed them as MLIR constants (see KleinInpainter.__init__)
+        self._txt = np.asarray(txt)
+        self._vec = np.asarray(vec)
 
     # -- compiled core ---------------------------------------------------------
 
@@ -214,9 +217,11 @@ class FluxInpainter:
         vf = downsample_factor(self.bundle.vae_cfg)
         lh, lw = bh // vf, bw // vf
         h_tok, w_tok = lh // 2, lw // 2
-        img_ids = jnp.asarray(make_img_ids(h_tok, w_tok, plane=0))
-        cond_ids = jnp.asarray(make_img_ids(h_tok, w_tok, plane=1))
-        txt_ids = jnp.asarray(make_txt_ids(self._txt.shape[1]))
+        # host numpy closure constants (device arrays here cost a tunnel
+        # download per lower() — see __init__ note)
+        img_ids = np.asarray(make_img_ids(h_tok, w_tok, plane=0))
+        cond_ids = np.asarray(make_img_ids(h_tok, w_tok, plane=1))
+        txt_ids = np.asarray(make_txt_ids(self._txt.shape[1]))
         seq_len = h_tok * w_tok
 
         @jax.jit
@@ -242,8 +247,8 @@ class FluxInpainter:
                 lambda a: a.astype(cdt) if a.dtype == jnp.float32 else a,
                 dit_params)
             cond = cond_tokens.astype(cdt)
-            txt_c = self._txt.astype(cdt)
-            vec_c = self._vec.astype(cdt)
+            txt_c = jnp.asarray(self._txt, cdt)
+            vec_c = jnp.asarray(self._vec, cdt)
 
             schedule = make_schedule(steps, seq_len)
             lv = dit_p if self.quant else None
