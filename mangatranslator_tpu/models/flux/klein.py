@@ -40,7 +40,13 @@ from .dit import pack_latents, unpack_latents
 from .flux2 import Flux2Config, Flux2DiT, make_img_ids2, make_txt_ids2
 from .pipeline import KLEIN_PROMPT, composite_patch, prompt_embed_path
 from .sampler import euler_denoise
-from .vae import FluxVAE, VAEConfig, downsample_factor
+from .vae import (
+    FluxVAE,
+    VAEConfig,
+    cast_vae,
+    downsample_factor,
+    vae_compute_dtype,
+)
 
 # Reference constants (core/image/inpainting.py)
 KLEIN_MAX_STEPS = 12            # :988
@@ -196,8 +202,10 @@ def klein_prompt_embeddings(prompt: str, ctx_dim: int,
     path = prompt_embed_path(prompt)
     if path.exists():
         data = np.load(path)
-        txt = data["txt"]
-        if txt.shape[-1] == ctx_dim:
+        # fixture artifacts carry one embedding per model width
+        # (txt_{ctx_dim}); converted-encoder artifacts store a single "txt"
+        txt = data.get(f"txt_{ctx_dim}", data.get("txt"))
+        if txt is not None and txt.shape[-1] == ctx_dim:
             return txt.astype(np.float32)
     from ...logging import log_message
 
@@ -231,33 +239,53 @@ def compute_klein_prompt_embedding(prompt: str, qwen3_vars,
     return txt
 
 
-def compute_fixture_prompt_embedding(prompt: str, ctx_dim: int,
-                                     seed: int = 0,
-                                     num_layers: int = 2) -> np.ndarray:
-    """Deterministic prompt-embedding ARTIFACT from a seeded tiny Qwen3.
-
-    Not real conditioning (zero-egress environments have no converted
-    Qwen3 checkpoint) — but unlike the loud Gaussian stub it flows through
-    the REAL artifact machinery: a seeded shallow Qwen3 at the production
-    ``ctx_dim`` encodes the prompt's UTF-8 bytes as token ids, and the
-    hidden states are persisted via compute_klein_prompt_embedding, so
-    every downstream consumer exercises the precomputed-.npz load path
-    exactly as it would with a converted encoder
-    (scripts/convert_models.py --embed-prompt --fixture; VERDICT r3 #8)."""
+def _fixture_hidden_states(prompt: str, dim: int, seed: int,
+                           num_layers: int) -> np.ndarray:
+    """Seeded tiny-Qwen3 hidden states at width ``dim`` for ``prompt``
+    (UTF-8 bytes as token ids)."""
     from ..qwen3 import Qwen3Config, Qwen3Encoder, init_qwen3
 
-    cfg = Qwen3Config(vocab_size=256, hidden_size=ctx_dim,
-                      intermediate_size=max(64, ctx_dim // 4),
+    cfg = Qwen3Config(vocab_size=256, hidden_size=dim,
+                      intermediate_size=max(64, dim // 4),
                       num_layers=num_layers, num_heads=4, num_kv_heads=2,
                       head_dim=64)
     tokens = np.frombuffer(prompt.encode("utf-8"), np.uint8).astype(np.int32)
     qvars = init_qwen3(cfg, seq=len(tokens), seed=seed)
-    txt = np.asarray(Qwen3Encoder(cfg).apply(
+    return np.asarray(Qwen3Encoder(cfg).apply(
         qvars, jnp.asarray(tokens[None], jnp.int32)))
+
+
+def compute_fixture_prompt_embedding(prompt: str, ctx_dims=(2560,),
+                                     vec_dims=(), seed: int = 0,
+                                     num_layers: int = 2) -> dict:
+    """Deterministic prompt-embedding ARTIFACT from a seeded tiny Qwen3.
+
+    Not real conditioning (zero-egress environments have no converted
+    Qwen3 checkpoint) — but unlike the loud Gaussian stub it flows through
+    the REAL artifact machinery: a seeded shallow Qwen3 encodes the
+    prompt's UTF-8 bytes at each production width and the hidden states
+    are persisted to the precomputed-.npz path, so every downstream
+    consumer exercises the artifact load path exactly as it would with a
+    converted encoder (scripts/convert_models.py --embed-prompt --fixture;
+    VERDICT r3 #8, r4 missing #2).
+
+    One key per width: ``txt_{d}`` [1, T, d] for each ctx dim (Klein Qwen3
+    context / Kontext T5 context role) and ``vec_{d}`` [1, d] mean-pooled
+    states (Kontext CLIP-pooled role), so every preset the bench exercises
+    loads a real artifact instead of the stub."""
+    if isinstance(ctx_dims, int):
+        ctx_dims = (ctx_dims,)
+    arrays: dict = {"fixture": np.asarray(True)}
+    for d in dict.fromkeys(ctx_dims):
+        arrays[f"txt_{d}"] = _fixture_hidden_states(prompt, d, seed,
+                                                    num_layers)
+    for d in dict.fromkeys(vec_dims):
+        hs = _fixture_hidden_states(prompt, d, seed + 1, num_layers)
+        arrays[f"vec_{d}"] = hs.mean(axis=1)
     out = prompt_embed_path(prompt)
     out.parent.mkdir(parents=True, exist_ok=True)
-    np.savez(out, txt=txt, fixture=np.asarray(True))
-    return txt
+    np.savez(out, **arrays)
+    return arrays
 
 
 class KleinInpainter:
@@ -331,10 +359,13 @@ class KleinInpainter:
                     if image01.dtype == jnp.uint8:
                         # uint8 crop upload, normalized on device
                         image01 = image01.astype(jnp.float32) / 255.0
-                    x = image01 * 2.0 - 1.0
-                    lat = self._vae.apply(vae_params, x[None],
+                    # bf16 VAE on TPU (vae_compute_dtype): the f32 conv
+                    # stream dominated the non-DiT inpaint cost (VERDICT r4)
+                    vdt = vae_compute_dtype()
+                    x = (image01 * 2.0 - 1.0).astype(vdt)
+                    lat = self._vae.apply(cast_vae(vae_params, vdt), x[None],
                                           method=FluxVAE.encode)
-                    tokens = pack_latents(lat)
+                    tokens = pack_latents(lat).astype(jnp.float32)
                     return jnp.pad(tokens, ((0, 0), (0, seq_pad - seq), (0, 0)))
 
                 prog = self._encode_progs[key] = run
@@ -397,11 +428,13 @@ class KleinInpainter:
 
                 @jax.jit
                 def run(vae_params, z_pad):
-                    lat = unpack_latents(z_pad[:, :seq], lh, lw)
-                    out = self._vae.apply(vae_params, lat,
+                    vdt = vae_compute_dtype()  # bf16 convs on TPU
+                    lat = unpack_latents(z_pad[:, :seq], lh, lw).astype(vdt)
+                    out = self._vae.apply(cast_vae(vae_params, vdt), lat,
                                           method=FluxVAE.decode)
                     # uint8 patch download (4x fewer tunnel bytes)
-                    p01 = jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+                    p01 = jnp.clip((out[0].astype(jnp.float32) + 1.0) / 2.0,
+                                   0.0, 1.0)
                     return jnp.round(p01 * 255.0).astype(jnp.uint8)
 
                 prog = self._decode_progs[key] = run
@@ -426,14 +459,36 @@ class KleinInpainter:
         token_mask[txt_len:txt_len + seq] = True
         token_mask[txt_len + seq_pad:txt_len + seq_pad + seq] = True
 
+        import os
+        import time
+
+        phase_log = os.environ.get("MTX_FLUX_PHASE_LOG") == "1"
+
+        def _mark(label, x, t0):
+            # phase breakdown costs one blocking sync per phase — gated so
+            # production runs stay fully pipelined (dispatch-only)
+            if phase_log:
+                jax.block_until_ready(x)
+                from ...logging import log_message
+
+                log_message(f"klein phase {label}: "
+                            f"{time.perf_counter() - t0:.3f}s",
+                            always_print=True)
+            return time.perf_counter()
+
+        t0 = time.perf_counter()
         cond_pad = self._encode_prog(ih, iw, seq_pad)(
             self.vae_params, jnp.asarray(crop_rs))  # uint8 upload
+        t0 = _mark("encode", cond_pad, t0)
         z = self._denoise_prog(seq_pad, steps)(
             self.dit_params, cond_pad, jnp.asarray(img_ids),
             jnp.asarray(token_mask),
             jnp.asarray(host_schedule(steps, seq)), seed_key)
+        t0 = _mark(f"denoise[{steps}]", z, t0)
         out01 = self._decode_prog(ih, iw, seq_pad)(self.vae_params, z)
-        return np.asarray(out01)
+        out = np.asarray(out01)
+        _mark("decode+download", out01, t0)
+        return out
 
     # -- public API ----------------------------------------------------------------
 

@@ -43,7 +43,13 @@ from .sampler import (
     make_schedule,
     resolve_cache_policy,
 )
-from .vae import FluxVAE, VAEConfig, downsample_factor
+from .vae import (
+    FluxVAE,
+    VAEConfig,
+    cast_vae,
+    downsample_factor,
+    vae_compute_dtype,
+)
 
 # 17 preferred Kontext resolutions ≈1MP (reference inpainting.py:139-157)
 KONTEXT_AR_BUCKETS: Tuple[Tuple[int, int], ...] = (
@@ -98,8 +104,12 @@ def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
     path = prompt_embed_path(prompt)
     if path.exists():
         data = np.load(path)
-        txt, vec = data["txt"], data["vec"]
-        if txt.shape[-1] == ctx_dim and vec.shape[-1] == vec_dim:
+        # fixture artifacts carry per-width keys (txt_{d}/vec_{d});
+        # converted-encoder artifacts store single "txt"/"vec" arrays
+        txt = data.get(f"txt_{ctx_dim}", data.get("txt"))
+        vec = data.get(f"vec_{vec_dim}", data.get("vec"))
+        if (txt is not None and vec is not None
+                and txt.shape[-1] == ctx_dim and vec.shape[-1] == vec_dim):
             return txt.astype(np.float32), vec.astype(np.float32)
     from ...logging import log_message
 
@@ -225,7 +235,7 @@ class FluxInpainter:
         seq_len = h_tok * w_tok
 
         @jax.jit
-        def run(dit_params, vae_params, image01, key):
+        def run(dit_params, vae_params, image01, key, threshold):
             if image01.dtype == jnp.uint8:
                 # uint8 crop upload, normalized on device
                 image01 = image01.astype(jnp.float32) / 255.0
@@ -233,9 +243,13 @@ class FluxInpainter:
             # (layers.py) dequantizes each kernel at its use site, so HBM
             # holds only the packed bytes — a whole-tree dequant here would
             # pin a full dense copy for the scan's lifetime
-            x = image01 * 2.0 - 1.0
-            lat = self._vae.apply(vae_params, x[None], method=FluxVAE.encode)
-            cond_tokens = pack_latents(lat)
+            # bf16 VAE convs on TPU (vae_compute_dtype) — the f32 conv
+            # stream dominated the non-DiT inpaint share (VERDICT r4 #3)
+            vdt = vae_compute_dtype()
+            vae_p = cast_vae(vae_params, vdt)
+            x = (image01 * 2.0 - 1.0).astype(vdt)
+            lat = self._vae.apply(vae_p, x[None], method=FluxVAE.encode)
+            cond_tokens = pack_latents(lat).astype(jnp.float32)
             noise = jax.random.normal(key, cond_tokens.shape, jnp.float32)
             ids = (jnp.concatenate([img_ids, cond_ids], axis=0)
                    if self.use_kontext else img_ids)
@@ -276,9 +290,12 @@ class FluxInpainter:
                                         method=FluxDiT.final_layer)
                     return v[:, :seq_len].astype(jnp.float32)
 
+                # runtime threshold: one compiled program serves every
+                # threshold incl. the forced-hit ceiling (sampler docstring)
                 z, hits = euler_denoise_cached(probe, tail, final, noise,
                                                schedule, policy,
-                                               loop_variant=lv)
+                                               loop_variant=lv,
+                                               threshold=threshold)
             else:
                 def velocity(z, t, p=dit_p):
                     tokens = (jnp.concatenate([z.astype(cdt), cond], axis=1)
@@ -292,10 +309,11 @@ class FluxInpainter:
                 # hoist the per-layer dequants out of the scan (sampler.py)
                 z = euler_denoise(velocity, noise, schedule, loop_variant=lv)
                 hits = jnp.zeros((), jnp.int32)
-            out = self._vae.apply(vae_params, unpack_latents(z, lh, lw),
+            out = self._vae.apply(vae_p,
+                                  unpack_latents(z, lh, lw).astype(vdt),
                                   method=FluxVAE.decode)
             # uint8 patch download (4x fewer tunnel bytes than float32)
-            p01 = jnp.clip((out[0] + 1.0) / 2.0, 0.0, 1.0)
+            p01 = jnp.clip((out[0].astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
             return jnp.round(p01 * 255.0).astype(jnp.uint8), hits
 
         return run
@@ -336,9 +354,14 @@ class FluxInpainter:
         guidance_scale: float = 2.5,
         luminance_correction: bool = True,
         use_cache: bool = True,
+        threshold_override: Optional[float] = None,
     ) -> np.ndarray:
         """Remove text inside ``mask`` (uint8 page-res) from ``image`` (RGB
-        uint8). Returns the composited page (reference inpaint_mask :636-978)."""
+        uint8). Returns the composited page (reference inpaint_mask :636-978).
+
+        ``threshold_override``: runtime step-cache threshold replacing the
+        instance's ``residual_diff_threshold`` without recompiling (the
+        forced-hit ceiling measurement passes ∞ here)."""
         import cv2
 
         h, w = image.shape[:2]
@@ -346,6 +369,9 @@ class FluxInpainter:
         if bbox is None:
             return image
         x1, y1, x2, y2 = bbox
+        eff_threshold = (self.residual_diff_threshold
+                         if threshold_override is None else
+                         float(threshold_override))
 
         cache = get_cache() if use_cache and seed != -1 else None
         cache_key = None
@@ -353,7 +379,7 @@ class FluxInpainter:
             sig = cv2.resize(mask[y1:y2, x1:x2].astype(np.float32), (64, 64))
             cache_key = hash_pixels(image[y1:y2, x1:x2]) + ":" + hash_params(
                 (x1, y1, x2, y2), sig, seed, num_inference_steps, guidance_scale,
-                self.bundle.prompt)
+                self.bundle.prompt, self.cache_mode, eff_threshold)
             hit = cache.get("inpaint", cache_key)
             if hit is not None:
                 return self._composite(image, hit, mask, (x1, y1, x2, y2),
@@ -368,7 +394,8 @@ class FluxInpainter:
         key = jax.random.PRNGKey(seed if seed != -1 else
                                  np.random.randint(0, 2**31 - 1))
         out_u8, hits = program(self.bundle.dit_params, self.bundle.vae_params,
-                               jnp.asarray(crop_rs), key)  # uint8 both ways
+                               jnp.asarray(crop_rs), key,  # uint8 both ways
+                               jnp.asarray(eff_threshold, jnp.float32))
         # device scalar kept lazy: int()-ing here would cost one extra tunnel
         # round trip per region; tests/diagnostics materialize it on read
         self.last_cache_hits = hits
@@ -385,6 +412,49 @@ class FluxInpainter:
         return composite_patch(image, patch, mask, bbox, luminance_correction)
 
 
+_COMPOSITE_PROGS: Dict[tuple, callable] = {}
+_COMPOSITE_LOCK = threading.Lock()
+
+
+def _composite_program(h: int, w: int, luminance_correction: bool,
+                       feather: str):
+    """ONE jitted program for the whole composite: uint8 in (patch, base
+    crop, mask), uint8 blended crop out. The previous eager chain (LAB
+    match → distance transform → blur → blend, each op its own device RPC
+    plus f32 transfers) cost several tunnel round trips per region; this is
+    one dispatch + one uint8 download. ``blur_radius`` is a runtime scalar
+    so Klein's size-proportional radii (1–10 px) share one program."""
+    key = (h, w, luminance_correction, feather)
+    with _COMPOSITE_LOCK:
+        prog = _COMPOSITE_PROGS.get(key)
+        if prog is None:
+
+            @jax.jit
+            def prog(base_u8, patch_u8, mask_u8, blur_radius):
+                base = base_u8.astype(jnp.float32)
+                patch = patch_u8.astype(jnp.float32)
+                maskf = (mask_u8 > 0).astype(jnp.float32)
+                if luminance_correction:
+                    patch = match_luminance_lab(patch, base, maskf,
+                                                1.0 - maskf)
+                r = jnp.maximum(blur_radius.astype(jnp.float32), 1e-6)
+                if feather == "outward":
+                    # alpha = 1 inside, linear falloff over blur_radius out
+                    d_out = distance_transform_edt(1.0 - maskf)
+                    alpha = jnp.clip(1.0 - d_out / r, 0.0, 1.0)
+                else:
+                    # distance into the mask, ramped over the blur sigma
+                    alpha = jnp.clip(distance_transform_edt(maskf) / r,
+                                     0.0, 1.0)
+                    alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * maskf
+                blended = (base * (1 - alpha[..., None])
+                           + patch * alpha[..., None])
+                return jnp.clip(blended, 0, 255).astype(jnp.uint8)
+
+            _COMPOSITE_PROGS[key] = prog
+    return prog
+
+
 def composite_patch(image: np.ndarray, patch: np.ndarray,
                     mask: np.ndarray, bbox: Tuple[int, int, int, int],
                     luminance_correction: bool,
@@ -397,26 +467,14 @@ def composite_patch(image: np.ndarray, patch: np.ndarray,
     composite :543-634); "outward" keeps alpha=1 inside the mask and ramps it
     over ``blur_radius`` pixels outside (Klein composite :1497-1507)."""
     x1, y1, x2, y2 = bbox
-    sub_mask = (mask[y1:y2, x1:x2] > 0).astype(np.float32)
-
-    patch_j = jnp.asarray(patch, jnp.float32)
-    base_j = jnp.asarray(image[y1:y2, x1:x2], jnp.float32)
-    mask_j = jnp.asarray(sub_mask)
-    if luminance_correction:
-        ctx_mask = 1.0 - mask_j
-        patch_j = match_luminance_lab(patch_j, base_j, mask_j, ctx_mask)
-    if feather == "outward":
-        # alpha = 1 inside the mask, linear falloff over blur_radius outside
-        d_out = distance_transform_edt(1.0 - mask_j)
-        alpha = jnp.clip(1.0 - d_out / max(blur_radius, 1e-6), 0.0, 1.0)
-    else:
-        # distance into the mask, ramped over the blur sigma
-        alpha = jnp.clip(distance_transform_edt(mask_j) / blur_radius, 0.0, 1.0)
-        alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * mask_j
-    blended = base_j * (1 - alpha[..., None]) + patch_j * alpha[..., None]
+    sub_mask = np.ascontiguousarray(mask[y1:y2, x1:x2])
+    base = np.ascontiguousarray(image[y1:y2, x1:x2])
+    prog = _composite_program(y2 - y1, x2 - x1, luminance_correction, feather)
+    blended = prog(jnp.asarray(base), jnp.asarray(patch.astype(np.uint8)),
+                   jnp.asarray(sub_mask), jnp.asarray(blur_radius))
 
     out = image.copy()
-    out[y1:y2, x1:x2] = np.clip(np.asarray(blended), 0, 255).astype(np.uint8)
+    out[y1:y2, x1:x2] = np.asarray(blended)
     return out
 
 

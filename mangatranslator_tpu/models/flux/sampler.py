@@ -131,6 +131,7 @@ def euler_denoise_cached(
     schedule: jnp.ndarray,
     policy: StepCachePolicy,
     loop_variant=None,
+    threshold=None,
 ):
     """Euler flow integration with the residual-diff step cache.
 
@@ -140,11 +141,17 @@ def euler_denoise_cached(
     Returns ``(z, hits)`` where hits counts cache-hit steps. Step 0 always
     computes fully (it seeds the carry); the scan then runs steps 1…N−1 with
     a lax.cond choosing probe-only vs full compute. ``loop_variant`` is the
-    quantized-params barrier tie of euler_denoise."""
+    quantized-params barrier tie of euler_denoise.
+
+    ``threshold``: optional RUNTIME scalar overriding ``policy.threshold``
+    so one compiled program serves every threshold — including the
+    forced-hit ceiling probe (threshold → ∞ measures the mechanical
+    probe-only vs full-step saving, VERDICT r4 #3) — without recompiles."""
     import math
 
     num_steps = int(schedule.shape[0]) - 1
     eps = 1e-6
+    th = policy.threshold if threshold is None else threshold
     stop_at = (int(math.ceil(policy.stop_frac * num_steps))
                if policy.stop_frac < 1.0 else num_steps)
 
@@ -174,8 +181,7 @@ def euler_denoise_cached(
         num = jnp.mean(jnp.abs((resid - prev_resid).astype(jnp.float32)))
         den = jnp.mean(jnp.abs(prev_resid.astype(jnp.float32))) + eps
         rel = num / den
-        use = ((rel < policy.threshold)
-               & (i >= policy.warmup) & (i < stop_at))
+        use = ((rel < th) & (i >= policy.warmup) & (i < stop_at))
 
         def hit(_):
             d = delta

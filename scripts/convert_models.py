@@ -194,13 +194,22 @@ def embed_prompts(args) -> int:
         from mangatranslator_tpu.models.flux.klein import (
             compute_fixture_prompt_embedding)
 
-        prompt = args.prompt or KLEIN_PROMPT
-        compute_fixture_prompt_embedding(prompt, args.ctx_dim)
-        print(f"embedded (tiny-Qwen3 FIXTURE, ctx_dim={args.ctx_dim}) -> "
-              f"{prompt_embed_path(prompt)} — deterministic artifact, NOT "
-              "real conditioning; re-run with --qwen3 once a converted "
-              "encoder exists")
-        did += 1
+        if args.prompt:
+            # explicit prompt: one artifact at the requested ctx dim
+            jobs = [(args.prompt, (args.ctx_dim,), ())]
+        else:
+            # both fixed pipeline prompts at every width a preset uses:
+            # Klein Qwen3 ctx 2560 (4B) / 4096 (9B) / 64 (test preset);
+            # Kontext T5 ctx 4096 + CLIP vec 768, test 64/32
+            jobs = [(KLEIN_PROMPT, (2560, 4096, 64), ()),
+                    (DEFAULT_PROMPT, (4096, 64), (768, 32))]
+        for prompt, ctx_dims, vec_dims in jobs:
+            compute_fixture_prompt_embedding(prompt, ctx_dims, vec_dims)
+            print(f"embedded (tiny-Qwen3 FIXTURE, ctx dims {ctx_dims}, "
+                  f"vec dims {vec_dims}) -> {prompt_embed_path(prompt)} — "
+                  "deterministic artifact, NOT real conditioning; re-run "
+                  "with converted encoders once they exist")
+            did += 1
     if args.t5 and args.clip:
         from transformers import AutoTokenizer, CLIPTokenizerFast
 

@@ -286,9 +286,10 @@ def test_fixture_embedding_drives_inpaint_e2e(tmp_path, monkeypatch, caplog):
     monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
     # FLUX2 test preset has ctx_dim 64; the fixture is emitted at the same
     # dim the pipeline conditions on (production: 2560 for Klein 4B)
-    txt = compute_fixture_prompt_embedding(KLEIN_PROMPT, ctx_dim=64)
+    txt = compute_fixture_prompt_embedding(KLEIN_PROMPT, ctx_dims=64)["txt_64"]
     # deterministic: same seed → same artifact
-    again = compute_fixture_prompt_embedding(KLEIN_PROMPT, ctx_dim=64)
+    again = compute_fixture_prompt_embedding(KLEIN_PROMPT,
+                                             ctx_dims=64)["txt_64"]
     np.testing.assert_array_equal(txt, again)
 
     monkeypatch.setattr(get_logger(), "propagate", True)
