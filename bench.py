@@ -35,10 +35,26 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parent
 BASELINE_FILE = REPO / "bench_baseline.json"
+# flux CPU-proxy baseline lives in its own file: it is independent of the
+# detection methodology, so it must SURVIVE methodology bumps (a full
+# re-measure costs ~10 min of solo CPU time)
+FLUX_BASELINE_FILE = REPO / "bench_baseline_flux.json"
 PAGE_W, PAGE_H = 1414, 2000  # ~2.8 MP portrait page
 N_PAGES = 16  # chapter-sized batch; overlap amortizes tunnel noise
 DETECTOR_IMGSZ = 1600  # reference default (yolo_2, detection.py:1337)
 V5E_PEAK_BF16_FLOPS = 197e12  # TPU v5e peak bf16 FLOP/s (public spec)
+
+# Global wall-clock budget (VERDICT r4 weak #1: a benchmark that exceeds the
+# driver timeout produces NO official number). Extras are skipped — never
+# killed mid-run — once their estimated cost no longer fits; every completed
+# metric is written to BENCH_LAST_TPU.json incrementally so even a hard kill
+# leaves a fresh partial record.
+BUDGET_S = float(os.environ.get("MTX_BENCH_BUDGET_S", "1500"))
+_T_START = time.monotonic()
+
+
+def remaining_budget() -> float:
+    return BUDGET_S - (time.monotonic() - _T_START)
 
 
 def log(msg: str) -> None:
@@ -212,6 +228,12 @@ def _run_chapter(pages, in_dir, tmp_out, cfg, reps: int,
             f"({dt / len(pages):.3f}s/page)")
         if r > 0:
             times.append(dt)
+        # degraded tunnel weather: drop remaining reps rather than blow the
+        # global budget (median of fewer runs beats no record at all)
+        if times and r < reps and remaining_budget() < dt * (reps - r) + 600:
+            log(f"{label}: stopping after rep {r} "
+                f"({remaining_budget():.0f}s budget left)")
+            break
     dt = statistics.median(times)
     log(f"chapter of {len(pages)} pages, {label}: median {dt:.2f}s "
         f"({dt / len(pages):.3f}s/page) over {reps} runs")
@@ -275,9 +297,41 @@ def log_transfer_floor() -> None:
         log(f"transfer probe skipped: {e}")
 
 
-def measure(platform_label: str, extras: dict) -> float:
+# (extra name, measure fn, estimated warm-cache seconds). Ordered by
+# information value so a shrinking budget drops the cheap/duplicative tail
+# first, not the headline FLUX numbers. Estimates are warm-.jax_cache, calm
+# tunnel; the skip rule only needs them to be the right order of magnitude.
+EXTRA_SPECS = (
+    ("flux_inpaint_e2e", "measure_flux_inpaint_e2e", 150),
+    ("klein4b_dit", "measure_klein4b", 60),
+    ("klein9b_int4_dit", "measure_klein9b_int4", 90),
+    ("kontext_int4_e2e", "measure_kontext_e2e", 220),
+    ("kontext_cache_speedup", "measure_kontext_cache", 160),
+    ("sam_batch8", "measure_sam_batch", 150),
+    ("device_batched_mode", "measure_device_batched", 150),
+    ("rcan_upscale", "measure_rcan", 60),
+    ("flux_klein_steps", "measure_flux_steps", 90),
+)
+
+
+# emitted units per extra (ADVICE r4: the ratio/regions extras previously
+# fell through to the "pages/sec" default and misread as throughput)
+EXTRA_UNITS = {"flux_klein_steps": "steps/sec", "klein4b_dit": "steps/sec",
+               "klein9b_int4_dit": "steps/sec",
+               "flux_inpaint_e2e": "regions/sec",
+               "kontext_int4_e2e": "regions/sec",
+               "kontext_cache_speedup": "x_speedup",
+               "kontext_cache_ceiling": "x_speedup"}
+
+
+def measure(platform_label: str, extras: dict, on_update=None) -> float:
     """Primary (config 1 at reference-default parity) + BASELINE.md
-    config (2)-(4) extras + the flagship Klein-4B DiT step."""
+    config (2)-(4) extras + the flagship Klein-4B DiT step.
+
+    ``on_update(extras)`` is called after the primary and after EVERY extra
+    so the caller can persist a partial record incrementally (VERDICT r4
+    weak #1). Extras whose estimated cost exceeds the remaining
+    MTX_BENCH_BUDGET_S are skipped with a logged reason."""
     import tempfile
 
     cpu_mode = os.environ.get("MTX_BENCH_CPU") == "1"
@@ -287,17 +341,18 @@ def measure(platform_label: str, extras: dict) -> float:
         sec_per_page = run_pipeline(pages, Path(tmp))
     log(f"{platform_label}: {sec_per_page:.3f}s/page")
 
+    pps = 1.0 / sec_per_page
     if os.environ.get("MTX_BENCH_PRIMARY_ONLY") == "1":
-        return 1.0 / sec_per_page
-    for name, fn in (("device_batched_mode", measure_device_batched),
-                     ("sam_batch8", measure_sam_batch),
-                     ("rcan_upscale", measure_rcan),
-                     ("flux_klein_steps", measure_flux_steps),
-                     ("flux_inpaint_e2e", measure_flux_inpaint_e2e),
-                     ("klein4b_dit", measure_klein4b),
-                     ("klein9b_int4_dit", measure_klein9b_int4),
-                     ("kontext_int4_e2e", measure_kontext_e2e),
-                     ("kontext_cache_speedup", measure_kontext_cache)):
+        return pps
+    if on_update is not None:
+        on_update(extras, pps)
+    for name, fn_name, est_s in EXTRA_SPECS:
+        fn = globals()[fn_name]
+        if not cpu_mode and remaining_budget() < est_s:
+            log(f"extra {name} budget-skipped: ~{est_s}s needed, "
+                f"{remaining_budget():.0f}s of {BUDGET_S:.0f}s left")
+            extras[name] = None
+            continue
         try:
             t0 = time.perf_counter()
             extras[name] = fn(pages, cpu_mode)
@@ -307,7 +362,10 @@ def measure(platform_label: str, extras: dict) -> float:
             log(f"extra {name} skipped: {e}")
             extras[name] = None
         _free_device_memory(name)
-    return 1.0 / sec_per_page
+        if on_update is not None:
+            on_update(extras, pps)
+    _KONTEXT_STATE.clear()  # drop the packed 12B tree if the cache extra
+    return pps               # was skipped after kontext_int4_e2e ran
 
 
 def _free_device_memory(label: str) -> None:
@@ -374,7 +432,8 @@ def measure_sam_batch(pages, cpu_mode: bool) -> float:
     batch = (pages * ((n // len(pages)) + 1))[:n]
     boxes_list = [boxes] * n
     refiner.refine_batch(batch, boxes_list)  # warm/compile
-    reps = 1 if cpu_mode else 3
+    reps = 1  # one warm rep: the 8-page program is deterministic and the
+    # r4 3-rep version burned 292.9s for a 0.05s/page result (VERDICT #1)
     t0 = time.perf_counter()
     for _ in range(reps):
         refiner.refine_batch(batch, boxes_list)
@@ -394,7 +453,7 @@ def measure_rcan(pages, cpu_mode: bool) -> float:
     # (full "model" on the CPU side costs ~40 min for one page)
     variant = "model_lite"
     upscale_image(Image.fromarray(pages[0]), 2.0, variant)  # warm/compile
-    n = 1 if cpu_mode else 4
+    n = 1 if cpu_mode else 2
     t0 = time.perf_counter()
     for i in range(n):
         upscale_image(Image.fromarray(pages[i % len(pages)]), 2.0, variant)
@@ -423,7 +482,7 @@ def measure_flux_steps(pages, cpu_mode: bool) -> float:
     key = jax.random.PRNGKey(0)
     inp._run_inference(crop, steps, key)  # warm/compile
     t0 = time.perf_counter()
-    reps = 1 if cpu_mode else 3
+    reps = 1
     for _ in range(reps):
         inp._run_inference(crop, steps, key)
     dt = (time.perf_counter() - t0) / reps
@@ -630,7 +689,7 @@ def measure_flux_inpaint_e2e(pages, cpu_mode: bool) -> float:
     inp.inpaint_mask(page, mask, seed=1, num_inference_steps=4,
                      use_cache=False)  # compile + warm
     log(f"flux_inpaint_e2e compile+warm: {time.perf_counter() - t0:.1f}s")
-    reps = 3
+    reps = 2
     t0 = time.perf_counter()
     for _ in range(reps):
         inp.inpaint_mask(page, mask, seed=1, num_inference_steps=4,
@@ -694,15 +753,16 @@ def _kontext_region(pages):
     return page, mask
 
 
-def _time_kontext(inp, page, mask, steps: int, label: str, reps: int = 2):
+def _time_kontext(inp, page, mask, steps: int, label: str, reps: int = 1,
+                  **inpaint_kw):
     t0 = time.perf_counter()
     inp.inpaint_mask(page, mask, seed=1, num_inference_steps=steps,
-                     use_cache=False)  # compile + warm
+                     use_cache=False, **inpaint_kw)  # compile + warm
     log(f"kontext {label} compile+warm: {time.perf_counter() - t0:.1f}s")
     t0 = time.perf_counter()
     for _ in range(reps):
         inp.inpaint_mask(page, mask, seed=1, num_inference_steps=steps,
-                         use_cache=False)
+                         use_cache=False, **inpaint_kw)
     dt = (time.perf_counter() - t0) / reps
     log(f"kontext {label}: {dt:.3f}s/region ({steps} steps, 1024px bucket)")
     return dt
@@ -722,13 +782,23 @@ def measure_kontext_e2e(pages, cpu_mode: bool) -> float:
     return 1.0 / dt
 
 
+_KONTEXT_CEILING = [None]  # set by measure_kontext_cache, read by main()
+_KONTEXT_HITS = [None]
+
+
 def measure_kontext_cache(pages, cpu_mode: bool) -> float:
-    """Wall-clock win of the residual-diff step cache (VERDICT r3 #5's
-    measurement): the same 8-step int4 Kontext region with dbcache
-    (Fn=8, threshold 0.08 — reference sdcpp_server.py:468-477) vs the
-    uncached run from measure_kontext_e2e. Returns cached/uncached speedup;
-    hits are logged (random-init weights are cache-adversarial — converted
-    weights' smooth features hit more, so this is a lower bound)."""
+    """Wall-clock win of the residual-diff step cache (VERDICT r3 #5 / r4
+    next #3): the same 8-step int4 Kontext region with dbcache (Fn=8,
+    threshold 0.08 — reference sdcpp_server.py:468-477) vs the uncached run
+    from measure_kontext_e2e. Returns cached/uncached speedup; hits are
+    logged (random-init weights are cache-adversarial — converted weights'
+    smooth features hit more, so this is a lower bound).
+
+    Also measures the FORCED-HIT CEILING — threshold → ∞ via the runtime
+    ``threshold_override`` (same compiled program, no recompile), making
+    every post-warmup step probe-only — i.e. the mechanical maximum the
+    cache can ever save on this geometry. Published as
+    kontext_cache_ceiling."""
     if cpu_mode or os.environ.get("MTX_BENCH_KONTEXT", "1") == "0":
         raise RuntimeError("gated off (MTX_BENCH_KONTEXT=0 or CPU)")
     try:
@@ -740,18 +810,143 @@ def measure_kontext_cache(pages, cpu_mode: bool) -> float:
         inp = _kontext_int4_inpainter("dbcache", 0.0)
         dt = _time_kontext(inp, page, mask, 8, "int4 dbcache")
         hits = int(inp.last_cache_hits)
+        _KONTEXT_HITS[0] = hits
         speedup = base_dt / dt
         log(f"kontext step cache: {hits}/7 cached steps, "
             f"{base_dt:.3f}s → {dt:.3f}s/region ({speedup:.2f}x)")
+        # forced-hit ceiling: every eligible step takes the probe-only path
+        dt_forced = _time_kontext(inp, page, mask, 8, "int4 forced-hit",
+                                  threshold_override=1e9)
+        forced_hits = int(inp.last_cache_hits)
+        _KONTEXT_CEILING[0] = round(base_dt / dt_forced, 4)
+        log(f"kontext cache CEILING: {forced_hits}/7 forced hits, "
+            f"{base_dt:.3f}s → {dt_forced:.3f}s/region "
+            f"({_KONTEXT_CEILING[0]:.2f}x max possible)")
         return speedup
     finally:
         _KONTEXT_STATE.clear()  # release the 6 GB packed tree
 
 
-METHODOLOGY = ("r4: TRUE reference-default detection stack (conjoined + "
+def _klein_dit_step_flops(cfg, t_img: int, t_txt: int) -> float:
+    """Analytic FLOPs of ONE Flux2DiT velocity evaluation: per block,
+    qkv/proj/mlp linears are 24·T·H² and joint attention 4·T²·H (qk + av);
+    double blocks run the linears on both streams, single blocks on the
+    concat. Cross-checked against XLA's compiled cost_analysis in
+    measure_klein4b (within ~10%: XLA additionally counts embedders,
+    modulation MLPs and the final layer)."""
+    H = cfg.hidden_size
+    T = t_img + t_txt
+    per_block = 24.0 * T * H * H + 4.0 * T * T * H
+    return (cfg.depth_double + cfg.depth_single) * per_block
+
+
+def measure_flux_inpaint_cpu_proxy() -> dict:
+    """CPU baseline for BASELINE config (4) — flux_inpaint_e2e — as an
+    EXPLICIT ANALYTIC PROXY (VERDICT r4 next #4): a real 4-step Klein-4B
+    run on this 1-core box is infeasible (≈41 TFLOP/step at ~50 GFLOP/s ≈
+    a dozen minutes per step; the f32 tree alone is 19 GB). Instead:
+
+    - the VAE encode + decode are MEASURED on the CPU backend at the exact
+      e2e crop geometry (same klein_crop_bbox/prepare_inference_size path);
+    - the sustained CPU GEMM rate is MEASURED on a Klein-shaped f32 matmul;
+    - the DiT step FLOPs are COUNTED analytically (_klein_dit_step_flops);
+    - s/region = vae_encode + vae_decode + steps × flops / gemm_rate.
+
+    Persisted to bench_baseline_flux.json (survives methodology bumps; the
+    flux config is independent of the detection stack). Regenerate SOLO
+    with `python bench.py --flux-baseline`."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mangatranslator_tpu.models.flux.flux2 import FLUX2_PRESETS
+    from mangatranslator_tpu.models.flux.klein import (
+        klein_crop_bbox,
+        prepare_inference_size,
+    )
+    from mangatranslator_tpu.models.flux.vae import (
+        VAE_PRESETS,
+        FluxVAE,
+        init_vae,
+    )
+
+    # same region the TPU extra inpaints: page 1414x2000, mask 600:1380 x
+    # 400:1000 (measure_flux_inpaint_e2e) → Klein context pad + 16-px snap
+    x1, y1, x2, y2 = klein_crop_bbox(400, 600, 999, 1379, PAGE_W, PAGE_H)
+    iw, ih = prepare_inference_size(x2 - x1, y2 - y1, False)
+    steps = 4
+    log(f"flux cpu proxy: crop {x2 - x1}x{y2 - y1} → inference {iw}x{ih}")
+
+    vae_cfg = VAE_PRESETS["flux2"]
+    vae = FluxVAE(vae_cfg)
+    params = init_vae(vae_cfg, size=32)
+    x = jnp.asarray(np.random.default_rng(0).standard_normal(
+        (1, ih, iw, 3)), jnp.float32)
+    enc = jax.jit(lambda p, x: vae.apply(p, x, method=FluxVAE.encode))
+    lat = jax.block_until_ready(enc(params, x))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(enc(params, x))
+    vae_enc = time.perf_counter() - t0
+    dec = jax.jit(lambda p, z: vae.apply(p, z, method=FluxVAE.decode))
+    jax.block_until_ready(dec(params, lat))  # compile
+    t0 = time.perf_counter()
+    jax.block_until_ready(dec(params, lat))
+    vae_dec = time.perf_counter() - t0
+    log(f"flux cpu proxy: VAE encode {vae_enc:.1f}s, decode {vae_dec:.1f}s "
+        f"(measured, single warm rep)")
+
+    cfg = FLUX2_PRESETS["klein_4b"]
+    t_img = (ih // 16) * (iw // 16)  # downsample 8 × patch 2
+    t_txt = 128
+    flops = _klein_dit_step_flops(cfg, t_img, t_txt)
+    H = cfg.hidden_size
+    a = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (t_img + t_txt, H)), jnp.float32)
+    b = jnp.asarray(np.random.default_rng(2).standard_normal(
+        (H, H)), jnp.float32)
+    mm = jax.jit(jnp.dot)
+    jax.block_until_ready(mm(a, b))  # compile
+    reps = 3
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = mm(a, b)
+    jax.block_until_ready(out)
+    gemm_rate = 2.0 * a.shape[0] * H * H * reps / (time.perf_counter() - t0)
+    log(f"flux cpu proxy: sustained GEMM {gemm_rate / 1e9:.1f} GFLOP/s, "
+        f"DiT step {flops / 1e12:.1f} TFLOP → "
+        f"{flops / gemm_rate:.0f}s/step analytic")
+
+    sec_per_region = vae_enc + vae_dec + steps * flops / gemm_rate
+    dit_steps_per_sec = gemm_rate / flops
+    log(f"flux cpu proxy: {sec_per_region:.0f}s/region "
+        f"({1.0 / sec_per_region:.6f} regions/sec)")
+    import datetime
+
+    return {
+        "extras": {"flux_inpaint_e2e": 1.0 / sec_per_region,
+                   "klein4b_dit": dit_steps_per_sec},
+        "method": ("analytic proxy: measured VAE encode/decode at the e2e "
+                   f"crop geometry ({iw}x{ih}) + measured sustained CPU GEMM "
+                   "rate x analytically counted Klein-4B DiT step FLOPs "
+                   "(see measure_flux_inpaint_cpu_proxy docstring)"),
+        "detail": {"vae_encode_s": round(vae_enc, 2),
+                   "vae_decode_s": round(vae_dec, 2),
+                   "gemm_gflops": round(gemm_rate / 1e9, 2),
+                   "dit_step_tflop": round(flops / 1e12, 2),
+                   "sec_per_region": round(sec_per_region, 1)},
+        "note": "measured SOLO (no concurrent load) — regenerate solo only",
+        "recorded_at": datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds"),
+    }
+
+
+METHODOLOGY = ("r5: TRUE reference-default detection stack (conjoined + "
                "panel-sort + OSB-verify all ON, core/config.py:19-21) at the "
-               "1600px detector, threaded page workers (CLI-default "
-               "scheduler), median-of-3; device-batched chapter as extra")
+               "1600px detector with prefetched single-download detector "
+               "forwards, threaded page workers (CLI-default scheduler), "
+               "median-of-3 under the MTX_BENCH_BUDGET_S wall-clock budget; "
+               "device-batched chapter as extra; flux CPU baseline = "
+               "documented analytic proxy (bench_baseline_flux.json)")
 
 
 def cpu_baseline() -> dict:
@@ -762,7 +957,7 @@ def cpu_baseline() -> dict:
     if BASELINE_FILE.exists():
         data = json.loads(BASELINE_FILE.read_text())
         if "extras" in data and data.get("methodology") == METHODOLOGY:
-            return data
+            return _merge_flux_baseline(data)
         log("baseline cache stale (methodology changed); re-measuring")
     import subprocess
 
@@ -771,14 +966,33 @@ def cpu_baseline() -> dict:
                          capture_output=True, text=True, env=env, cwd=REPO)
     for line in out.stdout.splitlines():
         if line.startswith("{"):
+            import datetime
+
             data = json.loads(line)
-            data["note"] = ("same pipeline on the CPU backend "
-                            "(reference proxy)")
+            data["note"] = ("same pipeline on the CPU backend (reference "
+                            "proxy); measured SOLO — regenerate solo only")
+            data["recorded_at"] = datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")
             data["methodology"] = METHODOLOGY
             BASELINE_FILE.write_text(json.dumps(data, indent=1))
-            return data
+            return _merge_flux_baseline(data)
     log(f"baseline subprocess failed: {out.stderr[-2000:]}")
-    return {"cpu_pages_per_sec": float("nan"), "extras": {}}
+    return _merge_flux_baseline(
+        {"cpu_pages_per_sec": float("nan"), "extras": {}})
+
+
+def _merge_flux_baseline(data: dict) -> dict:
+    """Overlay the analytic-proxy flux baselines (bench_baseline_flux.json,
+    generated solo by `bench.py --flux-baseline`) onto CPU-gated extras the
+    measured baseline holds as null."""
+    if FLUX_BASELINE_FILE.exists():
+        fb = json.loads(FLUX_BASELINE_FILE.read_text())
+        extras = data.setdefault("extras", {})
+        for k, v in fb.get("extras", {}).items():
+            if extras.get(k) is None:
+                extras[k] = v
+        data["flux_baseline_method"] = fb.get("method")
+    return data
 
 
 def _ratio(value, base):
@@ -841,7 +1055,7 @@ def _probe_tpu(timeout_s: float) -> str:
 
 
 def main() -> None:
-    if "--cpu-baseline" in sys.argv:
+    if "--cpu-baseline" in sys.argv or "--flux-baseline" in sys.argv:
         import jax
 
         jax.config.update("jax_platforms", "cpu")
@@ -849,6 +1063,11 @@ def main() -> None:
         # regen pays multi-minute XLA-CPU model compiles otherwise
         jax.config.update("jax_compilation_cache_dir", str(REPO / ".jax_cache"))
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        if "--flux-baseline" in sys.argv:
+            res = measure_flux_inpaint_cpu_proxy()
+            FLUX_BASELINE_FILE.write_text(json.dumps(res, indent=1))
+            print(json.dumps(res))
+            return
         extras: dict = {}
         pps = measure("cpu", extras)
         print(json.dumps({"cpu_pages_per_sec": pps, "extras": extras}))
@@ -884,49 +1103,79 @@ def main() -> None:
     platform = jax.devices()[0].platform
     log(f"benchmarking on {platform} ({jax.devices()})")
 
-    extras: dict = {}
-    pps = measure(platform, extras)
     base = cpu_baseline()
     base_extras = base.get("extras", {})
-    vs = _ratio(pps, base.get("cpu_pages_per_sec"))
-    units = {"flux_klein_steps": "steps/sec", "klein4b_dit": "steps/sec",
-             "klein9b_int4_dit": "steps/sec",
-             "flux_inpaint_e2e": "regions/sec"}
-    out = {
-        "metric": "e2e_pages_per_sec_fulldefault1600_2000px",
-        "value": round(pps, 4),
-        "unit": "pages/sec",
-        "vs_baseline": vs,
-        "extras": {
-            name: {"value": round(val, 4) if val else None,
-                   "unit": units.get(name, "pages/sec"),
-                   "vs_baseline": _ratio(val, base_extras.get(name))}
-            for name, val in extras.items()
-        },
-        # Frozen round-1 CPU proxy (0.0591 pages/sec at the then-primary
-        # config) for drift-free cross-round comparison: the live CPU
-        # baseline shares the pipeline code and speeds up with it.
-        "vs_round1_baseline": _ratio(pps, 0.0591),
-        "flux_conditioning": flux_conditioning_state(),
-        "methodology": METHODOLOGY,
-        "platform": platform,
-        "baseline_note": ("NORTH STAR judged vs the same pipeline on XLA-CPU "
-                          "at the identical config (TRUE reference defaults: "
-                          "1600px detector + conjoined + panel-sort + "
-                          "OSB-verify, threaded page workers, median of 3 "
-                          "runs). Tunnel weather detail in the run log."),
-    }
-    if _KLEIN4B_MFU[0] is not None:
-        out["extras"]["klein4b_mfu"] = {
-            "value": _KLEIN4B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
-            "vs_baseline": None}
-    if _KLEIN9B_MFU[0] is not None:
-        out["extras"]["klein9b_int4_mfu"] = {
-            "value": _KLEIN9B_MFU[0], "unit": "fraction_of_v5e_bf16_peak",
-            "vs_baseline": None}
-    if platform == "tpu" and os.environ.get("MTX_BENCH_PRIMARY_ONLY") != "1":
-        # primary-only A/B probes must not clobber the last FULL record —
-        # it is the stale-fallback the driver reads during tunnel outages
+    units = EXTRA_UNITS
+
+    def render(pps, extras) -> dict:
+        out = {
+            "metric": "e2e_pages_per_sec_fulldefault1600_2000px",
+            "value": round(pps, 4),
+            "unit": "pages/sec",
+            "vs_baseline": _ratio(pps, base.get("cpu_pages_per_sec")),
+            "extras": {
+                name: {"value": round(val, 4) if val is not None else None,
+                       "unit": units.get(name, "pages/sec"),
+                       "vs_baseline": _ratio(val, base_extras.get(name))}
+                for name, val in extras.items()
+            },
+            # Frozen round-1 CPU proxy (0.0591 pages/sec at the then-primary
+            # config) for drift-free cross-round comparison: the live CPU
+            # baseline shares the pipeline code and speeds up with it.
+            "vs_round1_baseline": _ratio(pps, 0.0591),
+            "flux_conditioning": flux_conditioning_state(),
+            "methodology": METHODOLOGY,
+            "platform": platform,
+            "baseline_note": ("NORTH STAR judged vs the same pipeline on "
+                              "XLA-CPU at the identical config (TRUE "
+                              "reference defaults: 1600px detector + "
+                              "conjoined + panel-sort + OSB-verify, threaded "
+                              "page workers, median of 3 runs). FLUX "
+                              "vs_baseline ratios use the documented "
+                              "analytic CPU proxy "
+                              "(bench_baseline_flux.json). Tunnel weather "
+                              "detail in the run log."),
+        }
+        if _KLEIN4B_MFU[0] is not None:
+            out["extras"]["klein4b_mfu"] = {
+                "value": _KLEIN4B_MFU[0],
+                "unit": "fraction_of_v5e_bf16_peak", "vs_baseline": None}
+        if _KLEIN9B_MFU[0] is not None:
+            out["extras"]["klein9b_int4_mfu"] = {
+                "value": _KLEIN9B_MFU[0],
+                "unit": "fraction_of_v5e_bf16_peak", "vs_baseline": None}
+        if _KONTEXT_CEILING[0] is not None:
+            out["extras"]["kontext_cache_ceiling"] = {
+                "value": _KONTEXT_CEILING[0], "unit": "x_speedup",
+                "vs_baseline": None,
+                "note": (f"forced-hit mechanical maximum; realistic hits: "
+                         f"{_KONTEXT_HITS[0]}/7")}
+        return out
+
+    full_record = (platform == "tpu"
+                   and os.environ.get("MTX_BENCH_PRIMARY_ONLY") != "1")
+
+    def persist_partial(ex, pps) -> None:
+        # incremental record: even a driver-side hard kill leaves a fresh
+        # real-chip result (VERDICT r4 weak #1). Primary-only A/B probes
+        # must not clobber the last FULL record — it is the stale-fallback
+        # the driver reads during tunnel outages.
+        if not full_record:
+            return
+        import datetime
+
+        cached = render(pps, ex)
+        measured = sum(1 for v in ex.values() if v is not None)
+        cached["partial_note"] = (f"in progress: {measured}/"
+                                  f"{len(EXTRA_SPECS)} extras measured")
+        cached["recorded_at"] = datetime.datetime.now(
+            datetime.timezone.utc).isoformat(timespec="seconds")
+        LAST_TPU_FILE.write_text(json.dumps(cached, indent=1))
+
+    extras: dict = {}
+    pps = measure(platform, extras, on_update=persist_partial)
+    out = render(pps, extras)
+    if full_record:
         import datetime
 
         cached = dict(out)
