@@ -416,27 +416,38 @@ _COMPOSITE_PROGS: Dict[tuple, callable] = {}
 _COMPOSITE_LOCK = threading.Lock()
 
 
-def _composite_program(h: int, w: int, luminance_correction: bool,
+COMPOSITE_BUCKET = 64  # crop shapes quantize up to this, bounding compiles
+
+
+def _composite_program(hb: int, wb: int, luminance_correction: bool,
                        feather: str):
     """ONE jitted program for the whole composite: uint8 in (patch, base
     crop, mask), uint8 blended crop out. The previous eager chain (LAB
     match → distance transform → blur → blend, each op its own device RPC
     plus f32 transfers) cost several tunnel round trips per region; this is
     one dispatch + one uint8 download. ``blur_radius`` is a runtime scalar
-    so Klein's size-proportional radii (1–10 px) share one program."""
-    key = (h, w, luminance_correction, feather)
+    so Klein's size-proportional radii (1–10 px) share one program.
+
+    (hb, wb) are COMPOSITE_BUCKET-quantized shapes — region crops come in
+    arbitrary page-coordinate sizes, and keying programs on the exact crop
+    would compile once per unique region over the tunnel. Real extents
+    arrive as runtime scalars (h, w); padding is excluded from the LAB
+    context statistics via the validity mask and sliced off on host."""
+    key = (hb, wb, luminance_correction, feather)
     with _COMPOSITE_LOCK:
         prog = _COMPOSITE_PROGS.get(key)
         if prog is None:
 
             @jax.jit
-            def prog(base_u8, patch_u8, mask_u8, blur_radius):
+            def prog(base_u8, patch_u8, mask_u8, blur_radius, h, w):
                 base = base_u8.astype(jnp.float32)
                 patch = patch_u8.astype(jnp.float32)
                 maskf = (mask_u8 > 0).astype(jnp.float32)
+                valid = ((jnp.arange(hb)[:, None] < h)
+                         & (jnp.arange(wb)[None, :] < w)).astype(jnp.float32)
                 if luminance_correction:
                     patch = match_luminance_lab(patch, base, maskf,
-                                                1.0 - maskf)
+                                                (1.0 - maskf) * valid)
                 r = jnp.maximum(blur_radius.astype(jnp.float32), 1e-6)
                 if feather == "outward":
                     # alpha = 1 inside, linear falloff over blur_radius out
@@ -467,14 +478,23 @@ def composite_patch(image: np.ndarray, patch: np.ndarray,
     composite :543-634); "outward" keeps alpha=1 inside the mask and ramps it
     over ``blur_radius`` pixels outside (Klein composite :1497-1507)."""
     x1, y1, x2, y2 = bbox
-    sub_mask = np.ascontiguousarray(mask[y1:y2, x1:x2])
-    base = np.ascontiguousarray(image[y1:y2, x1:x2])
-    prog = _composite_program(y2 - y1, x2 - x1, luminance_correction, feather)
-    blended = prog(jnp.asarray(base), jnp.asarray(patch.astype(np.uint8)),
-                   jnp.asarray(sub_mask), jnp.asarray(blur_radius))
+    h, w = y2 - y1, x2 - x1
+    hb = -(-h // COMPOSITE_BUCKET) * COMPOSITE_BUCKET
+    wb = -(-w // COMPOSITE_BUCKET) * COMPOSITE_BUCKET
+
+    def padded(a):
+        return np.pad(a, ((0, hb - h), (0, wb - w)) + ((0, 0),) * (a.ndim - 2))
+
+    sub_mask = padded(np.ascontiguousarray(mask[y1:y2, x1:x2]))
+    base = padded(np.ascontiguousarray(image[y1:y2, x1:x2]))
+    prog = _composite_program(hb, wb, luminance_correction, feather)
+    blended = prog(jnp.asarray(base),
+                   jnp.asarray(padded(patch.astype(np.uint8))),
+                   jnp.asarray(sub_mask), jnp.asarray(blur_radius),
+                   jnp.asarray(h, jnp.int32), jnp.asarray(w, jnp.int32))
 
     out = image.copy()
-    out[y1:y2, x1:x2] = np.asarray(blended)
+    out[y1:y2, x1:x2] = np.asarray(blended)[:h, :w]
     return out
 
 

@@ -1,0 +1,182 @@
+"""Multi-host (DCN) page sharding — the jax.distributed path.
+
+SURVEY §5's comm-backend row maps the reference's batch coordinator onto
+"multi-host slices shard pages across hosts over DCN". On a real multi-host
+TPU slice that means: one Python process per host, `jax.distributed`
+coordination, a global `Mesh` whose `data` axis SPANS processes (pages ride
+DCN) while `model` stays intra-host (tensor shards ride ICI), and
+`host_local_array_to_global_array` to assemble each host's local pages into
+the global batch.
+
+No multi-host hardware exists in this environment, so `dryrun_multihost`
+validates the full path on localhost: it spawns N real OS processes, each
+with its own virtual CPU devices, initializes the distributed runtime over
+a localhost coordinator, and runs ONE dp×tp-sharded FLUX.2 training step
+where the data axis genuinely crosses process boundaries — the mean-loss
+reduction is a cross-process collective, the CPU stand-in for DCN traffic.
+
+Run directly:   python -m mangatranslator_tpu.parallel.multihost
+Worker mode:    ... --process-id K --num-processes N --coordinator H:P
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+LOCAL_DEVICES = 2  # virtual devices per simulated host
+
+
+def _worker(process_id: int, num_processes: int, coordinator: str) -> None:
+    """Per-process body. Must run in a FRESH process: platform env vars are
+    read at first jax import (tests/conftest.py recipe)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from jax.experimental import multihost_utils as mhu
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ..models.flux.flux2 import (
+        FLUX2_PRESETS,
+        Flux2DiT,
+        init_flux2,
+        make_img_ids2,
+        make_txt_ids2,
+    )
+    from .sharding import (
+        _Flux2NoPooled,
+        flux_param_spec,
+        make_flux_train_step,
+    )
+
+    devices = jax.devices()
+    assert len(devices) == num_processes * LOCAL_DEVICES, (
+        f"expected {num_processes * LOCAL_DEVICES} global devices, got "
+        f"{len(devices)}")
+    # data axis spans processes (pages over DCN); model axis stays
+    # intra-process (tensor shards over ICI). jax.devices() orders by
+    # (process_index, local id), so reshape(num_processes, LOCAL_DEVICES)
+    # puts each row inside one process.
+    mesh = Mesh(np.array(devices).reshape(num_processes, LOCAL_DEVICES),
+                ("data", "model"))
+
+    cfg = FLUX2_PRESETS["test"]
+    model = _Flux2NoPooled(Flux2DiT(cfg))
+    # identical seed on every process → identical host trees; the global
+    # arrays below are replicated (P()) or intra-process sharded ("model"),
+    # so each process contributes consistent data
+    host_params = init_flux2(cfg, h_tok=4, w_tok=4, txt_len=8)
+
+    def to_global(path, x):
+        spec = flux_param_spec(path, x)
+        return mhu.host_local_array_to_global_array(np.asarray(x), mesh, spec)
+
+    params = jax.tree_util.tree_map_with_path(to_global, host_params)
+
+    b_local = 2  # pages THIS host contributes; global batch = N_proc × this
+    rs = np.random.RandomState(100 + process_id)
+
+    def pages_global(arr, spec=P("data")):
+        return mhu.host_local_array_to_global_array(arr, mesh, spec)
+
+    batch = {
+        "clean_tokens": pages_global(
+            rs.randn(b_local, 16, cfg.in_channels).astype(np.float32)),
+        "img_ids": mhu.host_local_array_to_global_array(
+            make_img_ids2(4, 4), mesh, P()),
+        "txt": pages_global(
+            rs.randn(b_local, 8, cfg.ctx_dim).astype(np.float32)),
+        "txt_ids": mhu.host_local_array_to_global_array(
+            make_txt_ids2(8), mesh, P()),
+        "pooled": pages_global(np.zeros((b_local, 1), np.float32)),
+    }
+
+    with mesh:
+        optimizer = optax.adamw(1e-4)
+        opt_state = optimizer.init(params)
+        train_step = make_flux_train_step(model, optimizer, mesh)
+        params, opt_state, loss = train_step(params, opt_state, batch,
+                                             jax.random.PRNGKey(0))
+        # the mean over the global page batch IS the cross-process (DCN
+        # stand-in) collective; the scalar result is replicated, so every
+        # process reads its locally addressable shard
+        loss_host = float(np.asarray(loss.addressable_shards[0].data))
+
+    assert np.isfinite(loss_host), f"non-finite multihost loss {loss_host}"
+    mhu.sync_global_devices("mtx_multihost_dryrun_done")
+    print(f"MULTIHOST_OK process={process_id}/{num_processes} "
+          f"global_pages={b_local * num_processes} loss={loss_host:.4f}",
+          flush=True)
+
+
+def dryrun_multihost(num_processes: int = 2, timeout_s: float = 600.0) -> str:
+    """Spawn ``num_processes`` worker processes over a localhost coordinator
+    and run the dp-across-processes FLUX.2 step. Returns the combined worker
+    output; raises on any worker failure or timeout."""
+    import socket
+    import subprocess
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    coordinator = f"127.0.0.1:{port}"
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (env.get("XLA_FLAGS", "") +
+                        f" --xla_force_host_platform_device_count="
+                        f"{LOCAL_DEVICES}").strip()
+    env.pop("JAX_PLATFORM_NAME", None)
+
+    repo_root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "mangatranslator_tpu.parallel.multihost",
+             "--process-id", str(i), "--num-processes", str(num_processes),
+             "--coordinator", coordinator],
+            env=env, cwd=repo_root, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True)
+        for i in range(num_processes)
+    ]
+    outputs = []
+    try:
+        for i, p in enumerate(procs):
+            out, _ = p.communicate(timeout=timeout_s)
+            outputs.append(out)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"multihost worker {i} failed (rc={p.returncode}):\n"
+                    f"{out[-4000:]}")
+            if "MULTIHOST_OK" not in out:
+                raise RuntimeError(
+                    f"multihost worker {i} missing OK marker:\n{out[-4000:]}")
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    return "\n".join(outputs)
+
+
+def _main() -> None:
+    import argparse
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--process-id", type=int, default=None)
+    ap.add_argument("--num-processes", type=int, default=2)
+    ap.add_argument("--coordinator", default=None)
+    args = ap.parse_args()
+    if args.process_id is None:
+        print(dryrun_multihost(args.num_processes))
+    else:
+        _worker(args.process_id, args.num_processes, args.coordinator)
+
+
+if __name__ == "__main__":
+    _main()
