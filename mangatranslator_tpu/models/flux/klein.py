@@ -191,12 +191,29 @@ def host_schedule(num_steps: int, seq_len: int,
     return ts.astype(np.float32)
 
 
+def fit_prompt_seq(txt: np.ndarray, seq_len: int) -> np.ndarray:
+    """Pad/truncate a prompt embedding to the pipeline's FIXED conditioning
+    length. Upstream FLUX conditions on a fixed-length text stream (pads
+    included, unmasked), and a fixed length is also what keeps the DiT
+    token count — and therefore the compiled denoise programs and the
+    Pallas flash-attention block divisibility (layers.py _flash_block) —
+    stable across prompts and artifact sources. An artifact whose raw
+    length leaked into the stream made the token count 8482 (∤128): flash
+    gated off and plain SDPA's f32 scores tensor OOM'd the chip."""
+    t = txt[:, :seq_len]
+    if t.shape[1] < seq_len:
+        t = np.pad(t, ((0, 0), (0, seq_len - t.shape[1]), (0, 0)))
+    return t
+
+
 def klein_prompt_embeddings(prompt: str, ctx_dim: int,
                             seq_len: int = 128) -> np.ndarray:
-    """Qwen3 hidden states for the fixed Klein prompt. Prefers the real
-    encoder output precomputed by scripts/convert_models.py --embed-prompt
-    (stored beside the converted checkpoints, key "txt"); falls back to a
-    loud seeded Gaussian stub so the pipeline stays exercisable."""
+    """Qwen3 hidden states for the fixed Klein prompt, padded/truncated to
+    ``seq_len`` (fixed-length conditioning — see fit_prompt_seq). Prefers
+    the real encoder output precomputed by scripts/convert_models.py
+    --embed-prompt (stored beside the converted checkpoints, key "txt");
+    falls back to a loud seeded Gaussian stub so the pipeline stays
+    exercisable."""
     import hashlib
 
     path = prompt_embed_path(prompt)
@@ -206,7 +223,7 @@ def klein_prompt_embeddings(prompt: str, ctx_dim: int,
         # (txt_{ctx_dim}); converted-encoder artifacts store a single "txt"
         txt = data.get(f"txt_{ctx_dim}", data.get("txt"))
         if txt is not None and txt.shape[-1] == ctx_dim:
-            return txt.astype(np.float32)
+            return fit_prompt_seq(txt.astype(np.float32), seq_len)
     from ...logging import log_message
 
     log_message(

@@ -99,8 +99,14 @@ def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
     compute_prompt_embeddings (T5-XXL context + CLIP-L pooled for Kontext,
     models/t5.py + models/clip_text.py) stored beside the converted
     checkpoints; without it, a seeded Gaussian keeps the pipeline
-    exercisable end-to-end.
+    exercisable end-to-end. The context embedding is padded/truncated to
+    ``seq_len`` — FLUX conditions on a fixed-length text stream (pads
+    unmasked, upstream convention), which also pins the DiT token count so
+    compiled programs and the flash-attention block divisibility survive
+    artifact-length changes (see klein.fit_prompt_seq).
     """
+    from .klein import fit_prompt_seq
+
     path = prompt_embed_path(prompt)
     if path.exists():
         data = np.load(path)
@@ -110,7 +116,8 @@ def prompt_embeddings(prompt: str, ctx_dim: int, vec_dim: int,
         vec = data.get(f"vec_{vec_dim}", data.get("vec"))
         if (txt is not None and vec is not None
                 and txt.shape[-1] == ctx_dim and vec.shape[-1] == vec_dim):
-            return txt.astype(np.float32), vec.astype(np.float32)
+            return (fit_prompt_seq(txt.astype(np.float32), seq_len),
+                    vec.astype(np.float32))
     from ...logging import log_message
 
     log_message(

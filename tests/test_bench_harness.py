@@ -53,16 +53,28 @@ def test_loaders_pick_fixture_over_stub():
         prompt_embeddings,
     )
 
-    # artifact-backed loads ignore the stub's seq_len knob entirely — a
-    # Gaussian-stub fallback would change shape with it
-    txt = klein_prompt_embeddings(KLEIN_PROMPT, 2560, seq_len=64)
-    again = klein_prompt_embeddings(KLEIN_PROMPT, 2560, seq_len=128)
-    assert txt.shape == again.shape and (txt == again).all()
-    assert txt.shape[-1] == 2560
-    ktxt, kvec = prompt_embeddings(DEFAULT_PROMPT, 4096, 768, seq_len=64)
-    ktxt2, _ = prompt_embeddings(DEFAULT_PROMPT, 4096, 768, seq_len=128)
-    assert ktxt.shape == ktxt2.shape and (ktxt == ktxt2).all()
-    assert kvec.shape[-1] == 768
+    import numpy as np
+
+    from mangatranslator_tpu.models.flux.pipeline import prompt_embed_path
+
+    # loads come back at the FIXED conditioning length (seq 128, pads
+    # zero — klein.fit_prompt_seq) and their leading tokens are byte-equal
+    # to the committed artifact, proving the artifact (not the stub) fed
+    # the pipeline
+    txt = klein_prompt_embeddings(KLEIN_PROMPT, 2560, seq_len=128)
+    assert txt.shape[1] == 128 and txt.shape[-1] == 2560
+    with np.load(prompt_embed_path(KLEIN_PROMPT)) as d:
+        raw = d["txt_2560"].astype(np.float32)
+    n = min(128, raw.shape[1])
+    assert (txt[:, :n] == raw[:, :n]).all()
+    if n < 128:
+        assert (txt[:, n:] == 0).all()  # zero pads, upstream convention
+    ktxt, kvec = prompt_embeddings(DEFAULT_PROMPT, 4096, 768, seq_len=128)
+    assert ktxt.shape[1] == 128 and kvec.shape[-1] == 768
+    with np.load(prompt_embed_path(DEFAULT_PROMPT)) as d:
+        kraw = d["txt_4096"].astype(np.float32)
+    kn = min(128, kraw.shape[1])
+    assert (ktxt[:, :kn] == kraw[:, :kn]).all()
 
 
 def test_units_map_covers_non_throughput_extras(bench):
