@@ -229,8 +229,11 @@ def _run_chapter(pages, in_dir, tmp_out, cfg, reps: int,
         if r > 0:
             times.append(dt)
         # degraded tunnel weather: drop remaining reps rather than blow the
-        # global budget (median of fewer runs beats no record at all)
-        if times and r < reps and remaining_budget() < dt * (reps - r) + 600:
+        # global budget (median of fewer runs beats no record at all). The
+        # margin reserves room for the first extras only — skipped extras
+        # carry forward their last measured value, so the PRIMARY median
+        # gets budget priority.
+        if times and r < reps and remaining_budget() < dt * (reps - r) + 300:
             log(f"{label}: stopping after rep {r} "
                 f"({remaining_budget():.0f}s budget left)")
             break
@@ -304,13 +307,17 @@ def log_transfer_floor() -> None:
 EXTRA_SPECS = (
     ("flux_inpaint_e2e", "measure_flux_inpaint_e2e", 150),
     ("klein4b_dit", "measure_klein4b", 60),
-    ("klein9b_int4_dit", "measure_klein9b_int4", 90),
-    ("kontext_int4_e2e", "measure_kontext_e2e", 220),
-    ("kontext_cache_speedup", "measure_kontext_cache", 160),
-    ("sam_batch8", "measure_sam_batch", 150),
-    ("device_batched_mode", "measure_device_batched", 150),
+    ("sam_batch8", "measure_sam_batch", 120),
     ("rcan_upscale", "measure_rcan", 60),
     ("flux_klein_steps", "measure_flux_steps", 90),
+    ("device_batched_mode", "measure_device_batched", 150),
+    ("klein9b_int4_dit", "measure_klein9b_int4", 100),
+    # the 12B Kontext pair is by far the most expensive (~200s each even
+    # warm-cached) and the least information-dense per second — last, so a
+    # shrinking budget drops them first; skipped extras carry forward their
+    # last measured real-chip value in the emitted record (clearly stamped)
+    ("kontext_int4_e2e", "measure_kontext_e2e", 220),
+    ("kontext_cache_speedup", "measure_kontext_cache", 200),
 )
 
 
@@ -1026,6 +1033,44 @@ def flux_conditioning_state() -> str:
 LAST_TPU_FILE = REPO / "BENCH_LAST_TPU.json"
 
 
+def load_prior_extras() -> dict:
+    """Extras this run skips (budget or failure) carry forward their last
+    MEASURED real-chip value instead of erasing it with null — stamped with
+    the run that actually measured them so a carried number can never read
+    as fresh. BENCH_LAST_TPU.json is thereby cumulative: a bad-weather
+    budget-bounded run cannot lose previously-proven extras."""
+    prior: dict = {}
+    if LAST_TPU_FILE.exists():
+        try:
+            rec = json.loads(LAST_TPU_FILE.read_text())
+            ts = rec.get("recorded_at", "an earlier run")
+            for k, v in rec.get("extras", {}).items():
+                if isinstance(v, dict) and v.get("value") is not None:
+                    prior[k] = dict(v, carried_from=v.get("carried_from", ts))
+        except Exception as e:
+            log(f"prior record unreadable (no carry-forward): {e}")
+    return prior
+
+
+def carry_forward(out_extras: dict, prior_extras: dict, units: dict) -> None:
+    """Fill null/absent extras in ``out_extras`` from ``prior_extras``
+    (see load_prior_extras), preserving the original measurement stamp."""
+    for name, prev in prior_extras.items():
+        cur = out_extras.get(name)
+        if cur is not None and cur.get("value") is not None:
+            continue
+        entry = {"value": prev["value"],
+                 "unit": prev.get("unit", units.get(name, "pages/sec")),
+                 "vs_baseline": prev.get("vs_baseline"),
+                 "carried_from": prev["carried_from"],
+                 "note": "not measured this run; value carried from the "
+                         "last run that measured it"}
+        pn = prev.get("note", "")
+        if pn and "value carried from" not in pn:
+            entry["note"] += f" — {pn}"
+        out_extras[name] = entry
+
+
 def _probe_tpu(timeout_s: float) -> str:
     """Run a trivial device op in a SUBPROCESS with a hard timeout and
     return the platform it landed on ('timeout' if the tunnel hangs).
@@ -1107,6 +1152,8 @@ def main() -> None:
     base_extras = base.get("extras", {})
     units = EXTRA_UNITS
 
+    prior_extras = load_prior_extras()
+
     def render(pps, extras) -> dict:
         out = {
             "metric": "e2e_pages_per_sec_fulldefault1600_2000px",
@@ -1150,6 +1197,7 @@ def main() -> None:
                 "vs_baseline": None,
                 "note": (f"forced-hit mechanical maximum; realistic hits: "
                          f"{_KONTEXT_HITS[0]}/7")}
+        carry_forward(out["extras"], prior_extras, units)
         return out
 
     full_record = (platform == "tpu"

@@ -135,17 +135,22 @@ class FluxDiT(nn.Module):
         pooled: jnp.ndarray,     # [B, vec_dim]
         guidance: Optional[jnp.ndarray] = None,  # [B]
         fn_blocks: int = 1,
+        token_mask: Optional[jnp.ndarray] = None,  # [S_txt+S_img] key validity
     ):
         """Input embeds + the first ``fn_blocks`` double blocks. Returns
         (x, c, vec, resid) where ``resid`` is the image-stream residual the
         step cache's relative-L1 metric compares across steps (the Fn-block
-        residual of cache-dit/dbcache; Fn=1 ≡ nunchaku's first-block cache)."""
+        residual of cache-dit/dbcache; Fn=1 ≡ nunchaku's first-block cache).
+
+        ``token_mask`` excludes flash-padding tokens from every softmax
+        (layers.attention) so image token counts can pad to flash-friendly
+        joint sequences without changing valid tokens' outputs."""
         fn = max(1, min(int(fn_blocks), self.cfg.depth_double))
         x, c, vec = self._embed(img, txt, t, pooled, guidance)
         freqs = self._freqs(img_ids, txt_ids)
         x0 = x
         for blk in self.double[:fn]:
-            x, c = blk(x, c, vec, freqs)
+            x, c = blk(x, c, vec, freqs, token_mask)
         return x, c, vec, x - x0
 
     def tail(
@@ -156,6 +161,7 @@ class FluxDiT(nn.Module):
         img_ids: jnp.ndarray,
         txt_ids: jnp.ndarray,
         fn_blocks: int = 1,
+        token_mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Remaining double blocks + all single blocks; returns the final
         image-stream hidden (pre-final-layer) — what the step cache stores
@@ -163,10 +169,10 @@ class FluxDiT(nn.Module):
         fn = max(1, min(int(fn_blocks), self.cfg.depth_double))
         freqs = self._freqs(img_ids, txt_ids)
         for blk in self.double[fn:]:
-            x, c = blk(x, c, vec, freqs)
+            x, c = blk(x, c, vec, freqs, token_mask)
         seq = jnp.concatenate([c, x], axis=1)
         for blk in self.single:
-            seq = blk(seq, vec, freqs)
+            seq = blk(seq, vec, freqs, token_mask)
         return seq[:, c.shape[1]:]
 
     def final_layer(self, x: jnp.ndarray, vec: jnp.ndarray) -> jnp.ndarray:
@@ -181,10 +187,13 @@ class FluxDiT(nn.Module):
         t: jnp.ndarray,          # [B] flow time in [0, 1]
         pooled: jnp.ndarray,     # [B, vec_dim]
         guidance: Optional[jnp.ndarray] = None,  # [B]
+        token_mask: Optional[jnp.ndarray] = None,  # [S_txt+S_img]
     ) -> jnp.ndarray:
         x, c, vec, _ = self.probe(img, img_ids, txt, txt_ids, t, pooled,
-                                  guidance, fn_blocks=1)
-        x = self.tail(x, c, vec, img_ids, txt_ids, fn_blocks=1)
+                                  guidance, fn_blocks=1,
+                                  token_mask=token_mask)
+        x = self.tail(x, c, vec, img_ids, txt_ids, fn_blocks=1,
+                      token_mask=token_mask)
         return self.final(x, vec)
 
 

@@ -38,7 +38,14 @@ import numpy as np
 from ...caching import get_cache, hash_params, hash_pixels
 from .dit import pack_latents, unpack_latents
 from .flux2 import Flux2Config, Flux2DiT, make_img_ids2, make_txt_ids2
-from .pipeline import KLEIN_PROMPT, composite_patch, prompt_embed_path
+from .layers import flash_friendly_seq_pad
+from .pipeline import (
+    KLEIN_PROMPT,
+    composite_patch,
+    composite_patch_device,
+    prompt_embed_path,
+    use_fused_composite,
+)
 from .sampler import euler_denoise
 from .vae import (
     FluxVAE,
@@ -458,11 +465,15 @@ class KleinInpainter:
             return prog
 
     def _run_inference(self, crop_rs: np.ndarray, steps: int,
-                       seed_key) -> np.ndarray:
+                       seed_key, return_device: bool = False) -> np.ndarray:
         ih, iw = crop_rs.shape[:2]
         seq = self._tokens_for(ih, iw)
-        bucket = self.seq_bucket
-        seq_pad = max(bucket, -(-seq // bucket) * bucket)
+        # bucket-quantized, then bumped so the JOINT sequence
+        # (txt + target-plane + cond-plane) divides by a large flash block:
+        # 8320 joint tokens ran the Pallas kernel at blk 128 = 18 TFLOP/s;
+        # 8448 (+64 pad tokens) runs blk 768 = 98 TFLOP/s (probe r5)
+        seq_pad = flash_friendly_seq_pad(seq, self._txt.shape[1], 2,
+                                         self.seq_bucket)
         lh, lw = ih // self._vf, iw // self._vf
         h_tok, w_tok = lh // 2, lw // 2
 
@@ -503,6 +514,11 @@ class KleinInpainter:
             jnp.asarray(host_schedule(steps, seq)), seed_key)
         t0 = _mark(f"denoise[{steps}]", z, t0)
         out01 = self._decode_prog(ih, iw, seq_pad)(self.vae_params, z)
+        if return_device:
+            # fused finish: the patch never crosses the tunnel — the caller
+            # feeds it straight into the resize+composite program
+            _mark("decode", out01, t0)
+            return out01
         out = np.asarray(out01)
         _mark("decode+download", out01, t0)
         return out
@@ -550,15 +566,24 @@ class KleinInpainter:
             return image
         blur = klein_blur_radius(x_max - x_min, y_max - y_min)
 
+        fused = use_fused_composite()
         cache = get_cache() if use_cache and seed != -1 else None
         cache_key = None
         if cache is not None:
+            # fused entries are BLENDED crops (hits cost zero device work);
+            # host entries are pre-composite patches — flavor-tagged so the
+            # value semantics never collide (FluxInpainter same)
             sig = cv2.resize(mask[y1:y2, x1:x2].astype(np.float32), (64, 64))
             cache_key = hash_pixels(image[y1:y2, x1:x2]) + ":" + hash_params(
                 (x1, y1, x2, y2), sig, seed, steps, self.upscale_small_crops,
-                self.prompt, "klein")
+                self.prompt, "klein", "blended" if fused else "patch",
+                luminance_correction if fused else None)
             hit = cache.get("inpaint", cache_key)
             if hit is not None:
+                if fused:
+                    out = image.copy()
+                    out[y1:y2, x1:x2] = hit
+                    return out
                 return composite_patch(image, hit, mask, (x1, y1, x2, y2),
                                        luminance_correction,
                                        feather="outward", blur_radius=blur)
@@ -572,6 +597,18 @@ class KleinInpainter:
 
         rng = jax.random.PRNGKey(seed if seed != -1 else
                                  np.random.randint(0, 2**31 - 1))
+        if fused:
+            # patch stays on device; fused resize+composite downloads only
+            # the blended crop (uploads stay cheap; tunnel downloads are the
+            # scarce resource — see pipeline.use_fused_composite)
+            out_dev = self._run_inference(crop_rs, steps, rng,
+                                          return_device=True)
+            page, blended = composite_patch_device(
+                out_dev, image, mask, (x1, y1, x2, y2),
+                luminance_correction, feather="outward", blur_radius=blur)
+            if cache is not None:
+                cache.put("inpaint", cache_key, blended)
+            return page
         patch = self._run_inference(crop_rs, steps, rng)  # uint8
         if (iw, ih) != (x2 - x1, y2 - y1):
             patch = cv2.resize(patch, (x2 - x1, y2 - y1),

@@ -37,6 +37,7 @@ from .dit import (
     pack_latents,
     unpack_latents,
 )
+from .layers import flash_friendly_seq_pad
 from .sampler import (
     euler_denoise,
     euler_denoise_cached,
@@ -234,12 +235,32 @@ class FluxInpainter:
         vf = downsample_factor(self.bundle.vae_cfg)
         lh, lw = bh // vf, bw // vf
         h_tok, w_tok = lh // 2, lw // 2
+        seq_len = h_tok * w_tok
+        txt_len = self._txt.shape[1]
+        planes = 2 if self.use_kontext else 1
+        # pad each latent plane so the JOINT attention sequence divides by a
+        # large flash block: the 1024² bucket's 128+2×4096 = 8320 joint
+        # tokens cap the Pallas kernel at blk 128 (18 TFLOP/s measured);
+        # +64 pad tokens/plane reach 8448 = 768×11 (98 TFLOP/s). Pads are
+        # softmax-excluded via token_mask, so valid outputs are unchanged.
+        s_pad = flash_friendly_seq_pad(seq_len, txt_len, planes, bucket=1)
+        pad_rows = s_pad - seq_len
         # host numpy closure constants (device arrays here cost a tunnel
         # download per lower() — see __init__ note)
-        img_ids = np.asarray(make_img_ids(h_tok, w_tok, plane=0))
-        cond_ids = np.asarray(make_img_ids(h_tok, w_tok, plane=1))
-        txt_ids = np.asarray(make_txt_ids(self._txt.shape[1]))
-        seq_len = h_tok * w_tok
+        id_pad = np.zeros((pad_rows, 3), np.int32)
+        img_ids = np.concatenate(
+            [np.asarray(make_img_ids(h_tok, w_tok, plane=0)), id_pad], axis=0)
+        cond_ids = np.concatenate(
+            [np.asarray(make_img_ids(h_tok, w_tok, plane=1)), id_pad], axis=0)
+        txt_ids = np.asarray(make_txt_ids(txt_len))
+        token_mask = None
+        if pad_rows:
+            m = np.zeros(txt_len + planes * s_pad, bool)
+            m[:txt_len] = True
+            m[txt_len:txt_len + seq_len] = True
+            if self.use_kontext:
+                m[txt_len + s_pad:txt_len + s_pad + seq_len] = True
+            token_mask = m
 
         @jax.jit
         def run(dit_params, vae_params, image01, key, threshold):
@@ -257,6 +278,11 @@ class FluxInpainter:
             x = (image01 * 2.0 - 1.0).astype(vdt)
             lat = self._vae.apply(vae_p, x[None], method=FluxVAE.encode)
             cond_tokens = pack_latents(lat).astype(jnp.float32)
+            if pad_rows:
+                cond_tokens = jnp.pad(cond_tokens,
+                                      ((0, 0), (0, pad_rows), (0, 0)))
+            mask_c = (jnp.asarray(token_mask)
+                      if token_mask is not None else None)
             noise = jax.random.normal(key, cond_tokens.shape, jnp.float32)
             ids = (jnp.concatenate([img_ids, cond_ids], axis=0)
                    if self.use_kontext else img_ids)
@@ -285,17 +311,19 @@ class FluxInpainter:
                     return self._dit.apply(
                         p, tokens, ids, txt_c, txt_ids, t,
                         vec_c, jnp.full_like(t, guidance),
-                        fn_blocks=fn, method=FluxDiT.probe)
+                        fn_blocks=fn, token_mask=mask_c,
+                        method=FluxDiT.probe)
 
                 def tail(x, c, vec, p):
                     p = p if p is not None else dit_p
                     return self._dit.apply(p, x, c, vec, ids, txt_ids,
-                                           fn_blocks=fn, method=FluxDiT.tail)
+                                           fn_blocks=fn, token_mask=mask_c,
+                                           method=FluxDiT.tail)
 
                 def final(x_h, vec):
                     v = self._dit.apply(dit_p, x_h, vec,
                                         method=FluxDiT.final_layer)
-                    return v[:, :seq_len].astype(jnp.float32)
+                    return v[:, :s_pad].astype(jnp.float32)
 
                 # runtime threshold: one compiled program serves every
                 # threshold incl. the forced-hit ceiling (sampler docstring)
@@ -309,16 +337,18 @@ class FluxInpainter:
                               if self.use_kontext else z.astype(cdt))
                     v = self._dit.apply(
                         p, tokens, ids, txt_c, txt_ids, t,
-                        vec_c, jnp.full_like(t, guidance))
-                    return v[:, :seq_len].astype(jnp.float32)
+                        vec_c, jnp.full_like(t, guidance),
+                        token_mask=mask_c)
+                    return v[:, :s_pad].astype(jnp.float32)
 
                 # quantized params ride the loop carry (barrier) so LICM can't
                 # hoist the per-layer dequants out of the scan (sampler.py)
                 z = euler_denoise(velocity, noise, schedule, loop_variant=lv)
                 hits = jnp.zeros((), jnp.int32)
-            out = self._vae.apply(vae_p,
-                                  unpack_latents(z, lh, lw).astype(vdt),
-                                  method=FluxVAE.decode)
+            out = self._vae.apply(
+                vae_p,
+                unpack_latents(z[:, :seq_len], lh, lw).astype(vdt),
+                method=FluxVAE.decode)
             # uint8 patch download (4x fewer tunnel bytes than float32)
             p01 = jnp.clip((out[0].astype(jnp.float32) + 1.0) / 2.0, 0.0, 1.0)
             return jnp.round(p01 * 255.0).astype(jnp.uint8), hits
@@ -380,15 +410,26 @@ class FluxInpainter:
                          if threshold_override is None else
                          float(threshold_override))
 
+        fused = use_fused_composite()
         cache = get_cache() if use_cache and seed != -1 else None
         cache_key = None
         if cache is not None:
+            # fused-path entries are BLENDED crops (zero device work on hit);
+            # host-path entries are pre-composite patches — the flavor tag
+            # keeps the two value semantics from ever colliding, and the
+            # blended value additionally depends on luminance_correction
             sig = cv2.resize(mask[y1:y2, x1:x2].astype(np.float32), (64, 64))
             cache_key = hash_pixels(image[y1:y2, x1:x2]) + ":" + hash_params(
                 (x1, y1, x2, y2), sig, seed, num_inference_steps, guidance_scale,
-                self.bundle.prompt, self.cache_mode, eff_threshold)
+                self.bundle.prompt, self.cache_mode, eff_threshold,
+                "blended" if fused else "patch",
+                luminance_correction if fused else None)
             hit = cache.get("inpaint", cache_key)
             if hit is not None:
+                if fused:
+                    out = image.copy()
+                    out[y1:y2, x1:x2] = hit
+                    return out
                 return self._composite(image, hit, mask, (x1, y1, x2, y2),
                                        luminance_correction)
 
@@ -406,6 +447,14 @@ class FluxInpainter:
         # device scalar kept lazy: int()-ing here would cost one extra tunnel
         # round trip per region; tests/diagnostics materialize it on read
         self.last_cache_hits = hits
+        if fused:
+            # patch stays on device; one fused resize+composite program
+            # downloads only the blended crop
+            page, blended = composite_patch_device(
+                out_u8, image, mask, (x1, y1, x2, y2), luminance_correction)
+            if cache is not None:
+                cache.put("inpaint", cache_key, blended)
+            return page
         patch = cv2.resize(np.asarray(out_u8), (x2 - x1, y2 - y1),
                            interpolation=cv2.INTER_LANCZOS4)
         if cache is not None:
@@ -424,6 +473,28 @@ _COMPOSITE_LOCK = threading.Lock()
 
 
 COMPOSITE_BUCKET = 64  # crop shapes quantize up to this, bounding compiles
+
+
+def _composite_core(base, patch, maskf, valid, blur_radius,
+                    luminance_correction: bool, feather: str):
+    """Traced composite math shared by the host-patch and fused-device
+    programs: LAB luminance match → distance-transform feather alpha →
+    masked blend. ``base``/``patch`` f32 [H,W,3]; ``maskf``/``valid`` f32
+    [H,W]; returns uint8 [H,W,3]."""
+    if luminance_correction:
+        patch = match_luminance_lab(patch, base, maskf,
+                                    (1.0 - maskf) * valid)
+    r = jnp.maximum(blur_radius.astype(jnp.float32), 1e-6)
+    if feather == "outward":
+        # alpha = 1 inside, linear falloff over blur_radius out
+        d_out = distance_transform_edt(1.0 - maskf)
+        alpha = jnp.clip(1.0 - d_out / r, 0.0, 1.0)
+    else:
+        # distance into the mask, ramped over the blur sigma
+        alpha = jnp.clip(distance_transform_edt(maskf) / r, 0.0, 1.0)
+        alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * maskf
+    blended = (base * (1 - alpha[..., None]) + patch * alpha[..., None])
+    return jnp.clip(blended, 0, 255).astype(jnp.uint8)
 
 
 def _composite_program(hb: int, wb: int, luminance_correction: bool,
@@ -452,25 +523,97 @@ def _composite_program(hb: int, wb: int, luminance_correction: bool,
                 maskf = (mask_u8 > 0).astype(jnp.float32)
                 valid = ((jnp.arange(hb)[:, None] < h)
                          & (jnp.arange(wb)[None, :] < w)).astype(jnp.float32)
-                if luminance_correction:
-                    patch = match_luminance_lab(patch, base, maskf,
-                                                (1.0 - maskf) * valid)
-                r = jnp.maximum(blur_radius.astype(jnp.float32), 1e-6)
-                if feather == "outward":
-                    # alpha = 1 inside, linear falloff over blur_radius out
-                    d_out = distance_transform_edt(1.0 - maskf)
-                    alpha = jnp.clip(1.0 - d_out / r, 0.0, 1.0)
-                else:
-                    # distance into the mask, ramped over the blur sigma
-                    alpha = jnp.clip(distance_transform_edt(maskf) / r,
-                                     0.0, 1.0)
-                    alpha = gaussian_blur(alpha, EDGE_BLUR_SIGMA) * maskf
-                blended = (base * (1 - alpha[..., None])
-                           + patch * alpha[..., None])
-                return jnp.clip(blended, 0, 255).astype(jnp.uint8)
+                return _composite_core(base, patch, maskf, valid,
+                                       blur_radius, luminance_correction,
+                                       feather)
 
             _COMPOSITE_PROGS[key] = prog
     return prog
+
+
+def use_fused_composite() -> bool:
+    """Whether inpaint paths keep the decoded patch ON DEVICE and finish
+    (resize → LAB → feather → blend) in one extra program, downloading only
+    the final blended crop. Default on TPU: the host path downloads the
+    inference-size patch (~3 MB) and re-uploads base+patch+mask for the
+    composite — ~3× the tunnel download bytes and 2 extra round trips per
+    region, ruinous in bandwidth-degraded tunnel phases. CPU keeps the
+    cv2-resize host path (golden numerics); MTX_FUSED_COMPOSITE=1/0
+    overrides (tests force 1 on CPU for equivalence coverage)."""
+    import os
+
+    env = os.environ.get("MTX_FUSED_COMPOSITE")
+    if env in ("0", "1"):
+        return env == "1"
+    return jax.devices()[0].platform == "tpu"
+
+
+def _finish_program(ph: int, pw: int, hb: int, wb: int,
+                    luminance_correction: bool, feather: str):
+    """Fused finish: inference-size uint8 patch (ALREADY on device, straight
+    from the decode program — never downloaded) → lanczos3 resize onto the
+    (hb, wb) composite-bucket canvas at runtime scale (true crop extents h, w
+    are runtime scalars, mirroring jax.image.resize's scale/translation
+    convention) → composite core → uint8 blended crop. One download per
+    region instead of patch-download + base/patch/mask re-upload +
+    blended-download (reference composites on host, inpainting.py:543-634 —
+    a remote-TPU design can't afford the round trips)."""
+    key = (ph, pw, hb, wb, luminance_correction, feather)
+    with _COMPOSITE_LOCK:
+        prog = _COMPOSITE_PROGS.get(key)
+        if prog is None:
+
+            @jax.jit
+            def prog(patch_u8, base_u8, mask_u8, blur_radius, h, w):
+                patch = patch_u8.astype(jnp.float32)
+                sc = jnp.array([h / ph, w / pw], jnp.float32)
+                tr = 0.5 * sc - 0.5  # align-corners=False pixel centers
+                canvas = jax.image.scale_and_translate(
+                    patch, (hb, wb, 3), (0, 1), sc, tr, method="lanczos3")
+                base = base_u8.astype(jnp.float32)
+                maskf = (mask_u8 > 0).astype(jnp.float32)
+                valid = ((jnp.arange(hb)[:, None] < h)
+                         & (jnp.arange(wb)[None, :] < w)).astype(jnp.float32)
+                canvas = jnp.clip(canvas, 0.0, 255.0) * valid[..., None]
+                return _composite_core(base, canvas, maskf, valid,
+                                       blur_radius, luminance_correction,
+                                       feather)
+
+            _COMPOSITE_PROGS[key] = prog
+    return prog
+
+
+def composite_patch_device(patch_dev, image: np.ndarray, mask: np.ndarray,
+                           bbox: Tuple[int, int, int, int],
+                           luminance_correction: bool,
+                           feather: str = "inward",
+                           blur_radius: float = EDGE_BLUR_SIGMA * 2,
+                           ) -> Tuple[np.ndarray, np.ndarray]:
+    """Composite a DEVICE-resident inference-size uint8 patch into ``image``
+    without ever downloading it: resize + LAB + feather + blend run in one
+    fused program (see _finish_program). Returns (composited page, blended
+    crop) — the crop is what the inpaint cache stores on this path, so cache
+    hits cost zero device work."""
+    x1, y1, x2, y2 = bbox
+    h, w = y2 - y1, x2 - x1
+    hb = -(-h // COMPOSITE_BUCKET) * COMPOSITE_BUCKET
+    wb = -(-w // COMPOSITE_BUCKET) * COMPOSITE_BUCKET
+
+    def padded(a):
+        return np.pad(a, ((0, hb - h), (0, wb - w)) + ((0, 0),) * (a.ndim - 2))
+
+    base = padded(np.ascontiguousarray(image[y1:y2, x1:x2]))
+    sub_mask = padded(np.ascontiguousarray(mask[y1:y2, x1:x2]))
+    ph, pw = patch_dev.shape[0], patch_dev.shape[1]
+    prog = _finish_program(ph, pw, hb, wb, luminance_correction, feather)
+    blended = np.asarray(prog(patch_dev, jnp.asarray(base),
+                              jnp.asarray(sub_mask),
+                              jnp.asarray(blur_radius),
+                              jnp.asarray(h, jnp.int32),
+                              jnp.asarray(w, jnp.int32)))[:h, :w]
+    out = image.copy()
+    out[y1:y2, x1:x2] = blended
+    return out, blended
 
 
 def composite_patch(image: np.ndarray, patch: np.ndarray,

@@ -117,6 +117,44 @@ def test_flux_baseline_merge(bench, tmp_path, monkeypatch):
     assert merged["flux_baseline_method"] == "analytic proxy"
 
 
+def test_carry_forward_fills_skipped_extras(bench, tmp_path, monkeypatch):
+    # a budget-skipped extra keeps its last measured value, stamped with
+    # the run that measured it; measured values are never overwritten
+    rec = tmp_path / "BENCH_LAST_TPU.json"
+    rec.write_text(json.dumps({
+        "recorded_at": "2026-08-19T04:32:41+00:00",
+        "extras": {
+            "sam_batch8": {"value": 15.37, "unit": "pages/sec",
+                           "vs_baseline": 10.5},
+            "rcan_upscale": {"value": None, "unit": "pages/sec",
+                             "vs_baseline": None},
+            "kontext_cache_ceiling": {
+                "value": 2.73, "unit": "x_speedup", "vs_baseline": None,
+                "note": "forced-hit mechanical maximum",
+                "carried_from": "2026-08-18T00:00:00+00:00"},
+        }}))
+    monkeypatch.setattr(bench, "LAST_TPU_FILE", rec)
+    prior = bench.load_prior_extras()
+    assert "rcan_upscale" not in prior  # null prior entries don't chain
+
+    out = {"sam_batch8": {"value": None, "unit": "pages/sec",
+                          "vs_baseline": None},
+           "klein4b_dit": {"value": 3.46, "unit": "steps/sec",
+                           "vs_baseline": 958.7}}
+    bench.carry_forward(out, prior, bench.EXTRA_UNITS)
+    assert out["sam_batch8"]["value"] == 15.37
+    assert out["sam_batch8"]["carried_from"] == "2026-08-19T04:32:41+00:00"
+    assert "carried" in out["sam_batch8"]["note"]
+    assert out["klein4b_dit"]["value"] == 3.46          # measured kept
+    assert "carried_from" not in out["klein4b_dit"]
+    # absent extras (e.g. an MFU side-channel) fill in too, preserving the
+    # ORIGINAL measurement stamp and any prior annotation
+    ceil = out["kontext_cache_ceiling"]
+    assert ceil["value"] == 2.73
+    assert ceil["carried_from"] == "2026-08-18T00:00:00+00:00"
+    assert "forced-hit mechanical maximum" in ceil["note"]
+
+
 def test_budget_skip_marks_extras_none(bench, monkeypatch):
     calls = []
     monkeypatch.setattr(bench, "remaining_budget", lambda: 10.0)

@@ -161,3 +161,93 @@ class TestPipeline:
         img = np.zeros((50, 50, 3), np.uint8)
         out = inpainter.inpaint_mask(img, np.zeros((50, 50), np.uint8))
         np.testing.assert_array_equal(out, img)
+
+
+class TestFlashFriendlyPadding:
+    def test_seq_pad_rule(self):
+        from mangatranslator_tpu.models.flux.layers import (
+            _flash_block,
+            flash_friendly_seq_pad,
+        )
+
+        # Klein ~1MP: seq 4002, bucket 512 → plain pad 4096 gives joint
+        # 8320 (blk 128); the bump lands on 4160 → 8448 = 768×11
+        pad = flash_friendly_seq_pad(4002, 128, 2, 512)
+        assert pad == 4160 and (128 + 2 * pad) % 768 == 0
+        assert _flash_block(128 + 2 * pad) == 768
+        # Kontext 1024² bucket: exact 4096 → 4160 as well (bucket 1)
+        assert flash_friendly_seq_pad(4096, 128, 2, 1) == 4160
+        # already divisible: no bump (txt 128 + 2*1088 = 2304 = 768×3)
+        assert flash_friendly_seq_pad(1088, 128, 2, 1) == 1088
+        # tiny configs below the flash threshold keep their bucket shape
+        assert flash_friendly_seq_pad(16, 4, 2, 64) == 64
+        # monotone: pad never shrinks below the plain bucket rule
+        for seq in (1000, 2222, 4002, 5000):
+            plain = max(512, -(-seq // 512) * 512)
+            assert flash_friendly_seq_pad(seq, 128, 2, 512) >= plain
+
+    def test_fluxdit_token_mask_equivalence(self):
+        """FLUX.1 DiT: flash-padding tokens excluded via token_mask leave
+        valid tokens' outputs exactly as the unpadded forward (the Kontext
+        bucket programs' padding correctness; mirrors the FLUX.2 test)."""
+        variables = init_flux(CFG, h_tok=4, w_tok=4, txt_len=4)
+        model = FluxDiT(CFG)
+        rs = np.random.RandomState(5)
+        txt_len, s_img, pad_to = 4, 16, 24
+        img = rs.randn(1, s_img, CFG.in_channels).astype(np.float32)
+        txt = rs.randn(1, txt_len, CFG.ctx_dim).astype(np.float32)
+        vec = rs.randn(1, CFG.vec_dim).astype(np.float32)
+        img_ids = np.asarray(make_img_ids(4, 4))
+        txt_ids = np.asarray(make_txt_ids(txt_len))
+        t = np.asarray([0.5], np.float32)
+
+        base = np.asarray(model.apply(
+            variables, jnp.asarray(img), jnp.asarray(img_ids),
+            jnp.asarray(txt), jnp.asarray(txt_ids), jnp.asarray(t),
+            jnp.asarray(vec)))
+
+        img_pad = np.concatenate(
+            [img, rs.randn(1, pad_to - s_img,
+                           CFG.in_channels).astype(np.float32)], axis=1)
+        ids_pad = np.concatenate(
+            [img_ids, np.zeros((pad_to - s_img, 3), np.int32)], axis=0)
+        mask = np.zeros(txt_len + pad_to, bool)
+        mask[: txt_len + s_img] = True
+        out = np.asarray(model.apply(
+            variables, jnp.asarray(img_pad), jnp.asarray(ids_pad),
+            jnp.asarray(txt), jnp.asarray(txt_ids), jnp.asarray(t),
+            jnp.asarray(vec), token_mask=jnp.asarray(mask)))
+        np.testing.assert_allclose(out[:, :s_img], base, atol=2e-5)
+
+    def test_fluxdit_probe_tail_mask_equivalence(self):
+        """The step-cache split (probe/tail/final) threads token_mask the
+        same way the monolithic forward does."""
+        variables = init_flux(CFG, h_tok=4, w_tok=4, txt_len=4)
+        model = FluxDiT(CFG)
+        rs = np.random.RandomState(9)
+        txt_len, s_img, pad_to = 4, 16, 24
+        img = rs.randn(1, pad_to, CFG.in_channels).astype(np.float32)
+        txt = rs.randn(1, txt_len, CFG.ctx_dim).astype(np.float32)
+        vec = rs.randn(1, CFG.vec_dim).astype(np.float32)
+        ids = np.concatenate(
+            [np.asarray(make_img_ids(4, 4)),
+             np.zeros((pad_to - s_img, 3), np.int32)], axis=0)
+        txt_ids = np.asarray(make_txt_ids(txt_len))
+        t = np.asarray([0.5], np.float32)
+        mask = np.zeros(txt_len + pad_to, bool)
+        mask[: txt_len + s_img] = True
+
+        mono = np.asarray(model.apply(
+            variables, jnp.asarray(img), jnp.asarray(ids), jnp.asarray(txt),
+            jnp.asarray(txt_ids), jnp.asarray(t), jnp.asarray(vec),
+            token_mask=jnp.asarray(mask)))
+        x, c, v, _ = model.apply(
+            variables, jnp.asarray(img), jnp.asarray(ids), jnp.asarray(txt),
+            jnp.asarray(txt_ids), jnp.asarray(t), jnp.asarray(vec),
+            fn_blocks=1, token_mask=jnp.asarray(mask), method=FluxDiT.probe)
+        x = model.apply(variables, x, c, v, jnp.asarray(ids),
+                        jnp.asarray(txt_ids), fn_blocks=1,
+                        token_mask=jnp.asarray(mask), method=FluxDiT.tail)
+        split = np.asarray(model.apply(variables, x, v,
+                                       method=FluxDiT.final_layer))
+        np.testing.assert_allclose(split, mono, atol=2e-5)

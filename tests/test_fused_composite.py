@@ -1,0 +1,160 @@
+"""Fused device-side finish (decode → lanczos resize → composite in one
+program, patch never downloaded — pipeline.composite_patch_device): CPU
+equivalence vs the host cv2 path, identity-scale exactness, and the
+blended-crop cache semantics (VERDICT r4 weak #3: the non-DiT share of
+flux_inpaint_e2e was dominated by patch download + composite round trips)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mangatranslator_tpu.models.flux.klein import build_random_klein
+from mangatranslator_tpu.models.flux.pipeline import (
+    _composite_program,
+    _finish_program,
+    build_random_inpainter,
+    composite_patch,
+    composite_patch_device,
+    use_fused_composite,
+)
+
+
+def _page(h, w, seed=0):
+    rng = np.random.default_rng(seed)
+    img = np.full((h, w, 3), 230, np.uint8)
+    # smooth gradient content so resize-kernel differences stay small
+    yy, xx = np.mgrid[0:h, 0:w]
+    img[..., 0] = (yy * 255 / h).astype(np.uint8)
+    img[..., 1] = (xx * 255 / w).astype(np.uint8)
+    img[..., 2] = rng.integers(100, 140, (h, w), np.uint8)
+    return img
+
+
+def test_gate_defaults_off_on_cpu(monkeypatch):
+    monkeypatch.delenv("MTX_FUSED_COMPOSITE", raising=False)
+    assert use_fused_composite() is False  # tests run on the CPU backend
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "1")
+    assert use_fused_composite() is True
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "0")
+    assert use_fused_composite() is False
+
+
+def test_identity_scale_matches_host_composite():
+    # patch already at crop size → the fused lanczos3 resample is an
+    # identity (kernel is 1 at 0, 0 at integers); outputs must match the
+    # host composite program to within rounding
+    h, w = 80, 100
+    image = _page(h, w)
+    patch = _page(h, w, seed=3)[::-1].copy()
+    mask = np.zeros((h, w), np.uint8)
+    mask[20:60, 30:80] = 1
+    bbox = (0, 0, w, h)
+    host = composite_patch(image, patch, mask, bbox, True,
+                           feather="outward", blur_radius=6.0)
+    page, blended = composite_patch_device(jnp.asarray(patch), image, mask,
+                                           bbox, True, feather="outward",
+                                           blur_radius=6.0)
+    assert page.shape == host.shape
+    assert np.abs(page.astype(int) - host.astype(int)).max() <= 1
+    assert np.array_equal(page[0:w, 0:w][:h], blended[:h])
+
+
+@pytest.mark.parametrize("feather", ["outward", "inward"])
+def test_fused_resize_close_to_cv2_path(feather):
+    # device lanczos3 resize vs host cv2 LANCZOS4: same geometry, close
+    # pixels on smooth content
+    import cv2
+
+    ph, pw = 64, 96           # inference-size patch
+    h, w = 50, 70             # true crop extents
+    image = _page(120, 140)
+    patch_inf = _page(ph, pw, seed=5)
+    mask = np.zeros((120, 140), np.uint8)
+    mask[15:45, 25:60] = 1
+    bbox = (10, 5, 10 + w, 5 + h)
+    patch_host = cv2.resize(patch_inf, (w, h),
+                            interpolation=cv2.INTER_LANCZOS4)
+    host = composite_patch(image, patch_host, mask, bbox, True,
+                           feather=feather, blur_radius=4.0)
+    page, _ = composite_patch_device(jnp.asarray(patch_inf), image, mask,
+                                     bbox, True, feather=feather,
+                                     blur_radius=4.0)
+    # untouched pixels identical; blended region close (resize kernels differ)
+    assert np.array_equal(page[80:], host[80:])
+    diff = np.abs(page.astype(int) - host.astype(int))
+    assert diff.mean() < 2.0 and diff.max() < 48
+
+
+def test_klein_fused_path_matches_host_path(monkeypatch):
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    inp = build_random_klein(upscale_small_crops=False)
+    img = _page(96, 96)
+    mask = np.zeros((96, 96), np.uint8)
+    mask[40:60, 30:70] = 1
+
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "0")
+    host = inp.inpaint_mask(img, mask, seed=3, num_inference_steps=2,
+                            use_cache=False)
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "1")
+    fused = inp.inpaint_mask(img, mask, seed=3, num_inference_steps=2,
+                             use_cache=False)
+    assert fused.shape == host.shape and fused.dtype == np.uint8
+    # same seed → same denoise; only the finish differs. Crop here matches
+    # the inference size (no upscale) → identity resample → near-equal.
+    assert np.abs(fused.astype(int) - host.astype(int)).max() <= 1
+    assert np.array_equal(fused[0:2], img[0:2])  # beyond crop untouched
+
+
+def test_kontext_fused_path_matches_host_path(monkeypatch):
+    inp = build_random_inpainter("test", "test", buckets=((64, 64),))
+    img = _page(96, 96, seed=2)
+    mask = np.zeros((96, 96), np.uint8)
+    mask[40:60, 30:70] = 1
+
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "0")
+    host = inp.inpaint_mask(img, mask, seed=4, num_inference_steps=2,
+                            use_cache=False)
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "1")
+    fused = inp.inpaint_mask(img, mask, seed=4, num_inference_steps=2,
+                             use_cache=False)
+    assert fused.shape == host.shape
+    diff = np.abs(fused.astype(int) - host.astype(int))
+    # bucket 64x64 vs crop size → real resize; kernels differ slightly
+    assert diff.mean() < 2.5
+
+
+def test_fused_cache_stores_blended_crop(monkeypatch):
+    from mangatranslator_tpu import caching
+
+    monkeypatch.setenv("MTX_KLEIN_SEQ_BUCKET", "64")
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "1")
+    caching.get_cache().clear()
+    inp = build_random_klein(upscale_small_crops=False)
+    img = _page(96, 96)
+    mask = np.zeros((96, 96), np.uint8)
+    mask[40:60, 30:70] = 1
+
+    first = inp.inpaint_mask(img, mask, seed=5, num_inference_steps=2)
+    calls = []
+    orig = inp._run_inference
+    monkeypatch.setattr(
+        inp, "_run_inference",
+        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    second = inp.inpaint_mask(img, mask, seed=5, num_inference_steps=2)
+    assert not calls                      # hit: zero device work
+    assert np.array_equal(first, second)  # blended crop pasted verbatim
+
+    # flavor isolation: the host path must NOT consume the blended entry
+    monkeypatch.setenv("MTX_FUSED_COMPOSITE", "0")
+    third = inp.inpaint_mask(img, mask, seed=5, num_inference_steps=2)
+    assert calls                          # miss under the patch flavor
+    assert third.shape == first.shape
+
+
+def test_finish_program_cache_keyed_on_shapes():
+    p1 = _finish_program(64, 96, 64, 128, True, "outward")
+    p2 = _finish_program(64, 96, 64, 128, True, "outward")
+    p3 = _finish_program(64, 96, 64, 128, False, "outward")
+    c1 = _composite_program(64, 128, True, "outward")
+    assert p1 is p2 and p1 is not p3 and p1 is not c1
