@@ -96,8 +96,10 @@ class ClipTextEncoder(nn.Module):
 
 
 def init_clip_text(cfg: ClipTextConfig, seq: int = 8, seed: int = 0):
-    return ClipTextEncoder(cfg).init(jax.random.PRNGKey(seed),
-                                     jnp.zeros((1, seq), jnp.int32))
+    from .common import jit_init
+
+    return jit_init(ClipTextEncoder(cfg), jnp.zeros((1, seq), jnp.int32),
+                    seed=seed)
 
 
 def infer_clip_text_config(sd: Mapping[str, np.ndarray]) -> ClipTextConfig:

@@ -17,6 +17,27 @@ import jax
 import jax.numpy as jnp
 
 
+def jit_init(module: nn.Module, *dummy_args, seed: int = 0,
+             method=None):
+    """Run ``module.init`` as ONE jitted program.
+
+    Eager flax init executes every weight-init op as its own device call —
+    on a remote-attached TPU each is a tunnel RPC, so a random-init YOLO
+    cost ~2 minutes (measured: the bench's page-0 "warm-up" was ~570 s, of
+    which ~5.5 min was three lazily eager-initialized detectors). One
+    compiled program inits in seconds and its compile is persistent-cached
+    (init_flux2_fast is the same pattern for billion-param trees)."""
+    kwargs = {"method": method} if method is not None else {}
+    if jax.devices()[0].platform == "cpu":
+        # On CPU eager init is already fast and there's no tunnel to
+        # amortize — jitting here would only add a per-process compile
+        # (tests/CPU baseline have no persistent cache and a full-graph
+        # YOLO init compile costs tens of seconds on the 1-core box).
+        return module.init(jax.random.PRNGKey(seed), *dummy_args, **kwargs)
+    return jax.jit(lambda rng: module.init(rng, *dummy_args, **kwargs))(
+        jax.random.PRNGKey(seed))
+
+
 def autopad(k: int, d: int = 1) -> int:
     """SAME-style padding for odd kernels (ultralytics autopad convention)."""
     k_eff = d * (k - 1) + 1

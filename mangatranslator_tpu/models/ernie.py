@@ -162,9 +162,10 @@ class ErnieModel(nn.Module):
 
 
 def init_ernie(cfg: ErnieConfig, seq: int = 8, seed: int = 0):
+    from .common import jit_init
+
     model = ErnieModel(cfg)
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, seq), jnp.int32))
+    return jit_init(model, jnp.zeros((1, seq), jnp.int32), seed=seed)
 
 
 # ---- weight conversion ------------------------------------------------------------

@@ -216,13 +216,15 @@ def unpack_latents(tokens: jnp.ndarray, h: int, w: int) -> jnp.ndarray:
 
 def init_flux(cfg: FluxConfig, h_tok: int = 8, w_tok: int = 8,
               txt_len: int = 8, seed: int = 0):
+    from ..common import jit_init
+
     model = FluxDiT(cfg)
-    rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, h_tok * w_tok, cfg.in_channels))
-    return model.init(
-        rng, img, jnp.asarray(make_img_ids(h_tok, w_tok)),
+    return jit_init(
+        model, img, jnp.asarray(make_img_ids(h_tok, w_tok)),
         jnp.zeros((1, txt_len, cfg.ctx_dim)), jnp.asarray(make_txt_ids(txt_len)),
         jnp.zeros((1,)), jnp.zeros((1, cfg.vec_dim)), jnp.ones((1,)),
+        seed=seed,
     )
 
 

@@ -145,14 +145,16 @@ class Flux2DiT(nn.Module):
 
 def init_flux2(cfg: Flux2Config, h_tok: int = 8, w_tok: int = 8,
                txt_len: int = 8, seed: int = 0):
+    from ..common import jit_init
+
     model = Flux2DiT(cfg)
-    rng = jax.random.PRNGKey(seed)
     img = jnp.zeros((1, h_tok * w_tok, cfg.in_channels))
-    return model.init(
-        rng, img, jnp.asarray(make_img_ids2(h_tok, w_tok)),
+    return jit_init(
+        model, img, jnp.asarray(make_img_ids2(h_tok, w_tok)),
         jnp.zeros((1, txt_len, cfg.ctx_dim)),
         jnp.asarray(make_txt_ids2(txt_len)),
         jnp.zeros((1,)), jnp.ones((1,)),
+        seed=seed,
     )
 
 

@@ -172,9 +172,10 @@ def cast_vae(vae_params, dtype):
 
 
 def init_vae(cfg: VAEConfig, size: int = 32, seed: int = 0):
+    from ..common import jit_init
+
     model = FluxVAE(cfg)
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, size, size, 3)))
+    return jit_init(model, jnp.zeros((1, size, size, 3)), seed=seed)
 
 
 def resolve_vae_for_dit(vae_vars, vae_preset: str, dit_in_channels: int,

@@ -208,8 +208,9 @@ class NaViTVision(nn.Module):
 
 
 def init_navit(cfg: NaViTConfig, h: int = 56, w: int = 56, seed: int = 0):
-    return NaViTVision(cfg).init(jax.random.PRNGKey(seed),
-                                 jnp.zeros((1, h, w, 3)))
+    from .common import jit_init
+
+    return jit_init(NaViTVision(cfg), jnp.zeros((1, h, w, 3)), seed=seed)
 
 
 # ---- conversion (SigLIP-convention naming) ---------------------------------------

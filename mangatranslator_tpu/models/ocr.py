@@ -290,9 +290,11 @@ def get_manga_ocr_runner(preset: str = "manga_ocr") -> "MangaOcrRunner":
                                      model=HFMangaOcrModel(hf_cfg))
             return _runner
         cfg = OCR_PRESETS[os.environ.get("MTX_OCR_PRESET", preset)]
+        from .common import jit_init
+
         model = MangaOcrModel(cfg)
-        params = model.init(
-            jax.random.PRNGKey(0),
+        params = jit_init(
+            model,
             jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
             jnp.zeros((1, cfg.max_length), jnp.int32))
         _runner = MangaOcrRunner(cfg, params)

@@ -306,9 +306,11 @@ def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunne
 
                 navit_cfg = infer_navit_config_from_variables(converted)
                 init_size = navit_cfg.patch_size * navit_cfg.merge_size * 2
+            from .common import jit_init
+
             model = ErnieVLModel(cfg, ernie_cfg=ecfg, navit_cfg=navit_cfg)
-            params = model.init(
-                jax.random.PRNGKey(0),
+            params = jit_init(
+                model,
                 jnp.zeros((1, init_size, init_size, 3)),
                 jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
                           jnp.int32))
@@ -320,9 +322,11 @@ def get_paddle_ocr_vl_runner(preset: str = "paddle_ocr_vl_1_6") -> PaddleVLRunne
                         converted["params"]["projector"])
             _runner = PaddleVLRunner(cfg, params, model=model)
             return _runner
+        from .common import jit_init
+
         model = PaddleVLModel(cfg)
-        params = model.init(
-            jax.random.PRNGKey(0),
+        params = jit_init(
+            model,
             jnp.zeros((1, cfg.image_size, cfg.image_size, 3)),
             jnp.zeros((1, cfg.prompt_len + cfg.max_new_tokens + 1),
                       jnp.int32))

@@ -166,8 +166,10 @@ class Qwen3Encoder(nn.Module):
 
 
 def init_qwen3(cfg: Qwen3Config, seq: int = 8, seed: int = 0):
+    from .common import jit_init
+
     model = Qwen3Encoder(cfg)
-    return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, seq), jnp.int32))
+    return jit_init(model, jnp.zeros((1, seq), jnp.int32), seed=seed)
 
 
 # ---- weight conversion -------------------------------------------------------

@@ -184,5 +184,7 @@ class UpscalerRunner:
 
 
 def init_rcan(cfg: RCANConfig, seed: int = 0):
+    from .common import jit_init
+
     model = RCAN(cfg)
-    return model.init(jax.random.PRNGKey(seed), jnp.zeros((1, 64, 64, 3), jnp.float32))
+    return jit_init(model, jnp.zeros((1, 64, 64, 3), jnp.float32), seed=seed)

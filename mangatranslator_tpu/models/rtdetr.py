@@ -307,6 +307,7 @@ class RTDetrRunner:
 
 
 def init_rtdetr(cfg: RTDetrConfig, imgsz: int = 640, seed: int = 0):
+    from .common import jit_init
+
     model = RTDetrModel(cfg)
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, imgsz, imgsz, 3)))
+    return jit_init(model, jnp.zeros((1, imgsz, imgsz, 3)), seed=seed)

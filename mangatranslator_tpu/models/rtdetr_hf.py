@@ -533,9 +533,10 @@ class RTDetrV2HFModel(nn.Module):
 
 
 def init_rtdetr_v2(cfg: RTDetrV2HFConfig, imgsz: int = 64, seed: int = 0):
+    from .common import jit_init
+
     model = RTDetrV2HFModel(cfg)
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, imgsz, imgsz, 3)))
+    return jit_init(model, jnp.zeros((1, imgsz, imgsz, 3)), seed=seed)
 
 
 # ---- weight conversion ------------------------------------------------------------

@@ -340,7 +340,8 @@ class SamRefiner:
 
 
 def init_sam(cfg: SamConfig, seed: int = 0):
+    from .common import jit_init
+
     model = SamModel(cfg)
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
-                      jnp.zeros((4, 4)))
+    return jit_init(model, jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+                    jnp.zeros((4, 4)), seed=seed)

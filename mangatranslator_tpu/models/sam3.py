@@ -269,11 +269,12 @@ class Sam3TrackerModel(nn.Module):
 
 
 def init_sam3(cfg: Sam3TrackerConfig, seed: int = 0):
+    from .common import jit_init
+
     model = Sam3TrackerModel(cfg)
     size = cfg.prompt_image_size
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, size, size, 3)),
-                      jnp.zeros((1, 1, 4)))
+    return jit_init(model, jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1, 1, 4)), seed=seed)
 
 
 # ---- weight conversion ------------------------------------------------------------

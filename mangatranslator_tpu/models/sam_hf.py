@@ -576,11 +576,12 @@ class Sam2HFModel(nn.Module):
 
 
 def init_sam2(cfg: Sam2HFConfig, seed: int = 0):
+    from .common import jit_init
+
     model = Sam2HFModel(cfg)
     size = cfg.prompt_image_size
-    return model.init(jax.random.PRNGKey(seed),
-                      jnp.zeros((1, size, size, 3)),
-                      jnp.zeros((1, 1, 4)))
+    return jit_init(model, jnp.zeros((1, size, size, 3)),
+                    jnp.zeros((1, 1, 4)), seed=seed)
 
 
 # ---- weight conversion ------------------------------------------------------------

@@ -143,8 +143,10 @@ class T5Encoder(nn.Module):
 
 
 def init_t5(cfg: T5Config, seq: int = 8, seed: int = 0):
-    return T5Encoder(cfg).init(jax.random.PRNGKey(seed),
-                               jnp.zeros((1, seq), jnp.int32))
+    from .common import jit_init
+
+    return jit_init(T5Encoder(cfg), jnp.zeros((1, seq), jnp.int32),
+                    seed=seed)
 
 
 def infer_t5_config(sd: Mapping[str, np.ndarray]) -> T5Config:

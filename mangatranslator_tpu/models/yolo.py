@@ -423,11 +423,13 @@ class YoloRunner:
 
     def init_params(self, rng: jax.Array):
         dummy = jnp.zeros((1, self.imgsz, self.imgsz, 3), jnp.float32)
-        return self.model.init(rng, dummy)
+        return jax.jit(lambda r: self.model.init(r, dummy))(rng)
 
 
 def init_yolo(cfg: YoloConfig, imgsz: int, seed: int = 0):
     """Random-init params (weight conversion supplies real ones when present)."""
+    from .common import jit_init
+
     model = YoloModel(cfg)
     dummy = jnp.zeros((1, imgsz, imgsz, 3), jnp.float32)
-    return model.init(jax.random.PRNGKey(seed), dummy)
+    return jit_init(model, dummy, seed=seed)
