@@ -118,7 +118,11 @@ def test_prompt_embeddings_prefer_precomputed(tmp_path, monkeypatch):
     got_txt, got_vec = prompt_embeddings("Remove all text.",
                                          t5_cfg.d_model,
                                          clip_cfg.hidden_size)
-    np.testing.assert_array_equal(got_txt, txt)
+    # served padded to the pipeline's FIXED conditioning length (the raw
+    # artifact rows first, zero pad after — see klein.fit_prompt_seq)
+    assert got_txt.shape == (1, 128, t5_cfg.d_model)
+    np.testing.assert_array_equal(got_txt[:, :6], txt)
+    assert not np.any(got_txt[:, 6:])
     np.testing.assert_array_equal(got_vec, vec)
     # different dims → falls back to the stub
     stub_txt, _ = prompt_embeddings("Remove all text.", 16, 8)
