@@ -988,6 +988,42 @@ def cpu_baseline() -> dict:
         {"cpu_pages_per_sec": float("nan"), "extras": {}})
 
 
+def _derive_flux_proxy_extras(detail: dict) -> dict:
+    """Analytic CPU baselines for the two heavyweight quantized extras,
+    DERIVED from the quantities measure_flux_inpaint_cpu_proxy already
+    measured (sustained CPU GEMM rate; flux2 VAE encode/decode at the Klein
+    e2e crop) — no new measurement:
+
+    - klein9b_int4_dit: gemm_rate / analytic Klein-9B step FLOPs at the
+      extra's exact geometry (4096 img + 128 txt tokens). The proxy charges
+      the CPU dense-f32 FLOPs only — a real CPU int4 path would pay dequant
+      on top, so the published speedup is a LOWER bound.
+    - kontext_int4_e2e: 2 VAE encodes (crop + Kontext context plane) + 1
+      decode, scaled to the 1024x1024 bucket by pixel ratio, + 8 steps x
+      analytic FLUX.1-Kontext step FLOPs (128 txt + 2x4160 padded latent
+      tokens, matching pipeline._build's flash-friendly padding) at the
+      measured GEMM rate.
+    """
+    gemm = detail.get("gemm_gflops")
+    enc = detail.get("vae_encode_s")
+    dec = detail.get("vae_decode_s")
+    if not (gemm and enc and dec):
+        return {}
+    from mangatranslator_tpu.models.flux.dit import FLUX_PRESETS
+    from mangatranslator_tpu.models.flux.flux2 import FLUX2_PRESETS
+
+    gemm_rate = gemm * 1e9
+    k9_flops = _klein_dit_step_flops(FLUX2_PRESETS["klein_9b"], 4096, 128)
+    # Kontext 1024² bucket: seq 4096/plane + flash pad 64 → 2×4160 + 128 txt
+    kx_flops = _klein_dit_step_flops(FLUX_PRESETS["kontext"], 2 * 4160, 128)
+    # measured VAE geometry was the Klein e2e crop (912x1088); Kontext's
+    # bucket is 1024x1024 and the conv stack is resolution-linear
+    px_scale = (1024 * 1024) / (912.0 * 1088.0)
+    kx_sec = (2 * enc + dec) * px_scale + 8 * kx_flops / gemm_rate
+    return {"klein9b_int4_dit": gemm_rate / k9_flops,
+            "kontext_int4_e2e": 1.0 / kx_sec}
+
+
 def _merge_flux_baseline(data: dict) -> dict:
     """Overlay the analytic-proxy flux baselines (bench_baseline_flux.json,
     generated solo by `bench.py --flux-baseline`) onto CPU-gated extras the
@@ -995,7 +1031,10 @@ def _merge_flux_baseline(data: dict) -> dict:
     if FLUX_BASELINE_FILE.exists():
         fb = json.loads(FLUX_BASELINE_FILE.read_text())
         extras = data.setdefault("extras", {})
-        for k, v in fb.get("extras", {}).items():
+        fb_extras = dict(fb.get("extras", {}))
+        for k, v in _derive_flux_proxy_extras(fb.get("detail", {})).items():
+            fb_extras.setdefault(k, v)
+        for k, v in fb_extras.items():
             if extras.get(k) is None:
                 extras[k] = v
         data["flux_baseline_method"] = fb.get("method")
@@ -1052,16 +1091,22 @@ def load_prior_extras() -> dict:
     return prior
 
 
-def carry_forward(out_extras: dict, prior_extras: dict, units: dict) -> None:
+def carry_forward(out_extras: dict, prior_extras: dict, units: dict,
+                  base_extras: dict | None = None) -> None:
     """Fill null/absent extras in ``out_extras`` from ``prior_extras``
-    (see load_prior_extras), preserving the original measurement stamp."""
+    (see load_prior_extras), preserving the original measurement stamp.
+    ``vs_baseline`` is recomputed against the CURRENT baseline when one
+    exists (a baseline added after the value was measured — e.g. the
+    derived analytic flux proxies — must not stay frozen at null)."""
     for name, prev in prior_extras.items():
         cur = out_extras.get(name)
         if cur is not None and cur.get("value") is not None:
             continue
+        ratio = _ratio(prev["value"], (base_extras or {}).get(name))
         entry = {"value": prev["value"],
                  "unit": prev.get("unit", units.get(name, "pages/sec")),
-                 "vs_baseline": prev.get("vs_baseline"),
+                 "vs_baseline": (ratio if ratio is not None
+                                 else prev.get("vs_baseline")),
                  "carried_from": prev["carried_from"],
                  "note": "not measured this run; value carried from the "
                          "last run that measured it"}
@@ -1197,7 +1242,7 @@ def main() -> None:
                 "vs_baseline": None,
                 "note": (f"forced-hit mechanical maximum; realistic hits: "
                          f"{_KONTEXT_HITS[0]}/7")}
-        carry_forward(out["extras"], prior_extras, units)
+        carry_forward(out["extras"], prior_extras, units, base_extras)
         return out
 
     full_record = (platform == "tpu"

@@ -117,6 +117,51 @@ def test_flux_baseline_merge(bench, tmp_path, monkeypatch):
     assert merged["flux_baseline_method"] == "analytic proxy"
 
 
+def test_derived_flux_proxy_extras(bench):
+    # derived klein9b/kontext analytic baselines come straight out of the
+    # quantities the solo proxy run measured — no new measurement
+    detail = {"gemm_gflops": 107.52, "vae_encode_s": 50.22,
+              "vae_decode_s": 110.67}
+    d = bench._derive_flux_proxy_extras(detail)
+    # Klein-9B: ~68 TFLOP/step at 4224 tokens / 107.5 GFLOP/s ≈ 630 s/step
+    assert 1 / 700 < d["klein9b_int4_dit"] < 1 / 560
+    # Kontext e2e: hours/region on CPU (8 steps × ~150 TFLOP + VAE×3)
+    assert 1 / 20000 < d["kontext_int4_e2e"] < 1 / 6000
+    assert bench._derive_flux_proxy_extras({}) == {}  # no detail → no claim
+
+
+def test_flux_baseline_merge_derives_missing(bench, tmp_path, monkeypatch):
+    # a flux baseline file recorded BEFORE the derived extras existed still
+    # yields klein9b/kontext baselines (derived from its detail block), and
+    # explicit file entries win over derivation
+    fb = tmp_path / "bench_baseline_flux.json"
+    fb.write_text(json.dumps({
+        "extras": {"flux_inpaint_e2e": 0.001, "klein9b_int4_dit": 0.9},
+        "detail": {"gemm_gflops": 107.52, "vae_encode_s": 50.22,
+                   "vae_decode_s": 110.67},
+        "method": "analytic proxy"}))
+    monkeypatch.setattr(bench, "FLUX_BASELINE_FILE", fb)
+    merged = bench._merge_flux_baseline({"extras": {}})
+    assert merged["extras"]["klein9b_int4_dit"] == 0.9  # file entry wins
+    assert 0 < merged["extras"]["kontext_int4_e2e"] < 1 / 6000
+
+
+def test_carry_forward_recomputes_vs_baseline(bench):
+    # a baseline that appears AFTER an extra was measured (the derived
+    # analytic proxies) must replace the frozen null ratio on carried rows
+    prior = {"klein9b_int4_dit": {
+        "value": 1.3069, "unit": "steps/sec", "vs_baseline": None,
+        "carried_from": "2026-08-19T17:27:28+00:00"}}
+    out = {}
+    bench.carry_forward(out, prior, bench.EXTRA_UNITS,
+                        {"klein9b_int4_dit": 0.0015866})
+    assert out["klein9b_int4_dit"]["vs_baseline"] == round(1.3069 / 0.0015866, 2)
+    # without a baseline the prior ratio (null) is preserved, not zeroed
+    out2 = {}
+    bench.carry_forward(out2, prior, bench.EXTRA_UNITS, {})
+    assert out2["klein9b_int4_dit"]["vs_baseline"] is None
+
+
 def test_carry_forward_fills_skipped_extras(bench, tmp_path, monkeypatch):
     # a budget-skipped extra keeps its last measured value, stamped with
     # the run that measured it; measured values are never overwritten
