@@ -181,6 +181,13 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     n_seq = min(3, len(pages))
     for i in range(n_seq):
         if i == 1:
+            # attribute the (compile/load-heavy) warm-up page before
+            # resetting so slow-weather cold starts are diagnosable from
+            # the driver log alone
+            log("page 0 (warm-up) stage breakdown (seconds): " + json.dumps(
+                {k: round(v["total_s"], 1)
+                 for k, v in sorted(timers.summary().items(),
+                                    key=lambda kv: -kv[1]["total_s"])}))
             timers.__init__()  # breakdown covers warm pages only
         t0 = time.perf_counter()
         translate_and_render(Image.fromarray(pages[i]), cfg,

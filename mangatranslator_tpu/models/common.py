@@ -17,6 +17,13 @@ import jax
 import jax.numpy as jnp
 
 
+def _init_eagerly() -> bool:
+    """Eager init is right on CPU (no tunnel to amortize, no persistent
+    compile cache in tests / the CPU baseline); split out so tests can force
+    the jitted branch on the CPU backend."""
+    return jax.devices()[0].platform == "cpu"
+
+
 def jit_init(module: nn.Module, *dummy_args, seed: int = 0,
              method=None):
     """Run ``module.init`` as ONE jitted program.
@@ -28,7 +35,7 @@ def jit_init(module: nn.Module, *dummy_args, seed: int = 0,
     compiled program inits in seconds and its compile is persistent-cached
     (init_flux2_fast is the same pattern for billion-param trees)."""
     kwargs = {"method": method} if method is not None else {}
-    if jax.devices()[0].platform == "cpu":
+    if _init_eagerly():
         # On CPU eager init is already fast and there's no tunnel to
         # amortize — jitting here would only add a per-process compile
         # (tests/CPU baseline have no persistent cache and a full-graph

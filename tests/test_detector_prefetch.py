@@ -1,0 +1,155 @@
+"""DetectorPrefetch: several detector forwards, ONE combined download.
+
+Covers detection/bubbles.py:DetectorPrefetch (the VERDICT-r4 full-default
+stage fix): the concatenated-blob fetch must parse back to exactly what an
+individual forward+unfold gives, raw-mask test doubles must pass through
+unfolded, and every result must land in page coordinates.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mangatranslator_tpu.detection.bubbles import (
+    DetectorPrefetch,
+    _run_detector,
+)
+from mangatranslator_tpu.models.yolo import Detections
+
+PAGE_H, PAGE_W = 400, 300
+
+
+def lb(bbox_page, imgsz):
+    """page bbox -> letterbox bbox at ``imgsz`` for the planted runner."""
+    s = min(imgsz / PAGE_H, imgsz / PAGE_W)
+    px = (imgsz - round(PAGE_W * s)) // 2
+    py = (imgsz - round(PAGE_H * s)) // 2
+    x1, y1, x2, y2 = bbox_page
+    return [x1 * s + px, y1 * s + py, x2 * s + px, y2 * s + py]
+
+
+class PackedRunner:
+    """YoloRunner double whose masks are device-bitpacked uint8 — the real
+    detector output layout, so fold_detections takes the single-blob path."""
+
+    def __init__(self, imgsz, dets, max_det=8):
+        self.imgsz = imgsz
+        self._dets = dets
+        self.max_det = max_det
+        self.calls = 0
+
+    def __call__(self, images, conf=0.25, iou=0.45):
+        self.calls += 1
+        md = self.max_det
+        hm = self.imgsz // 4
+        boxes = np.zeros((1, md, 4), np.float32)
+        scores = np.zeros((1, md), np.float32)
+        classes = np.full((1, md), -1, np.int32)
+        masks = np.zeros((1, md, hm, hm), np.uint8)
+        kept = 0
+        for bbox, c, cls in self._dets:
+            if c <= conf:
+                continue
+            boxes[0, kept] = bbox
+            scores[0, kept] = c
+            classes[0, kept] = cls
+            x1, y1, x2, y2 = (np.array(bbox) / 4).astype(int)
+            masks[0, kept, y1:y2, x1:x2] = 1
+            kept += 1
+        packed = np.packbits(masks, axis=-1)
+        return Detections(jnp.asarray(boxes), jnp.asarray(scores),
+                          jnp.asarray(classes), jnp.asarray([kept]),
+                          jnp.asarray(packed))
+
+
+class RawMaskRunner(PackedRunner):
+    """Float-mask double (how planted test runners look) — must bypass the
+    blob fold and still come back correct through the prefetch."""
+
+    def __call__(self, images, conf=0.25, iou=0.45):
+        det = super().__call__(images, conf, iou)
+        hm = self.imgsz // 4
+        unpacked = np.unpackbits(
+            np.asarray(det.masks), axis=-1)[..., :hm].astype(np.float32)
+        return Detections(det.boxes, det.scores, det.classes, det.num,
+                          jnp.asarray(unpacked))
+
+
+def _page():
+    return np.full((PAGE_H, PAGE_W, 3), 235, np.uint8)
+
+
+def _strip_masks(dets):
+    return [{k: v for k, v in d.items() if k != "mask"} for d in dets]
+
+
+def test_combined_blob_matches_individual_forwards():
+    page = _page()
+    ra = PackedRunner(640, [(lb([40, 60, 140, 160], 640), 0.9, 0)])
+    rb = PackedRunner(640, [(lb([60, 200, 180, 300], 640), 0.8, 1),
+                            (lb([10, 10, 80, 90], 640), 0.7, 0)])
+    rc = PackedRunner(320, [(lb([100, 100, 200, 240], 320), 0.85, 2)])
+
+    pf = DetectorPrefetch(page, {"a": (ra, 0.25), "b": (rb, 0.25),
+                                 "c": (rc, 0.25)})
+    # all three fold to blobs -> one concatenated device leaf
+    assert sorted(pf._blob_names) == ["a", "b", "c"]
+    assert pf._combined is not None
+
+    for name, runner in (("a", ra), ("b", rb), ("c", rc)):
+        got = pf.detections(name)
+        want = _run_detector(page, runner, 0.25)
+        assert _strip_masks(got) == _strip_masks(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g["mask"], w["mask"])
+
+
+def test_detections_land_in_page_coordinates():
+    page = _page()
+    bbox = [40, 60, 140, 160]
+    r = PackedRunner(640, [(lb(bbox, 640), 0.9, 0)])
+    pf = DetectorPrefetch(page, {"bubble": (r, 0.25)})
+    (d,) = pf.detections("bubble")
+    assert np.allclose(d["bbox"], bbox, atol=2)
+    assert d["confidence"] > 0.89 and d["class"] == 0
+    assert d["mask"].shape == (PAGE_H, PAGE_W)
+
+
+def test_raw_mask_double_bypasses_blob_and_still_parses():
+    page = _page()
+    packed = PackedRunner(640, [(lb([40, 60, 140, 160], 640), 0.9, 0)])
+    raw = RawMaskRunner(320, [(lb([100, 100, 200, 240], 320), 0.85, 2)])
+    pf = DetectorPrefetch(page, {"p": (packed, 0.25), "r": (raw, 0.25)})
+    assert pf._blob_names == ["p"]  # raw double excluded from the blob
+    assert pf._combined is None  # a single blob needs no concat
+    got_r = pf.detections("r")
+    want_r = _run_detector(page, raw, 0.25)
+    assert _strip_masks(got_r) == _strip_masks(want_r)
+    assert _strip_masks(pf.detections("p")) == _strip_masks(
+        _run_detector(page, packed, 0.25))
+
+
+def test_single_job_skips_concat():
+    pf = DetectorPrefetch(_page(), {"only": (
+        PackedRunner(640, [(lb([40, 60, 140, 160], 640), 0.9, 0)]), 0.25)})
+    assert pf._combined is None
+    assert len(pf.detections("only")) == 1
+
+
+def test_has_and_shared_letterbox_upload():
+    page = _page()
+    ra = PackedRunner(640, [(lb([40, 60, 140, 160], 640), 0.9, 0)])
+    rb = PackedRunner(640, [(lb([60, 200, 180, 300], 640), 0.8, 1)])
+    pf = DetectorPrefetch(page, {"a": (ra, 0.25), "b": (rb, 0.25)})
+    assert pf.has("a") and pf.has("b") and not pf.has("panel")
+    # both runners were called exactly once by the prefetch dispatch
+    assert ra.calls == 1 and rb.calls == 1
+
+
+def test_fetch_is_lazy_and_cached():
+    page = _page()
+    r = PackedRunner(640, [(lb([40, 60, 140, 160], 640), 0.9, 0)])
+    pf = DetectorPrefetch(page, {"a": (r, 0.25)})
+    assert pf._parsed is None  # nothing downloaded until first access
+    first = pf.detections("a")
+    assert pf._parsed is not None and pf._handles == {}
+    assert _strip_masks(pf.detections("a")) == _strip_masks(first)
