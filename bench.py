@@ -155,18 +155,18 @@ def plant_runners(pages, imgsz: int = DETECTOR_IMGSZ, register_all=True):
 
 def run_pipeline(pages, tmp_out: Path) -> float:
     """PRIMARY: chapter throughput at the reference-default config — bubble
-    detection at 1600 px (yolo_2 default) through the DEFAULT production
-    scheduler: threaded page workers (parallel_requests=4; the reference's
-    own batch concurrency model, core/pipeline.py:2192-2455, and this CLI's
-    default batch path). Includes PNG decode of inputs and compressed saves
-    of outputs. Median of 3 timed runs after a warm-up run. Chosen as
-    primary because tunnel weather is bimodal: the stacked device-batched
-    scheduler wins calm/latency-degraded phases but loses
-    bandwidth-degraded ones (22 MB chunk uploads), while many small
-    overlapped transfers are never catastrophic — the device-batched mode
-    is measured as the device_batched_mode extra. Returns median warm
-    seconds/page. A short sequential pass first logs the per-stage
-    breakdown (latency diagnostics)."""
+    detection at 1600 px (yolo_2 default) through the SHIPPED DEFAULT
+    scheduler: ``--scheduler auto`` (config.parallel.scheduler), which
+    probes the link weather at chapter start and routes to stacked
+    device-batched chunks when upload bandwidth is healthy, else to
+    threaded page workers (the reference's own batch concurrency model,
+    core/pipeline.py:2192-2455). Includes PNG decode of inputs and
+    compressed saves of outputs. Median of 3 timed runs after a warm-up
+    run; tunnel weather is bimodal, so each run re-routes on the cached
+    probe. Both arms stay individually on record: threaded_mode /
+    device_batched_mode extras. MTX_BENCH_SCHED pins an arm for A/B.
+    Returns median warm seconds/page. A short sequential pass first logs
+    the per-stage breakdown (latency diagnostics)."""
     from PIL import Image
 
     from mangatranslator_tpu.logging import get_stage_timers
@@ -209,10 +209,12 @@ def run_pipeline(pages, tmp_out: Path) -> float:
     for i, page in enumerate(pages):
         Image.fromarray(page).save(in_dir / f"page_{i:03d}.png")
     cfg.parallel_requests = int(os.environ.get("MTX_BENCH_WORKERS", "4"))
-    cfg.parallel.scheduler = "threaded"  # pin: auto would probe and may flip
+    # the shipped default: auto probes the link and routes each chapter
+    # (CPU backends always resolve threaded — no tunnel to hide)
+    cfg.parallel.scheduler = os.environ.get("MTX_BENCH_SCHED", "auto")
     reps = 1 if cpu_mode else 3
     dt = _run_chapter(pages, in_dir, tmp_out, cfg, reps,
-                      f"threaded-{cfg.parallel_requests}-workers")
+                      f"{cfg.parallel.scheduler}-{cfg.parallel_requests}-workers")
     return dt / len(pages)
 
 
@@ -278,6 +280,34 @@ def measure_device_batched(pages, cpu_mode: bool) -> float:
     return len(pages) / dt
 
 
+def measure_threaded_mode(pages, cpu_mode: bool) -> float:
+    """The conservative threaded page-worker scheduler (the r3b–r4 primary;
+    many small overlapped transfers — never catastrophic under either
+    tunnel-weather mode) at the same honest config. Kept on record as an
+    extra now that the primary runs the shipped ``auto`` router, so the
+    stable-weather floor stays visible next to the routed headline."""
+    import tempfile
+
+    from PIL import Image
+
+    if cpu_mode:
+        # auto always resolves threaded on CPU, so the CPU primary IS this
+        # number (mapped in _merge_flux_baseline) — no duplicate measure
+        raise RuntimeError("CPU primary already measures the threaded arm")
+    cfg = _bench_config()
+    cfg.parallel.scheduler = "threaded"
+    cfg.parallel_requests = int(os.environ.get("MTX_BENCH_WORKERS", "4"))
+    with tempfile.TemporaryDirectory() as tmp:
+        tmp = Path(tmp)
+        in_dir = tmp / "chapter"
+        in_dir.mkdir()
+        for i, page in enumerate(pages):
+            Image.fromarray(page).save(in_dir / f"page_{i:03d}.png")
+        dt = _run_chapter(pages, in_dir, tmp, cfg, 2,
+                          f"threaded-{cfg.parallel_requests}-workers")
+    return len(pages) / dt
+
+
 def log_transfer_floor() -> None:
     """Quantify host↔device transfer vs compute: round-trip one page-sized
     uint8 buffer (the clean program's IO shape). On the remote-attached dev
@@ -318,6 +348,7 @@ EXTRA_SPECS = (
     ("rcan_upscale", "measure_rcan", 60),
     ("flux_klein_steps", "measure_flux_steps", 90),
     ("device_batched_mode", "measure_device_batched", 150),
+    ("threaded_mode", "measure_threaded_mode", 120),
     ("klein9b_int4_dit", "measure_klein9b_int4", 100),
     # the 12B Kontext pair is by far the most expensive (~200s each even
     # warm-cached) and the least information-dense per second — last, so a
@@ -954,13 +985,16 @@ def measure_flux_inpaint_cpu_proxy() -> dict:
     }
 
 
-METHODOLOGY = ("r5: TRUE reference-default detection stack (conjoined + "
+METHODOLOGY = ("r5b: TRUE reference-default detection stack (conjoined + "
                "panel-sort + OSB-verify all ON, core/config.py:19-21) at the "
                "1600px detector with prefetched single-download detector "
-               "forwards, threaded page workers (CLI-default scheduler), "
-               "median-of-3 under the MTX_BENCH_BUDGET_S wall-clock budget; "
-               "device-batched chapter as extra; flux CPU baseline = "
-               "documented analytic proxy (bench_baseline_flux.json)")
+               "forwards, through the SHIPPED default scheduler=auto (probes "
+               "link weather per chapter: stacked device-batched chunks vs "
+               "threaded page workers; CPU backends always resolve "
+               "threaded), median-of-3 under the MTX_BENCH_BUDGET_S "
+               "wall-clock budget; both scheduler arms recorded as extras; "
+               "flux CPU baseline = documented analytic proxy "
+               "(bench_baseline_flux.json)")
 
 
 def cpu_baseline() -> dict:
@@ -1045,6 +1079,12 @@ def _merge_flux_baseline(data: dict) -> dict:
             if extras.get(k) is None:
                 extras[k] = v
         data["flux_baseline_method"] = fb.get("method")
+    # auto always resolves threaded on the CPU backend, so the measured CPU
+    # primary IS the threaded-arm baseline (measure_threaded_mode skips a
+    # duplicate CPU run)
+    extras = data.setdefault("extras", {})
+    if extras.get("threaded_mode") is None and data.get("cpu_pages_per_sec"):
+        extras["threaded_mode"] = data["cpu_pages_per_sec"]
     return data
 
 
@@ -1167,6 +1207,27 @@ def main() -> None:
             return
         extras: dict = {}
         pps = measure("cpu", extras)
+        if (os.environ.get("MTX_BENCH_PRIMARY_ONLY") == "1"
+                and BASELINE_FILE.exists()):
+            # the documented solo-regen shortcut (CLAUDE.md): patch JUST the
+            # primary into the existing baseline — the extras' measurement
+            # is untouched by primary-methodology changes
+            import datetime
+
+            data = json.loads(BASELINE_FILE.read_text())
+            data["cpu_pages_per_sec"] = pps
+            data["extras"]["threaded_mode"] = pps  # auto⇒threaded on CPU
+            data["methodology"] = METHODOLOGY
+            data["note"] = ("same pipeline on the CPU backend (reference "
+                            "proxy); primary re-measured SOLO "
+                            "(MTX_BENCH_PRIMARY_ONLY patch), extras kept "
+                            "from the prior solo run")
+            data["recorded_at"] = datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds")
+            BASELINE_FILE.write_text(json.dumps(data, indent=1))
+            print(json.dumps({"cpu_pages_per_sec": pps,
+                              "extras": data["extras"]}))
+            return
         print(json.dumps({"cpu_pages_per_sec": pps, "extras": extras}))
         return
 
@@ -1228,10 +1289,11 @@ def main() -> None:
             "baseline_note": ("NORTH STAR judged vs the same pipeline on "
                               "XLA-CPU at the identical config (TRUE "
                               "reference defaults: 1600px detector + "
-                              "conjoined + panel-sort + OSB-verify, threaded "
-                              "page workers, median of 3 runs). FLUX "
-                              "vs_baseline ratios use the documented "
-                              "analytic CPU proxy "
+                              "conjoined + panel-sort + OSB-verify, "
+                              "scheduler=auto — which always resolves "
+                              "threaded page workers on CPU — median of 3 "
+                              "runs). FLUX vs_baseline ratios use the "
+                              "documented analytic CPU proxy "
                               "(bench_baseline_flux.json). Tunnel weather "
                               "detail in the run log."),
         }

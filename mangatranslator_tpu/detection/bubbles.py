@@ -190,14 +190,31 @@ def unfold_detections(handle):
     return parse_detection_blob(blob, mshape)
 
 
+def _place_page_batch(canvases: np.ndarray):
+    """Device placement for a stacked page batch: sharded over the mesh's
+    data axis when the batch divides the device count (a v5e-4 slice
+    detects 4 pages per dispatch — SURVEY §2.7 TPU-native equivalent),
+    single-device otherwise."""
+    import jax
+    import jax.numpy as jnp
+
+    b = canvases.shape[0]
+    if jax.device_count() > 1 and b % jax.device_count() == 0:
+        from .. import runtime as rt
+
+        return rt.device_put_sharded_pages(np.asarray(canvases),
+                                           rt.make_mesh())
+    return jnp.asarray(canvases)
+
+
 def letterbox_to_device(images: List[np.ndarray], target: int):
     """Upload same-shaped pages as ONE tight canvas batch, pad on device.
 
     Returns (device_batch [B, target, target, 3] u8, [(scale, px, py)]).
-    Mixed page shapes fall back to full host letterboxing (one canvas per
-    page), which is upload-heavier but always correct."""
-    import jax.numpy as jnp
-
+    Multi-device: the batch lands sharded over the mesh's data axis
+    (_place_page_batch). Mixed page shapes fall back to full host
+    letterboxing (one canvas per page), which is upload-heavier but always
+    correct."""
     shapes = {img.shape[:2] for img in images}
     if len(shapes) != 1:
         canvases = np.zeros((len(images), target, target, 3), np.uint8)
@@ -206,14 +223,14 @@ def letterbox_to_device(images: List[np.ndarray], target: int):
             canvas, scale, px, py = _letterbox_np(img, target)
             canvases[i] = canvas
             metas.append((scale, px, py))
-        return jnp.asarray(canvases), metas
+        return _place_page_batch(canvases), metas
     tights, metas = [], []
     py0 = px0 = 0
     for img in images:
         tight, scale, px, py, (py0, px0) = _tight_letterbox_np(img, target)
         tights.append(tight)
         metas.append((scale, px, py))
-    batch = jnp.asarray(np.stack(tights))
+    batch = _place_page_batch(np.stack(tights))
     nh_b, nw_b = tights[0].shape[:2]
     if (nh_b, nw_b) == (target, target):
         return batch, metas
@@ -312,13 +329,20 @@ class DetectorPrefetch:
     back-to-back (the 640² letterbox upload is shared), concatenates the
     folded uint8 blobs on device, and pays ONE tunnel round trip for every
     result. Detector outputs that cannot fold to a blob (test doubles with
-    host masks) are fetched individually at the same point."""
+    host masks) are fetched individually at the same point.
 
-    def __init__(self, image: np.ndarray, jobs: Dict[str, tuple]):
+    Accepts ONE page (np.ndarray — ``detections()`` serves it directly) or
+    a CHUNK of pages (list — each forward runs once on the stacked batch;
+    ``view(i)`` serves page i through the same interface, which is how the
+    device-batched chapter scheduler runs the full default detector stack
+    at single-page semantics, pipeline/device_batch.py)."""
+
+    def __init__(self, image, jobs: Dict[str, tuple]):
         """``jobs``: {name: (runner, conf)}; forwards dispatch NOW."""
         import jax.numpy as jnp
 
-        self._page_hw = image.shape[:2]
+        images = image if isinstance(image, (list, tuple)) else [image]
+        self._page_hws = [img.shape[:2] for img in images]
         self._imgsz = {}
         self._meta = {}
         self._handles = {}
@@ -326,14 +350,14 @@ class DetectorPrefetch:
         batches: Dict[int, tuple] = {}
         for name, (runner, conf) in jobs.items():
             if runner.imgsz not in batches:
-                batches[runner.imgsz] = letterbox_to_device([image],
+                batches[runner.imgsz] = letterbox_to_device(list(images),
                                                             runner.imgsz)
             batch, metas = batches[runner.imgsz]
             self._imgsz[name] = runner.imgsz
-            self._meta[name] = metas[0]
+            self._meta[name] = metas
             self._handles[name] = fold_detections(runner(batch, conf=conf))
-        # concat all blob payloads on device (widths differ; B == 1) so the
-        # fetch is one transfer; raw handles stay individual
+        # concat all blob payloads on device (widths differ; batch equal) so
+        # the fetch is one transfer; raw handles stay individual
         blob_names = [n for n, h in self._handles.items() if h[0] == "blob"]
         self._blob_names = blob_names
         self._combined = None
@@ -360,15 +384,41 @@ class DetectorPrefetch:
                 self._parsed[n] = unfold_detections(h)
         self._handles = {}
 
-    def detections(self, name: str) -> List[Dict[str, Any]]:
-        """Page-coordinate detection dicts for job ``name`` (fetches all
-        pending results on first call)."""
+    def detections(self, name: str, page: int = 0) -> List[Dict[str, Any]]:
+        """Page-coordinate detection dicts for job ``name`` on page ``page``
+        (fetches all pending results on first call)."""
         self._fetch()
-        return _postprocess_detector(self._parsed[name], self._meta[name],
-                                     self._imgsz[name], *self._page_hw)
+        num, boxes, scores, classes, masks = self._parsed[name]
+        # planted single-page doubles may answer a stacked batch with B == 1:
+        # serve their one result to every page (bench runners repeat planted
+        # detections themselves; real detectors always match the batch)
+        i = min(page, len(num) - 1)
+        sl = (num[i: i + 1], boxes[i: i + 1], scores[i: i + 1],
+              classes[i: i + 1],
+              masks[i: i + 1] if masks is not None else None)
+        meta = self._meta[name][min(page, len(self._meta[name]) - 1)]
+        return _postprocess_detector(sl, meta, self._imgsz[name],
+                                     *self._page_hws[page])
 
     def has(self, name: str) -> bool:
         return name in self._meta
+
+    def view(self, page: int) -> "_PrefetchView":
+        """A single-page facade over a chunk-stacked prefetch — satisfies
+        the prefetch interface detect_speech_bubbles/detect_panels expect."""
+        return _PrefetchView(self, page)
+
+
+class _PrefetchView:
+    def __init__(self, parent: DetectorPrefetch, page: int):
+        self._parent = parent
+        self._page = page
+
+    def has(self, name: str) -> bool:
+        return self._parent.has(name)
+
+    def detections(self, name: str) -> List[Dict[str, Any]]:
+        return self._parent.detections(name, page=self._page)
 
 
 def _box_mask(bbox: Sequence[int], h: int, w: int) -> np.ndarray:

@@ -2,9 +2,13 @@
 
 The TPU-native generalization of the reference's page-thread pool (SURVEY.md
 §2.7): instead of N threads each dispatching per-page device work, N pages
-stack into ONE detection forward ([N, imgsz, imgsz, 3]) and ONE batched clean
-program, amortizing dispatch/tunnel latency and filling the MXU. Host stages
-(decode, contour filter, layout, render, save) fan out over a thread pool.
+stack into ONE forward per detector of the FULL default stack (bubble +
+conjoined RT-DETR + OSB-verify + panel, [N, imgsz, imgsz, 3] each — one
+combined folded download for all of them) and ONE batched clean program,
+amortizing dispatch/tunnel latency and filling the MXU, at exact single-page
+detection semantics (detect_speech_bubbles per page over the chunk-stacked
+prefetch). Host stages (decode, contour filter, layout, render, save) fan
+out over a thread pool.
 
 Used by the batch scheduler when ``config.parallel.pages_per_device_batch > 1``
 and by bench config (2). Multi-chip: the stacked page batch shards over the
@@ -22,103 +26,6 @@ import numpy as np
 from ..config import MangaTranslatorConfig
 from ..logging import get_stage_timers
 from ..models.manager import ModelType, get_model_manager
-from ..ops.boxes import deduplicate_boxes, remove_contained_boxes
-from ..detection.bubbles import (
-    _box_mask,
-    _letterbox_np,
-    _mask_to_page,
-    fold_detections,
-    letterbox_to_device,
-    unfold_detections,
-)
-
-
-def _dispatch_detect(images: List[np.ndarray],
-                     config: MangaTranslatorConfig, runner=None):
-    """Upload + stacked detection forward + on-device output packing.
-
-    Returns a handle of device arrays WITHOUT blocking — jax dispatch is
-    async, so the forward runs (and its inputs stream up the tunnel) while
-    the host works on other chunks. ``_collect_detect`` blocks on exactly
-    ONE transfer leaf (folded header + bitpacked masks)."""
-    import jax
-
-    manager = get_model_manager()
-    if runner is None:
-        bubble_type = (ModelType.YOLO_SPEECH_BUBBLE_2
-                       if config.detection.bubble_detector_model == "yolo_2"
-                       else ModelType.YOLO_SPEECH_BUBBLE_1)
-        runner = manager.get_detector(bubble_type)
-
-    if jax.device_count() > 1 and len(images) % jax.device_count() == 0:
-        # shard the stacked page batch over the data mesh axis: a v5e-4 slice
-        # detects 4 pages per dispatch (SURVEY §2.7 TPU-native equivalent)
-        from ..runtime import device_put_sharded_pages, make_mesh
-
-        metas = []
-        canvases = np.zeros((len(images), runner.imgsz, runner.imgsz, 3),
-                            np.uint8)
-        for i, img in enumerate(images):
-            canvas, scale, px, py = _letterbox_np(img, runner.imgsz)
-            canvases[i] = canvas
-            metas.append((scale, px, py))
-        batch = device_put_sharded_pages(canvases, make_mesh())
-    else:
-        # tight upload + device pad (byte-identical to the host letterbox;
-        # ~25-30% fewer bytes for portrait pages)
-        batch, metas = letterbox_to_device(images, runner.imgsz)
-    det = runner(batch, conf=config.detection.confidence)
-    # fold the whole output into ONE device leaf (bubbles.fold_detections):
-    # one collect round trip instead of one per leaf
-    return fold_detections(det), metas, runner.imgsz
-
-
-def _collect_detect(handle, images: List[np.ndarray]
-                    ) -> List[List[Dict[str, Any]]]:
-    """Block on a ``_dispatch_detect`` handle → per-page detection dicts
-    (dedup/contained rules applied per page)."""
-    fold_handle, metas, imgsz = handle
-    nums, boxes_all, scores_all, _classes, masks_all = unfold_detections(
-        fold_handle)
-    if masks_all is not None:
-        from ..detection.bubbles import unpack_detection_masks
-
-        masks_all = unpack_detection_masks(masks_all, imgsz // 4)
-
-    out: List[List[Dict[str, Any]]] = []
-    for i, img in enumerate(images):
-        page_h, page_w = img.shape[:2]
-        scale, px, py = metas[i]
-        n = int(nums[i])
-        dets: List[Dict[str, Any]] = []
-        for k in range(n):
-            bx = boxes_all[i, k].copy()
-            bx[[0, 2]] = np.clip((bx[[0, 2]] - px) / scale, 0, page_w)
-            bx[[1, 3]] = np.clip((bx[[1, 3]] - py) / scale, 0, page_h)
-            if bx[2] - bx[0] < 2 or bx[3] - bx[1] < 2:
-                continue
-            d: Dict[str, Any] = {
-                "bbox": [int(v) for v in bx],
-                "confidence": float(scores_all[i, k]),
-                "class": "bubble",
-            }
-            if masks_all is not None:
-                d["mask"] = _mask_to_page(masks_all[i, k], imgsz, scale,
-                                          px, py, page_h, page_w)
-            dets.append(d)
-        if dets:
-            b = np.array([d["bbox"] for d in dets], float)
-            s = np.array([d["confidence"] for d in dets])
-            keep = deduplicate_boxes(b, s)
-            dets = [dets[j] for j in keep]
-            b, s = b[keep], s[keep]
-            keep = remove_contained_boxes(b, s)
-            dets = [dets[j] for j in keep]
-        for d in dets:
-            if d.get("mask") is None or not d["mask"].any():
-                d["mask"] = _box_mask(d["bbox"], page_h, page_w)
-        out.append(dets)
-    return out
 
 
 def detect_pages_batched(
@@ -126,50 +33,112 @@ def detect_pages_batched(
     config: MangaTranslatorConfig,
     runner=None,
 ) -> List[List[Dict[str, Any]]]:
-    """One stacked detection forward for all pages → per-page detection
-    dicts (dedup/contained rules applied per page)."""
-    return _collect_detect(_dispatch_detect(images, config, runner), images)
+    """One stacked bubble forward for all pages → per-page detection dicts
+    with FULL single-page semantics (dedup → contained removal → conjoined /
+    OSB-verify routing when configured — detect_speech_bubbles per page over
+    a chunk-stacked DetectorPrefetch). Multi-device: the stacked batch
+    shards over the mesh's data axis inside letterbox_to_device."""
+    from ..detection.bubbles import DetectorPrefetch
+
+    jobs, runners = _chunk_detect_jobs(config)
+    if runner is not None:  # explicit bubble-runner override (tests, bench)
+        runners["bubble"] = runner
+        jobs["bubble"] = (runner, config.detection.confidence)
+    prefetch = DetectorPrefetch(list(images), jobs)
+    dets_c, _panels = _full_detect_chunk(images, config, (prefetch, runners))
+    return dets_c
 
 
-def _dispatch_panels(images: List[np.ndarray],
-                     config: MangaTranslatorConfig):
-    """Upload + stacked panel forward + packing; non-blocking handle."""
+def _chunk_detect_jobs(config: MangaTranslatorConfig):
+    """Resolve the FULL default detector stack for a chunk (the same four
+    forwards the per-page pipeline dispatches, pipeline/page.py): bubble +
+    conjoined RT-DETR + OSB-verify + panel, plus the optional SAM refiner.
+    Unavailable secondaries degrade exactly like the threaded path (logged,
+    omitted). Returns (jobs, runners-dict)."""
+    from ..logging import log_message
+
     manager = get_model_manager()
-    runner = manager.get_detector(ModelType.YOLO_PANEL)
-    batch, metas = letterbox_to_device(images, runner.imgsz)
-    det = runner(batch, conf=config.detection.panel_confidence)
-    return fold_detections(det), metas
+    det = config.detection
+    bubble_type = (ModelType.YOLO_SPEECH_BUBBLE_2
+                   if det.bubble_detector_model == "yolo_2"
+                   else ModelType.YOLO_SPEECH_BUBBLE_1)
+    runners: Dict[str, Any] = {"bubble": manager.get_detector(bubble_type)}
+    jobs: Dict[str, tuple] = {"bubble": (runners["bubble"], det.confidence)}
+    if det.use_osb_text_verification:
+        try:
+            runners["osb_text"] = manager.get_detector(ModelType.YOLO_OSB_TEXT)
+            jobs["osb_text"] = (runners["osb_text"], 0.25)
+        except Exception:
+            pass
+    if det.conjoined_detection:
+        try:
+            runners["conjoined"] = manager.get_detector(
+                ModelType.RTDETR_CONJOINED)
+            jobs["conjoined"] = (runners["conjoined"],
+                                 det.conjoined_confidence)
+        except Exception as e:
+            log_message(f"Conjoined detector unavailable: {e}",
+                        always_print=True)
+    if det.use_panel_sorting:
+        try:
+            runners["panel"] = manager.get_detector(ModelType.YOLO_PANEL)
+            jobs["panel"] = (runners["panel"], det.panel_confidence)
+        except Exception as e:
+            log_message(f"Panel detector unavailable: {e}", always_print=True)
+    if det.seg_model in ("sam2", "sam3"):
+        try:
+            runners["sam"] = manager.get_sam_refiner(det.seg_model)
+        except Exception as e:
+            log_message(f"SAM unavailable, YOLO masks kept: {e}",
+                        always_print=True)
+    return jobs, runners
 
 
-def _collect_panels(handle, images: List[np.ndarray]
-                    ) -> List[List[List[int]]]:
-    """Block on a ``_dispatch_panels`` handle → per-page panel boxes (one
-    transfer leaf)."""
-    fold_handle, metas = handle
-    nums, boxes_all, _scores, _classes, _masks = unfold_detections(
-        fold_handle)
-    out: List[List[List[int]]] = []
+def _full_detect_chunk(images: List[np.ndarray],
+                       config: MangaTranslatorConfig, handle
+                       ) -> Tuple[List[List[Dict[str, Any]]],
+                                  List[List[List[int]]]]:
+    """Collect a `_dispatch_full_detect` handle: run the FULL single-page
+    detection semantics (dedup → OSB box expansion → SAM hook → conjoined
+    routing/splitting → text_free stripping, detection/bubbles.py
+    detect_speech_bubbles) per page against the chunk-stacked prefetch.
+    Detection parity with the threaded path is exact — the stacked path
+    previously ran only the bubble+panel forwards, silently skipping the
+    conjoined/OSB-verify halves of the reference default stack."""
+    from ..detection.bubbles import detect_panels, detect_speech_bubbles
+    from ..exceptions import DetectionError
+    from ..logging import log_message
+
+    prefetch, runners = handle
+    det = config.detection
+    dets_c: List[List[Dict[str, Any]]] = []
+    panels_c: List[List[List[int]]] = []
     for i, img in enumerate(images):
-        page_h, page_w = img.shape[:2]
-        scale, px, py = metas[i]
-        boxes = []
-        for k in range(int(nums[i])):
-            bx = boxes_all[i, k].copy()
-            bx[[0, 2]] = np.clip((bx[[0, 2]] - px) / scale, 0, page_w)
-            bx[[1, 3]] = np.clip((bx[[1, 3]] - py) / scale, 0, page_h)
-            if bx[2] - bx[0] >= 2 and bx[3] - bx[1] >= 2:
-                boxes.append([int(v) for v in bx])
-        out.append(boxes)
-    return out
-
-
-def detect_panels_batched(
-    images: List[np.ndarray],
-    config: MangaTranslatorConfig,
-) -> List[List[List[int]]]:
-    """One stacked panel-detector forward for all pages → per-page panel
-    boxes (the batched counterpart of detection/bubbles.py detect_panels)."""
-    return _collect_panels(_dispatch_panels(images, config), images)
+        view = prefetch.view(i) if prefetch is not None else None
+        try:
+            dets = detect_speech_bubbles(
+                img, runners["bubble"], det,
+                conjoined_runner=runners.get("conjoined"),
+                sam_refiner=runners.get("sam"),
+                osb_text_runner=runners.get("osb_text"),
+                use_cache=False, verbose=config.verbose, prefetch=view)
+            # text_free routing entries feed the OSB stage, which the
+            # stacked path never runs (eligibility gate) — strip them like
+            # page.py:390 so they are never cleaned/translated as bubbles
+            dets = [d for d in dets if d.get("class") != "text_free"]
+        except DetectionError as e:
+            log_message(f"Detection failed: {e}", always_print=True)
+            dets = []
+        dets_c.append(dets)
+        panels: List[List[int]] = []
+        if det.use_panel_sorting and runners.get("panel") is not None:
+            try:
+                panels = detect_panels(img, runners["panel"],
+                                       det.panel_confidence, prefetch=view)
+            except DetectionError as e:
+                log_message(f"Panel detection failed: {e}", always_print=True)
+        panels_c.append(panels)
+    return dets_c, panels_c
 
 
 def _clean_phase(
@@ -394,47 +363,42 @@ def process_pages_batched(
                     futures.append(pool.submit(finish_page, pi))
                 next_submit[0] += 1
 
+    from ..detection.bubbles import DetectorPrefetch
+
+    jobs, runners = _chunk_detect_jobs(config)
+
     def dispatch_chunk(k: int):
-        """Issue chunk k's detect/panel forwards WITHOUT blocking (jax
-        dispatch is async)."""
+        """Issue chunk k's FULL detector stack (bubble + conjoined +
+        OSB-verify + panel, each one stacked forward over the chunk)
+        WITHOUT blocking (jax dispatch is async; the prefetch downloads
+        every folded output in ONE round trip at collect time)."""
         ids = chunks[k]
         imgs = [images[pi] for pi in ids]
-        det_h = _dispatch_detect(imgs, config)
-        pan_h = None
-        if config.detection.use_panel_sorting:
-            try:
-                pan_h = _dispatch_panels(imgs, config)
-            except Exception as e:
-                from ..logging import log_message
+        try:
+            prefetch = DetectorPrefetch(imgs, jobs)
+        except Exception as e:
+            from ..logging import log_message
 
-                log_message(f"Batched panel dispatch failed: {e}",
-                            always_print=True)
-        return imgs, det_h, pan_h
+            log_message(f"Chunk detector dispatch failed: {e}",
+                        always_print=True)
+            prefetch = None  # per-page prefetches built on collect instead
+        return imgs, (prefetch, runners)
 
     def chunk_chain(k: int, pool, pre=None) -> None:
-        """One chunk's full device chain: dispatch detect/panels → collect →
-        clean → deposit. With ``streams`` of these running concurrently the
-        blocking collect round trips (0.4-0.9 s each on a remote-attached
-        chip in latency-degraded phases) hide behind the other streams'
-        device compute, while every program stays batched. (Timer spans
-        overlap across streams — the per-stage breakdown for concurrent runs
-        sums concurrent wall-clock.)"""
+        """One chunk's full device chain: dispatch the detector stack →
+        collect (full single-page semantics per page) → clean → deposit.
+        With ``streams`` of these running concurrently the blocking collect
+        round trips (0.4-0.9 s each on a remote-attached chip in
+        latency-degraded phases) hide behind the other streams' device
+        compute, while every program stays batched. (Timer spans overlap
+        across streams — the per-stage breakdown for concurrent runs sums
+        concurrent wall-clock.)"""
         ids = chunks[k]
         if cancel is not None:
             cancel.check(f"device batch chunk {k}")
-        imgs, det_h, pan_h = pre if pre is not None else dispatch_chunk(k)
+        imgs, det_h = pre if pre is not None else dispatch_chunk(k)
         with timers.span("batched_detect"):
-            dets_c = _collect_detect(det_h, imgs)
-        panels_c: List[List[List[int]]] = [[] for _ in ids]
-        if pan_h is not None:
-            try:
-                with timers.span("batched_panels"):
-                    panels_c = _collect_panels(pan_h, imgs)
-            except Exception as e:
-                from ..logging import log_message
-
-                log_message(f"Batched panel detection failed: {e}",
-                            always_print=True)
+            dets_c, panels_c = _full_detect_chunk(imgs, config, det_h)
         pages_c, infos_c = _clean_phase(imgs, dets_c, config)
         store_chunk(k, ids, dets_c, pages_c, infos_c, panels_c, pool)
 

@@ -43,9 +43,18 @@ def batch_manager():
     imgsz = 256
     runner = BatchFakeRunner(
         imgsz, [(lb(b, (PAGE_H, PAGE_W), imgsz), 0.9, 0) for b in boxes])
+    panel_runner = BatchFakeRunner(
+        imgsz, [(lb([5, 5, PAGE_W - 5, PAGE_H - 5], (PAGE_H, PAGE_W), imgsz),
+                 0.8, 0)], with_masks=False)
+    # seed every detector the full default stack dispatches (the stacked
+    # chunk path now runs conjoined/panel too) so tests never build real
+    # models
     for size in (imgsz, 640, 1600):
         mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_2, size)] = runner
         mgr._runners[(ModelType.YOLO_SPEECH_BUBBLE_1, size)] = runner
+        mgr._runners[(ModelType.YOLO_PANEL, size)] = panel_runner
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = BatchFakeRunner(
+            size, [], with_masks=False)
     yield mgr, img
     reset_model_manager()
 
@@ -79,6 +88,39 @@ def test_batched_with_provided_texts(batch_manager):
                                     translate_texts=[["Hello!", "World!"]])
     arr, info = results[0]
     assert info["rendered"] == 2
+
+
+def test_chunk_path_runs_full_default_stack(batch_manager):
+    """The stacked chunk path consumes the conjoined RT-DETR and OSB-verify
+    forwards exactly like the per-page path (r5 parity fix: it previously ran
+    only the bubble+panel halves of the reference default stack, so auto
+    routing it would have silently weakened detection)."""
+    from mangatranslator_tpu.detection.bubbles import detect_speech_bubbles
+
+    mgr, img = batch_manager
+    # RT-DETR parent with no primary overlap → becomes a missed bubble
+    missed = [40, 420, 160, 520]
+    for size in (256, 640, 1600):
+        mgr._runners[(ModelType.RTDETR_CONJOINED, size)] = BatchFakeRunner(
+            size, [(lb(missed, (PAGE_H, PAGE_W), size), 0.9, 0)],
+            with_masks=False)
+    cfg = make_config(test_mode=True)
+    pages = [img.copy(), img.copy()]
+    dets_batched = detect_pages_batched(pages, cfg)
+    assert all(len(d) == 3 for d in dets_batched), (
+        "missed-bubble routing (conjoined RT-DETR) not applied in the "
+        "stacked path")
+    # exact parity with the per-page detection semantics
+    ref = detect_speech_bubbles(
+        img, mgr.get_detector(ModelType.YOLO_SPEECH_BUBBLE_2),
+        cfg.detection,
+        conjoined_runner=mgr.get_detector(ModelType.RTDETR_CONJOINED),
+        use_cache=False)
+    ref = [d for d in ref if d.get("class") != "text_free"]
+    for page_dets in dets_batched:
+        assert [d["bbox"] for d in page_dets] == [d["bbox"] for d in ref]
+        assert [d.get("is_conjoined_child", False) for d in page_dets] == \
+            [d.get("is_conjoined_child", False) for d in ref]
 
 
 def test_batched_detect_sharded_over_mesh(batch_manager):
@@ -122,16 +164,16 @@ def test_device_streams_chunk_failure_propagates(batch_manager, monkeypatch):
     import mangatranslator_tpu.pipeline.device_batch as db
 
     mgr, img = batch_manager
-    real = db._collect_detect
+    real = db._full_detect_chunk
     calls = [0]
 
-    def flaky(handle, images):
+    def flaky(images, config, handle):
         calls[0] += 1
         if calls[0] == 1:
             raise RuntimeError("injected collect failure")
-        return real(handle, images)
+        return real(images, config, handle)
 
-    monkeypatch.setattr(db, "_collect_detect", flaky)
+    monkeypatch.setattr(db, "_full_detect_chunk", flaky)
     cfg = make_config(test_mode=True)
     cfg.parallel.device_streams = 3
     with pytest.raises(RuntimeError, match="injected collect failure"):
