@@ -151,7 +151,23 @@ TILE_H = 64
 _HALO = PAD_MARGIN  # 20 ≥ dilate(3) + MAX_SHRINK_RADIUS(16) context
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
+def _pick_tile_h(h: int, w: int) -> "int | None":
+    """Largest tile height whose (tile + 2·HALO)-row window keeps the
+    kernel's Mosaic scoped-vmem STACK under the 16 MB limit.
+
+    The kernel's live temporary set (dilate/erosion roll chain) scales with
+    the win×W f32 window: win=104 at W=1536 allocated 16.28 MB — 1.8% over
+    the limit and a hard compile failure on the wide clean buckets the
+    conjoined detector's page-sized crops hit (CLEAN_BUCKETS go to 2048).
+    Budget win·W·4 ≤ 0.5 MB, matching the known-good 104×1024 window, so
+    wider buckets trade grid steps for stack headroom."""
+    for th in (64, 32, 16, 8):
+        if h % th == 0 and (th + 2 * _HALO) * w * 4 <= 500_000:
+            return th
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "tile_h"))
 def fused_bubble_clean_tiled(
     gray: jnp.ndarray,
     masks: jnp.ndarray,
@@ -159,24 +175,27 @@ def fused_bubble_clean_tiled(
     inverts: jnp.ndarray,
     radii: jnp.ndarray,
     interpret: bool = False,
+    tile_h: "int | None" = None,
 ) -> jnp.ndarray:
     """Row-tiled variant of fused_bubble_clean for large ROIs.
 
     The single-block kernel holds a full ROI plus temporaries in VMEM and OOMs
     beyond ~256×512 f32. Here the grid tiles rows: inputs stay in HBM and each
-    step DMAs a (TILE_H + 2·HALO)-row window into VMEM scratch (window start
+    step DMAs a (tile_h + 2·HALO)-row window into VMEM scratch (window start
     clamped at the buffer edges — the discarded halo absorbs both the clamp
-    shift and circular-roll wrap). Requires H % TILE_H == 0 and the usual
+    shift and circular-roll wrap). ``tile_h`` defaults to the widest
+    stack-safe tile (_pick_tile_h); requires H % tile_h == 0 and the usual
     ≥PAD_MARGIN background border. Bit-identical to the untiled kernel on the
     content region (tested).
     """
     n, h, w = gray.shape
-    assert h % TILE_H == 0 and h >= TILE_H, (h, TILE_H)
-    win = TILE_H + 2 * _HALO
+    tile_h = tile_h or _pick_tile_h(h, w) or TILE_H
+    assert h % tile_h == 0 and h >= tile_h, (h, tile_h)
+    win = tile_h + 2 * _HALO
     offsets = _dilate_offsets(7, 7)
-    n_tiles = h // TILE_H
+    n_tiles = h // tile_h
 
-    # pre-pad rows by HALO so every tile's window start is simply t*TILE_H
+    # pre-pad rows by HALO so every tile's window start is simply t*tile_h
     # (Mosaic cannot lower dynamic slices of kernel-computed values)
     gray = jnp.pad(gray.astype(jnp.float32), ((0, 0), (_HALO, _HALO), (0, 0)))
     masks = jnp.pad(masks.astype(jnp.float32), ((0, 0), (_HALO, _HALO), (0, 0)))
@@ -185,7 +204,7 @@ def fused_bubble_clean_tiled(
                gray_s, mask_s, sems):
         i = pl.program_id(0)
         t = pl.program_id(1)
-        start = t * TILE_H  # in padded-row coordinates == t*TILE_H - HALO + HALO
+        start = t * tile_h  # in padded-row coordinates == t*tile_h - HALO + HALO
 
         cp_g = pltpu.make_async_copy(
             gray_hbm.at[i, pl.ds(start, win), :], gray_s, sems.at[0])
@@ -218,7 +237,7 @@ def fused_bubble_clean_tiled(
             keep = keep & (_roll2(hdist, dy, 0) > need)
         result = jnp.where(rf < 0, cand, jnp.where(keep, 1.0, 0.0))
 
-        out_ref[0] = result[_HALO: _HALO + TILE_H, :]
+        out_ref[0] = result[_HALO: _HALO + tile_h, :]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -227,7 +246,7 @@ def fused_bubble_clean_tiled(
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, TILE_H, w), lambda i, t, *_: (i, t, 0),
+        out_specs=pl.BlockSpec((1, tile_h, w), lambda i, t, *_: (i, t, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((win, w), jnp.float32),
@@ -249,7 +268,7 @@ def fused_bubble_clean_auto(gray, masks, thresholds, inverts, radii,
                             interpret: bool = False):
     """Dispatch: single-block kernel for VMEM-safe ROIs, row-tiled otherwise."""
     n, h, w = gray.shape
-    if h * w <= 256 * 512 or h % TILE_H != 0:
+    if h * w <= 256 * 512 or _pick_tile_h(h, w) is None:
         return fused_bubble_clean(gray, masks, thresholds, inverts, radii,
                                   interpret=interpret)
     return fused_bubble_clean_tiled(gray, masks, thresholds, inverts, radii,

@@ -159,8 +159,10 @@ def probe_link_weather():
 def _auto_prefers_device_batch(config) -> bool:
     """auto-scheduler decision: stacked device chunks need healthy upload
     bandwidth (each chunk ships pages_per_device_batch letterbox+ROI
-    canvases in a few large transfers); threaded page workers degrade
-    gracefully in every phase, so they are the fallback."""
+    canvases in a few large transfers) AND enough host cores to fan out the
+    per-chunk host work (detector postprocess, conjoined geometry, render);
+    threaded page workers degrade gracefully in every phase, so they are
+    the fallback."""
     import os
 
     import jax
@@ -168,6 +170,13 @@ def _auto_prefers_device_batch(config) -> bool:
     if jax.devices()[0].platform != "tpu":
         # CPU backend: no tunnel to hide, and the stacked programs measured
         # SLOWER than threaded workers there (bench_baseline.json extras)
+        return False
+    if (os.cpu_count() or 1) < 4 and jax.device_count() == 1:
+        # measured (r5, full default stack, calm weather, 1-core host):
+        # device-batched 1.79 s/page vs threaded 1.47 — the chunk chains'
+        # host stages serialize on a starved core while threaded workers
+        # overlap them. Multiple attached devices flip the economics back
+        # (page sharding multiplies device throughput per dispatch).
         return False
     try:
         latency, bandwidth = probe_link_weather()

@@ -487,3 +487,12 @@ def test_auto_probe_threshold(monkeypatch):
     monkeypatch.setattr(batch_mod, "probe_link_weather",
                         lambda: (_ for _ in ()).throw(RuntimeError("down")))
     assert batch_mod._auto_prefers_device_batch(cfg) is False
+    # single-chip + starved host (<4 cores): threaded even on a healthy
+    # link (measured r5: the chunk chains' host stages serialize)
+    monkeypatch.setattr(batch_mod, "probe_link_weather", lambda: (0.05, 40.0))
+    monkeypatch.setattr("os.cpu_count", lambda: 1)
+    monkeypatch.setattr("jax.device_count", lambda *a: 1)
+    assert batch_mod._auto_prefers_device_batch(cfg) is False
+    # multiple attached devices flip it back (page sharding wins)
+    monkeypatch.setattr("jax.device_count", lambda *a: 4)
+    assert batch_mod._auto_prefers_device_batch(cfg) is True
