@@ -8,12 +8,13 @@ PRIMARY config = the HONEST reference-default path (BASELINE.md config 1 at
 default-model parity): synthetic ~2000 px manga pages, bubble detection with
 yolo_2's full 1600 px input (the reference default,
 core/image/detection.py:1337-1345), batched TPU clean chain, reading-order
-sort, layout probing, supersampled render, PNG save, through the DEFAULT
-production batch scheduler (threaded page workers, the reference's own
-concurrency model). The timed chapter run repeats 3× and reports the MEDIAN —
-remote-tunnel weather moves single runs 2-3×. The TPU-native device-batched
-scheduler is measured as an extra (it wins calm phases, loses
-bandwidth-degraded ones). Test mode = zero network (--test-mode semantics).
+sort, layout probing, supersampled render, PNG save, through the SHIPPED
+DEFAULT batch scheduler (--scheduler auto: probes link weather + host cores
+and routes each chapter to stacked device-batched chunks or threaded page
+workers). The timed chapter run repeats 3× and reports the MEDIAN —
+remote-tunnel weather moves single runs 2-3×. Both scheduler arms are also
+measured individually as extras. Test mode = zero network (--test-mode
+semantics).
 
 METHODOLOGY / baseline statement: vs_baseline divides by the SAME pipeline
 at the SAME config executed on the XLA-CPU backend (cached in
